@@ -1,0 +1,27 @@
+"""Repo-level pytest configuration.
+
+Tests run on the CPU backend with a *virtual 8-device mesh*
+(``--xla_force_host_platform_device_count=8``) so multi-chip sharding paths
+compile and execute without TPU hardware, and with x64 enabled so reference
+(NumPy float64) parity tolerances of <=1e-9 are meaningful.
+
+This must run before JAX initializes a backend, hence the module-level
+side effects.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (if present) registers itself via sitecustomize and
+# overrides JAX_PLATFORMS; force tests onto CPU regardless.
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,89 @@
+"""psa_simulation_ode_rk_mvp_dispersion_tpu -- TPU-native JAX framework for
+parametric amplification via four-wave mixing in optical fiber.
+
+A ground-up re-design (NOT a port) of the capabilities of the NumPy reference
+``Alxkov/PSA-simulation-ODE-RK-MVP-Dispersion``: the Agrawal/Yaman coupled-wave
+ODE system for [pump1, pump2, signal, idler] complex amplitudes, Taylor
+dispersion beta(omega), phase-mismatch strategies, fixed-step RK4 (and
+embedded adaptive RK45) along z, gain-spectrum / mismatch sweeps,
+NPZ/CSV/JSON persistence and plotting -- built on jax/XLA:
+
+- the unit of work is a *batch* of ODE instances (single run = batch of 1);
+- the hot loop is ``lax.scan`` compiled into one XLA program;
+- sweeps are ``vmap``-batched and sharded across a ``jax.sharding.Mesh``;
+- numerical failure is masked per-instance, not raised;
+- dtype tiers: x64 (reference parity), x32 (TPU fast), df32 (compensated
+  two-float32 reaching <=1e-9 on f64-less TPUs).
+
+Import alias: ``import psa_tpu`` (see repo-root ``psa_tpu.py``).
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+from .utils import precision as _precision
+
+# f64 is the reference-parity default; TPUs without native f64 use the
+# x32/df32 tiers explicitly.  Opt out with PSA_TPU_NO_X64=1.
+if _precision.x64_requested():
+    _precision.enable_x64()
+
+from . import constants  # noqa: E402
+from .config import (  # noqa: E402
+    SimulationConfig,
+    custom_simulation_config,
+    default_simulation_config,
+    validate_config,
+)
+from .ops import dispersion, frequency_plan, integrators, phase_matching, rhs  # noqa: E402
+from .ops.dispersion import (  # noqa: E402
+    DispersionParams,
+    beta2_from_D,
+    beta3_from_D_S,
+    beta4_from_D_S,
+    beta_taylor,
+    delta_beta_from_omegas,
+    delta_beta_symmetric,
+    dispersion_params_from_D_S,
+)
+from .ops.frequency_plan import (  # noqa: E402
+    SymmetricPlan,
+    describe_plan,
+    enforce_energy_conservation,
+    f_from_omega,
+    infer_symmetry_from_omegas,
+    lambda_from_omega,
+    omega_from_f,
+    omega_from_lambda,
+    plan_from_omegas,
+    plan_from_symmetry,
+    plan_from_wavelengths,
+)
+from .ops.phase_matching import (  # noqa: E402
+    PhaseMatchingConfig,
+    PhaseMatchingMethod,
+    PhaseMatchingResult,
+    PhaseMismatchCalculator,
+    compute_phase_mismatch,
+)
+from .ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rhs_yaman_simplified  # noqa: E402
+from .models import fwm4  # noqa: E402
+from .models.fwm4 import (  # noqa: E402
+    CacheParams,
+    FiberParams,
+    ModelParams,
+    PhaseMatchingParams,
+    SimulationGrid,
+    WAVE_ORDER,
+    WavesParams,
+    example_zero_signal,
+    custom_seeded_signal,
+    lower_params,
+    make_default_phase_matching_params,
+    make_initial_amplitudes,
+    make_model_params,
+    run_single_simulation,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,120 @@
+"""Numerical simulation configuration (two-tier config split: numerics here,
+physics in ``models/fwm4.py`` parameter pytrees -- the separation the
+reference established in ``config.py`` vs ``parameters.py``).
+
+Capability parity: reference ``config.py`` (``SimulationConfig`` :7-30,
+``default_simulation_config`` :33-47, ``custom_simulation_config`` :49-70,
+``validate_config`` :73-93).  Extensions over the reference:
+
+- ``integrator`` accepts ``'rk4'`` (fixed step) and ``'rk45'`` (embedded
+  adaptive Dormand-Prince) -- the reference validated the slot but only ever
+  dispatched rk4 (``config.py:89``).
+- ``precision`` selects the dtype tier (``'x64'`` reference-parity f64,
+  ``'x32'`` TPU-native f32, ``'df32'`` compensated two-float32; see
+  ``utils/precision.py``).
+
+``z_max``/``dz`` are in whatever length unit the runner is told
+(``length_unit``, reference ``simulation.py:240``); internally everything is
+converted to meters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+VALID_INTEGRATORS = ("rk4", "rk45")
+
+
+@dataclass(frozen=True)
+class SimulationConfig:
+    # ---- Geometry (in the runner's length_unit) ----
+    z_max: float
+    dz: float
+
+    # ---- Numerical method ----
+    integrator: str = "rk4"
+
+    # ---- Evaluation control ----
+    save_every: int = 10
+    check_nan: bool = True
+    verbose: bool = False
+
+    # ---- Precision tier (framework extension) ----
+    precision: str = "x64"
+
+    # ---- Adaptive (rk45) controls; ignored for rk4 ----
+    rtol: float = 1e-9
+    atol: float = 1e-12
+    max_steps: int = 1_000_000
+
+
+def default_simulation_config() -> SimulationConfig:
+    """Reference defaults (``config.py:33-47``): z_max=0.5, dz=1e-3,
+    save_every=10 -- interpreted in the runner's length_unit."""
+    return SimulationConfig(
+        z_max=0.5,
+        dz=1e-3,
+        integrator="rk4",
+        save_every=10,
+        check_nan=True,
+        verbose=False,
+    )
+
+
+def custom_simulation_config(
+    *,
+    z_max: float = 1.0,
+    dz: float = 1e-3,
+    integrator: str = "rk4",
+    save_every: int = 10,
+    check_nan: bool = True,
+    verbose: bool = False,
+    precision: str = "x64",
+    rtol: float = 1e-9,
+    atol: float = 1e-12,
+    max_steps: int = 1_000_000,
+) -> SimulationConfig:
+    return SimulationConfig(
+        z_max=z_max,
+        dz=dz,
+        integrator=integrator,
+        save_every=save_every,
+        check_nan=check_nan,
+        verbose=verbose,
+        precision=precision,
+        rtol=rtol,
+        atol=atol,
+        max_steps=max_steps,
+    )
+
+
+def validate_config(cfg: SimulationConfig) -> None:
+    """Raise ``ValueError`` for invalid configs (reference ``config.py:73-93``)."""
+    if cfg.z_max <= 0.0:
+        raise ValueError("z_max must be positive")
+
+    if cfg.dz <= 0.0:
+        raise ValueError("dz must be positive")
+
+    if cfg.dz > cfg.z_max:
+        raise ValueError("dz must be smaller than z_max")
+
+    if cfg.integrator.lower() not in VALID_INTEGRATORS:
+        raise ValueError(f"Unsupported integrator: {cfg.integrator}")
+
+    if cfg.save_every <= 0:
+        raise ValueError("save_every must be a positive integer")
+
+    from .utils.precision import validate_precision
+
+    validate_precision(cfg.precision)
+
+    if cfg.integrator.lower() == "rk45":
+        if cfg.rtol <= 0.0 or cfg.atol < 0.0:
+            raise ValueError("rk45 requires rtol > 0 and atol >= 0")
+        if cfg.max_steps <= 0:
+            raise ValueError("max_steps must be positive")
+
+
+def with_updates(cfg: SimulationConfig, **kwargs) -> SimulationConfig:
+    return replace(cfg, **kwargs)

@@ -1,0 +1,8 @@
+"""Physical constants.
+
+Capability parity: reference ``constants.py:2`` (speed of light).
+"""
+
+c: float = 299_792_458.0  # vacuum speed of light [m/s]
+
+TWO_PI: float = 6.283185307179586476925286766559  # 2*pi

@@ -1,0 +1,363 @@
+"""Model-agnostic ODE integrators, TPU-native.
+
+Capability parity with reference ``integrators.py`` (``rk4_step`` :25-61,
+``integrate_fixed_step`` :68-142, ``integrate_interval`` :150-204), kept
+physics-free by design (reference ``integrators.py:6-7``) -- re-built on
+``jax.lax.scan``:
+
+- The hot loop is a nested scan: an outer scan over *save chunks* emits one
+  decimated sample per ``save_every`` inner RK4 steps (reference's
+  ``save_every`` decimation, ``integrators.py:137-140``), with the inner steps
+  unrollable for the TPU VPU.  The whole trajectory solve is one XLA program.
+- Numerical-failure detection is *masked*, not exception-based: a per-instance
+  ``ok`` flag in the scan carry freezes a lane at its last finite state the
+  moment a NaN/Inf appears, and records the first bad step index (replacing
+  ``FloatingPointError`` at ``integrators.py:132-135`` with semantics that
+  survive ``vmap``/``pjit``).  Eager single-run wrappers re-raise
+  ``FloatingPointError`` host-side for API parity.
+- ``integrate_reduce`` runs the same stepping but folds saved samples into a
+  running reduction (e.g. max signal power) instead of materializing the
+  trajectory -- the memory-lean path used by batched sweeps.
+
+Everything here is dtype-polymorphic: pass complex64 state for the TPU fast
+path, complex128 (with x64) for reference-parity validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+# f(z, y, params) -> dy/dz
+RHSFunction = Callable[[jax.Array, jax.Array, Any], jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# Single-step RK4 (classic Butcher tableau; reference integrators.py:25-61)
+# ---------------------------------------------------------------------------
+
+def rk4_step(f: RHSFunction, z, y, dz, params):
+    """One classic 4th-order Runge-Kutta step; pure and trace-friendly."""
+    half = dz * 0.5
+    k1 = f(z, y, params)
+    k2 = f(z + half, y + half * k1, params)
+    k3 = f(z + half, y + half * k2, params)
+    k4 = f(z + dz, y + dz * k3, params)
+    return y + (dz / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+def _all_finite(y) -> jax.Array:
+    """Scalar bool: every element of (possibly complex) y is finite.
+
+    Reduces over *all* axes of y; under ``vmap`` the batch axis is lifted out
+    automatically, giving a per-instance flag.
+    """
+    if jnp.iscomplexobj(y):
+        fin = jnp.isfinite(y.real) & jnp.isfinite(y.imag)
+    else:
+        fin = jnp.isfinite(y)
+    return jnp.all(fin)
+
+
+class IntegrationState(NamedTuple):
+    """Scan carry: state + masked failure tracking."""
+
+    y: jax.Array
+    ok: jax.Array        # bool: no NaN/Inf so far
+    bad_step: jax.Array  # int32: first failing step index, or -1
+
+
+def _steps_chunk(
+    f: RHSFunction,
+    state: IntegrationState,
+    params,
+    *,
+    z0,
+    dz,
+    start_step,
+    n_inner: int,
+    check_nan: bool,
+    unroll: int,
+) -> IntegrationState:
+    """Advance ``n_inner`` RK4 steps from global step index ``start_step``.
+
+    z at step i is reconstructed as ``z0 + i*dz`` (no accumulated summation
+    drift; matches the reference's linspace grid to rounding error).
+    """
+
+    def body(st: IntegrationState, i):
+        step = start_step + i
+        z = z0 + step.astype(jnp.result_type(dz)) * dz
+        y_new = rk4_step(f, z, st.y, dz, params)
+        if check_nan:
+            fin = _all_finite(y_new)
+            ok_new = st.ok & fin
+            y_out = jnp.where(ok_new, y_new, st.y)
+            bad = jnp.where(st.ok & ~fin, step.astype(jnp.int32), st.bad_step)
+            return IntegrationState(y_out, ok_new, bad), None
+        return IntegrationState(y_new, st.ok, st.bad_step), None
+
+    if n_inner == 0:
+        return state
+    state, _ = lax.scan(
+        body, state, jnp.arange(n_inner, dtype=jnp.int32), unroll=min(unroll, n_inner)
+    )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Fixed-step integration with decimated trajectory storage
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IntegrationResult:
+    """Trajectory solve output.
+
+    ``z_saved``/``y_saved`` follow the reference save contract
+    (``integrators.py:111-142``): row 0 is the initial condition, then one row
+    per ``save_every`` steps; trailing partial steps are integrated into
+    ``y_final`` but not saved.
+    """
+
+    z_saved: jax.Array   # (S+1,)
+    y_saved: jax.Array   # (S+1, *state_shape)
+    y_final: jax.Array   # state after all n_steps
+    ok: jax.Array        # bool
+    bad_step: jax.Array  # int32, -1 if ok
+
+
+def integrate_fixed_grid(
+    f: RHSFunction,
+    y0,
+    params,
+    *,
+    z0,
+    dz,
+    n_steps: int,
+    save_every: int = 1,
+    check_nan: bool = True,
+    unroll: int = 4,
+) -> IntegrationResult:
+    """Integrate ``n_steps`` fixed RK4 steps from ``z0`` with step ``dz``,
+    saving every ``save_every``-th state.  Fully jit/vmap-compatible.
+
+    ``n_steps`` and ``save_every`` are static Python ints (they fix the XLA
+    program shape); ``z0``/``dz``/``y0``/``params`` may be traced.
+    """
+    if save_every <= 0:
+        raise ValueError("save_every must be a positive integer")
+    if n_steps < 0:
+        raise ValueError("n_steps must be >= 0")
+
+    y0 = jnp.asarray(y0)
+    dz_arr = jnp.asarray(dz)
+    rdt = dz_arr.dtype if jnp.issubdtype(dz_arr.dtype, jnp.floating) else jnp.result_type(float)
+    z0 = jnp.asarray(z0, dtype=rdt)
+    dz = dz_arr.astype(rdt)
+
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+
+    init = IntegrationState(
+        y=y0,
+        ok=jnp.asarray(True),
+        bad_step=jnp.asarray(-1, dtype=jnp.int32),
+    )
+
+    def chunk(st: IntegrationState, chunk_idx):
+        st = _steps_chunk(
+            f, st, params,
+            z0=z0, dz=dz,
+            start_step=chunk_idx * save_every,
+            n_inner=save_every,
+            check_nan=check_nan,
+            unroll=unroll,
+        )
+        return st, st.y
+
+    if n_chunks > 0:
+        st, ys = lax.scan(chunk, init, jnp.arange(n_chunks, dtype=jnp.int32))
+        y_saved = jnp.concatenate([y0[None], ys], axis=0)
+    else:
+        st = init
+        y_saved = y0[None]
+
+    # Trailing partial steps: integrated, not saved (reference truncation
+    # semantics, integrators.py:137-142).
+    st = _steps_chunk(
+        f, st, params,
+        z0=z0, dz=dz,
+        start_step=n_chunks * save_every,
+        n_inner=remainder,
+        check_nan=check_nan,
+        unroll=unroll,
+    )
+
+    save_steps = jnp.arange(n_chunks + 1, dtype=jnp.int32) * save_every
+    z_saved = z0 + save_steps.astype(rdt) * dz
+
+    return IntegrationResult(
+        z_saved=z_saved, y_saved=y_saved, y_final=st.y, ok=st.ok, bad_step=st.bad_step
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reduction-mode integration (no trajectory materialization)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ReduceResult:
+    reduction: Any
+    y_final: jax.Array
+    ok: jax.Array
+    bad_step: jax.Array
+
+
+def integrate_reduce(
+    f: RHSFunction,
+    y0,
+    params,
+    *,
+    z0,
+    dz,
+    n_steps: int,
+    save_every: int = 1,
+    reduce_init: Any = None,
+    reduce_fn: Optional[Callable[[Any, jax.Array], Any]] = None,
+    check_nan: bool = True,
+    unroll: int = 4,
+) -> ReduceResult:
+    """Like :func:`integrate_fixed_grid` but folds each *saved* sample (the
+    initial state and every ``save_every``-th state) into
+    ``reduce_fn(acc, y)`` instead of stacking the trajectory.
+
+    This makes a 10^4-instance sweep O(B * state) memory instead of
+    O(B * n_saved * state): the sweep engine computes running max powers /
+    final states without ever materializing trajectories in HBM.
+    """
+    if reduce_fn is None:
+        raise ValueError("reduce_fn is required")
+    if save_every <= 0:
+        raise ValueError("save_every must be a positive integer")
+
+    y0 = jnp.asarray(y0)
+    dz_arr = jnp.asarray(dz)
+    rdt = dz_arr.dtype if jnp.issubdtype(dz_arr.dtype, jnp.floating) else jnp.result_type(float)
+    z0 = jnp.asarray(z0, dtype=rdt)
+    dz = dz_arr.astype(rdt)
+
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+
+    init_state = IntegrationState(
+        y=y0,
+        ok=jnp.asarray(True),
+        bad_step=jnp.asarray(-1, dtype=jnp.int32),
+    )
+    acc0 = reduce_fn(reduce_init, y0)
+
+    def chunk(carry, chunk_idx):
+        st, acc = carry
+        st = _steps_chunk(
+            f, st, params,
+            z0=z0, dz=dz,
+            start_step=chunk_idx * save_every,
+            n_inner=save_every,
+            check_nan=check_nan,
+            unroll=unroll,
+        )
+        acc = reduce_fn(acc, st.y)
+        return (st, acc), None
+
+    if n_chunks > 0:
+        (st, acc), _ = lax.scan(chunk, (init_state, acc0), jnp.arange(n_chunks, dtype=jnp.int32))
+    else:
+        st, acc = init_state, acc0
+
+    st = _steps_chunk(
+        f, st, params,
+        z0=z0, dz=dz,
+        start_step=n_chunks * save_every,
+        n_inner=remainder,
+        check_nan=check_nan,
+        unroll=unroll,
+    )
+
+    return ReduceResult(reduction=acc, y_final=st.y, ok=st.ok, bad_step=st.bad_step)
+
+
+# ---------------------------------------------------------------------------
+# Eager convenience wrappers (reference API parity)
+# ---------------------------------------------------------------------------
+
+def integrate_fixed_step(
+    f: RHSFunction,
+    z_grid,
+    y0,
+    params,
+    *,
+    save_every: int = 1,
+    check_nan: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference-parity eager API over an explicit uniform z-grid
+    (``integrators.py:68-142``): returns host ``(z_out, y_out)`` and raises
+    ``FloatingPointError`` on NaN/Inf when ``check_nan``.
+
+    The grid must be uniform (the TPU program is built from (z0, dz, n));
+    non-uniform grids were never produced by the reference entry points.
+    """
+    zg = np.asarray(z_grid, dtype=float)
+    if zg.ndim != 1:
+        raise ValueError("z_grid must be a one-dimensional array")
+    if save_every <= 0:
+        raise ValueError("save_every must be a positive integer")
+    n_steps = zg.size - 1
+    if n_steps < 1:
+        raise ValueError("z_grid must contain at least 2 points")
+    steps = np.diff(zg)
+    dz = float(zg[-1] - zg[0]) / n_steps
+    if not np.allclose(steps, dz, rtol=1e-9, atol=0.0):
+        raise ValueError("z_grid must be uniform for the scan-based integrator")
+
+    res = integrate_fixed_grid(
+        f, jnp.asarray(y0), params,
+        z0=float(zg[0]), dz=dz, n_steps=n_steps,
+        save_every=save_every, check_nan=check_nan,
+    )
+    ok = bool(res.ok)
+    if check_nan and not ok:
+        bad = int(res.bad_step)
+        raise FloatingPointError(
+            f"NaN or Inf detected at step {bad}, z = {zg[0] + bad * dz}"
+        )
+    return np.asarray(res.z_saved), np.asarray(res.y_saved)
+
+
+def integrate_interval(
+    f: RHSFunction,
+    z_max: float,
+    dz: float,
+    y0,
+    params,
+    *,
+    save_every: int = 1,
+    check_nan: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Integrate on [0, z_max] with fixed dz (reference
+    ``integrators.py:150-204``): n_steps = round(z_max/dz)."""
+    if z_max <= 0.0:
+        raise ValueError("z_max must be positive")
+    if dz <= 0.0:
+        raise ValueError("dz must be positive")
+    n_steps = int(round(float(z_max) / float(dz)))
+    z_grid = np.linspace(0.0, float(z_max), n_steps + 1)
+    return integrate_fixed_step(
+        f, z_grid, y0, params, save_every=save_every, check_nan=check_nan
+    )

@@ -1,0 +1,70 @@
+"""Precision / dtype policy for the TPU-native PSA framework.
+
+The reference simulator (``integrators.py``, ``yaman_model.py``) runs NumPy
+float64/complex128 everywhere.  TPUs have no native f64, so this framework is
+dtype-parametric:
+
+- ``"x64"``  : float64 / complex128.  Bit-compatible with the reference to
+  ~1e-12; the validation mode.  Runs on CPU (and on TPU generations that
+  emulate f64 -- the v5e used here does not, so x64 is CPU-only in practice).
+- ``"x32"``  : float32 / complex64.  The TPU fast path (VPU-native).
+- ``"df32"`` : double-word float32 ("two-float" compensated arithmetic,
+  ~49-bit effective mantissa).  The TPU path that reaches <=1e-9 relative
+  error vs the f64 reference; see ``ops/twofloat.py``.
+
+x64 support in JAX is a process-global flag; :func:`enable_x64` flips it and
+is called from the package ``__init__`` unless ``PSA_TPU_NO_X64=1``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+VALID_PRECISIONS = ("x64", "x32", "df32")
+
+
+def enable_x64() -> None:
+    """Enable 64-bit types globally (idempotent)."""
+    jax.config.update("jax_enable_x64", True)
+
+
+def x64_requested() -> bool:
+    return os.environ.get("PSA_TPU_NO_X64", "0") != "1"
+
+
+def real_dtype(precision: str) -> jnp.dtype:
+    """Real scalar dtype used for the given precision tier.
+
+    ``df32`` state is carried as *pairs* of float32; its per-word dtype is
+    float32.
+    """
+    if precision == "x64":
+        return jnp.dtype(jnp.float64)
+    if precision in ("x32", "df32"):
+        return jnp.dtype(jnp.float32)
+    raise ValueError(f"Unknown precision {precision!r}; use one of {VALID_PRECISIONS}")
+
+
+def complex_dtype(precision: str) -> jnp.dtype:
+    if precision == "x64":
+        return jnp.dtype(jnp.complex128)
+    if precision in ("x32", "df32"):
+        return jnp.dtype(jnp.complex64)
+    raise ValueError(f"Unknown precision {precision!r}; use one of {VALID_PRECISIONS}")
+
+
+def validate_precision(precision: str) -> str:
+    p = str(precision).strip().lower()
+    if p not in VALID_PRECISIONS:
+        raise ValueError(f"Unknown precision {precision!r}; use one of {VALID_PRECISIONS}")
+    return p
+
+
+def dtypes_for(precision: str) -> Tuple[jnp.dtype, jnp.dtype]:
+    """(real_dtype, complex_dtype) pair for a precision tier."""
+    p = validate_precision(precision)
+    return real_dtype(p), complex_dtype(p)
