@@ -1,0 +1,126 @@
+"""Headline benchmark: 10^4-point gain-spectrum scan throughput on one chip.
+
+Reference baseline (BASELINE.md, measured single-core NumPy): the
+``main_gain_spectrum`` per-point configuration (z_max=500 m, dz=0.2 m -> 2,500
+RK4 steps/point, save_every=10) runs at 0.301 s/point = 3.322 points/s; a
+10^4-point spectrum takes ~50 min.  North star: >=1000x on one TPU chip.
+
+This benchmark runs the same physics as ONE batched XLA program (vmapped
+lax.scan RK4, on-device gain reduction, f32-safe fetches) and reports
+
+    {"metric": "gain_spectrum_points_per_s", "value": ..., "unit": "points/s",
+     "vs_baseline": ...}
+
+plus a correctness cross-check of a 32-point subset against the x64 (CPU)
+solver when the bench runs in x32 on TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_POINTS_PER_S = 1.0 / 0.301  # reference: 0.301 s/point (BASELINE.md)
+N_POINTS = 10_000
+
+
+def main() -> None:
+    import jax
+
+    import psa_tpu as psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import sweep as sw
+
+    backend = jax.default_backend()
+    precision = "x32" if backend == "tpu" else "x64"
+
+    # --- the main_gain_spectrum configuration (reference main.py:119-203) ---
+    lam_p1, lam_p2 = 1550e-9, 1555e-9
+    lam3 = np.linspace(1540e-9, 1650e-9, N_POINTS)
+    cfg = psa.custom_simulation_config(
+        z_max=500.0, dz=0.2, save_every=10, precision=precision
+    )
+    omega_ref = np.asarray(psa.plan_from_wavelengths(lam_p1, lam_p2, float(lam3[0])))
+    sp = psa.infer_symmetry_from_omegas(
+        omega_ref[0], omega_ref[1], omega_ref[2], omega_ref[3]
+    )
+    disp = psa.dispersion_params_from_D_S(
+        lambda_ref_m=float(psa.lambda_from_omega(sp.omega_c)),
+        D=0.2, S=0.02, dSdlmbd=0,
+        D_units="ps/nm/km", S_units="ps/nm^2/km", dSdlmbd_units="ps/nm^3/km",
+        omega_ref=float(np.asarray(sp.omega_c)),
+    )
+    pm = psa.PhaseMatchingConfig(
+        method=psa.PhaseMatchingMethod.SYMMETRIC_EVEN, even_orders=(2, 4), max_order=4
+    )
+    common = dict(
+        cfg=cfg,
+        lambda_p1_m=lam_p1,
+        lambda_p2_m=lam_p2,
+        gamma=11.5 / 1000.0,
+        alpha=(np.log(10.0) / 10.0) * 0.5 / 1000.0,
+        p_in=np.array([0.5, 0.5, 1e-7, 1e-7]),
+        phase_in=np.zeros(4),
+        dispersion=disp,
+        phase_matching_cfg=pm,
+        length_unit="m",
+        gain_unit="dB",
+        frame="rotating",
+    )
+
+    # --- warmup/compile on a small batch, then the timed full scan ---------
+    _ = sw.gain_spectrum(lambda_signal_m=lam3[:64], **common)
+    warm = sw.gain_spectrum(lambda_signal_m=lam3, **common)  # compile for B=N
+    t0 = time.perf_counter()
+    res = sw.gain_spectrum(lambda_signal_m=lam3, **common)
+    elapsed = time.perf_counter() - t0
+
+    pts_per_s = N_POINTS / elapsed
+    n_finite = int(np.isfinite(res.gain).sum())
+
+    # --- sanity: subset agreement with the x64 CPU reference-parity path ---
+    max_rel_err = None
+    try:
+        cpu = jax.devices("cpu")
+        if cpu and precision != "x64":
+            with jax.default_device(cpu[0]):
+                cfg64 = psa.custom_simulation_config(
+                    z_max=500.0, dz=0.2, save_every=10, precision="x64"
+                )
+                sub = np.linspace(1541e-9, 1649e-9, 32)
+                c64 = {**common, "cfg": cfg64, "frame": "lab"}
+                ref = sw.gain_spectrum(lambda_signal_m=sub, **c64)
+                fast = sw.gain_spectrum(lambda_signal_m=sub, **common)
+                lin_ref = 10 ** (ref.gain / 10.0)
+                lin_fast = 10 ** (fast.gain / 10.0)
+                max_rel_err = float(np.nanmax(np.abs(lin_fast / lin_ref - 1.0)))
+    except Exception as e:  # noqa: BLE001
+        print(f"# accuracy cross-check skipped: {e}", file=sys.stderr)
+
+    meta = {
+        "backend": backend,
+        "precision": precision,
+        "n_points": N_POINTS,
+        "rk4_steps_per_point": int(round(cfg.z_max / cfg.dz)),
+        "elapsed_s": round(elapsed, 4),
+        "batched_rk4_steps_per_s": round(pts_per_s * round(cfg.z_max / cfg.dz)),
+        "finite_points": n_finite,
+        "subset_max_rel_err_vs_x64": max_rel_err,
+    }
+    print(f"# {json.dumps(meta)}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "gain_spectrum_points_per_s",
+                "value": round(pts_per_s, 2),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_s / BASELINE_POINTS_PER_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -499,7 +499,7 @@ def run_single_simulation(
 
     y_saved = out.y_saved
     if frame == "rotating":
-        y_saved = rotating_to_lab(out.z_saved[:, None], y_saved, coeffs)
+        y_saved = rotating_to_lab(out.z_saved, y_saved, coeffs)
 
     # Output unit conversion (reference simulation.py:359-363); z is rebuilt
     # on the host in f64 so x32 runs still report exact grid locations.

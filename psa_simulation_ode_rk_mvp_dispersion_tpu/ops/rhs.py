@@ -177,14 +177,17 @@ def rhs_yaman_autonomous(z, b: jax.Array, p: RHSCoeffs) -> jax.Array:
 
 
 def rotating_to_lab(z, b: jax.Array, p: RHSCoeffs) -> jax.Array:
-    """Map rotating-frame state B back to lab-frame amplitudes A at z."""
-    nb = b.ndim - 1
-    db = _expand(p.delta_beta, nb)
+    """Map rotating-frame state B back to lab-frame amplitudes A at z.
+
+    ``z`` broadcasts against ``b``'s *leading* axes (scalar for a single
+    state, ``(S,)`` for a trajectory whose state is ``(S, 4)``); the wave axis
+    is appended here.
+    """
     rdt = jnp.finfo(b.dtype).dtype
-    theta = (0.5 * db * jnp.asarray(z)).astype(rdt)
+    theta = (0.5 * jnp.asarray(p.delta_beta) * jnp.asarray(z)).astype(rdt)
     rot = jax.lax.complex(jnp.cos(theta), jnp.sin(theta)).astype(b.dtype)
     ones = jnp.ones_like(rot)
-    factors = jnp.concatenate(jnp.broadcast_arrays(rot, rot, ones, ones), axis=-1)
+    factors = jnp.stack(jnp.broadcast_arrays(rot, rot, ones, ones), axis=-1)
     return b * factors
 
 

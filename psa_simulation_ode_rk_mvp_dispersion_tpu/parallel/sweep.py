@@ -1,0 +1,704 @@
+"""Batched parameter sweeps: the reason this framework exists.
+
+Capability parity with the reference sweep layer ``scan_mismtach.py``:
+``plot_max_signal_gain_vs_lambda_signal`` (:262-430),
+``plot_dbeta_vs_lambda_signal`` (:473-585),
+``plot_max_gain_and_dbeta_vs_lambda_signal`` (:588-783) and the (stale)
+``scan_mismatch_seeded_signal`` (:43-259) -- re-designed TPU-first:
+
+- The reference integrates sweep points one at a time in a serial Python loop
+  (~0.3 s/point).  Here the *entire sweep is one batched XLA program*: the
+  (B,) parameter grid becomes a batched :class:`~..ops.rhs.RHSCoeffs` pytree,
+  ``vmap`` lifts the ``lax.scan`` RK4 solver over the batch, and the running
+  gain reduction happens on-device (``integrate_reduce``) so only (B,) f32
+  summaries ever cross back to the host.
+- Sharding: pass a ``Mesh`` (or let ``auto_mesh=True`` build one) and the
+  batch axis is sharded over devices with ``NamedSharding`` -- embarrassingly
+  SPMD, no collectives in the hot loop.
+- Failure semantics: the reference wraps each point in try/except and records
+  NaN (``scan_mismtach.py:391-392``, ``:736-738``).  Here invalid points
+  (e.g. inferred idler frequency <= 0) are masked up front, and NaN/Inf during
+  integration trips the per-instance ``ok`` flag; both surface as NaN gain.
+- Results are returned as data (`SweepResult`); plotting lives separately in
+  ``plotting.py`` (same split the reference gestures at but does not make).
+
+Device<->host traffic is f32/i32 only (complex states are returned as
+real/imag pairs and reassembled on the host) -- required on TPU attachments
+that cannot fetch computed bool/complex buffers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SimulationConfig, validate_config
+from ..constants import c as C0, TWO_PI
+from ..ops.dispersion import DispersionParams, delta_beta_from_omegas, delta_beta_symmetric
+from ..ops.integrators import integrate_fixed_grid, integrate_reduce
+from ..ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
+from ..ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
+from ..utils.precision import complex_dtype, real_dtype, validate_precision
+from ..utils.units import length_scale_to_m, wavelength_scale
+from ..models.fwm4 import _to_power_array, _to_phase_array
+
+GainMode = str  # "end" | "max"
+VALID_GAIN_MODES = ("end", "max")
+VALID_GAIN_UNITS = ("db", "linear")
+
+
+# ---------------------------------------------------------------------------
+# Result containers (host-side data)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BatchSolveResult:
+    """Per-instance summaries of a batched solve (host numpy)."""
+
+    P_max: np.ndarray    # (B, 4) max power over saved samples [W]
+    P_end: np.ndarray    # (B, 4) power at last saved sample [W]
+    A_end: np.ndarray    # (B, 4) complex lab-frame state at last saved sample
+    ok: np.ndarray       # (B,) bool
+    elapsed_s: float
+    instances_per_s: float
+
+
+@dataclass(frozen=True)
+class SweepResult:
+    """A 1-D sweep: x grid + gain (+ optional dbeta) with NaN for failures."""
+
+    x: np.ndarray
+    gain: np.ndarray
+    dbeta: Optional[np.ndarray]
+    ok: np.ndarray
+    gain_unit: str
+    elapsed_s: float
+    points_per_s: float
+
+    @property
+    def best_index(self) -> int:
+        return int(np.nanargmax(self.gain))
+
+
+# ---------------------------------------------------------------------------
+# The batched solver core
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _batch_solver(
+    n_steps: int,
+    save_every: int,
+    check_nan: bool,
+    frame: str,
+    unroll: int,
+):
+    """Jitted vmapped reduce-mode solver.
+
+    Returns arrays safe to fetch on restricted TPU attachments:
+    (P_max (B,4) real, A_end real/imag (B,4,2) real, ok (B,) int32).
+    """
+    rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
+
+    def one(y0, coeffs, z0, dz):
+        P0 = y0.real * y0.real + y0.imag * y0.imag
+
+        def red(acc, y):
+            pmax, _last = acc
+            P = y.real * y.real + y.imag * y.imag
+            return (jnp.maximum(pmax, P), y)
+
+        res = integrate_reduce(
+            rhs, y0, coeffs,
+            z0=z0, dz=dz, n_steps=n_steps, save_every=save_every,
+            reduce_init=(P0, y0), reduce_fn=red,
+            check_nan=check_nan, unroll=unroll,
+        )
+        pmax, y_last = res.reduction
+        n_chunks = n_steps // save_every
+        z_last = z0 + (n_chunks * save_every) * dz
+        if frame == "rotating":
+            y_last = rotating_to_lab(z_last, y_last, coeffs)
+        return pmax, y_last, res.ok
+
+    def batch(y0_b, coeffs_b, z0, dz):
+        pmax, y_last, ok = jax.vmap(one, in_axes=(0, 0, None, None))(
+            y0_b, coeffs_b, z0, dz
+        )
+        rdt = jnp.finfo(y0_b.dtype).dtype
+        a_ri = jnp.stack([y_last.real, y_last.imag], axis=-1).astype(rdt)
+        return pmax.astype(rdt), a_ri, ok.astype(jnp.int32)
+
+    return jax.jit(batch)
+
+
+def solve_batch(
+    cfg: SimulationConfig,
+    coeffs: RHSCoeffs,
+    A0: np.ndarray,
+    *,
+    frame: str = "rotating",
+    mesh=None,
+    unroll: int = 4,
+) -> BatchSolveResult:
+    """Solve B independent 4-wave instances in one XLA program.
+
+    ``coeffs`` fields and ``A0`` must share the leading batch dimension; all
+    quantities in internal per-meter units (``cfg.z_max``/``cfg.dz`` here are
+    in meters -- callers handle the unit boundary).
+    """
+    validate_config(cfg)
+    precision = validate_precision(cfg.precision)
+    cdt = complex_dtype(precision)
+    rdt = real_dtype(precision)
+
+    A0 = np.asarray(A0)
+    if A0.ndim != 2 or A0.shape[1] != 4:
+        raise ValueError(f"A0 must have shape (B, 4), got {A0.shape}")
+    B = A0.shape[0]
+
+    gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
+    alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
+    dbeta = np.broadcast_to(np.asarray(coeffs.delta_beta, dtype=float), (B,))
+
+    n_steps = int(round(cfg.z_max / cfg.dz))
+    solver = _batch_solver(
+        n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
+    )
+
+    y0_dev = jnp.asarray(A0, dtype=cdt)
+    coeffs_dev = RHSCoeffs(
+        gamma=jnp.asarray(gamma, dtype=rdt),
+        alpha=jnp.asarray(alpha, dtype=rdt),
+        delta_beta=jnp.asarray(dbeta, dtype=rdt),
+    )
+
+    n_orig = B
+    if mesh is not None:
+        from .mesh import batch_sharding, pad_batch
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        A0_p, n_orig = pad_batch(A0, ndev)
+        gamma_p, _ = pad_batch(gamma, ndev)
+        alpha_p, _ = pad_batch(alpha, ndev)
+        dbeta_p, _ = pad_batch(dbeta, ndev)
+        sh = batch_sharding(mesh)
+        y0_dev = jax.device_put(jnp.asarray(A0_p, dtype=cdt), sh)
+        coeffs_dev = RHSCoeffs(
+            gamma=jax.device_put(jnp.asarray(gamma_p, dtype=rdt), sh),
+            alpha=jax.device_put(jnp.asarray(alpha_p, dtype=rdt), sh),
+            delta_beta=jax.device_put(jnp.asarray(dbeta_p, dtype=rdt), sh),
+        )
+
+    t0 = time.perf_counter()
+    pmax, a_ri, ok = solver(
+        y0_dev, coeffs_dev, jnp.asarray(0.0, dtype=rdt), jnp.asarray(cfg.dz, dtype=rdt)
+    )
+    pmax, a_ri, ok = jax.block_until_ready((pmax, a_ri, ok))
+    elapsed = time.perf_counter() - t0
+
+    pmax = np.asarray(pmax)[:n_orig]
+    a_ri = np.asarray(a_ri)[:n_orig]
+    ok = np.asarray(ok)[:n_orig].astype(bool)
+    A_end = a_ri[..., 0] + 1j * a_ri[..., 1]
+    P_end = np.abs(A_end) ** 2
+
+    return BatchSolveResult(
+        P_max=pmax,
+        P_end=P_end,
+        A_end=A_end,
+        ok=ok,
+        elapsed_s=elapsed,
+        instances_per_s=n_orig / elapsed if elapsed > 0 else float("inf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory-mode batched solve (moderate B; full decimated trajectories)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _batch_traj_solver(n_steps: int, save_every: int, check_nan: bool, frame: str, unroll: int):
+    rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
+
+    def one(y0, coeffs, z0, dz):
+        res = integrate_fixed_grid(
+            rhs, y0, coeffs, z0=z0, dz=dz, n_steps=n_steps,
+            save_every=save_every, check_nan=check_nan, unroll=unroll,
+        )
+        y_saved = res.y_saved
+        if frame == "rotating":
+            y_saved = rotating_to_lab(res.z_saved, y_saved, coeffs)
+        return res.z_saved, y_saved, res.ok
+
+    def batch(y0_b, coeffs_b, z0, dz):
+        z, ys, ok = jax.vmap(one, in_axes=(0, 0, None, None))(y0_b, coeffs_b, z0, dz)
+        rdt = jnp.finfo(y0_b.dtype).dtype
+        y_ri = jnp.stack([ys.real, ys.imag], axis=-1).astype(rdt)
+        return z[0], y_ri, ok.astype(jnp.int32)
+
+    return jax.jit(batch)
+
+
+def solve_batch_trajectories(
+    cfg: SimulationConfig,
+    coeffs: RHSCoeffs,
+    A0: np.ndarray,
+    *,
+    frame: str = "rotating",
+    unroll: int = 4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched solve returning full decimated trajectories
+    ``(z (S+1,), A (B, S+1, 4) complex, ok (B,))``."""
+    validate_config(cfg)
+    precision = validate_precision(cfg.precision)
+    cdt = complex_dtype(precision)
+    rdt = real_dtype(precision)
+    A0 = np.asarray(A0)
+    B = A0.shape[0]
+    n_steps = int(round(cfg.z_max / cfg.dz))
+    solver = _batch_traj_solver(
+        n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
+    )
+    coeffs_dev = RHSCoeffs(
+        gamma=jnp.asarray(np.broadcast_to(np.asarray(coeffs.gamma, float), (B,)), dtype=rdt),
+        alpha=jnp.asarray(np.broadcast_to(np.asarray(coeffs.alpha, float), (B,)), dtype=rdt),
+        delta_beta=jnp.asarray(np.broadcast_to(np.asarray(coeffs.delta_beta, float), (B,)), dtype=rdt),
+    )
+    z, y_ri, ok = solver(
+        jnp.asarray(A0, dtype=cdt), coeffs_dev,
+        jnp.asarray(0.0, dtype=rdt), jnp.asarray(cfg.dz, dtype=rdt),
+    )
+    z = np.asarray(z)
+    y_ri = np.asarray(y_ri)
+    A = y_ri[..., 0] + 1j * y_ri[..., 1]
+    return z, A, np.asarray(ok).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-plan batching helpers (masked, host-side f64)
+# ---------------------------------------------------------------------------
+
+def _batched_plan_from_wavelengths(lam1: float, lam2: float, lam3: np.ndarray):
+    """(B,) lambda3 -> ((B, 4) omegas, (B,) valid mask).
+
+    Points whose inferred idler frequency is non-positive are masked instead
+    of raised (the batched analog of the reference's per-point try/except ->
+    NaN, ``scan_mismtach.py:391-392``).
+    """
+    w1 = TWO_PI * C0 / float(lam1)
+    w2 = TWO_PI * C0 / float(lam2)
+    w3 = TWO_PI * C0 / np.asarray(lam3, dtype=float)
+    w4 = w1 + w2 - w3
+    valid = np.isfinite(w3) & (w3 > 0) & np.isfinite(w4) & (w4 > 0)
+    w4_safe = np.where(valid, w4, w3)  # placeholder keeps math finite
+    om = np.stack([np.full_like(w3, w1), np.full_like(w3, w2), w3, w4_safe], axis=-1)
+    return om, valid
+
+
+def _batched_delta_beta(
+    omegas_m: np.ndarray,
+    disp_m: Optional[DispersionParams],
+    pm_cfg: PhaseMatchingConfig,
+) -> np.ndarray:
+    """Vectorized dbeta [1/m] for a (B, 4) plan (host f64)."""
+    if pm_cfg.method == PhaseMatchingMethod.PROVIDED:
+        return np.broadcast_to(
+            np.asarray(pm_cfg.provided_delta_beta, dtype=float), omegas_m.shape[:-1]
+        ).copy()
+    if disp_m is None:
+        raise ValueError("dispersion must be provided unless method == 'provided'")
+    if pm_cfg.method == PhaseMatchingMethod.GENERAL_TAYLOR:
+        return np.asarray(
+            delta_beta_from_omegas(
+                omegas_m, disp_m, max_order=pm_cfg.max_order,
+                atol=pm_cfg.atol, rtol=max(pm_cfg.rtol, 1e-9),
+            )
+        )
+    if pm_cfg.method == PhaseMatchingMethod.SYMMETRIC_EVEN:
+        oc = 0.5 * (omegas_m[..., 0] + omegas_m[..., 1])
+        od = 0.5 * (omegas_m[..., 0] - omegas_m[..., 1])
+        Om = omegas_m[..., 2] - oc
+        return np.asarray(
+            delta_beta_symmetric(oc, od, Om, disp_m, even_orders=pm_cfg.even_orders)
+        )
+    raise ValueError(f"Unsupported phase-matching method: {pm_cfg.method!r}")
+
+
+def _gain_from_power(
+    P_metric: np.ndarray, P3_0: float, ok: np.ndarray, gain_unit: str
+) -> np.ndarray:
+    g = np.where(ok, P_metric / P3_0, np.nan)
+    g = np.where(np.isfinite(g) & (g > 0), g, np.nan)
+    if gain_unit == "db":
+        with np.errstate(invalid="ignore"):
+            return 10.0 * np.log10(g)
+    return g
+
+
+def _norm_gain_unit(gain_unit: str) -> str:
+    gu = str(gain_unit).strip().lower()
+    if gu not in VALID_GAIN_UNITS:
+        raise ValueError("gain_unit must be 'dB' or 'linear'")
+    return gu
+
+
+def _x_wavelength(lam3: np.ndarray, return_wavelength_unit: str) -> np.ndarray:
+    return np.asarray(lam3, dtype=float) * wavelength_scale(return_wavelength_unit)
+
+
+# ---------------------------------------------------------------------------
+# Public sweep APIs
+# ---------------------------------------------------------------------------
+
+def gain_and_dbeta_spectrum(
+    *,
+    cfg: SimulationConfig,
+    lambda_p1_m: float,
+    lambda_p2_m: float,
+    lambda_signal_m: Sequence[float],
+    gamma: float,
+    alpha: float,
+    p_in: Sequence[float],
+    phase_in: Optional[Sequence[float]] = None,
+    dispersion: Optional[DispersionParams] = None,
+    phase_matching_cfg: Optional[PhaseMatchingConfig] = None,
+    length_unit: str = "m",
+    return_wavelength_unit: str = "nm",
+    gain_unit: str = "dB",
+    gain_mode: GainMode = "max",
+    frame: str = "rotating",
+    mesh=None,
+    compute_dbeta: bool = True,
+    verbose: bool = False,
+) -> SweepResult:
+    """Sweep the signal wavelength lambda3, computing max (or end) signal gain
+    and (optionally) dbeta(lambda3) -- the batched re-design of reference
+    ``plot_max_gain_and_dbeta_vs_lambda_signal`` (``scan_mismtach.py:588-783``)
+    and ``plot_max_signal_gain_vs_lambda_signal`` (:262-430).
+
+    All B wavelength points integrate in ONE XLA program; pass ``mesh`` to
+    shard the batch over devices.
+    """
+    validate_config(cfg)
+    gu = _norm_gain_unit(gain_unit)
+    if gain_mode not in VALID_GAIN_MODES:
+        raise ValueError(f"Unknown gain_mode={gain_mode!r}. Use 'end' or 'max'.")
+
+    lam3 = np.asarray(list(lambda_signal_m), dtype=float)
+    if lam3.ndim != 1 or lam3.size == 0:
+        raise ValueError("lambda_signal_m must be a non-empty 1D sequence")
+    if not np.all(np.isfinite(lam3)) or np.any(lam3 <= 0.0):
+        raise ValueError("lambda_signal_m must contain finite positive wavelengths (m)")
+
+    p0 = _to_power_array(p_in)
+    if p0[2] <= 0.0:
+        raise ValueError("p_in[2] (signal seed power) must be > 0 to define gain")
+    ph0 = _to_phase_array(phase_in)
+
+    scale_to_m = length_scale_to_m(length_unit)
+
+    disp_m = dispersion.scaled(scale_to_m) if dispersion is not None else None
+    pm_cfg = phase_matching_cfg
+    if pm_cfg is None:
+        if disp_m is None:
+            raise ValueError("Provide dispersion or an explicit phase_matching_cfg")
+        pm_cfg = PhaseMatchingConfig(
+            method=PhaseMatchingMethod.SYMMETRIC_EVEN, max_order=4,
+            even_orders=(2, 4), atol=0.0, rtol=1e-12,
+        )
+    pm_cfg = pm_cfg.scaled(scale_to_m)
+
+    omegas, valid = _batched_plan_from_wavelengths(
+        float(lambda_p1_m), float(lambda_p2_m), lam3
+    )
+    dbeta_m = _batched_delta_beta(omegas, disp_m, pm_cfg)
+
+    B = lam3.size
+    A0 = np.broadcast_to(
+        np.sqrt(p0).astype(np.complex128) * np.exp(1j * ph0), (B, 4)
+    ).copy()
+
+    cfg_m = cfg if scale_to_m == 1.0 else dataclasses.replace(
+        cfg, z_max=cfg.z_max * scale_to_m, dz=cfg.dz * scale_to_m
+    )
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, float(gamma) / scale_to_m),
+        alpha=np.full(B, float(alpha) / scale_to_m),
+        delta_beta=dbeta_m,
+    )
+
+    res = solve_batch(cfg_m, coeffs, A0, frame=frame, mesh=mesh)
+
+    P3_metric = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
+    ok = res.ok & valid
+    gain = _gain_from_power(P3_metric, float(p0[2]), ok, gu)
+
+    dbeta_out = None
+    if compute_dbeta:
+        # report in 1/length_unit (consistent with gamma), like the reference
+        dbeta_out = np.where(valid, dbeta_m * scale_to_m, np.nan)
+
+    x = _x_wavelength(lam3, return_wavelength_unit)
+    pts = B / res.elapsed_s if res.elapsed_s > 0 else float("inf")
+    if verbose:
+        print(
+            f"[sweep] {B} points in {res.elapsed_s:.3f} s "
+            f"({pts:.1f} pt/s, {B * int(round(cfg.z_max / cfg.dz))} RK4 steps total)"
+        )
+    return SweepResult(
+        x=x, gain=gain, dbeta=dbeta_out, ok=ok, gain_unit=gu,
+        elapsed_s=res.elapsed_s, points_per_s=pts,
+    )
+
+
+def gain_spectrum(**kwargs) -> SweepResult:
+    """Signal-wavelength gain sweep (no dbeta track): batched re-design of
+    reference ``plot_max_signal_gain_vs_lambda_signal`` (scan_mismtach.py:262)."""
+    kwargs.setdefault("compute_dbeta", False)
+    return gain_and_dbeta_spectrum(**kwargs)
+
+
+def dbeta_spectrum(
+    *,
+    lambda_p1_m: float,
+    lambda_p2_m: float,
+    lambda_signal_m: Sequence[float],
+    dispersion: DispersionParams,
+    phase_matching_cfg: Optional[PhaseMatchingConfig] = None,
+    length_unit: str = "m",
+    return_wavelength_unit: str = "nm",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """dbeta(lambda3) alone -- the *working* re-design of the reference's
+    broken ``plot_dbeta_vs_lambda_signal`` helper stack (scan_mismtach.py:433-470
+    raises AttributeError and uses an inverted sign convention; see SURVEY.md
+    section 8.3).  Sign convention here is the project-wide canonical
+    dbeta = beta(w3)+beta(w4)-beta(w1)-beta(w2)."""
+    lam3 = np.asarray(list(lambda_signal_m), dtype=float)
+    scale_to_m = length_scale_to_m(length_unit)
+    disp_m = dispersion.scaled(scale_to_m)
+    pm_cfg = phase_matching_cfg or PhaseMatchingConfig(
+        method=PhaseMatchingMethod.SYMMETRIC_EVEN, even_orders=(2, 4), max_order=4
+    )
+    omegas, valid = _batched_plan_from_wavelengths(
+        float(lambda_p1_m), float(lambda_p2_m), lam3
+    )
+    dbeta_m = _batched_delta_beta(omegas, disp_m, pm_cfg.scaled(scale_to_m))
+    dbeta_out = np.where(valid, dbeta_m * scale_to_m, np.nan)
+    return _x_wavelength(lam3, return_wavelength_unit), dbeta_out
+
+
+def mismatch_scan(
+    *,
+    cfg: SimulationConfig,
+    gamma: float,
+    alpha: float,
+    p_in: Sequence[float],
+    delta_beta_values: Sequence[float],
+    phase_in: Optional[Sequence[float]] = None,
+    gain_mode: GainMode = "end",
+    gain_unit: str = "linear",
+    length_unit: str = "km",
+    frame: str = "rotating",
+    mesh=None,
+    verbose: bool = False,
+) -> Tuple[SweepResult, SweepResult]:
+    """Sweep an explicit list of phase-mismatch values (PROVIDED dbeta per
+    instance) and return (signal_gain, idler_transfer) sweeps.
+
+    This is the working, batched realization of what the reference's
+    ``scan_mismatch_seeded_signal`` intends (``scan_mismtach.py:43-259`` --
+    stale there: it calls ``run_single_simulation(beta=...)`` which no longer
+    exists).  Gain definitions follow the reference: Gs = P3_metric/P3(0),
+    Gi = P4_metric/P3(0) (idler normalized to the *signal* seed, since the
+    idler seed may be zero).
+    """
+    validate_config(cfg)
+    gu = _norm_gain_unit(gain_unit)
+    if gain_mode not in VALID_GAIN_MODES:
+        raise ValueError(f"Unknown gain_mode={gain_mode!r}. Use 'end' or 'max'.")
+    db = np.asarray(list(delta_beta_values), dtype=float)
+    if db.ndim != 1 or db.size == 0:
+        raise ValueError("delta_beta_values must be a non-empty 1D sequence")
+    p0 = _to_power_array(p_in)
+    if p0[2] <= 0.0:
+        raise ValueError("p_in[2] (signal seed power) must be > 0 to define gain")
+    ph0 = _to_phase_array(phase_in)
+
+    scale_to_m = length_scale_to_m(length_unit)
+    B = db.size
+    A0 = np.broadcast_to(
+        np.sqrt(p0).astype(np.complex128) * np.exp(1j * ph0), (B, 4)
+    ).copy()
+    cfg_m = cfg if scale_to_m == 1.0 else dataclasses.replace(
+        cfg, z_max=cfg.z_max * scale_to_m, dz=cfg.dz * scale_to_m
+    )
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, float(gamma) / scale_to_m),
+        alpha=np.full(B, float(alpha) / scale_to_m),
+        delta_beta=db / scale_to_m,
+    )
+    res = solve_batch(cfg_m, coeffs, A0, frame=frame, mesh=mesh)
+
+    P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
+    P4 = res.P_max[:, 3] if gain_mode == "max" else res.P_end[:, 3]
+    gs = _gain_from_power(P3, float(p0[2]), res.ok, gu)
+    gi = _gain_from_power(P4, float(p0[2]), res.ok, gu)
+    pts = B / res.elapsed_s if res.elapsed_s > 0 else float("inf")
+    if verbose:
+        print(f"[mismatch_scan] {B} points in {res.elapsed_s:.3f} s ({pts:.1f} pt/s)")
+    sig = SweepResult(x=db, gain=gs, dbeta=None, ok=res.ok, gain_unit=gu,
+                      elapsed_s=res.elapsed_s, points_per_s=pts)
+    idl = SweepResult(x=db, gain=gi, dbeta=None, ok=res.ok, gain_unit=gu,
+                      elapsed_s=res.elapsed_s, points_per_s=pts)
+    return sig, idl
+
+
+def psa_phase_sweep(
+    *,
+    cfg: SimulationConfig,
+    gamma: float,
+    alpha: float,
+    p_in: Sequence[float],
+    signal_phases: Sequence[float],
+    delta_beta: float = 0.0,
+    base_phase_in: Optional[Sequence[float]] = None,
+    omega: Optional[Sequence[float]] = None,
+    dispersion: Optional[DispersionParams] = None,
+    phase_matching_cfg: Optional[PhaseMatchingConfig] = None,
+    gain_mode: GainMode = "end",
+    gain_unit: str = "dB",
+    length_unit: str = "m",
+    frame: str = "rotating",
+    mesh=None,
+) -> SweepResult:
+    """Phase-sensitive amplification: gain vs input *signal phase* with both
+    pumps and (optionally) an idler seed fixed -- BASELINE.json config 3.
+
+    Each phase point is an instance of the same physics with a rotated signal
+    seed: A3(0) = sqrt(P3) e^{i phi}.  Batched like every other sweep.
+    """
+    validate_config(cfg)
+    gu = _norm_gain_unit(gain_unit)
+    phases = np.asarray(list(signal_phases), dtype=float)
+    if phases.ndim != 1 or phases.size == 0:
+        raise ValueError("signal_phases must be a non-empty 1D sequence")
+    p0 = _to_power_array(p_in)
+    if p0[2] <= 0.0:
+        raise ValueError("p_in[2] (signal seed power) must be > 0 to define gain")
+    ph_base = _to_phase_array(base_phase_in)
+
+    scale_to_m = length_scale_to_m(length_unit)
+    if phase_matching_cfg is not None or dispersion is not None:
+        if omega is None:
+            raise ValueError("omega is required when using dispersion-aware phase matching")
+        om = np.asarray(list(omega), dtype=float)[None, :]
+        disp_m = dispersion.scaled(scale_to_m) if dispersion is not None else None
+        pm = (phase_matching_cfg or PhaseMatchingConfig()).scaled(scale_to_m)
+        db_m = float(_batched_delta_beta(om, disp_m, pm)[0])
+    else:
+        db_m = float(delta_beta) / scale_to_m
+
+    B = phases.size
+    ph = np.broadcast_to(ph_base, (B, 4)).copy()
+    ph[:, 2] = ph_base[2] + phases
+    A0 = np.sqrt(p0)[None, :] * np.exp(1j * ph)
+
+    cfg_m = cfg if scale_to_m == 1.0 else dataclasses.replace(
+        cfg, z_max=cfg.z_max * scale_to_m, dz=cfg.dz * scale_to_m
+    )
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, float(gamma) / scale_to_m),
+        alpha=np.full(B, float(alpha) / scale_to_m),
+        delta_beta=np.full(B, db_m),
+    )
+    res = solve_batch(cfg_m, coeffs, A0.astype(np.complex128), frame=frame, mesh=mesh)
+    P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
+    gain = _gain_from_power(P3, float(p0[2]), res.ok, gu)
+    pts = B / res.elapsed_s if res.elapsed_s > 0 else float("inf")
+    return SweepResult(x=phases, gain=gain, dbeta=None, ok=res.ok, gain_unit=gu,
+                       elapsed_s=res.elapsed_s, points_per_s=pts)
+
+
+def gain_map_power_wavelength(
+    *,
+    cfg: SimulationConfig,
+    lambda_p1_m: float,
+    lambda_p2_m: float,
+    lambda_signal_m: Sequence[float],
+    pump_powers_W: Sequence[float],
+    gamma: float,
+    alpha: float,
+    p_seed: Tuple[float, float] = (1e-7, 0.0),
+    phase_in: Optional[Sequence[float]] = None,
+    dispersion: Optional[DispersionParams] = None,
+    phase_matching_cfg: Optional[PhaseMatchingConfig] = None,
+    length_unit: str = "m",
+    return_wavelength_unit: str = "nm",
+    gain_unit: str = "dB",
+    gain_mode: GainMode = "max",
+    frame: str = "rotating",
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """2-D scan: (pump power) x (signal wavelength) -> gain map.
+
+    BASELINE.json config 4: 10^4+ instances batched in one program.  Returns
+    ``(x_wavelength (Nl,), pump_powers (Np,), gain (Np, Nl))``.
+    """
+    validate_config(cfg)
+    gu = _norm_gain_unit(gain_unit)
+    lam3 = np.asarray(list(lambda_signal_m), dtype=float)
+    pows = np.asarray(list(pump_powers_W), dtype=float)
+    if np.any(pows < 0) or not np.all(np.isfinite(pows)):
+        raise ValueError("pump_powers_W must be finite and non-negative")
+    p_sig, p_idl = float(p_seed[0]), float(p_seed[1])
+    if p_sig <= 0:
+        raise ValueError("p_seed[0] (signal seed) must be > 0 to define gain")
+    ph0 = _to_phase_array(phase_in)
+
+    scale_to_m = length_scale_to_m(length_unit)
+    disp_m = dispersion.scaled(scale_to_m) if dispersion is not None else None
+    pm_cfg = phase_matching_cfg or PhaseMatchingConfig(
+        method=PhaseMatchingMethod.SYMMETRIC_EVEN, even_orders=(2, 4), max_order=4
+    )
+    pm_cfg = pm_cfg.scaled(scale_to_m)
+
+    omegas, valid_l = _batched_plan_from_wavelengths(
+        float(lambda_p1_m), float(lambda_p2_m), lam3
+    )
+    dbeta_l = _batched_delta_beta(omegas, disp_m, pm_cfg)
+
+    Np, Nl = pows.size, lam3.size
+    B = Np * Nl
+    # grid flatten: index = ip * Nl + il
+    dbeta_flat = np.tile(dbeta_l, Np)
+    valid_flat = np.tile(valid_l, Np)
+    p_grid = np.repeat(pows, Nl)
+
+    P0 = np.stack(
+        [p_grid, p_grid, np.full(B, p_sig), np.full(B, p_idl)], axis=-1
+    )
+    A0 = np.sqrt(P0) * np.exp(1j * ph0)[None, :]
+
+    cfg_m = cfg if scale_to_m == 1.0 else dataclasses.replace(
+        cfg, z_max=cfg.z_max * scale_to_m, dz=cfg.dz * scale_to_m
+    )
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, float(gamma) / scale_to_m),
+        alpha=np.full(B, float(alpha) / scale_to_m),
+        delta_beta=dbeta_flat,
+    )
+    res = solve_batch(cfg_m, coeffs, A0.astype(np.complex128), frame=frame, mesh=mesh)
+    P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
+    gain = _gain_from_power(P3, p_sig, res.ok & valid_flat, gu)
+    return (
+        _x_wavelength(lam3, return_wavelength_unit),
+        pows,
+        gain.reshape(Np, Nl),
+    )

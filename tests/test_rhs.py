@@ -129,7 +129,7 @@ def test_rotating_frame_equivalence():
         rhs_yaman_autonomous, jnp.asarray(a0), p,
         z0=0.0, dz=1e-3, n_steps=2000, save_every=200,
     )
-    A_rot = np.asarray(rotating_to_lab(rot.z_saved[:, None], rot.y_saved, p))
+    A_rot = np.asarray(rotating_to_lab(rot.z_saved, rot.y_saved, p))
     A_lab = np.asarray(lab.y_saved)
     # The two frames are different (equally valid) RK4 discretizations of the
     # same ODE; they agree to truncation error, not to rounding error.
