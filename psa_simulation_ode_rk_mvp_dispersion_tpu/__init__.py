@@ -68,6 +68,42 @@ from .ops.phase_matching import (  # noqa: E402
     compute_phase_mismatch,
 )
 from .ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rhs_yaman_simplified  # noqa: E402
+from . import experiments, io_fwm, plotting  # noqa: E402
+from .io_fwm import (  # noqa: E402
+    load_metadata_json,
+    load_result_npz,
+    load_sweep_npz,
+    make_run_metadata,
+    save_metadata_json,
+    save_result_npz,
+    save_run_bundle,
+    save_summary_csv,
+    save_sweep_npz,
+)
+from .parallel import mesh as mesh_utils  # noqa: E402
+from .parallel import sweep as sweeps  # noqa: E402
+from .parallel.mesh import default_mesh  # noqa: E402
+from .parallel.sweep import (  # noqa: E402
+    BatchSolveResult,
+    SweepResult,
+    dbeta_spectrum,
+    gain_and_dbeta_spectrum,
+    gain_map_power_wavelength,
+    gain_spectrum,
+    mismatch_scan,
+    psa_phase_sweep,
+    solve_batch,
+    solve_batch_trajectories,
+)
+from .ops import adaptive  # noqa: E402
+from .ops.adaptive import integrate_adaptive_grid, rk45_step  # noqa: E402
+from .ops.integrators import (  # noqa: E402
+    integrate_fixed_grid,
+    integrate_fixed_step,
+    integrate_interval,
+    integrate_reduce,
+    rk4_step,
+)
 from .models import fwm4  # noqa: E402
 from .models.fwm4 import (  # noqa: E402
     CacheParams,

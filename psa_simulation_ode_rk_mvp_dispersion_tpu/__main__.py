@@ -1,0 +1,99 @@
+"""Command-line entry point: ``python -m psa_simulation_ode_rk_mvp_dispersion_tpu``.
+
+The reference has no CLI (experiments are edited Python functions in
+``main.py``; SURVEY.md section 5 "Config / flag system"); this exposes the
+same experiments as subcommands with flags.
+
+Examples:
+    python -m psa_simulation_ode_rk_mvp_dispersion_tpu single --no-show
+    python -m psa_simulation_ode_rk_mvp_dispersion_tpu spectrum-dbeta \
+        --points 200 --save-dir out/ --no-show
+    python -m psa_simulation_ode_rk_mvp_dispersion_tpu mismatch --span 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="psa-tpu",
+        description="TPU-native four-wave-mixing / PSA simulator",
+    )
+    p.add_argument("--precision", default="x64", choices=("x64", "x32", "df32"),
+                   help="dtype tier (x64 = reference parity; x32/df32 = TPU)")
+    p.add_argument("--save-dir", default=None, help="write result bundles here")
+    p.add_argument("--no-show", action="store_true", help="do not open plot windows")
+    p.add_argument("--quiet", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("single", help="single dual-pump simulation (45.292 dB anchor)")
+    s.add_argument("--z-max", type=float, default=1000.0, help="fiber length [m]")
+    s.add_argument("--dz", type=float, default=0.1, help="step [m]")
+    s.add_argument("--lambda-signal", type=float, default=1555e-9)
+
+    s = sub.add_parser("spectrum", help="signal-wavelength gain spectrum")
+    s.add_argument("--points", type=int, default=100)
+
+    s = sub.add_parser("spectrum-dbeta", help="gain + dbeta spectrum")
+    s.add_argument("--points", type=int, default=30)
+
+    s = sub.add_parser("mismatch", help="gain vs provided phase mismatch")
+    s.add_argument("--span", type=float, default=40.0, help="+-span [1/km]")
+    s.add_argument("--points", type=int, default=200)
+    s.add_argument("--gain-mode", default="end", choices=("end", "max"))
+
+    s = sub.add_parser("psa-phase", help="PSA gain vs input signal phase")
+    s.add_argument("--points", type=int, default=181)
+
+    s = sub.add_parser("gain-map", help="2-D pump power x wavelength gain map")
+    s.add_argument("--wavelengths", type=int, default=100)
+
+    s = sub.add_parser("bench", help="run the headline benchmark")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from . import experiments as ex
+
+    common = dict(
+        precision=args.precision,
+        show=not args.no_show,
+        save_dir=args.save_dir,
+    )
+    verbose = not args.quiet
+
+    if args.cmd == "single":
+        ex.single_simulation(
+            z_max_m=args.z_max, dz_m=args.dz, lambda_signal=args.lambda_signal,
+            verbose=verbose, **common,
+        )
+    elif args.cmd == "spectrum":
+        ex.gain_spectrum(n_points=args.points, verbose=verbose, **common)
+    elif args.cmd == "spectrum-dbeta":
+        ex.gain_spectrum_dbeta(n_points=args.points, verbose=verbose, **common)
+    elif args.cmd == "mismatch":
+        ex.mismatch_scan(
+            span=args.span, n_points=args.points, gain_mode=args.gain_mode,
+            verbose=verbose, **common,
+        )
+    elif args.cmd == "psa-phase":
+        ex.psa_phase_sweep(n_points=args.points, verbose=verbose, **common)
+    elif args.cmd == "gain-map":
+        ex.gain_map(n_wavelengths=args.wavelengths, **{
+            k: v for k, v in common.items() if k != "verbose"
+        })
+    elif args.cmd == "bench":
+        import runpy
+        import pathlib
+
+        bench = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+        runpy.run_path(str(bench), run_name="__main__")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

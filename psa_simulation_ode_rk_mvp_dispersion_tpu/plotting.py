@@ -1,0 +1,325 @@
+"""Host-side matplotlib visualization of simulation and sweep results.
+
+Capability parity with reference ``plotting.py``: the line-plot engine
+(:83-139), ``plot_abs_matrix`` (:146), ``plot_power_matrix`` (:176-251),
+``plot_total_powers_AB`` (:254-374), ``plot_abs_amplitudes`` (:381-413),
+``plot_powers`` (:416), ``plot_signal_and_idler(_separate)`` (:454-545) and
+the FWM+SBS forward/backward variants (:552-613) -- re-designed around ONE
+scale-aware engine (the reference duplicates the linear/log/dBW switch in
+three places, and its ``plot_abs_amplitudes`` crashes for scale='dbW',
+``plotting.py:396-409`` -- fixed here: dB of amplitude is 20*log10|A|).
+
+Framework additions: sweep plots (gain spectrum, gain+dbeta stacked panels
+matching reference ``scan_mismtach.py:754-781``, mismatch scans, PSA phase
+sweeps, 2-D gain maps).
+
+Everything here operates on gathered host arrays -- plotting never touches
+device code.  A non-interactive backend is selected automatically when no
+display is present.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    if os.environ.get("DISPLAY", "") == "" and os.environ.get("MPLBACKEND", "") == "":
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+VALID_SCALES = ("linear", "log", "dbW")
+WAVE_LABELS: Tuple[str, str, str, str] = ("pump 1", "pump 2", "signal", "idler")
+
+
+# ---------------------------------------------------------------------------
+# Validation + scale transforms
+# ---------------------------------------------------------------------------
+
+def _validate_xy(x, Y, *, name: str = "Y"):
+    x = np.asarray(x, dtype=float)
+    if x.ndim != 1 or x.size < 2:
+        raise ValueError("x must be a 1D array with at least 2 points")
+    Y = np.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    if Y.ndim != 2:
+        raise ValueError(f"{name} must be a 1D or 2D array")
+    if Y.shape[0] != x.shape[0]:
+        raise ValueError(f"{name}.shape[0] must match x.shape[0]")
+    return x, Y
+
+
+def _apply_scale(y: np.ndarray, scale: str, *, eps: float, db_factor: float):
+    """Return (y_transformed, yscale_for_axis, ylabel_suffix)."""
+    if scale == "linear":
+        return y, "linear", ""
+    if scale == "log":
+        if eps <= 0:
+            raise ValueError("eps must be > 0 for log scale")
+        return np.maximum(y, eps), "log", ""
+    if scale == "dbW":
+        if eps <= 0:
+            raise ValueError("eps must be > 0 for dBW scale")
+        return db_factor * np.log10(np.maximum(y, eps)), "linear", " [dB]"
+    raise ValueError(f"scale must be one of {VALID_SCALES}")
+
+
+def _finish(plt, fig, *, title, save_path, show):
+    if title is not None:
+        fig.suptitle(title) if len(fig.axes) > 1 else fig.axes[0].set_title(title)
+    fig.tight_layout()
+    if save_path is not None:
+        fig.savefig(save_path, dpi=200, bbox_inches="tight")
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# Core line engine
+# ---------------------------------------------------------------------------
+
+def plot_lines(
+    x,
+    Y,
+    *,
+    labels: Sequence[str],
+    xlabel: str = "z [m]",
+    ylabel: str = "",
+    scale: str = "linear",
+    eps: float = 1e-30,
+    db_factor: float = 10.0,
+    title: Optional[str] = None,
+    show: bool = True,
+    save_path: Optional[str] = None,
+    figsize: Tuple[float, float] = (8.0, 5.0),
+):
+    """One scale-aware multi-line plot; the engine behind everything else."""
+    x, Y = _validate_xy(x, Y)
+    if len(labels) != Y.shape[1]:
+        raise ValueError("labels length must match number of columns")
+    y_t, yscale, suffix = _apply_scale(
+        np.asarray(Y, dtype=float), scale, eps=eps, db_factor=db_factor
+    )
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=figsize)
+    for j, lab in enumerate(labels):
+        ax.plot(x, y_t[:, j], label=lab)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel + suffix)
+    ax.set_yscale(yscale)
+    ax.grid(True, which="both", linestyle="--", alpha=0.5)
+    ax.legend()
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory plots (reference API parity)
+# ---------------------------------------------------------------------------
+
+def plot_abs_matrix(z, Y, *, labels, title=None, show=True, save_path=None,
+                    z_unit="m", ylabel="|Y(z)|"):
+    z, Y = _validate_xy(z, Y)
+    plot_lines(z, np.abs(Y), labels=labels, xlabel=f"z [{z_unit}]",
+               ylabel=ylabel, title=title, show=show, save_path=save_path)
+
+
+def plot_power_matrix(z, Y, *, labels, title=None, scale="linear", eps=1e-30,
+                      show=True, save_path=None, z_unit="m",
+                      ylabel="P(z) [W]"):
+    """|Y|^2 vs z with linear/log/dbW scaling."""
+    z, Y = _validate_xy(z, Y)
+    plot_lines(z, np.abs(Y) ** 2, labels=labels, xlabel=f"z [{z_unit}]",
+               ylabel=ylabel, scale=scale, eps=eps, db_factor=10.0,
+               title=title, show=show, save_path=save_path)
+
+
+def plot_abs_amplitudes(z, A, *, wave_labels=WAVE_LABELS, title=None,
+                        scale="linear", eps=1e-30, show=True, save_path=None,
+                        z_unit="m"):
+    """|A_j(z)|; for scale='dbW' uses 20*log10|A| (dB of an amplitude --
+    the case the reference leaves crashing, ``plotting.py:396-409``)."""
+    z, A = _validate_xy(z, A, name="A")
+    plot_lines(z, np.abs(A), labels=wave_labels, xlabel=f"z [{z_unit}]",
+               ylabel="|A(z)|", scale=scale, eps=eps, db_factor=20.0,
+               title=title, show=show, save_path=save_path)
+
+
+def plot_powers(z, A, *, wave_labels=WAVE_LABELS, title=None, log_scale=False,
+                log_eps=1e-30, show=True, save_path=None, z_unit="m"):
+    plot_power_matrix(z, A, labels=wave_labels, title=title,
+                      scale="log" if log_scale else "linear", eps=log_eps,
+                      show=show, save_path=save_path, z_unit=z_unit)
+
+
+def plot_signal_and_idler(z, A, *, wave_labels=("signal", "idler"), title=None,
+                          log_scale=False, log_eps=1e-30, show=True,
+                          save_path=None, z_unit="m"):
+    z, A = _validate_xy(z, A, name="A")
+    if A.shape[1] < 4:
+        raise ValueError("A must have at least 4 wave columns")
+    plot_power_matrix(z, A[:, 2:4], labels=wave_labels, title=title,
+                      scale="log" if log_scale else "linear", eps=log_eps,
+                      show=show, save_path=save_path, z_unit=z_unit)
+
+
+def plot_signal_and_idler_separate(z, A, *, wave_labels=("signal", "idler"),
+                                   title=None, log_scale=False, log_eps=1e-30,
+                                   show=True, save_path_signal=None,
+                                   save_path_idler=None, z_unit="m"):
+    z, A = _validate_xy(z, A, name="A")
+    for col, lab, sp in ((2, wave_labels[0], save_path_signal),
+                         (3, wave_labels[1], save_path_idler)):
+        t = None if title is None else f"{title} -- {lab}"
+        plot_power_matrix(z, A[:, col:col + 1], labels=(lab,), title=t,
+                          scale="log" if log_scale else "linear", eps=log_eps,
+                          show=show, save_path=sp, z_unit=z_unit)
+
+
+def plot_total_powers_AB(z, A, B, *, title="Total optical powers in A and B waves",
+                         scale="linear", eps=1e-30, show=True, save_path=None,
+                         z_unit="m", figsize=(8.0, 5.0)):
+    """Total forward/backward powers sum_j|A_j|^2, sum_j|B_j|^2 vs z
+    (the SBS-ready view, reference ``plotting.py:254-374``)."""
+    z, A = _validate_xy(z, A, name="A")
+    _, Bv = _validate_xy(z, B, name="B")
+    P = np.stack([np.sum(np.abs(A) ** 2, axis=1),
+                  np.sum(np.abs(Bv) ** 2, axis=1)], axis=-1)
+    plot_lines(z, P, labels=(r"$\sum_j |A_j|^2$", r"$\sum_j |B_j|^2$"),
+               xlabel=f"z [{z_unit}]", ylabel="Total power [W]", scale=scale,
+               eps=eps, db_factor=10.0, title=title, show=show,
+               save_path=save_path, figsize=figsize)
+
+
+def plot_fwm_sbs_powers_forward(z, A, *, labels=("A1", "A2", "A3", "A4"),
+                                title=None, scale="linear", eps=1e-30,
+                                show=True, save_path=None, z_unit="km"):
+    plot_power_matrix(z, A, labels=labels, title=title, scale=scale, eps=eps,
+                      show=show, save_path=save_path, z_unit=z_unit,
+                      ylabel="P_A(z) [W]")
+
+
+def plot_fwm_sbs_powers_backward(z, B, *, labels=("B1", "B2", "B3", "B4"),
+                                 title=None, scale="linear", eps=1e-30,
+                                 show=True, save_path=None, z_unit="km"):
+    plot_power_matrix(z, B, labels=labels, title=title, scale=scale, eps=eps,
+                      show=show, save_path=save_path, z_unit=z_unit,
+                      ylabel="P_B(z) [W]")
+
+
+# ---------------------------------------------------------------------------
+# Sweep plots (reference scan layer parity, data-first)
+# ---------------------------------------------------------------------------
+
+def plot_gain_spectrum(sweep, *, x_label=r"Signal wavelength $\lambda_3$ (nm)",
+                       title="Maximum signal gain vs signal wavelength",
+                       xscale="linear", yscale="linear", show=True,
+                       save_path=None):
+    """Gain-vs-x line plot of a SweepResult (reference
+    ``scan_mismtach.py:412-428``)."""
+    if yscale == "log" and sweep.gain_unit == "db":
+        raise ValueError("yscale='log' is not supported with gain in dB; use linear gain")
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(sweep.x, sweep.gain, marker="o")
+    ax.set_xlabel(x_label)
+    unit = "dB" if sweep.gain_unit == "db" else "linear"
+    ax.set_ylabel(f"Max signal gain ({unit})")
+    ax.set_xscale(xscale)
+    ax.set_yscale(yscale)
+    ax.grid(True, which="both", alpha=0.3)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_gain_and_dbeta(sweep, *, gamma=None, p_pump_total=None,
+                        x_label=r"Signal wavelength $\lambda_3$ (nm)",
+                        length_unit="m",
+                        title="Max signal gain and phase mismatch vs signal wavelength",
+                        show=True, save_path=None):
+    """Two stacked panels: gain and dbeta(lambda3), with the ideal-gain
+    reference line dbeta = -gamma*(P1+P2) (reference
+    ``scan_mismtach.py:754-781``; the reference draws this line with
+    inconsistent signs in different plots, SURVEY.md section 8.4 -- the
+    physically meaningful overlay for peak parametric gain is the negative
+    one, kappa = dbeta + gamma(P1+P2) = 0)."""
+    if sweep.dbeta is None:
+        raise ValueError("SweepResult has no dbeta track; use plot_gain_spectrum")
+    plt = _plt()
+    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True, figsize=(9, 7))
+    ax1.plot(sweep.x, sweep.gain, marker="o")
+    unit = "dB" if sweep.gain_unit == "db" else "linear"
+    ax1.set_ylabel(f"Max signal gain ({unit})")
+    ax1.grid(True, which="both", alpha=0.3)
+
+    ax2.plot(sweep.x, sweep.dbeta, marker="o", label=r"$\Delta\beta(\lambda_3)$")
+    if gamma is not None and p_pump_total is not None:
+        ref_line = -float(gamma) * float(p_pump_total)
+        ax2.axhline(ref_line, ls="--", lw=2, label=r"$-\gamma(P_1+P_2)$")
+    ax2.set_xlabel(x_label)
+    ax2.set_ylabel(rf"$\Delta\beta$  [1/{length_unit}]")
+    ax2.grid(True, which="both", alpha=0.3)
+    ax2.legend()
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_mismatch_scan(signal_sweep, idler_sweep=None, *, length_unit="km",
+                       title="Parametric gain vs phase mismatch", show=True,
+                       save_path=None):
+    """Gain vs provided dbeta with the best point marked (reference
+    ``scan_mismtach.py:202-219``)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    g = np.clip(signal_sweep.gain, 1e-20, None) \
+        if signal_sweep.gain_unit == "linear" else signal_sweep.gain
+    plot_fn = ax.semilogy if signal_sweep.gain_unit == "linear" else ax.plot
+    plot_fn(signal_sweep.x, g, lw=2, label="Signal gain Gs")
+    if idler_sweep is not None:
+        gi = np.clip(idler_sweep.gain, 1e-20, None) \
+            if idler_sweep.gain_unit == "linear" else idler_sweep.gain
+        plot_fn(idler_sweep.x, gi, lw=2, ls="--", label="Idler level Gi")
+    best = signal_sweep.best_index
+    ax.axvline(signal_sweep.x[best], color="k", ls=":", lw=1.5,
+               label=f"best = {signal_sweep.x[best]:.3g} 1/{length_unit}")
+    ax.set_xlabel(rf"$\Delta\beta$  [1/{length_unit}]")
+    ax.set_ylabel("Gain")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_phase_sweep(sweep, *, title="PSA gain vs input signal phase",
+                     show=True, save_path=None):
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(sweep.x, sweep.gain, marker=".")
+    ax.set_xlabel(r"Input signal phase $\phi_3$ [rad]")
+    unit = "dB" if sweep.gain_unit == "db" else "linear"
+    ax.set_ylabel(f"Signal gain ({unit})")
+    ax.grid(True, alpha=0.3)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_gain_map(x, pump_powers, gain, *, gain_unit="dB",
+                  x_label=r"Signal wavelength $\lambda_3$ (nm)",
+                  title="Gain map: pump power x signal wavelength",
+                  show=True, save_path=None):
+    """2-D heatmap for gain_map_power_wavelength output."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(9, 6))
+    x = np.asarray(x, dtype=float)
+    p = np.asarray(pump_powers, dtype=float)
+    im = ax.pcolormesh(x, p, np.asarray(gain, dtype=float), shading="auto")
+    fig.colorbar(im, ax=ax, label=f"Max signal gain ({gain_unit})")
+    ax.set_xlabel(x_label)
+    ax.set_ylabel("Pump power per pump [W]")
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

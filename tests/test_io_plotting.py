@@ -1,0 +1,230 @@
+"""Persistence + plotting + experiments/CLI tests."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import psa_tpu as psa
+from psa_simulation_ode_rk_mvp_dispersion_tpu import io_fwm, plotting
+from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel.sweep import SweepResult
+
+
+@pytest.fixture()
+def traj():
+    z, A = psa.example_zero_signal()
+    return z, A
+
+
+def test_npz_roundtrip(tmp_path, traj):
+    z, A = traj
+    p = io_fwm.save_result_npz(tmp_path / "run", z, A, metadata={"note": "hi"})
+    assert p.suffix == ".npz"
+    z2, A2, md = io_fwm.load_result_npz(p)
+    np.testing.assert_array_equal(z2, z)
+    np.testing.assert_array_equal(A2, A)
+    assert md["note"] == "hi"
+    assert "timestamp_utc" in md
+
+
+def test_npz_overwrite_protection(tmp_path, traj):
+    z, A = traj
+    io_fwm.save_result_npz(tmp_path / "run.npz", z, A)
+    with pytest.raises(FileExistsError):
+        io_fwm.save_result_npz(tmp_path / "run.npz", z, A)
+    io_fwm.save_result_npz(tmp_path / "run.npz", z, A, overwrite=True)
+
+
+def test_npz_interop_with_reference_layout(tmp_path, traj):
+    """A file written with the reference's exact key layout loads here."""
+    z, A = traj
+    md = json.dumps({"source": "reference"})
+    np.savez_compressed(tmp_path / "ref.npz", z=z, A=A, metadata_json=np.array(md))
+    z2, A2, meta = io_fwm.load_result_npz(tmp_path / "ref.npz")
+    np.testing.assert_array_equal(A2, A)
+    assert meta["source"] == "reference"
+
+
+def test_npz_validation(tmp_path):
+    with pytest.raises(ValueError):
+        io_fwm.save_result_npz(tmp_path / "x", np.zeros((2, 2)), np.zeros((2, 4)))
+    with pytest.raises(ValueError):
+        io_fwm.save_result_npz(tmp_path / "x", np.zeros(3), np.zeros((2, 4)))
+    with pytest.raises(FileNotFoundError):
+        io_fwm.load_result_npz(tmp_path / "missing.npz")
+
+
+def test_csv_summary(tmp_path, traj):
+    z, A = traj
+    p = io_fwm.save_summary_csv(tmp_path / "run", z, A)
+    lines = p.read_text().strip().splitlines()
+    assert len(lines) == len(z) + 1
+    header = lines[0].split(",")
+    assert header[0] == "z"
+    assert "P_signal" in header and "phi_idler" in header
+    row1 = [float(v) for v in lines[1].split(",")]
+    assert row1[0] == z[0]
+    np.testing.assert_allclose(row1[1:5], np.abs(A[0]) ** 2, rtol=1e-12)
+
+
+def test_metadata_json_roundtrip(tmp_path):
+    md = io_fwm.make_run_metadata({"experiment": "t"}, config=psa.default_simulation_config())
+    p = io_fwm.save_metadata_json(tmp_path / "meta", md)
+    loaded = io_fwm.load_metadata_json(p)
+    assert loaded["experiment"] == "t"
+    assert loaded["config"]["z_max"] == 0.5
+    assert "backend" in loaded and "jax_version" in loaded
+
+
+def test_run_bundle(tmp_path, traj):
+    z, A = traj
+    paths = io_fwm.save_run_bundle(tmp_path, "myrun", z, A, metadata={"k": 1})
+    assert set(paths) == {"npz", "csv", "json"}
+    for p in paths.values():
+        assert p.exists()
+
+
+def test_sweep_npz_roundtrip(tmp_path):
+    res = SweepResult(
+        x=np.linspace(1540, 1560, 5), gain=np.array([1.0, 2.0, np.nan, 4.0, 5.0]),
+        dbeta=np.linspace(-1, 1, 5), ok=np.array([1, 1, 0, 1, 1], dtype=bool),
+        gain_unit="db", elapsed_s=0.5, points_per_s=10.0,
+    )
+    p = io_fwm.save_sweep_npz(tmp_path / "sweep", res)
+    x, g, db, ok, md = io_fwm.load_sweep_npz(p)
+    np.testing.assert_array_equal(x, res.x)
+    np.testing.assert_array_equal(g, res.gain)
+    np.testing.assert_array_equal(db, res.dbeta)
+    np.testing.assert_array_equal(ok, res.ok)
+    assert md["gain_unit"] == "db"
+
+
+# ---------------------------------------------------------------------------
+# Plotting (Agg backend; assert files are produced, incl. the dbW paths)
+# ---------------------------------------------------------------------------
+
+def test_plot_trajectory_functions(tmp_path, traj):
+    z, A = traj
+    plotting.plot_powers(z, A, show=False, save_path=str(tmp_path / "p.png"))
+    plotting.plot_abs_amplitudes(z, A, scale="dbW", show=False,
+                                 save_path=str(tmp_path / "a.png"))
+    plotting.plot_signal_and_idler(z, A, show=False,
+                                   save_path=str(tmp_path / "si.png"))
+    plotting.plot_signal_and_idler_separate(
+        z, A, show=False,
+        save_path_signal=str(tmp_path / "s.png"),
+        save_path_idler=str(tmp_path / "i.png"),
+    )
+    plotting.plot_power_matrix(z, A, labels=("a", "b", "c", "d"), scale="dbW",
+                               show=False, save_path=str(tmp_path / "pm.png"))
+    plotting.plot_total_powers_AB(z, A, A, scale="log", show=False,
+                                  save_path=str(tmp_path / "ab.png"))
+    plotting.plot_fwm_sbs_powers_forward(z, A, scale="dbW", show=False,
+                                         save_path=str(tmp_path / "fwd.png"))
+    plotting.plot_fwm_sbs_powers_backward(z, A, show=False,
+                                          save_path=str(tmp_path / "bwd.png"))
+    for f in ("p", "a", "si", "s", "i", "pm", "ab", "fwd", "bwd"):
+        assert (tmp_path / f"{f}.png").stat().st_size > 0
+
+
+def test_plot_validation_errors(traj):
+    z, A = traj
+    with pytest.raises(ValueError):
+        plotting.plot_lines(z, A, labels=("just one",))
+    with pytest.raises(ValueError):
+        plotting.plot_power_matrix(z, A, labels=("a",) * 4, scale="weird", show=False)
+    with pytest.raises(ValueError):
+        plotting.plot_lines(z[:1], A[:1], labels=("a",) * 4)
+
+
+def test_plot_sweep_functions(tmp_path):
+    res = SweepResult(
+        x=np.linspace(1540, 1560, 9), gain=np.linspace(0, 20, 9),
+        dbeta=np.linspace(-2, 2, 9), ok=np.ones(9, dtype=bool),
+        gain_unit="db", elapsed_s=1.0, points_per_s=9.0,
+    )
+    plotting.plot_gain_spectrum(res, show=False, save_path=str(tmp_path / "g.png"))
+    plotting.plot_gain_and_dbeta(res, gamma=0.01, p_pump_total=1.0, show=False,
+                                 save_path=str(tmp_path / "gd.png"))
+    plotting.plot_phase_sweep(res, show=False, save_path=str(tmp_path / "ph.png"))
+    lin = SweepResult(
+        x=np.linspace(-5, 5, 9), gain=np.abs(np.linspace(-1, 1, 9)) + 0.1,
+        dbeta=None, ok=np.ones(9, dtype=bool), gain_unit="linear",
+        elapsed_s=1.0, points_per_s=9.0,
+    )
+    plotting.plot_mismatch_scan(lin, lin, show=False,
+                                save_path=str(tmp_path / "mm.png"))
+    plotting.plot_gain_map(
+        np.linspace(1540, 1560, 5), np.array([0.1, 0.2]),
+        np.random.default_rng(0).uniform(0, 10, (2, 5)),
+        show=False, save_path=str(tmp_path / "map.png"),
+    )
+    for f in ("g", "gd", "ph", "mm", "map"):
+        assert (tmp_path / f"{f}.png").stat().st_size > 0
+    with pytest.raises(ValueError, match="dbeta"):
+        plotting.plot_gain_and_dbeta(lin, show=False)
+
+
+# ---------------------------------------------------------------------------
+# Experiments + CLI
+# ---------------------------------------------------------------------------
+
+def test_experiment_single_simulation_anchor(tmp_path, capsys):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    z, A = ex.single_simulation(
+        z_max_m=1000.0, dz_m=0.1, show=False, save_dir=str(tmp_path), verbose=True
+    )
+    out = capsys.readouterr().out
+    assert "Frequency plan" in out
+    assert "Signal gain" in out
+    # NOTE: default experiment uses the *corrected* beta4 formula, so the gain
+    # differs from the reference's buggy 45.2924 in the 4th decimal.
+    gain_db = 10 * np.log10(np.abs(A[-1, 2]) ** 2 / 1e-5)
+    assert gain_db == pytest.approx(45.292, abs=2e-3)
+    assert (tmp_path / "single_simulation.npz").exists()
+    assert (tmp_path / "single_simulation.png").exists()
+
+
+def test_experiment_spectrum_dbeta_small(tmp_path):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    res = ex.gain_spectrum_dbeta(
+        n_points=8, show=False, save_dir=str(tmp_path), verbose=False
+    )
+    assert np.sum(np.isfinite(res.gain)) >= 6
+    assert (tmp_path / "gain_spectrum_dbeta.npz").exists()
+
+
+def test_cli_mismatch(tmp_path):
+    cmd = [
+        sys.executable, "-m", "psa_simulation_ode_rk_mvp_dispersion_tpu",
+        "--no-show", "--save-dir", str(tmp_path),
+        "mismatch", "--points", "32", "--span", "30",
+    ]
+    env = {
+        "PYTHONPATH": str(Path(__file__).parent.parent),
+        "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "MPLBACKEND": "Agg",
+    }
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "best delta_beta" in out.stdout
+    assert (tmp_path / "mismatch_scan.npz").exists()
+
+
+def test_cli_help():
+    cmd = [sys.executable, "-m", "psa_simulation_ode_rk_mvp_dispersion_tpu", "--help"]
+    env = {
+        "PYTHONPATH": str(Path(__file__).parent.parent),
+        "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+    }
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=120)
+    assert out.returncode == 0
+    for sub in ("single", "spectrum", "mismatch", "psa-phase", "gain-map", "bench"):
+        assert sub in out.stdout
