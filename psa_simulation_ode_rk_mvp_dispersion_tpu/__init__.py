@@ -104,7 +104,16 @@ from .ops.integrators import (  # noqa: E402
     integrate_reduce,
     rk4_step,
 )
-from .models import fwm4  # noqa: E402
+from .models import fwm4, nwave  # noqa: E402
+from .models.nwave import (  # noqa: E402
+    CombGrid,
+    NWaveCoeffs,
+    comb_beta_lin,
+    make_comb_coeffs,
+    rhs_nwave,
+    run_comb_simulation,
+    seed_comb,
+)
 from .models.fwm4 import (  # noqa: E402
     CacheParams,
     FiberParams,

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("gain-map", help="2-D pump power x wavelength gain map")
     s.add_argument("--wavelengths", type=int, default=100)
 
+    s = sub.add_parser("comb", help="N-wave cascaded FWM comb generation")
+    s.add_argument("--lines", type=int, default=64)
+    s.add_argument("--z-max", type=float, default=100.0, help="fiber length [m]")
+    s.add_argument("--integrator", default="rk45", choices=("rk4", "rk45"))
+
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
 
@@ -86,6 +91,9 @@ def main(argv=None) -> int:
         ex.gain_map(n_wavelengths=args.wavelengths, **{
             k: v for k, v in common.items() if k != "verbose"
         })
+    elif args.cmd == "comb":
+        ex.comb(n_lines=args.lines, z_max_m=args.z_max,
+                integrator=args.integrator, verbose=verbose, **common)
     elif args.cmd == "bench":
         import runpy
         import pathlib

@@ -1,0 +1,337 @@
+"""N-wave cascaded four-wave-mixing comb model.
+
+BASELINE.json config 5: "N-wave cascaded FWM comb: many interacting frequency
+lines (dense coupling in the RHS) with adaptive RK45 stepping".  The reference
+only gestures at this (its 4-wave model is the hand-truncated special case;
+higher-order dispersion hooks at ``dispersion.py:171-173``); this module is
+the general model, designed TPU-first.
+
+Physics: N lines on a uniform angular-frequency grid
+``omega_j = omega_0 + j * domega``.  Coupled-mode (non-rotating-frame)
+equations [cf. Hansson et al., "On the numerical simulation of Kerr frequency
+combs using coupled mode equations", arXiv:1307.3428 -- listed in PAPERS.md]:
+
+    dA_j/dz = (-alpha/2 + i beta_j) A_j
+              + i gamma * sum_{k,l,m : k+l-m=j} A_k A_l A_m^*
+
+The ordered double sum automatically contains SPM (|A_j|^2 A_j), XPM
+(2|A_k|^2 A_j) and every cascaded mixing product with the correct degeneracy
+factors; the linear ``i beta_j`` term carries phase mismatch exactly (no
+explicit exp(i dbeta z) factors -- the autonomous-form generalization of the
+4-wave rotating frame).  The energy-conservation constraint k+l-m=j holds
+exactly on the uniform grid.
+
+TPU-first evaluation of the O(N^3) sum: it is a convolution-correlation,
+
+    S = A * A                (autoconvolution, length 2N-1)
+    T_j = sum_m S_{j+m} A_m^*  (cross-correlation)
+      ==> T = IFFT( FFT(A,L)^2 * conj(FFT(A,L)) )[0:N],  L >= 3N-2
+
+three length-L FFT passes instead of an N^3 loop: O(N log N) work, fully
+batched and XLA-fusable.  A direct ``einsum`` reference path exists for
+validation.  Gauge freedom: ``beta_j`` may have its constant and linear parts
+removed (``remove_linear=True``) -- a per-line phase rotation that leaves all
+powers and gains invariant while shrinking the stiff linear rotation rates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SimulationConfig, validate_config
+from ..ops.adaptive import integrate_adaptive_grid
+from ..ops.dispersion import DispersionParams, beta_taylor
+from ..ops.integrators import integrate_fixed_grid, integrate_reduce
+from ..utils.checks import check_last_dim
+from ..utils.precision import complex_dtype, real_dtype, validate_precision
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NWaveCoeffs:
+    """Lowered comb coefficients (batchable pytree).
+
+    ``beta_lin`` is the per-line linear propagation constant [1/m] (possibly
+    gauge-reduced); ``gamma`` [1/(W m)] and ``alpha`` [1/m] broadcast.
+    """
+
+    gamma: jax.Array      # scalar or (...,)
+    alpha: jax.Array      # scalar or (...,)
+    beta_lin: jax.Array   # (..., N)
+
+
+def _fft_len(n_waves: int) -> int:
+    """Smallest power of two >= 3N-2 (linear, alias-free correlation)."""
+    need = max(3 * n_waves - 2, 1)
+    return 1 << (need - 1).bit_length()
+
+
+def fwm_polarization(a: jax.Array) -> jax.Array:
+    """T_j = sum_{k+l-m=j} A_k A_l A_m^* via padded FFTs (O(N log N))."""
+    n = a.shape[-1]
+    L = _fft_len(n)
+    F = jnp.fft.fft(a, n=L, axis=-1)
+    T = jnp.fft.ifft(F * F * jnp.conj(F), axis=-1)
+    return T[..., :n]
+
+
+def fwm_polarization_direct(a: jax.Array) -> jax.Array:
+    """Reference O(N^3) evaluation of the same sum (validation / tiny N)."""
+    n = a.shape[-1]
+    idx = np.arange(n)
+    k = idx[:, None, None]
+    l = idx[None, :, None]
+    m = idx[None, None, :]
+    j = k + l - m
+    valid = (j >= 0) & (j < n)
+    j_safe = np.clip(j, 0, n - 1)
+    # scatter A_k A_l conj(A_m) into line j
+    prod = (
+        a[..., :, None, None] * a[..., None, :, None] * jnp.conj(a)[..., None, None, :]
+    )
+    prod = jnp.where(jnp.asarray(valid), prod, 0.0)
+    onehot = jnp.asarray(
+        (j_safe[..., None] == idx[None, None, None, :]) & valid[..., None],
+        dtype=a.dtype,
+    )
+    return jnp.einsum("...klm,klmj->...j", prod, onehot)
+
+
+def rhs_nwave(z, a: jax.Array, p: NWaveCoeffs) -> jax.Array:
+    """Comb RHS over ``(..., N)`` complex state; autonomous (z unused)."""
+    nb = a.ndim - 1
+    g = jnp.asarray(p.gamma)
+    al = jnp.asarray(p.alpha)
+    if g.ndim > 0:
+        g = g.reshape(g.shape + (1,) * (1 + nb - g.ndim))
+    if al.ndim > 0:
+        al = al.reshape(al.shape + (1,) * (1 + nb - al.ndim))
+
+    rdt = jnp.finfo(a.dtype).dtype
+    beta = jnp.asarray(p.beta_lin).astype(rdt)
+
+    T = fwm_polarization(a)
+    # (-alpha/2) A + i beta A + i gamma T, built via lax.complex to avoid
+    # weak-c128 constants (TPU-safe, see ops/rhs.py)
+    lin_re = (-0.5 * al.astype(rdt)) * a.real - beta * a.imag
+    lin_im = (-0.5 * al.astype(rdt)) * a.imag + beta * a.real
+    lin = jax.lax.complex(lin_re, lin_im).astype(a.dtype)
+    gT = g.astype(rdt) * T
+    nonlin = jax.lax.complex(-gT.imag, gT.real).astype(a.dtype)
+    return lin + nonlin
+
+
+def rhs_nwave_direct(z, a: jax.Array, p: NWaveCoeffs) -> jax.Array:
+    """Comb RHS using the dense einsum coupling instead of FFTs.
+
+    O(N^3) work on the MXU via contraction -- preferable for small N, and for
+    sharded execution (einsum partitions cleanly under GSPMD, whereas
+    XLA:CPU's FFT cannot run on sharded buffers)."""
+    nb = a.ndim - 1
+    g = jnp.asarray(p.gamma)
+    al = jnp.asarray(p.alpha)
+    if g.ndim > 0:
+        g = g.reshape(g.shape + (1,) * (1 + nb - g.ndim))
+    if al.ndim > 0:
+        al = al.reshape(al.shape + (1,) * (1 + nb - al.ndim))
+    rdt = jnp.finfo(a.dtype).dtype
+    beta = jnp.asarray(p.beta_lin).astype(rdt)
+    T = fwm_polarization_direct(a)
+    lin_re = (-0.5 * al.astype(rdt)) * a.real - beta * a.imag
+    lin_im = (-0.5 * al.astype(rdt)) * a.imag + beta * a.real
+    lin = jax.lax.complex(lin_re, lin_im).astype(a.dtype)
+    gT = g.astype(rdt) * T
+    nonlin = jax.lax.complex(-gT.imag, gT.real).astype(a.dtype)
+    return lin + nonlin
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CombGrid:
+    """Uniform comb frequency grid: omega_j = omega_0 + j * domega."""
+
+    omega_0: float     # [rad/s] first line
+    domega: float      # [rad/s] line spacing
+    n_waves: int
+
+    def omegas(self) -> np.ndarray:
+        return self.omega_0 + np.arange(self.n_waves) * self.domega
+
+    @classmethod
+    def centered(cls, omega_c: float, domega: float, n_waves: int) -> "CombGrid":
+        """Grid centered on omega_c (line index n_waves//2 at omega_c)."""
+        return cls(
+            omega_0=float(omega_c) - (n_waves // 2) * float(domega),
+            domega=float(domega),
+            n_waves=int(n_waves),
+        )
+
+
+def comb_beta_lin(
+    grid: CombGrid,
+    dispersion: DispersionParams,
+    *,
+    max_order: int = 4,
+    remove_linear: bool = True,
+) -> np.ndarray:
+    """Per-line beta(omega_j) [1/m] from the Taylor dispersion model.
+
+    ``remove_linear=True`` subtracts the constant and group-delay terms
+    (beta_0 + beta_1*(omega_j - omega_ref)): a gauge transformation that
+    leaves every |A_j| and every energy-conserving mixing product's phase
+    mismatch invariant, while removing the fastest (physically irrelevant)
+    phase rotations -- essential conditioning for f32 and for step size.
+    """
+    om = grid.omegas()
+    beta = np.asarray(beta_taylor(om, dispersion, max_order=max_order), dtype=float)
+    if remove_linear:
+        dw = om - float(np.asarray(dispersion.omega_ref))
+        b0 = float(np.asarray(dispersion.get_beta_n(0)))
+        b1 = float(np.asarray(dispersion.get_beta_n(1)))
+        beta = beta - (b0 + b1 * dw)
+    return beta
+
+
+def make_comb_coeffs(
+    grid: CombGrid,
+    dispersion: DispersionParams,
+    *,
+    gamma_W_m: float,
+    alpha_1_m: float = 0.0,
+    max_order: int = 4,
+    remove_linear: bool = True,
+    precision: str = "x64",
+) -> NWaveCoeffs:
+    rdt = real_dtype(validate_precision(precision))
+    return NWaveCoeffs(
+        gamma=jnp.asarray(float(gamma_W_m), dtype=rdt),
+        alpha=jnp.asarray(float(alpha_1_m), dtype=rdt),
+        beta_lin=jnp.asarray(
+            comb_beta_lin(grid, dispersion, max_order=max_order,
+                          remove_linear=remove_linear),
+            dtype=rdt,
+        ),
+    )
+
+
+def seed_comb(
+    grid: CombGrid,
+    *,
+    pump_lines: dict,
+    noise_floor_W: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Initial comb state: ``pump_lines`` maps line index -> power [W] (or
+    (power, phase) tuples); optionally a random-phase noise floor seeds the
+    remaining lines (cascade growth needs nonzero seeds in a coherent model).
+    """
+    n = grid.n_waves
+    A0 = np.zeros(n, dtype=np.complex128)
+    if noise_floor_W > 0.0:
+        rng = np.random.default_rng(seed)
+        A0 += np.sqrt(noise_floor_W) * np.exp(2j * np.pi * rng.random(n))
+    for j, spec in pump_lines.items():
+        if not (0 <= int(j) < n):
+            raise ValueError(f"pump line index {j} outside comb of {n} lines")
+        if isinstance(spec, (tuple, list)):
+            p, ph = float(spec[0]), float(spec[1])
+        else:
+            p, ph = float(spec), 0.0
+        if p < 0:
+            raise ValueError("pump line power must be >= 0")
+        A0[int(j)] = np.sqrt(p) * np.exp(1j * ph)
+    return A0
+
+
+# ---------------------------------------------------------------------------
+# Solvers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _comb_fixed_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int):
+    def run(y0, coeffs, dz):
+        return integrate_fixed_grid(
+            rhs_nwave, y0, coeffs, z0=jnp.zeros((), dz.dtype), dz=dz,
+            n_steps=n_steps, save_every=save_every, check_nan=check_nan,
+            unroll=unroll,
+        )
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _comb_adaptive_solver(rtol: float, atol: float, max_steps: int):
+    def run(y0, coeffs, z_grid):
+        return integrate_adaptive_grid(
+            rhs_nwave, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
+            max_steps_per_segment=max_steps,
+        )
+    return jax.jit(run)
+
+
+def run_comb_simulation(
+    cfg: SimulationConfig,
+    coeffs: NWaveCoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+    unroll: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Integrate a comb over [0, z_max]; returns host ``(z, A (S+1, N))``.
+
+    ``cfg.integrator`` selects fixed RK4 or adaptive RK45 (the latter with
+    dense output on the decimated save grid -- the recommended mode for wide,
+    stiff combs).
+    """
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    scale = length_scale_to_m(length_unit)
+    precision = validate_precision(cfg.precision)
+    cdt = complex_dtype(precision)
+    rdt = real_dtype(precision)
+
+    z_max_m = float(cfg.z_max) * scale
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(z_max_m / dz_m))
+    A0 = np.asarray(A0)
+    if A0.ndim != 1:
+        raise ValueError("A0 must be a 1-D array of N complex line amplitudes")
+
+    if cfg.integrator.lower() == "rk45":
+        n_chunks = n_steps // cfg.save_every
+        z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
+
+        solver = _comb_adaptive_solver(float(cfg.rtol), float(cfg.atol), int(cfg.max_steps))
+        res = solver(
+            jnp.asarray(A0, dtype=cdt), coeffs, jnp.asarray(z_grid, dtype=rdt)
+        )
+        ok = bool(np.asarray(res.ok))
+        z_out = z_grid / scale
+        y_saved = res.y_saved
+    else:
+        solver = _comb_fixed_solver(
+            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll
+        )
+        res = solver(jnp.asarray(A0, dtype=cdt), coeffs, jnp.asarray(dz_m, dtype=rdt))
+        ok = bool(np.asarray(res.ok))
+        z_out = np.asarray(res.z_saved) / scale
+        y_saved = res.y_saved
+
+    if cfg.check_nan and not ok:
+        raise FloatingPointError("NaN or Inf detected during comb integration")
+    return np.asarray(z_out, dtype=float), np.asarray(y_saved)
+
+
+def comb_spectrum_db(A: np.ndarray, *, floor_dbw: float = -200.0) -> np.ndarray:
+    """Per-line power spectrum in dBW with a floor (for plotting)."""
+    P = np.abs(A) ** 2
+    return 10.0 * np.log10(np.maximum(P, 10 ** (floor_dbw / 10.0)))

@@ -323,3 +323,29 @@ def plot_gain_map(x, pump_powers, gain, *, gain_unit="dB",
     ax.set_xlabel(x_label)
     ax.set_ylabel("Pump power per pump [W]")
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_comb_spectrum(A, *, line_indices=None, title="Comb power spectrum",
+                       floor_dbw=-120.0, show=True, save_path=None,
+                       label=None):
+    """Per-line power spectrum (dBW stems) of one or more comb states.
+
+    ``A`` is (N,) for a single state or a list/stack of states (each plotted
+    with its own label, e.g. input vs output)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(9, 5))
+    states = np.atleast_2d(np.asarray(A))
+    labels = label if isinstance(label, (list, tuple)) else [label] * len(states)
+    for st, lab in zip(states, labels):
+        n = st.shape[-1]
+        x = np.arange(n) if line_indices is None else np.asarray(line_indices)
+        P_db = 10.0 * np.log10(np.maximum(np.abs(st) ** 2, 10 ** (floor_dbw / 10.0)))
+        markerline, stemlines, _ = ax.stem(x, P_db, basefmt=" ", label=lab)
+        plt.setp(markerline, markersize=3)
+    ax.set_xlabel("Comb line index")
+    ax.set_ylabel("Line power [dBW]")
+    ax.set_ylim(bottom=floor_dbw)
+    ax.grid(True, alpha=0.3)
+    if any(lab is not None for lab in labels):
+        ax.legend()
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

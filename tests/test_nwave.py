@@ -1,0 +1,205 @@
+"""N-wave cascaded FWM comb model tests: FFT coupling vs direct cubic sum,
+analytic SPM limit, conservation laws, 4-wave correspondence, rk45 path,
+batching."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import psa_tpu as psa
+from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.dispersion import DispersionParams
+
+
+def _rand_state(n, b=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (n,) if b is None else (b, n)
+    return rng.normal(size=shape) * 0.3 + 1j * rng.normal(size=shape) * 0.3
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 8, 16])
+def test_fft_polarization_matches_direct(n):
+    a = jnp.asarray(_rand_state(n))
+    T_fft = np.asarray(nw.fwm_polarization(a))
+    T_dir = np.asarray(nw.fwm_polarization_direct(a))
+    np.testing.assert_allclose(T_fft, T_dir, rtol=1e-11, atol=1e-12)
+
+
+def test_fft_polarization_batched():
+    a = jnp.asarray(_rand_state(6, b=4))
+    T = np.asarray(nw.fwm_polarization(a))
+    for i in range(4):
+        np.testing.assert_allclose(
+            T[i], np.asarray(nw.fwm_polarization(a[i])), rtol=1e-12
+        )
+
+
+def test_single_line_is_analytic_spm():
+    """N=1 comb: dA/dz = (-alpha/2 + i beta + i gamma |A|^2) A with constant
+    |A| decay -> closed form via the exponential-loss phase integral."""
+    gamma, alpha, beta = 2.0, 0.3, 5.0
+    P0 = 0.8
+    coeffs = nw.NWaveCoeffs(
+        gamma=jnp.asarray(gamma), alpha=jnp.asarray(alpha),
+        beta_lin=jnp.asarray([beta]),
+    )
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=1e-3, save_every=1000)
+    z, A = nw.run_comb_simulation(cfg, coeffs, np.array([np.sqrt(P0) + 0j]))
+    L = 1.0
+    # |A|^2 = P0 e^{-alpha z}; phase = beta z + gamma P0 (1-e^{-alpha z})/alpha
+    P_end = P0 * np.exp(-alpha * L)
+    phi_end = beta * L + gamma * P0 * (1 - np.exp(-alpha * L)) / alpha
+    expected = np.sqrt(P_end) * np.exp(1j * phi_end)
+    np.testing.assert_allclose(A[-1, 0], expected, rtol=1e-9)
+
+
+def test_comb_power_conservation_lossless():
+    """The cubic coupling conserves total power exactly; RK4 to ~1e-9."""
+    n = 32
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, n)
+    disp = DispersionParams.from_betas(1.2e15, beta2=-2e-26, beta4=1e-52)
+    coeffs = nw.make_comb_coeffs(grid, disp, gamma_W_m=10.0, alpha_1_m=0.0)
+    A0 = nw.seed_comb(grid, pump_lines={n // 2: 0.5, n // 2 + 1: 0.5},
+                      noise_floor_W=1e-9, seed=1)
+    cfg = psa.custom_simulation_config(z_max=5.0, dz=1e-3, save_every=500)
+    z, A = nw.run_comb_simulation(cfg, coeffs, A0)
+    P_tot = np.sum(np.abs(A) ** 2, axis=1)
+    np.testing.assert_allclose(P_tot, P_tot[0], rtol=3e-8)
+    # cascade actually populated new lines
+    P_end = np.abs(A[-1]) ** 2
+    side = np.delete(P_end, [n // 2, n // 2 + 1])
+    assert side.max() > 100 * 1e-9
+
+
+def test_comb_reduces_to_4wave_model_when_other_lines_detuned():
+    """Rigorous correspondence: give the four active lines beta=0 (phase
+    matched) and every other comb line a huge detuning (|beta| ~ 1e4 1/m).
+    All mixing products touching a detuned line average out (amplitude
+    ~ gamma*P/|beta| ~ 1e-5), so the comb reduces exactly to the truncated
+    4-wave model -- and the two must agree to high accuracy.
+
+    (An *un*-detuned comb legitimately differs from the 4-wave truncation:
+    Bragg-scattering products of the same perturbative order drain the signal;
+    verified separately by test_comb_power_conservation_lossless.)"""
+    n = 23
+    domega = 2 * np.pi * 200e9
+    oc = 1.215e15
+    grid = nw.CombGrid.centered(oc, domega, n)
+    gamma, alpha = 2.0, 0.0
+    i_p1, i_p2, i_s = 10, 12, 9
+    i_i = i_p1 + i_p2 - i_s  # 13
+    active = {i_p1, i_p2, i_s, i_i}
+    Pp, Ps = 0.05, 1e-6
+    # detuning magnitude: large enough to suppress unwanted products
+    # (second-order gain corrections scale as 1/beta^2), small enough that
+    # RK4 stays stable (|beta| dz = 0.2 rad/step)
+    beta = np.array(
+        [0.0 if j in active else 2000.0 * (1 if j % 2 else -1) for j in range(n)]
+    )
+    coeffs = nw.NWaveCoeffs(
+        gamma=jnp.asarray(gamma), alpha=jnp.asarray(alpha),
+        beta_lin=jnp.asarray(beta),
+    )
+    A0 = nw.seed_comb(grid, pump_lines={i_p1: Pp, i_p2: Pp, i_s: Ps})
+    cfg = psa.custom_simulation_config(z_max=20.0, dz=1e-4, save_every=200000)
+    z, A = nw.run_comb_simulation(cfg, coeffs, A0)
+    comb_gain = np.abs(A[-1, i_s]) ** 2 / Ps
+
+    om = grid.omegas()
+    omega4 = np.array([om[i_p1], om[i_p2], om[i_s], om[i_i]])
+    pm = psa.PhaseMatchingConfig(
+        method=psa.PhaseMatchingMethod.PROVIDED, provided_delta_beta=0.0
+    )
+    z4, A4 = psa.run_single_simulation(
+        psa.custom_simulation_config(z_max=20.0, dz=5e-3),
+        gamma=gamma, alpha=alpha, omega=omega4,
+        p_in=[Pp, Pp, Ps, 0.0], phase_matching_cfg=pm, length_unit="m",
+    )
+    gain4 = np.abs(A4[-1, 2]) ** 2 / Ps
+    assert gain4 > 10.0  # substantial parametric gain in this regime
+    assert comb_gain == pytest.approx(gain4, rel=1e-3)
+
+
+def test_remove_linear_gauge_invariance():
+    """Removing beta0/beta1 must leave all line powers unchanged."""
+    n = 16
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, n)
+    # beta1 chosen so beta1*dw stays integrable without the gauge reduction
+    # (the whole point of remove_linear is that realistic beta1 values make
+    # the un-reduced system impossibly stiff)
+    disp = DispersionParams.from_betas(
+        1.2e15, beta0=100.0, beta1=1e-13, beta2=-2e-26
+    )
+    A0 = nw.seed_comb(grid, pump_lines={7: 0.3, 9: 0.3, 6: 1e-5})
+    # converged (adaptive, tight-tolerance) solutions: the two gauges are
+    # different discretizations of the same physics, so only the converged
+    # powers match tightly
+    cfg = psa.custom_simulation_config(
+        z_max=2.0, dz=1e-3, save_every=2000, integrator="rk45",
+        rtol=1e-11, atol=1e-16,
+    )
+    outs = []
+    for rl in (True, False):
+        coeffs = nw.make_comb_coeffs(
+            grid, disp, gamma_W_m=5.0, remove_linear=rl
+        )
+        z, A = nw.run_comb_simulation(cfg, coeffs, A0)
+        outs.append(np.abs(A[-1]) ** 2)
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-18)
+
+
+def test_comb_rk45_matches_rk4():
+    n = 16
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, n)
+    disp = DispersionParams.from_betas(1.2e15, beta2=-2e-26)
+    coeffs = nw.make_comb_coeffs(grid, disp, gamma_W_m=10.0, alpha_1_m=0.01)
+    A0 = nw.seed_comb(grid, pump_lines={7: 0.4, 9: 0.4}, noise_floor_W=1e-10)
+    cfg4 = psa.custom_simulation_config(z_max=2.0, dz=2e-4, save_every=2500)
+    z4, A4 = nw.run_comb_simulation(cfg4, coeffs, A0)
+    cfg45 = psa.custom_simulation_config(
+        z_max=2.0, dz=2e-4, save_every=2500, integrator="rk45",
+        rtol=1e-10, atol=1e-14,
+    )
+    z45, A45 = nw.run_comb_simulation(cfg45, coeffs, A0)
+    np.testing.assert_allclose(z45, z4, rtol=1e-12)
+    np.testing.assert_allclose(A45[-1], A4[-1], rtol=1e-6, atol=1e-12)
+
+
+def test_comb_vmap_batch():
+    """Batch of combs with different gamma under vmap matches singles."""
+    n = 12
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, n)
+    disp = DispersionParams.from_betas(1.2e15, beta2=-2e-26)
+    A0 = jnp.asarray(
+        np.stack([nw.seed_comb(grid, pump_lines={5: 0.3, 7: 0.3})] * 3)
+    )
+    gammas = jnp.asarray([1.0, 5.0, 10.0])
+    beta = jnp.asarray(nw.comb_beta_lin(grid, disp))
+
+    def solve(y0, g):
+        coeffs = nw.NWaveCoeffs(gamma=g, alpha=jnp.asarray(0.0), beta_lin=beta)
+        from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.integrators import (
+            integrate_fixed_grid,
+        )
+
+        return integrate_fixed_grid(
+            nw.rhs_nwave, y0, coeffs, z0=0.0, dz=1e-3, n_steps=500,
+            save_every=500,
+        ).y_final
+
+    batched = jax.vmap(solve)(A0, gammas)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(solve(A0[i], gammas[i])), rtol=1e-12
+        )
+
+
+def test_seed_comb_validation():
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, 8)
+    with pytest.raises(ValueError, match="outside"):
+        nw.seed_comb(grid, pump_lines={9: 0.1})
+    with pytest.raises(ValueError, match=">= 0"):
+        nw.seed_comb(grid, pump_lines={2: -0.1})
+    A0 = nw.seed_comb(grid, pump_lines={2: (0.25, np.pi / 2)})
+    assert A0[2] == pytest.approx(0.5j)
