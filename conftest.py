@@ -23,5 +23,9 @@ import jax  # noqa: E402
 # The axon TPU plugin (if present) registers itself via sitecustomize and
 # overrides JAX_PLATFORMS; force tests onto CPU regardless.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: XLA:CPU is pathologically slow compiling the
+# df32 (two-float) programs (minutes); cache compiled executables across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/psa_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

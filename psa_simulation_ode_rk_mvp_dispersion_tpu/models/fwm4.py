@@ -43,6 +43,7 @@ from ..ops.phase_matching import (
 )
 from ..ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
 from ..utils.checks import to_scalar_float, validate_nonneg, validate_positive
+from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex, ri_unpack_host
 from ..utils.precision import complex_dtype, real_dtype, validate_precision
 from ..utils.units import length_scale_to_m
 
@@ -334,11 +335,21 @@ def lower_params(params: ModelParams, *, precision: str = "x64") -> RHSCoeffs:
 def _fixed_solver(n_steps: int, save_every: int, check_nan: bool, frame: str, unroll: int):
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 
-    def run(y0, coeffs, z0, dz) -> IntegrationResult:
-        return integrate_fixed_grid(
-            rhs, y0, coeffs,
+    def run(y0_ri, coeffs, z0, dz):
+        # real/imag packing at the jit boundary (restricted TPU attachments
+        # cannot transfer complex or computed-bool buffers)
+        res = integrate_fixed_grid(
+            rhs, ri_to_complex(y0_ri), coeffs,
             z0=z0, dz=dz, n_steps=n_steps,
             save_every=save_every, check_nan=check_nan, unroll=unroll,
+        )
+        y_saved = res.y_saved
+        if frame == "rotating":
+            y_saved = rotating_to_lab(res.z_saved, y_saved, coeffs)
+        return (
+            complex_to_ri(y_saved).astype(y0_ri.dtype),
+            res.ok.astype(jnp.int32),
+            res.bad_step,
         )
 
     return jax.jit(run)
@@ -396,6 +407,8 @@ def run_single_simulation(
     length_unit: str = "m",
     return_length_unit: Optional[str] = None,
     frame: str = "lab",
+    z0: float = 0.0,
+    A_init: Optional[Sequence[complex]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Run a single scalar 4-wave FWM simulation; returns host arrays
     ``(z_out, A)`` with ``A`` complex of shape ``(N_saved, 4)``.
@@ -409,7 +422,9 @@ def run_single_simulation(
     Framework extensions: ``cfg.precision`` selects the dtype tier;
     ``frame='rotating'`` integrates the autonomous rotating-frame system (same
     powers, better f32 conditioning) and converts saved states back to lab
-    frame.
+    frame; ``z0``/``A_init`` support checkpoint/resume -- pass the last saved
+    (z, A) row to continue an integration over [z0, z0 + z_max] with exact
+    lab-frame phase continuity (z0 in ``length_unit``).
     """
     validate_config(cfg)
     if frame not in VALID_FRAMES:
@@ -418,8 +433,16 @@ def run_single_simulation(
     scale_to_m = length_scale_to_m(length_unit)
 
     om = _to_omega_array(omega)
-    p = _to_power_array(p_in)
-    A0 = make_initial_amplitudes(p, phase_in)
+    if A_init is not None:
+        A0 = np.asarray(list(A_init), dtype=np.complex128)
+        if A0.shape != (4,):
+            raise ValueError(f"A_init must have shape (4,), got {A0.shape}")
+        if not np.all(np.isfinite(A0)):
+            raise ValueError("A_init must be finite")
+    else:
+        p = _to_power_array(p_in)
+        A0 = make_initial_amplitudes(p, phase_in)
+    z0_m = to_scalar_float(z0, name="z0") * scale_to_m
 
     beta_leg_m = None
     if beta_legacy is not None:
@@ -453,7 +476,7 @@ def run_single_simulation(
         beta_legacy_1_m=beta_leg_m,
     )
     waves = WavesParams(omega=om, symmetric=None)
-    grid = SimulationGrid(dz_m=float(cfg.dz) * scale_to_m, z0_m=0.0)
+    grid = SimulationGrid(dz_m=float(cfg.dz) * scale_to_m, z0_m=z0_m)
     params = make_model_params(
         waves=waves, fiber=fiber, grid=grid,
         phase_matching=PhaseMatchingParams(config=pm_cfg),
@@ -483,33 +506,36 @@ def run_single_simulation(
             return_length_unit=return_length_unit,
         )
 
+    if frame == "rotating" and z0_m != 0.0:
+        # enter the rotating frame at z0 (A = B on sidebands; pumps rotated)
+        db0 = float(params.cache.delta_beta_1_m)
+        A0 = A0.copy()
+        A0[:2] *= np.exp(-0.5j * db0 * z0_m)
     solver = _fixed_solver(n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, 4)
-    out: IntegrationResult = solver(
-        jnp.asarray(A0, dtype=cdt),
+    y_ri, ok_i, bad_i = solver(
+        jnp.asarray(ri_pack_host(A0, rdt)),
         coeffs,
-        jnp.asarray(0.0, dtype=rdt),
+        jnp.asarray(z0_m, dtype=rdt),
         jnp.asarray(params.grid.dz_m, dtype=rdt),
     )
 
-    if cfg.check_nan and not bool(out.ok):
-        bad = int(out.bad_step)
+    if cfg.check_nan and int(np.asarray(ok_i)) == 0:
+        bad = int(np.asarray(bad_i))
         raise FloatingPointError(
             f"NaN or Inf detected at step {bad}, z = {bad * params.grid.dz_m}"
         )
 
-    y_saved = out.y_saved
-    if frame == "rotating":
-        y_saved = rotating_to_lab(out.z_saved, y_saved, coeffs)
+    y_saved = ri_unpack_host(np.asarray(y_ri))
 
     # Output unit conversion (reference simulation.py:359-363); z is rebuilt
     # on the host in f64 so x32 runs still report exact grid locations.
     out_unit = length_unit if return_length_unit is None else return_length_unit
     out_scale = length_scale_to_m(out_unit)
     n_saved = y_saved.shape[0]
-    z_m = (np.arange(n_saved) * cfg.save_every) * params.grid.dz_m
+    z_m = z0_m + (np.arange(n_saved) * cfg.save_every) * params.grid.dz_m
     z_out = z_m / out_scale
 
-    return z_out, np.asarray(y_saved)
+    return z_out, y_saved
 
 
 # ---------------------------------------------------------------------------

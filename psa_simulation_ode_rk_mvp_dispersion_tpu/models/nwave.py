@@ -49,6 +49,7 @@ from ..ops.adaptive import integrate_adaptive_grid
 from ..ops.dispersion import DispersionParams, beta_taylor
 from ..ops.integrators import integrate_fixed_grid, integrate_reduce
 from ..utils.checks import check_last_dim
+from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex, ri_unpack_host
 from ..utils.precision import complex_dtype, real_dtype, validate_precision
 
 
@@ -258,21 +259,32 @@ def seed_comb(
 
 @functools.lru_cache(maxsize=64)
 def _comb_fixed_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int):
-    def run(y0, coeffs, dz):
-        return integrate_fixed_grid(
-            rhs_nwave, y0, coeffs, z0=jnp.zeros((), dz.dtype), dz=dz,
-            n_steps=n_steps, save_every=save_every, check_nan=check_nan,
+    def run(y0_ri, coeffs, dz):
+        # real/imag packing at the jit boundary (restricted TPU attachments
+        # cannot transfer complex or computed-bool buffers)
+        res = integrate_fixed_grid(
+            rhs_nwave, ri_to_complex(y0_ri), coeffs, z0=jnp.zeros((), dz.dtype),
+            dz=dz, n_steps=n_steps, save_every=save_every, check_nan=check_nan,
             unroll=unroll,
+        )
+        return (
+            res.z_saved,
+            complex_to_ri(res.y_saved).astype(y0_ri.dtype),
+            res.ok.astype(jnp.int32),
         )
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=64)
 def _comb_adaptive_solver(rtol: float, atol: float, max_steps: int):
-    def run(y0, coeffs, z_grid):
-        return integrate_adaptive_grid(
-            rhs_nwave, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
-            max_steps_per_segment=max_steps,
+    def run(y0_ri, coeffs, z_grid):
+        res = integrate_adaptive_grid(
+            rhs_nwave, ri_to_complex(y0_ri), coeffs, z_grid=z_grid, rtol=rtol,
+            atol=atol, max_steps_per_segment=max_steps,
+        )
+        return (
+            complex_to_ri(res.y_saved).astype(y0_ri.dtype),
+            res.ok.astype(jnp.int32),
         )
     return jax.jit(run)
 
@@ -311,24 +323,24 @@ def run_comb_simulation(
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
 
         solver = _comb_adaptive_solver(float(cfg.rtol), float(cfg.atol), int(cfg.max_steps))
-        res = solver(
-            jnp.asarray(A0, dtype=cdt), coeffs, jnp.asarray(z_grid, dtype=rdt)
+        y_ri, ok_i = solver(
+            jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(z_grid, dtype=rdt)
         )
-        ok = bool(np.asarray(res.ok))
+        ok = int(np.asarray(ok_i)) != 0
         z_out = z_grid / scale
-        y_saved = res.y_saved
     else:
         solver = _comb_fixed_solver(
             n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll
         )
-        res = solver(jnp.asarray(A0, dtype=cdt), coeffs, jnp.asarray(dz_m, dtype=rdt))
-        ok = bool(np.asarray(res.ok))
-        z_out = np.asarray(res.z_saved) / scale
-        y_saved = res.y_saved
+        z_dev, y_ri, ok_i = solver(
+            jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(dz_m, dtype=rdt)
+        )
+        ok = int(np.asarray(ok_i)) != 0
+        z_out = np.asarray(z_dev, dtype=np.float64) / scale
 
     if cfg.check_nan and not ok:
         raise FloatingPointError("NaN or Inf detected during comb integration")
-    return np.asarray(z_out, dtype=float), np.asarray(y_saved)
+    return np.asarray(z_out, dtype=float), ri_unpack_host(np.asarray(y_ri))
 
 
 def comb_spectrum_db(A: np.ndarray, *, floor_dbw: float = -200.0) -> np.ndarray:

@@ -27,6 +27,7 @@ Error control: standard weighted-RMS norm over real/imag components with
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -258,8 +259,6 @@ def run_adaptive_trajectory(
     Output contract mirrors the rk4 path: states on the decimated grid
     ``z_k = k * save_every * dz`` (plus z=0), z in ``return_length_unit``.
     """
-    import functools
-
     from ..utils.precision import complex_dtype, real_dtype, validate_precision
     from ..utils.units import length_scale_to_m
     from .rhs import rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
@@ -276,30 +275,42 @@ def run_adaptive_trajectory(
 
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 
-    @functools.lru_cache(maxsize=64)
-    def _solver(n_points, rtol, atol, check_nan):
-        def run(y0, p, zg):
-            return integrate_adaptive_grid(
-                rhs, y0, p, z_grid=zg, rtol=rtol, atol=atol,
-                max_steps_per_segment=cfg.max_steps,
-            )
-        return jax.jit(run)
+    from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex, ri_unpack_host
 
-    solver = _solver(len(z_grid), float(cfg.rtol), float(cfg.atol), bool(cfg.check_nan))
-    out: AdaptiveResult = solver(
-        jnp.asarray(A0, dtype=cdt), coeffs, jnp.asarray(z_grid, dtype=rdt)
+    solver = _adaptive_traj_solver(
+        frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps)
+    )
+    y_ri, ok_i = solver(
+        jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(z_grid, dtype=rdt)
     )
 
-    if cfg.check_nan and not bool(np.asarray(out.ok)):
+    if cfg.check_nan and int(np.asarray(ok_i)) == 0:
         raise FloatingPointError(
             "NaN/Inf or step-size underflow during adaptive (rk45) integration"
         )
 
-    y_saved = out.y_saved
-    if frame == "rotating":
-        y_saved = rotating_to_lab(out.z_saved, y_saved, coeffs)
-
+    y_saved = ri_unpack_host(np.asarray(y_ri))
     out_unit = length_unit if return_length_unit is None else return_length_unit
     out_scale = length_scale_to_m(out_unit)
     z_out = z_grid / out_scale
-    return z_out, np.asarray(y_saved)
+    return z_out, y_saved
+
+
+@functools.lru_cache(maxsize=64)
+def _adaptive_traj_solver(frame: str, rtol: float, atol: float, max_steps: int):
+    from .rhs import rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
+    from ..utils.packing import complex_to_ri, ri_to_complex
+
+    rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
+
+    def run(y0_ri, p, zg):
+        res = integrate_adaptive_grid(
+            rhs, ri_to_complex(y0_ri), p, z_grid=zg, rtol=rtol, atol=atol,
+            max_steps_per_segment=max_steps,
+        )
+        y_saved = res.y_saved
+        if frame == "rotating":
+            y_saved = rotating_to_lab(res.z_saved, y_saved, p)
+        return complex_to_ri(y_saved).astype(y0_ri.dtype), res.ok.astype(jnp.int32)
+
+    return jax.jit(run)

@@ -1,0 +1,208 @@
+"""Double-word float32 ("two-float" / double-double-style) arithmetic.
+
+The TPU v5e has no f64 (C128/F64 compile errors), but the BASELINE target
+demands <=1e-9 relative error against the f64 NumPy reference.  This module
+closes the gap in hardware f32: every value is an unevaluated sum
+``hi + lo`` of two float32 words (|lo| <= ulp(hi)/2), giving ~49 effective
+mantissa bits (~1e-14 relative) at ~5-20 f32 ops per arithmetic op -- still
+compute-trivial for this workload and entirely VPU-friendly.
+
+Algorithms are the classical error-free transforms:
+- Knuth TwoSum (branch-free add error),
+- Dekker split + TwoProd (multiplication error without FMA; correct -- and
+  only *more* accurate -- if XLA contracts sub-expressions to FMA under
+  ``--xla_allow_excess_precision``),
+- renormalization via Fast2Sum.
+References: Dekker 1971; Hida, Li, Bailey, "Library for double-double and
+quad-double arithmetic" (QD), 2000.
+
+Complex two-float (:class:`CTF`) composes the real ops; the 4-wave RHS needs
+only add/mul/conj/scale -- no division or transcendentals in the rotating
+frame (``ops/rhs.rhs_yaman_autonomous``), which is exactly why that frame is
+the df32 path.
+
+All functions are shape-polymorphic and jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+_SPLIT = np.float32(4097.0)  # 2^12 + 1 (Dekker split constant for f32)
+
+
+class TF(NamedTuple):
+    """Real two-float: value = hi + lo (both float32 arrays)."""
+
+    hi: jax.Array
+    lo: jax.Array
+
+
+class CTF(NamedTuple):
+    """Complex two-float: re + i*im, each a :class:`TF`."""
+
+    re: TF
+    im: TF
+
+
+# ---------------------------------------------------------------------------
+# Error-free transforms
+# ---------------------------------------------------------------------------
+
+def _quick_two_sum(a, b):
+    """(s, err) with s = fl(a+b), assuming |a| >= |b| (Fast2Sum)."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def _two_sum(a, b):
+    """(s, err) with s = fl(a+b), no magnitude assumption (Knuth)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split(a):
+    """Dekker split: a = a_hi + a_lo with a_hi having <=12 mantissa bits."""
+    c = _SPLIT * a
+    a_hi = c - (c - a)
+    a_lo = a - a_hi
+    return a_hi, a_lo
+
+
+def _two_prod(a, b):
+    """(p, err) with p = fl(a*b) and p + err = a*b exactly."""
+    p = a * b
+    a_hi, a_lo = _split(a)
+    b_hi, b_lo = _split(b)
+    err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, err
+
+
+# ---------------------------------------------------------------------------
+# Construction / conversion
+# ---------------------------------------------------------------------------
+
+def tf_from_f64(x) -> TF:
+    """Split host float64 values into (hi, lo) float32 words exactly."""
+    x = np.asarray(x, dtype=np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return TF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def tf_from_f32(x) -> TF:
+    x = jnp.asarray(x, dtype=jnp.float32)
+    return TF(x, jnp.zeros_like(x))
+
+
+def tf_to_f64(a: TF) -> np.ndarray:
+    return np.asarray(a.hi, dtype=np.float64) + np.asarray(a.lo, dtype=np.float64)
+
+
+def tf_zeros(shape, ) -> TF:
+    z = jnp.zeros(shape, dtype=jnp.float32)
+    return TF(z, z)
+
+
+def ctf_from_c128(x) -> CTF:
+    x = np.asarray(x, dtype=np.complex128)
+    return CTF(re=tf_from_f64(x.real), im=tf_from_f64(x.imag))
+
+
+def ctf_to_c128(a: CTF) -> np.ndarray:
+    return tf_to_f64(a.re) + 1j * tf_to_f64(a.im)
+
+
+# ---------------------------------------------------------------------------
+# Real two-float arithmetic
+# ---------------------------------------------------------------------------
+
+def tf_add(a: TF, b: TF) -> TF:
+    """a + b (double-double addition, ~2 ulp of the 49-bit format)."""
+    s, e = _two_sum(a.hi, b.hi)
+    e = e + (a.lo + b.lo)
+    hi, lo = _quick_two_sum(s, e)
+    return TF(hi, lo)
+
+
+def tf_neg(a: TF) -> TF:
+    return TF(-a.hi, -a.lo)
+
+
+def tf_sub(a: TF, b: TF) -> TF:
+    return tf_add(a, tf_neg(b))
+
+
+def tf_mul(a: TF, b: TF) -> TF:
+    """a * b."""
+    p, e = _two_prod(a.hi, b.hi)
+    e = e + (a.hi * b.lo + a.lo * b.hi)
+    hi, lo = _quick_two_sum(p, e)
+    return TF(hi, lo)
+
+
+def tf_mul_f32(a: TF, c) -> TF:
+    """a * c for a plain f32 value c."""
+    p, e = _two_prod(a.hi, c)
+    e = e + a.lo * c
+    hi, lo = _quick_two_sum(p, e)
+    return TF(hi, lo)
+
+
+def tf_add_f32(a: TF, c) -> TF:
+    s, e = _two_sum(a.hi, c)
+    e = e + a.lo
+    hi, lo = _quick_two_sum(s, e)
+    return TF(hi, lo)
+
+
+# ---------------------------------------------------------------------------
+# Complex two-float arithmetic
+# ---------------------------------------------------------------------------
+
+def ctf_add(a: CTF, b: CTF) -> CTF:
+    return CTF(tf_add(a.re, b.re), tf_add(a.im, b.im))
+
+
+def ctf_sub(a: CTF, b: CTF) -> CTF:
+    return CTF(tf_sub(a.re, b.re), tf_sub(a.im, b.im))
+
+
+def ctf_neg(a: CTF) -> CTF:
+    return CTF(tf_neg(a.re), tf_neg(a.im))
+
+
+def ctf_conj(a: CTF) -> CTF:
+    return CTF(a.re, tf_neg(a.im))
+
+
+def ctf_mul(a: CTF, b: CTF) -> CTF:
+    """(a.re + i a.im)(b.re + i b.im)."""
+    re = tf_sub(tf_mul(a.re, b.re), tf_mul(a.im, b.im))
+    im = tf_add(tf_mul(a.re, b.im), tf_mul(a.im, b.re))
+    return CTF(re, im)
+
+
+def ctf_mul_real(a: CTF, r: TF) -> CTF:
+    return CTF(tf_mul(a.re, r), tf_mul(a.im, r))
+
+
+def ctf_mul_i_real(a: CTF, r: TF) -> CTF:
+    """(i * r) * a for real two-float r: rotates (re, im) -> (-r*im, r*re)."""
+    return CTF(tf_neg(tf_mul(a.im, r)), tf_mul(a.re, r))
+
+
+def ctf_abs2(a: CTF) -> TF:
+    """|a|^2 = re^2 + im^2."""
+    return tf_add(tf_mul(a.re, a.re), tf_mul(a.im, a.im))
+
+
+def ctf_scale_f32(a: CTF, c) -> CTF:
+    return CTF(tf_mul_f32(a.re, c), tf_mul_f32(a.im, c))

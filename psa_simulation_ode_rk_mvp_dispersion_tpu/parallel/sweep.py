@@ -45,6 +45,7 @@ from ..ops.dispersion import DispersionParams, delta_beta_from_omegas, delta_bet
 from ..ops.integrators import integrate_fixed_grid, integrate_reduce
 from ..ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
 from ..ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
+from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex, ri_unpack_host
 from ..utils.precision import complex_dtype, real_dtype, validate_precision
 from ..utils.units import length_scale_to_m, wavelength_scale
 from ..models.fwm4 import _to_power_array, _to_phase_array
@@ -127,12 +128,15 @@ def _batch_solver(
             y_last = rotating_to_lab(z_last, y_last, coeffs)
         return pmax, y_last, res.ok
 
-    def batch(y0_b, coeffs_b, z0, dz):
+    def batch(y0_ri, coeffs_b, z0, dz):
+        # complex state crosses the jit boundary as (B, 4, 2) real/imag packs
+        # (restricted TPU attachments cannot transfer complex buffers)
+        y0_b = ri_to_complex(y0_ri)
         pmax, y_last, ok = jax.vmap(one, in_axes=(0, 0, None, None))(
             y0_b, coeffs_b, z0, dz
         )
-        rdt = jnp.finfo(y0_b.dtype).dtype
-        a_ri = jnp.stack([y_last.real, y_last.imag], axis=-1).astype(rdt)
+        rdt = y0_ri.dtype
+        a_ri = complex_to_ri(y_last).astype(rdt)
         return pmax.astype(rdt), a_ri, ok.astype(jnp.int32)
 
     return jax.jit(batch)
@@ -168,11 +172,32 @@ def solve_batch(
     dbeta = np.broadcast_to(np.asarray(coeffs.delta_beta, dtype=float), (B,))
 
     n_steps = int(round(cfg.z_max / cfg.dz))
+
+    if precision == "df32":
+        # compensated two-float32 backend (rotating frame only): <=1e-12
+        # parity on f64-less TPUs; see ops/df32_solver.py
+        from ..ops.df32_solver import solve_batch_df32
+
+        t0 = time.perf_counter()
+        r = solve_batch_df32(
+            A0, gamma, alpha, dbeta,
+            dz_m=float(cfg.dz), n_steps=n_steps,
+            save_every=int(cfg.save_every), mesh=mesh,
+        )
+        elapsed = time.perf_counter() - t0
+        return BatchSolveResult(
+            P_max=r.P_max,
+            P_end=np.abs(r.A_end) ** 2,
+            A_end=r.A_end,
+            ok=r.ok,
+            elapsed_s=elapsed,
+            instances_per_s=B / elapsed if elapsed > 0 else float("inf"),
+        )
     solver = _batch_solver(
         n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
     )
 
-    y0_dev = jnp.asarray(A0, dtype=cdt)
+    y0_dev = jnp.asarray(ri_pack_host(A0, rdt))
     coeffs_dev = RHSCoeffs(
         gamma=jnp.asarray(gamma, dtype=rdt),
         alpha=jnp.asarray(alpha, dtype=rdt),
@@ -189,7 +214,7 @@ def solve_batch(
         alpha_p, _ = pad_batch(alpha, ndev)
         dbeta_p, _ = pad_batch(dbeta, ndev)
         sh = batch_sharding(mesh)
-        y0_dev = jax.device_put(jnp.asarray(A0_p, dtype=cdt), sh)
+        y0_dev = jax.device_put(jnp.asarray(ri_pack_host(A0_p, rdt)), sh)
         coeffs_dev = RHSCoeffs(
             gamma=jax.device_put(jnp.asarray(gamma_p, dtype=rdt), sh),
             alpha=jax.device_put(jnp.asarray(alpha_p, dtype=rdt), sh),
@@ -203,10 +228,10 @@ def solve_batch(
     pmax, a_ri, ok = jax.block_until_ready((pmax, a_ri, ok))
     elapsed = time.perf_counter() - t0
 
-    pmax = np.asarray(pmax)[:n_orig]
+    pmax = np.asarray(pmax, dtype=np.float64)[:n_orig]
     a_ri = np.asarray(a_ri)[:n_orig]
     ok = np.asarray(ok)[:n_orig].astype(bool)
-    A_end = a_ri[..., 0] + 1j * a_ri[..., 1]
+    A_end = ri_unpack_host(a_ri)
     P_end = np.abs(A_end) ** 2
 
     return BatchSolveResult(
@@ -237,10 +262,10 @@ def _batch_traj_solver(n_steps: int, save_every: int, check_nan: bool, frame: st
             y_saved = rotating_to_lab(res.z_saved, y_saved, coeffs)
         return res.z_saved, y_saved, res.ok
 
-    def batch(y0_b, coeffs_b, z0, dz):
+    def batch(y0_ri, coeffs_b, z0, dz):
+        y0_b = ri_to_complex(y0_ri)
         z, ys, ok = jax.vmap(one, in_axes=(0, 0, None, None))(y0_b, coeffs_b, z0, dz)
-        rdt = jnp.finfo(y0_b.dtype).dtype
-        y_ri = jnp.stack([ys.real, ys.imag], axis=-1).astype(rdt)
+        y_ri = complex_to_ri(ys).astype(y0_ri.dtype)
         return z[0], y_ri, ok.astype(jnp.int32)
 
     return jax.jit(batch)
@@ -272,12 +297,11 @@ def solve_batch_trajectories(
         delta_beta=jnp.asarray(np.broadcast_to(np.asarray(coeffs.delta_beta, float), (B,)), dtype=rdt),
     )
     z, y_ri, ok = solver(
-        jnp.asarray(A0, dtype=cdt), coeffs_dev,
+        jnp.asarray(ri_pack_host(A0, rdt)), coeffs_dev,
         jnp.asarray(0.0, dtype=rdt), jnp.asarray(cfg.dz, dtype=rdt),
     )
-    z = np.asarray(z)
-    y_ri = np.asarray(y_ri)
-    A = y_ri[..., 0] + 1j * y_ri[..., 1]
+    z = np.asarray(z, dtype=np.float64)
+    A = ri_unpack_host(np.asarray(y_ri))
     return z, A, np.asarray(ok).astype(bool)
 
 
