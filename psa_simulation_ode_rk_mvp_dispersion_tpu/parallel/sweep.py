@@ -150,12 +150,18 @@ def solve_batch(
     frame: str = "rotating",
     mesh=None,
     unroll: int = 4,
+    engine: str = "auto",
 ) -> BatchSolveResult:
     """Solve B independent 4-wave instances in one XLA program.
 
     ``coeffs`` fields and ``A0`` must share the leading batch dimension; all
     quantities in internal per-meter units (``cfg.z_max``/``cfg.dz`` here are
     in meters -- callers handle the unit boundary).
+
+    ``engine``: 'scan' (vmapped lax.scan), 'pallas' (fused single-launch VMEM
+    kernel, x32 + rotating frame only; interpreter on CPU), or 'auto' (pallas
+    on TPU for unsharded x32 rotating-frame solves -- it removes the per-step
+    loop-dispatch overhead -- scan otherwise).
     """
     validate_config(cfg)
     precision = validate_precision(cfg.precision)
@@ -172,6 +178,42 @@ def solve_batch(
     dbeta = np.broadcast_to(np.asarray(coeffs.delta_beta, dtype=float), (B,))
 
     n_steps = int(round(cfg.z_max / cfg.dz))
+
+    if engine not in ("auto", "scan", "pallas"):
+        raise ValueError(f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}")
+    use_pallas = (
+        engine == "pallas"
+        or (
+            engine == "auto"
+            and precision == "x32"
+            and frame == "rotating"
+            and mesh is None
+            and jax.default_backend() == "tpu"
+        )
+    )
+    if use_pallas and precision == "x32" and frame == "rotating" and mesh is None:
+        from ..ops.pallas_solver import solve_batch_pallas
+
+        t0 = time.perf_counter()
+        r = solve_batch_pallas(
+            A0, gamma, alpha, dbeta,
+            dz_m=float(cfg.dz), n_steps=n_steps,
+            save_every=int(cfg.save_every),
+            interpret=jax.default_backend() != "tpu",
+        )
+        elapsed = time.perf_counter() - t0
+        return BatchSolveResult(
+            P_max=r.P_max,
+            P_end=np.abs(r.A_end) ** 2,
+            A_end=r.A_end,
+            ok=r.ok,
+            elapsed_s=elapsed,
+            instances_per_s=B / elapsed if elapsed > 0 else float("inf"),
+        )
+    if engine == "pallas":
+        raise ValueError(
+            "engine='pallas' requires precision='x32', frame='rotating' and no mesh"
+        )
 
     if precision == "df32":
         # compensated two-float32 backend (rotating frame only): <=1e-12
