@@ -104,7 +104,8 @@ from .ops.integrators import (  # noqa: E402
     integrate_reduce,
     rk4_step,
 )
-from .models import fwm4, nwave  # noqa: E402
+from .models import fwm4, nwave, sbs  # noqa: E402
+from .models.sbs import SBSCoeffs, SBSResult, run_sbs_simulation  # noqa: E402
 from .models.nwave import (  # noqa: E402
     CombGrid,
     NWaveCoeffs,

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--z-max", type=float, default=100.0, help="fiber length [m]")
     s.add_argument("--integrator", default="rk45", choices=("rk4", "rk45"))
 
+    s = sub.add_parser("sbs", help="coupled FWM + SBS forward/backward solve")
+    s.add_argument("--z-max", type=float, default=200.0, help="fiber length [m]")
+    s.add_argument("--gb", type=float, default=150.0, help="Brillouin gain [1/(W km)]")
+
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
 
@@ -94,6 +98,9 @@ def main(argv=None) -> int:
     elif args.cmd == "comb":
         ex.comb(n_lines=args.lines, z_max_m=args.z_max,
                 integrator=args.integrator, verbose=verbose, **common)
+    elif args.cmd == "sbs":
+        ex.fwm_sbs(z_max_m=args.z_max, g_B_km=args.gb, verbose=verbose,
+                   **{k: v for k, v in common.items() if k != "precision"})
     elif args.cmd == "bench":
         import runpy
         import pathlib

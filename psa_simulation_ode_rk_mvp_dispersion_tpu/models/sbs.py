@@ -1,0 +1,252 @@
+"""FWM + stimulated Brillouin scattering (SBS): forward + backward waves.
+
+The reference *anticipates* this model without implementing it: its plotting
+layer ships forward/backward power views (``plotting.py:552-613``
+``plot_fwm_sbs_powers_forward/backward``, ``plot_total_powers_AB`` :254) and
+its docstring names "the extended FWM+SBS outputs A(z), B(z)"
+(``plotting.py:7-9``).  This module supplies the model, TPU-first.
+
+Physics (steady-state SBS, amplitude form; Agrawal, Nonlinear Fiber Optics,
+ch. 9): each forward wave A_j drives a counter-propagating Stokes wave B_j.
+
+    dA_j/dz = FWM_RHS(A)_j - (gB/2) |B_j|^2 A_j
+    dB_j/dz = +(alpha/2) B_j - (gB/2) |A_j|^2 B_j        (B travels in -z)
+
+with two-point boundary conditions A(0) = A0, B(L) = B_L (the Stokes seed
+enters at the far end).  The FWM part is the rotating-frame 4-wave RHS, so
+the coupled system stays autonomous.
+
+TPU-native solution of the BVP: **relaxation** (alternating frozen-field
+sweeps), the standard counter-propagation scheme --
+
+    repeat K times (or until the B field stops changing):
+      1. integrate A forward over [0, L] with B(z) frozen       (lax.scan)
+      2. integrate B backward over [L, 0] with A(z) frozen      (lax.scan)
+
+Each sweep is a fixed-step RK4 ``lax.scan`` whose per-step frozen field
+arrives as scan inputs (endpoint/midpoint samples of the opposing wave's
+stored trajectory); the outer relaxation is itself a ``lax.scan`` with a
+convergence residual carried along -- one XLA program for the whole BVP,
+vmap-able over instance batches like every other solver here.
+
+Contraction: each relaxation sweep is a contraction when gB*P*L is below the
+SBS threshold regime; ``SBSResult.residual`` reports the final sup-norm
+change of B so callers can verify convergence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SimulationConfig, validate_config
+from ..ops.rhs import RHSCoeffs, rhs_yaman_autonomous, rotating_to_lab
+from ..utils.packing import ri_pack_host, ri_to_complex, complex_to_ri, ri_unpack_host
+from ..utils.precision import complex_dtype, real_dtype, validate_precision
+from ..utils.units import length_scale_to_m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SBSCoeffs:
+    """FWM coefficients + Brillouin gain gB [1/(W m)] (batchable pytree)."""
+
+    fwm: RHSCoeffs
+    g_B: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SBSResult:
+    """Host-side result of a relaxation solve."""
+
+    z: np.ndarray         # (S+1,) saved grid [output length unit]
+    A: np.ndarray         # (S+1, 4) complex forward waves (lab frame)
+    B: np.ndarray         # (S+1, 4) complex backward waves
+    residual: float       # final sup-norm change of B between sweeps
+    n_iterations: int
+    reflectivity: np.ndarray  # (4,) |B_j(0)|^2 / |A_j(0)|^2 Stokes return
+
+
+def _rhs_forward(a, b_pow, c: SBSCoeffs):
+    """dA/dz: rotating-frame FWM minus SBS depletion by the local Stokes power."""
+    base = rhs_yaman_autonomous(0.0, a, c.fwm)
+    gB = jnp.asarray(c.g_B)
+    if gB.ndim > 0:
+        gB = gB[..., None]
+    return base - (0.5 * gB) * b_pow * a
+
+
+def _rhs_backward(b, a_pow, c: SBSCoeffs):
+    """dB/dz (stated in +z): attenuation recovers, Brillouin gain from A."""
+    al = jnp.asarray(c.fwm.alpha)
+    gB = jnp.asarray(c.g_B)
+    if al.ndim > 0:
+        al = al[..., None]
+    if gB.ndim > 0:
+        gB = gB[..., None]
+    return (0.5 * al) * b - (0.5 * gB) * a_pow * b
+
+
+def _rk4_frozen(rhs, y, frozen0, frozen_mid, frozen1, dz, c):
+    """RK4 step where the opposing field is frozen: sampled at the step's
+    endpoints and midpoint (2nd-order field interpolation; the relaxation
+    error dominates)."""
+    k1 = rhs(y, frozen0, c)
+    k2 = rhs(y + (0.5 * dz) * k1, frozen_mid, c)
+    k3 = rhs(y + (0.5 * dz) * k2, frozen_mid, c)
+    k4 = rhs(y + dz * k3, frozen1, c)
+    return y + (dz / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
+
+@functools.lru_cache(maxsize=64)
+def _sbs_solver(n_steps: int, save_every: int, n_iterations: int):
+    """Jitted relaxation solver.
+
+    All trajectories are stored on the full step grid ((n_steps+1, 4) complex
+    per field) -- tiny for this model -- so each sweep can consume the
+    opposing field exactly.  I/O is real/imag packed.
+    """
+
+    def run(a0_ri, bL_ri, coeffs: SBSCoeffs, dz):
+        cdt = jnp.complex64 if a0_ri.dtype == jnp.float32 else jnp.complex128
+        a0 = ri_to_complex(a0_ri).astype(cdt)
+        bL = ri_to_complex(bL_ri).astype(cdt)
+
+        n = n_steps
+
+        def forward_sweep(B_pow):
+            # B_pow: (n+1, 4) frozen backward powers on the step grid
+            def body(a, i):
+                p0 = B_pow[i]
+                p1 = B_pow[i + 1]
+                a_new = _rk4_frozen(
+                    _rhs_forward, a, p0, 0.5 * (p0 + p1), p1, dz, coeffs
+                )
+                return a_new, a_new
+            aN, A_rest = lax.scan(body, a0, jnp.arange(n, dtype=jnp.int32))
+            return jnp.concatenate([a0[None], A_rest], axis=0)  # (n+1, 4)
+
+        def backward_sweep(A_pow):
+            # integrate dB/dz from z=L down to 0: step -dz using reversed grid
+            def body(b, i):
+                # i runs 0..n-1 mapping to grid index n-i -> n-i-1
+                p1 = A_pow[n - i]
+                p0 = A_pow[n - i - 1]
+                b_new = _rk4_frozen(
+                    _rhs_backward, b, p1, 0.5 * (p0 + p1), p0, -dz, coeffs
+                )
+                return b_new, b_new
+            b0, B_rev = lax.scan(body, bL, jnp.arange(n, dtype=jnp.int32))
+            B = jnp.concatenate([bL[None], B_rev], axis=0)[::-1]  # (n+1,4), index=z
+            return B
+
+        def one_iteration(carry, _):
+            B_traj, _resid = carry
+            B_pow = B_traj.real ** 2 + B_traj.imag ** 2
+            A_traj = forward_sweep(B_pow)
+            A_pow = A_traj.real ** 2 + A_traj.imag ** 2
+            B_new = backward_sweep(A_pow)
+            resid = jnp.max(jnp.abs(B_new - B_traj))
+            return (B_new, resid), A_traj
+
+        B_init = jnp.zeros((n + 1, 4), dtype=cdt)
+        (B_final, resid), A_trajs = lax.scan(
+            one_iteration, (B_init, jnp.zeros((), jnp.float32).astype(a0.real.dtype)),
+            None, length=n_iterations,
+        )
+        A_final = A_trajs[-1]
+
+        sl = slice(0, n + 1, save_every)
+        return (
+            complex_to_ri(A_final[sl]).astype(a0_ri.dtype),
+            complex_to_ri(B_final[sl]).astype(a0_ri.dtype),
+            resid.astype(a0_ri.dtype),
+        )
+
+    return jax.jit(run)
+
+
+def run_sbs_simulation(
+    cfg: SimulationConfig,
+    *,
+    gamma: float,
+    alpha: float,
+    g_B: float,
+    delta_beta: float,
+    p_in: Sequence[float],
+    p_stokes_seed: Sequence[float],
+    phase_in: Optional[Sequence[float]] = None,
+    length_unit: str = "m",
+    return_length_unit: Optional[str] = None,
+    n_iterations: int = 20,
+) -> SBSResult:
+    """Solve the coupled FWM + SBS two-point BVP on [0, z_max].
+
+    ``p_in``: forward powers at z=0 (wave order [p1, p2, s, i]);
+    ``p_stokes_seed``: backward Stokes powers entering at z=L.
+    All rate coefficients are per ``length_unit`` (converted internally).
+    """
+    validate_config(cfg)
+    if cfg.integrator.lower() != "rk4":
+        raise ValueError("SBS relaxation currently supports integrator='rk4'")
+    precision = validate_precision(cfg.precision)
+    rdt = real_dtype(precision)
+
+    scale = length_scale_to_m(length_unit)
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+
+    from .fwm4 import make_initial_amplitudes
+
+    A0 = make_initial_amplitudes(p_in, phase_in)
+    BL = make_initial_amplitudes(p_stokes_seed, None)
+
+    coeffs = SBSCoeffs(
+        fwm=RHSCoeffs(
+            gamma=jnp.asarray(float(gamma) / scale, dtype=rdt),
+            alpha=jnp.asarray(float(alpha) / scale, dtype=rdt),
+            delta_beta=jnp.asarray(float(delta_beta) / scale, dtype=rdt),
+        ),
+        g_B=jnp.asarray(float(g_B) / scale, dtype=rdt),
+    )
+
+    solver = _sbs_solver(n_steps, int(cfg.save_every), int(n_iterations))
+    a_ri, b_ri, resid = jax.block_until_ready(
+        solver(
+            jnp.asarray(ri_pack_host(A0, rdt)),
+            jnp.asarray(ri_pack_host(BL, rdt)),
+            coeffs,
+            jnp.asarray(dz_m, dtype=rdt),
+        )
+    )
+
+    A = ri_unpack_host(np.asarray(a_ri))
+    B = ri_unpack_host(np.asarray(b_ri))
+    if cfg.check_nan and not (np.all(np.isfinite(A)) and np.all(np.isfinite(B))):
+        raise FloatingPointError("NaN or Inf in SBS relaxation solve")
+
+    # convert the rotating-frame forward waves back to lab frame
+    n_saved = A.shape[0]
+    z_m = np.arange(n_saved) * cfg.save_every * dz_m
+    db_m = float(delta_beta) / scale
+    rot = np.exp(0.5j * db_m * z_m)
+    A[:, 0] *= rot
+    A[:, 1] *= rot
+
+    out_unit = length_unit if return_length_unit is None else return_length_unit
+    z_out = z_m / length_scale_to_m(out_unit)
+
+    P_A0 = np.abs(A[0]) ** 2
+    refl = np.where(P_A0 > 0, np.abs(B[0]) ** 2 / np.maximum(P_A0, 1e-300), 0.0)
+    return SBSResult(
+        z=z_out, A=A, B=B,
+        residual=float(np.asarray(resid)),
+        n_iterations=int(n_iterations),
+        reflectivity=refl,
+    )

@@ -1,0 +1,93 @@
+"""FWM + SBS two-point boundary-value model tests: decoupled limits,
+undepleted-pump analytics, convergence, energy bookkeeping."""
+
+import numpy as np
+import pytest
+
+import psa_tpu as psa
+from psa_simulation_ode_rk_mvp_dispersion_tpu.models import sbs
+
+
+def _run(g_B, p_stokes=1e-6, alpha=0.0, gamma=2.0, db=0.5, z_max=10.0,
+         dz=0.01, p_in=(0.1, 0.1, 1e-5, 0.0), iters=20):
+    cfg = psa.custom_simulation_config(z_max=z_max, dz=dz, save_every=10)
+    return sbs.run_sbs_simulation(
+        cfg, gamma=gamma, alpha=alpha, g_B=g_B, delta_beta=db,
+        p_in=list(p_in), p_stokes_seed=[0.0, 0.0, p_stokes, 0.0],
+        length_unit="m", n_iterations=iters,
+    )
+
+
+def test_gb_zero_forward_equals_plain_fwm():
+    """With g_B=0 the forward waves must match the plain 4-wave solver."""
+    res = _run(g_B=0.0, alpha=0.01)
+    pm = psa.PhaseMatchingConfig(
+        method=psa.PhaseMatchingMethod.PROVIDED, provided_delta_beta=0.5
+    )
+    omega0 = 2 * np.pi * psa.constants.c / 1.55e-6
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.01, save_every=10)
+    z, A = psa.run_single_simulation(
+        cfg, gamma=2.0, alpha=0.01, omega=np.full(4, omega0),
+        p_in=[0.1, 0.1, 1e-5, 0.0], phase_matching_cfg=pm, length_unit="m",
+        frame="rotating",
+    )
+    np.testing.assert_allclose(res.z, z, rtol=1e-12)
+    np.testing.assert_allclose(res.A, A, rtol=1e-9, atol=1e-14)
+
+
+def test_gb_zero_backward_is_analytic():
+    """g_B=0: B decouples, dB/dz = (alpha/2) B, B(L) given
+    -> |B(z)|^2 = P_L e^{alpha (z - L)}."""
+    alpha, L, P_L = 0.05, 10.0, 1e-6
+    res = _run(g_B=0.0, alpha=alpha, p_stokes=P_L)
+    P_B = np.abs(res.B[:, 2]) ** 2
+    np.testing.assert_allclose(
+        P_B, P_L * np.exp(alpha * (res.z - L)), rtol=1e-7
+    )
+
+
+def test_undepleted_pump_stokes_gain():
+    """Weak Stokes on a strong quasi-constant forward wave: Brillouin
+    amplification |B(0)|^2 = P_L e^{(gB P_A - alpha) L} to first order."""
+    gB, PA, L = 0.4, 0.2, 10.0
+    # single strong forward wave (others off), FWM inert (signal/idler zero)
+    res = _run(g_B=gB, gamma=0.0, db=0.0, p_in=(PA, 0.0, 0.0, 0.0),
+               p_stokes=0.0, z_max=L)
+    # seed the Stokes on wave 0 instead
+    cfg = psa.custom_simulation_config(z_max=L, dz=0.01, save_every=10)
+    res = sbs.run_sbs_simulation(
+        cfg, gamma=0.0, alpha=0.0, g_B=gB, delta_beta=0.0,
+        p_in=[PA, 0.0, 0.0, 0.0], p_stokes_seed=[1e-8, 0.0, 0.0, 0.0],
+        length_unit="m", n_iterations=25,
+    )
+    got = np.abs(res.B[0, 0]) ** 2
+    expected = 1e-8 * np.exp(gB * PA * L)  # undepleted: gain over full span
+    assert got == pytest.approx(expected, rel=0.02)
+    assert res.residual < 1e-10
+
+
+def test_pump_depletion_energy_bookkeeping():
+    """Strong SBS: the forward wave loses exactly the power the Stokes gains
+    (lossless medium, photon-energy-degenerate approximation):
+    d/dz (P_A - P_B) = 0 along z."""
+    cfg = psa.custom_simulation_config(z_max=5.0, dz=0.005, save_every=20)
+    res = sbs.run_sbs_simulation(
+        cfg, gamma=0.0, alpha=0.0, g_B=2.0, delta_beta=0.0,
+        p_in=[0.5, 0.0, 0.0, 0.0], p_stokes_seed=[2e-3, 0.0, 0.0, 0.0],
+        length_unit="m", n_iterations=90,
+    )
+    P_A = np.abs(res.A[:, 0]) ** 2
+    P_B = np.abs(res.B[:, 0]) ** 2
+    invariant = P_A - P_B
+    np.testing.assert_allclose(invariant, invariant[0], rtol=1e-5)
+    # real depletion happened
+    assert P_A[-1] < 0.95 * P_A[0]
+    assert res.residual < 1e-8
+    assert res.reflectivity[0] > 0.05
+
+
+def test_convergence_residual_reported():
+    r5 = _run(g_B=1.0, p_stokes=1e-5, iters=3)
+    r20 = _run(g_B=1.0, p_stokes=1e-5, iters=20)
+    assert r20.residual <= r5.residual
+    assert r20.residual < 1e-10
