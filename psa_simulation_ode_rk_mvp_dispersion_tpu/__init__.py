@@ -67,7 +67,17 @@ from .ops.phase_matching import (  # noqa: E402
     PhaseMismatchCalculator,
     compute_phase_mismatch,
 )
-from .ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rhs_yaman_simplified  # noqa: E402
+from .ops import df32_solver, pallas_solver, twofloat  # noqa: E402
+from .ops.rhs import (  # noqa: E402
+    RHSCoeffs,
+    kerr_factors,
+    make_rhs_yaman,
+    rhs_yaman,
+    rhs_yaman_autonomous,
+    rhs_yaman_simplified,
+    rotating_to_lab,
+)
+from .utils import observability, packing  # noqa: E402
 from . import experiments, io_fwm, plotting  # noqa: E402
 from .io_fwm import (  # noqa: E402
     load_metadata_json,

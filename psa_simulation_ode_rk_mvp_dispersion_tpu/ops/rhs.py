@@ -65,15 +65,18 @@ def _imag_times(x, a):
     return ix.astype(a.dtype) * a
 
 
-def kerr_factors(a: jax.Array) -> jax.Array:
-    """SPM/XPM factors F_j = P_j + 2 * sum_{k != j} P_k = 2*P_total - P_j.
+def kerr_factors(a: jax.Array, self_coef: float = 1.0, cross_coef: float = 2.0) -> jax.Array:
+    """SPM/XPM factors F_j = self*P_j + cross * sum_{k != j} P_k
+    = cross*P_total + (self - cross)*P_j (a single fused reduction).
 
-    (Algebraically identical to the reference's per-wave sums,
-    ``yaman_model.py:135-156``, but a single fused reduction.)
+    Defaults (1, 2) are the co-polarized model the reference implements
+    (``yaman_model.py:135-156``); the polarization-averaged variant the
+    reference's test suite encodes (tests.py:256-269: (2/3)P + (4/3)sum) is
+    available via :func:`make_rhs_yaman`.
     """
     P = a.real * a.real + a.imag * a.imag
     total = jnp.sum(P, axis=-1, keepdims=True)
-    return 2.0 * total - P
+    return cross_coef * total + (self_coef - cross_coef) * P
 
 
 def rhs_yaman(z, a: jax.Array, p: RHSCoeffs) -> jax.Array:
@@ -193,3 +196,37 @@ def rotating_to_lab(z, b: jax.Array, p: RHSCoeffs) -> jax.Array:
 
 # Reference-named alias (``yaman_model.py:10``): params here is RHSCoeffs.
 rhs_yaman_simplified = rhs_yaman
+
+
+def make_rhs_yaman(
+    *,
+    frame: str = "lab",
+    kerr_self: float = 1.0,
+    kerr_cross: float = 2.0,
+):
+    """Build a 4-wave RHS with custom Kerr SPM/XPM coefficients.
+
+    ``(kerr_self, kerr_cross)``:
+    - (1, 2): co-polarized scalar model (reference yaman_model.py:139-151;
+      the default everywhere in this framework);
+    - (2/3, 4/3): polarization-averaged (Manakov-style) variant -- the model
+      the reference's own test suite encodes (tests.py:256-269) but its
+      implementation never offered.
+
+    Returns an ``f(z, a, p)`` usable with every integrator in this package.
+    """
+    if frame not in ("lab", "rotating"):
+        raise ValueError("frame must be 'lab' or 'rotating'")
+    base = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
+    if (kerr_self, kerr_cross) == (1.0, 2.0):
+        return base
+
+    def rhs(z, a, p):
+        out = base(z, a, p)
+        # replace the default Kerr term with the custom-coefficient one
+        g = _expand(p.gamma, a.ndim - 1).astype(jnp.finfo(a.dtype).dtype)
+        F_default = kerr_factors(a)
+        F_custom = kerr_factors(a, kerr_self, kerr_cross)
+        return out + _imag_times(g, (F_custom - F_default) * a)
+
+    return rhs

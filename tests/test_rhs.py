@@ -151,3 +151,26 @@ def test_batched_rhs_broadcasts():
         np.testing.assert_allclose(
             out[i], np.asarray(rhs_yaman(0.7, a[i], pi)), rtol=1e-14
         )
+
+
+def test_polarization_averaged_kerr_variant():
+    """make_rhs_yaman((2/3, 4/3)) implements the Manakov-style Kerr variant
+    the reference's test suite encodes (tests.py:256-269 intent)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.rhs import make_rhs_yaman
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=4) + 1j * rng.normal(size=4)
+    gamma = 1.7
+    p = _coeffs(gamma=gamma, alpha=0.0, dbeta=0.0)
+    rhs = make_rhs_yaman(kerr_self=2.0 / 3.0, kerr_cross=4.0 / 3.0)
+    out = np.asarray(rhs(0.0, jnp.asarray(a), p))
+    # subtract FWM part (from the default rhs minus its Kerr) to isolate Kerr
+    P = np.abs(a) ** 2
+    F = (2.0 / 3.0) * P + (4.0 / 3.0) * (P.sum() - P)
+    kerr_expected = 1j * gamma * F * a
+    default = np.asarray(rhs_yaman(0.0, jnp.asarray(a), p))
+    F_def = np.array([P[j] + 2 * (P.sum() - P[j]) for j in range(4)])
+    fwm_part = default - 1j * gamma * F_def * a
+    np.testing.assert_allclose(out, fwm_part + kerr_expected, rtol=1e-12)
+    # default coefficients return the standard functions unchanged
+    assert make_rhs_yaman() is rhs_yaman
