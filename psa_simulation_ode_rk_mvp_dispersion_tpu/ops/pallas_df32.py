@@ -1,0 +1,300 @@
+"""Pallas TPU kernel: fused two-float (df32) RK4 solve of the 4-wave system.
+
+Combines the two headline ideas of this framework:
+- compensated two-float32 arithmetic (``ops/twofloat``) for <=1e-9 parity on
+  f64-less TPUs, and
+- the single-launch VMEM-resident integration kernel (``ops/pallas_solver``)
+  that removes per-step loop-dispatch overhead.
+
+The kernel reuses the *same* error-free-transform functions as the scan-based
+df32 solver (tf_add/tf_mul/ctf_* are axis-agnostic jnp code, so they trace
+inside the kernel unchanged); only the wave indexing differs -- waves live on
+axis 0 here ((4, B) leaves: sublane x lane) instead of the trailing axis.
+
+I/O packing (all float32):
+    y0   (16, B): [re_hi(4); re_lo(4); im_hi(4); im_lo(4)]
+    coef (20, B): [g, 2g, -a/2]x(hi,lo) rows 0..5, detune(4)x(hi,lo) rows
+                  6..13, [dz/2, dz, dz/6]x(hi,lo) rows 14..19
+    out: pmax (8, B) [hi;lo], y_last (16, B), ok (1, B)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .twofloat import (
+    CTF,
+    TF,
+    ctf_abs2,
+    ctf_add,
+    ctf_conj,
+    ctf_mul,
+    ctf_mul_i_real,
+    ctf_mul_real,
+    ctf_scale_f32,
+    tf_add,
+    tf_from_f64,
+    tf_mul,
+    tf_mul_f32,
+    tf_sub,
+)
+
+LANES = 128
+BLOCK = 256
+
+
+def _row_tf(ref_or_arr, hi_row, lo_row) -> TF:
+    return TF(ref_or_arr[hi_row:hi_row + 1, :], ref_or_arr[lo_row:lo_row + 1, :])
+
+
+def _slice0(a: CTF, sl) -> CTF:
+    return CTF(
+        re=TF(a.re.hi[sl, :], a.re.lo[sl, :]),
+        im=TF(a.im.hi[sl, :], a.im.lo[sl, :]),
+    )
+
+
+def _concat0(parts) -> CTF:
+    return CTF(
+        re=TF(
+            jnp.concatenate([p.re.hi for p in parts], axis=0),
+            jnp.concatenate([p.re.lo for p in parts], axis=0),
+        ),
+        im=TF(
+            jnp.concatenate([p.im.hi for p in parts], axis=0),
+            jnp.concatenate([p.im.lo for p in parts], axis=0),
+        ),
+    )
+
+
+def _kernel_body(n_steps: int, save_every: int):
+    def kernel(coef_ref, y0_ref, pmax_ref, ylast_ref, ok_ref):
+        coef = coef_ref[:, :]
+        gamma = _row_tf(coef, 0, 1)
+        two_gamma = _row_tf(coef, 2, 3)
+        neg_half_alpha = _row_tf(coef, 4, 5)
+        detune = TF(coef[6:10, :], coef[10:14, :])
+        half_dz = _row_tf(coef, 14, 15)
+        dz = _row_tf(coef, 16, 17)
+        dz_over_6 = _row_tf(coef, 18, 19)
+
+        y0_all = y0_ref[:, :]
+        y0 = CTF(
+            re=TF(y0_all[0:4, :], y0_all[4:8, :]),
+            im=TF(y0_all[8:12, :], y0_all[12:16, :]),
+        )
+
+        def rhs(y: CTF) -> CTF:
+            P = ctf_abs2(y)  # TF (4, B)
+            tot = tf_add(
+                tf_add(TF(P.hi[0:1], P.lo[0:1]), TF(P.hi[1:2], P.lo[1:2])),
+                tf_add(TF(P.hi[2:3], P.lo[2:3]), TF(P.hi[3:4], P.lo[3:4])),
+            )
+            F = tf_sub(tf_mul_f32(tot, jnp.float32(2.0)), P)
+            kerr = ctf_mul_i_real(y, tf_mul(F, gamma))
+            loss = ctf_mul_real(y, neg_half_alpha)
+            det = ctf_mul_i_real(y, detune)
+
+            a1 = _slice0(y, slice(0, 1))
+            a2 = _slice0(y, slice(1, 2))
+            a3 = _slice0(y, slice(2, 3))
+            a4 = _slice0(y, slice(3, 4))
+            s34 = ctf_mul(a3, a4)
+            s12 = ctf_mul(a1, a2)
+            t = _concat0([
+                ctf_mul(ctf_conj(a2), s34),
+                ctf_mul(ctf_conj(a1), s34),
+                ctf_mul(ctf_conj(a4), s12),
+                ctf_mul(ctf_conj(a3), s12),
+            ])
+            fwm = ctf_mul_i_real(t, two_gamma)
+            return ctf_add(ctf_add(loss, kerr), ctf_add(fwm, det))
+
+        def rk4(y: CTF) -> CTF:
+            k1 = rhs(y)
+            k2 = rhs(ctf_add(y, ctf_mul_real(k1, half_dz)))
+            k3 = rhs(ctf_add(y, ctf_mul_real(k2, half_dz)))
+            k4 = rhs(ctf_add(y, ctf_mul_real(k3, dz)))
+            incr = ctf_add(
+                ctf_add(k1, k4), ctf_scale_f32(ctf_add(k2, k3), jnp.float32(2.0))
+            )
+            return ctf_add(y, ctf_mul_real(incr, dz_over_6))
+
+        def powers_tf(y: CTF) -> TF:
+            return ctf_abs2(y)
+
+        pmax0 = powers_tf(y0)
+        ok0 = jnp.ones_like(y0.re.hi[0:1, :])
+
+        def step(i, carry):
+            y, y_last, pmax, ok = carry
+            y_new = rk4(y)
+            fin = (
+                jnp.all(y_new.re.hi == y_new.re.hi, axis=0, keepdims=True)
+                & jnp.all(y_new.im.hi == y_new.im.hi, axis=0, keepdims=True)
+                & jnp.all(jnp.abs(y_new.re.hi) < 3.4e38, axis=0, keepdims=True)
+                & jnp.all(jnp.abs(y_new.im.hi) < 3.4e38, axis=0, keepdims=True)
+            )
+            ok_new = ok * fin.astype(jnp.float32)
+            alive = ok_new > 0.0
+
+            def frz(n, o):
+                return jnp.where(alive, n, o)
+
+            y_out = CTF(
+                re=TF(frz(y_new.re.hi, y.re.hi), frz(y_new.re.lo, y.re.lo)),
+                im=TF(frz(y_new.im.hi, y.im.hi), frz(y_new.im.lo, y.im.lo)),
+            )
+            at_save = ((i + jnp.int32(1)) % jnp.int32(save_every)) == jnp.int32(0)
+            P = powers_tf(y_out)
+            better = (P.hi + P.lo) > (pmax.hi + pmax.lo)
+            upd = jnp.logical_and(at_save, better)
+            pmax_out = TF(
+                jnp.where(upd, P.hi, pmax.hi), jnp.where(upd, P.lo, pmax.lo)
+            )
+            y_last_out = CTF(
+                re=TF(jnp.where(at_save, y_out.re.hi, y_last.re.hi),
+                      jnp.where(at_save, y_out.re.lo, y_last.re.lo)),
+                im=TF(jnp.where(at_save, y_out.im.hi, y_last.im.hi),
+                      jnp.where(at_save, y_out.im.lo, y_last.im.lo)),
+            )
+            return (y_out, y_last_out, pmax_out, ok_new)
+
+        y, y_last, pmax, ok = lax.fori_loop(0, n_steps, step, (y0, y0, pmax0, ok0))
+        pmax_ref[:, :] = jnp.concatenate([pmax.hi, pmax.lo], axis=0)
+        ylast_ref[:, :] = jnp.concatenate(
+            [y_last.re.hi, y_last.re.lo, y_last.im.hi, y_last.im.lo], axis=0
+        )
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_df32_solver(n_steps: int, save_every: int, interpret: bool, block: int):
+    from jax.experimental import pallas as pl
+
+    kernel = _kernel_body(n_steps, save_every)
+
+    def call(coef, y0):
+        B = y0.shape[1]
+        blk = min(block, B)
+        grid = (B // blk,)
+        spec_kwargs = {}
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            spec_kwargs = {"memory_space": pltpu.VMEM}
+        in_specs = [
+            pl.BlockSpec((20, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((16, blk), lambda i: (0, i), **spec_kwargs),
+        ]
+        out_specs = (
+            pl.BlockSpec((8, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((16, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((8, B), jnp.float32),
+                jax.ShapeDtypeStruct((16, B), jnp.float32),
+                jax.ShapeDtypeStruct((1, B), jnp.float32),
+            ),
+            interpret=interpret,
+        )(coef, y0)
+
+    return jax.jit(call)
+
+
+def solve_batch_df32_pallas(
+    A0: np.ndarray,
+    gamma,
+    alpha,
+    delta_beta,
+    *,
+    dz_m: float,
+    n_steps: int,
+    save_every: int,
+    interpret: bool = False,
+    block: int = BLOCK,
+):
+    """Fused-kernel counterpart of ``df32_solver.solve_batch_df32``; same
+    contract and :class:`~.df32_solver.DF32BatchResult` result type."""
+    from .df32_solver import DF32BatchResult
+
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2 or A0.shape[1] != 4:
+        raise ValueError(f"A0 must have shape (B, 4), got {A0.shape}")
+    B = A0.shape[0]
+    gamma = np.broadcast_to(np.asarray(gamma, dtype=np.float64), (B,))
+    alpha = np.broadcast_to(np.asarray(alpha, dtype=np.float64), (B,))
+    dbeta = np.broadcast_to(np.asarray(delta_beta, dtype=np.float64), (B,))
+
+    mult = block if B >= block else LANES
+    Bp = ((B + mult - 1) // mult) * mult
+    pad = Bp - B
+
+    def padded(x):
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)]) if pad else x
+
+    A0p, g, a, db = padded(A0), padded(gamma), padded(alpha), padded(dbeta)
+
+    def split_rows(x64_rows):
+        """(R, Bp) f64 -> (2R, Bp) f32 [hi-rows; lo-rows]."""
+        hi = x64_rows.astype(np.float32)
+        lo = (x64_rows - hi.astype(np.float64)).astype(np.float32)
+        return hi, lo
+
+    det = np.stack([-0.5 * db, -0.5 * db, np.zeros(Bp), np.zeros(Bp)], axis=0)
+    rows64 = [g, 2.0 * g, -0.5 * a]
+    consts = [0.5 * dz_m, float(dz_m), dz_m / 6.0]
+    coef = np.zeros((20, Bp), dtype=np.float32)
+    for k, r in enumerate(rows64):
+        hi, lo = split_rows(np.asarray(r))
+        coef[2 * k] = hi
+        coef[2 * k + 1] = lo
+    det_hi, det_lo = split_rows(det)
+    coef[6:10] = det_hi
+    coef[10:14] = det_lo
+    for k, cst in enumerate(consts):
+        hi = np.float32(cst)
+        lo = np.float32(np.float64(cst) - np.float64(hi))
+        coef[14 + 2 * k] = hi
+        coef[15 + 2 * k] = lo
+
+    re_hi, re_lo = split_rows(A0p.real.T)
+    im_hi, im_lo = split_rows(A0p.imag.T)
+    y0 = np.concatenate([re_hi, re_lo, im_hi, im_lo], axis=0)  # (16, Bp)
+
+    solver = _pallas_df32_solver(
+        int(n_steps), int(save_every), bool(interpret), int(block)
+    )
+    with jax.enable_x64(False):
+        pmax, y_last, ok = jax.block_until_ready(
+            solver(jnp.asarray(coef), jnp.asarray(y0))
+        )
+
+    pmax = np.asarray(pmax, np.float64)
+    P_max = (pmax[0:4] + pmax[4:8]).T[:B]
+    yl = np.asarray(y_last, np.float64)
+    A_end_rot = ((yl[0:4] + yl[4:8]) + 1j * (yl[8:12] + yl[12:16])).T[:B]
+    ok_arr = np.asarray(ok, np.float64)[0, :B] > 0.0
+
+    n_chunks = int(n_steps) // int(save_every)
+    z_last = n_chunks * int(save_every) * float(dz_m)
+    rot = np.exp(0.5j * dbeta * z_last)
+    A_end = A_end_rot.copy()
+    A_end[:, 0] *= rot
+    A_end[:, 1] *= rot
+
+    return DF32BatchResult(P_max=P_max, A_end=A_end, ok=ok_arr)
