@@ -458,6 +458,7 @@ def gain_and_dbeta_spectrum(
     mesh=None,
     compute_dbeta: bool = True,
     verbose: bool = False,
+    engine: str = "auto",
 ) -> SweepResult:
     """Sweep the signal wavelength lambda3, computing max (or end) signal gain
     and (optionally) dbeta(lambda3) -- the batched re-design of reference
@@ -515,7 +516,7 @@ def gain_and_dbeta_spectrum(
         delta_beta=dbeta_m,
     )
 
-    res = solve_batch(cfg_m, coeffs, A0, frame=frame, mesh=mesh)
+    res = solve_batch(cfg_m, coeffs, A0, frame=frame, mesh=mesh, engine=engine)
 
     P3_metric = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
     ok = res.ok & valid
@@ -589,6 +590,7 @@ def mismatch_scan(
     frame: str = "rotating",
     mesh=None,
     verbose: bool = False,
+    engine: str = "auto",
 ) -> Tuple[SweepResult, SweepResult]:
     """Sweep an explicit list of phase-mismatch values (PROVIDED dbeta per
     instance) and return (signal_gain, idler_transfer) sweeps.
@@ -625,7 +627,7 @@ def mismatch_scan(
         alpha=np.full(B, float(alpha) / scale_to_m),
         delta_beta=db / scale_to_m,
     )
-    res = solve_batch(cfg_m, coeffs, A0, frame=frame, mesh=mesh)
+    res = solve_batch(cfg_m, coeffs, A0, frame=frame, mesh=mesh, engine=engine)
 
     P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
     P4 = res.P_max[:, 3] if gain_mode == "max" else res.P_end[:, 3]
@@ -658,6 +660,7 @@ def psa_phase_sweep(
     length_unit: str = "m",
     frame: str = "rotating",
     mesh=None,
+    engine: str = "auto",
 ) -> SweepResult:
     """Phase-sensitive amplification: gain vs input *signal phase* with both
     pumps and (optionally) an idler seed fixed -- BASELINE.json config 3.
@@ -699,7 +702,8 @@ def psa_phase_sweep(
         alpha=np.full(B, float(alpha) / scale_to_m),
         delta_beta=np.full(B, db_m),
     )
-    res = solve_batch(cfg_m, coeffs, A0.astype(np.complex128), frame=frame, mesh=mesh)
+    res = solve_batch(cfg_m, coeffs, A0.astype(np.complex128), frame=frame,
+                      mesh=mesh, engine=engine)
     P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
     gain = _gain_from_power(P3, float(p0[2]), res.ok, gu)
     pts = B / res.elapsed_s if res.elapsed_s > 0 else float("inf")
@@ -726,6 +730,7 @@ def gain_map_power_wavelength(
     gain_mode: GainMode = "max",
     frame: str = "rotating",
     mesh=None,
+    engine: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """2-D scan: (pump power) x (signal wavelength) -> gain map.
 
@@ -775,7 +780,8 @@ def gain_map_power_wavelength(
         alpha=np.full(B, float(alpha) / scale_to_m),
         delta_beta=dbeta_flat,
     )
-    res = solve_batch(cfg_m, coeffs, A0.astype(np.complex128), frame=frame, mesh=mesh)
+    res = solve_batch(cfg_m, coeffs, A0.astype(np.complex128), frame=frame,
+                      mesh=mesh, engine=engine)
     P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
     gain = _gain_from_power(P3, p_sig, res.ok & valid_flat, gu)
     return (

@@ -102,3 +102,37 @@ def test_profile_trace_smoke(tmp_path):
     with profile_trace(str(tmp_path / "trace")):
         _ = jnp.ones(16) * 2.0
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_checked_rhs_catches_nonfinite():
+    """checkify-based in-kernel checks (the sanitizer analog) fire through
+    jit/scan and report the failing check."""
+    import jax.numpy as jnp
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.integrators import (
+        integrate_fixed_grid,
+    )
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.utils.debug import (
+        checked_rhs,
+        run_checked,
+    )
+
+    def blowup(z, y, p):
+        return p * y * y
+
+    rhs_dbg = checked_rhs(blowup, name="blowup")
+
+    def solve(y0, lam):
+        return integrate_fixed_grid(
+            rhs_dbg, y0, lam, z0=0.0, dz=0.05, n_steps=100, save_every=100,
+            check_nan=False,
+        ).y_final
+
+    err, out = run_checked(solve, jnp.asarray([1.0]), jnp.asarray(50.0))
+    with pytest.raises(Exception, match="blowup|nan|overflow"):
+        err.throw()
+
+    # healthy run: no error raised
+    err2, out2 = run_checked(solve, jnp.asarray([1.0]), jnp.asarray(0.1))
+    err2.throw()
+    assert np.isfinite(np.asarray(out2)).all()
