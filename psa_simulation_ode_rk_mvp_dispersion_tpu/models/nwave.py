@@ -347,3 +347,106 @@ def comb_spectrum_db(A: np.ndarray, *, floor_dbw: float = -200.0) -> np.ndarray:
     """Per-line power spectrum in dBW with a floor (for plotting)."""
     P = np.abs(A) ** 2
     return 10.0 * np.log10(np.maximum(P, 10 ** (floor_dbw / 10.0)))
+
+
+# ---------------------------------------------------------------------------
+# Batched comb solves (sweeps over pump power / dispersion / gamma grids)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int):
+    def one(y0, coeffs, dz):
+        P0 = y0.real * y0.real + y0.imag * y0.imag
+
+        def red(acc, y):
+            P = y.real * y.real + y.imag * y.imag
+            return jnp.maximum(acc, P)
+
+        res = integrate_reduce(
+            rhs_nwave, y0, coeffs,
+            z0=jnp.zeros((), dz.dtype), dz=dz,
+            n_steps=n_steps, save_every=save_every,
+            reduce_init=P0, reduce_fn=red,
+            check_nan=check_nan, unroll=unroll,
+        )
+        return res.reduction, res.y_final, res.ok
+
+    def batch(y0_ri, coeffs_b, dz):
+        y0_b = ri_to_complex(y0_ri)
+        pmax, yf, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, dz)
+        return (
+            pmax.astype(y0_ri.dtype),
+            complex_to_ri(yf).astype(y0_ri.dtype),
+            ok.astype(jnp.int32),
+        )
+
+    return jax.jit(batch)
+
+
+def solve_comb_batch(
+    cfg: SimulationConfig,
+    coeffs: NWaveCoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+    mesh=None,
+    unroll: int = 2,
+):
+    """Solve B independent combs in one XLA program.
+
+    ``A0`` is ``(B, N)`` complex; ``coeffs`` fields broadcast or carry a
+    leading B axis (``beta_lin`` must be ``(B, N)`` or ``(N,)``).  Returns
+    host ``(P_max (B, N), A_final (B, N), ok (B,))`` -- per-line running max
+    power over saved samples and the final comb state.  Pass ``mesh`` to
+    shard the batch axis.
+    """
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    scale = length_scale_to_m(length_unit)
+    precision = validate_precision(cfg.precision)
+    rdt = real_dtype(precision)
+
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2:
+        raise ValueError(f"A0 must have shape (B, N), got {A0.shape}")
+    B, N = A0.shape
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+
+    gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
+    alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
+    beta = np.broadcast_to(np.asarray(coeffs.beta_lin, dtype=float), (B, N))
+
+    n_orig = B
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, pad_batch
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        A0, n_orig = pad_batch(A0, ndev)
+        gamma, _ = pad_batch(gamma, ndev)
+        alpha, _ = pad_batch(alpha, ndev)
+        beta, _ = pad_batch(beta, ndev)
+
+    y0_ri = jnp.asarray(ri_pack_host(A0, rdt))
+    coeffs_dev = NWaveCoeffs(
+        gamma=jnp.asarray(gamma, dtype=rdt),
+        alpha=jnp.asarray(alpha, dtype=rdt),
+        beta_lin=jnp.asarray(beta, dtype=rdt),
+    )
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        sh = batch_sharding(mesh)
+        y0_ri = jax.device_put(y0_ri, sh)
+        coeffs_dev = jax.device_put(coeffs_dev, sh)
+
+    solver = _comb_batch_solver(
+        n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll
+    )
+    pmax, yf_ri, ok = jax.block_until_ready(
+        solver(y0_ri, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))
+    )
+    P_max = np.asarray(pmax, dtype=np.float64)[:n_orig]
+    A_final = ri_unpack_host(np.asarray(yf_ri))[:n_orig]
+    return P_max, A_final, np.asarray(ok)[:n_orig].astype(bool)

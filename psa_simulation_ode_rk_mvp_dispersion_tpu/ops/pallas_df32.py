@@ -46,7 +46,7 @@ from .twofloat import (
 )
 
 LANES = 128
-BLOCK = 256
+BLOCK = 512
 
 
 def _row_tf(ref_or_arr, hi_row, lo_row) -> TF:

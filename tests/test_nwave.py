@@ -203,3 +203,39 @@ def test_seed_comb_validation():
         nw.seed_comb(grid, pump_lines={2: -0.1})
     A0 = nw.seed_comb(grid, pump_lines={2: (0.25, np.pi / 2)})
     assert A0[2] == pytest.approx(0.5j)
+
+
+def test_solve_comb_batch_matches_singles_and_shards():
+    """Batched comb solves match per-comb runs; sharding over the 8-device
+    mesh reproduces the unsharded result."""
+    import jax
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel.mesh import default_mesh
+
+    n = 16
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, n)
+    disp = DispersionParams.from_betas(1.2e15, beta2=-2e-26)
+    beta = nw.comb_beta_lin(grid, disp)
+    B = 5
+    gammas = np.linspace(2.0, 10.0, B)
+    A0 = np.stack([nw.seed_comb(grid, pump_lines={7: 0.3, 9: 0.3},
+                                noise_floor_W=1e-10, seed=s) for s in range(B)])
+    coeffs = nw.NWaveCoeffs(
+        gamma=jnp.asarray(gammas), alpha=jnp.asarray(np.zeros(B)),
+        beta_lin=jnp.asarray(np.broadcast_to(beta, (B, n))),
+    )
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=1e-3, save_every=100)
+    P_max, A_fin, ok = nw.solve_comb_batch(cfg, coeffs, A0)
+    assert P_max.shape == (B, n) and ok.all()
+    # per-comb cross-check
+    for i in (0, B - 1):
+        ci = nw.NWaveCoeffs(gamma=jnp.asarray(gammas[i]), alpha=jnp.asarray(0.0),
+                            beta_lin=jnp.asarray(beta))
+        z, A = nw.run_comb_simulation(cfg, ci, A0[i])
+        np.testing.assert_allclose(A_fin[i], A[-1], rtol=1e-10)
+        np.testing.assert_allclose(
+            P_max[i], np.max(np.abs(A) ** 2, axis=0), rtol=1e-10
+        )
+    mesh = default_mesh()
+    P_sh, A_sh, ok_sh = nw.solve_comb_batch(cfg, coeffs, A0, mesh=mesh)
+    np.testing.assert_allclose(P_sh, P_max, rtol=1e-12)
+    np.testing.assert_array_equal(ok_sh, ok)
