@@ -459,14 +459,19 @@ def run_single_simulation(
             raise TypeError("dispersion must be DispersionParams or None")
         disp_m = dispersion.scaled(scale_to_m)
 
-    pm_cfg = (
-        phase_matching_cfg
-        if phase_matching_cfg is not None
-        else _default_phase_matching_cfg(dispersion=disp_m, beta_legacy=beta_leg_m)
-    )
-    if not isinstance(pm_cfg, PhaseMatchingConfig):
-        raise TypeError("phase_matching_cfg must be PhaseMatchingConfig or None")
-    pm_cfg = pm_cfg.scaled(scale_to_m)
+    if phase_matching_cfg is not None:
+        if not isinstance(phase_matching_cfg, PhaseMatchingConfig):
+            raise TypeError("phase_matching_cfg must be PhaseMatchingConfig or None")
+        # user-supplied PROVIDED dbeta is in 1/length_unit -> convert
+        pm_cfg = phase_matching_cfg.scaled(scale_to_m)
+    else:
+        # the default is built from ALREADY-converted per-meter inputs and
+        # must NOT be rescaled.  (The reference double-scales here -- an
+        # uncatalogued defect: simulation.py:305-312 builds the default from
+        # beta_leg_m [1/m] and then divides the derived dbeta by the unit
+        # scale again, so beta_legacy with length_unit='km' runs with a
+        # dbeta 1000x too small.  Not replicated.)
+        pm_cfg = _default_phase_matching_cfg(dispersion=disp_m, beta_legacy=beta_leg_m)
 
     fiber = FiberParams(
         length_m=float(cfg.z_max) * scale_to_m,
@@ -497,6 +502,13 @@ def run_single_simulation(
     rdt = real_dtype(precision)
 
     n_steps = int(round(params.fiber.length_m / params.grid.dz_m))
+
+    if frame == "rotating" and z0_m != 0.0:
+        # enter the rotating frame at z0 (A = B on sidebands; pumps rotated)
+        db0 = float(params.cache.delta_beta_1_m)
+        A0 = A0.copy()
+        A0[:2] *= np.exp(-0.5j * db0 * z0_m)
+
     if cfg.integrator.lower() != "rk4":
         from ..ops.adaptive import run_adaptive_trajectory
 
@@ -504,13 +516,9 @@ def run_single_simulation(
             cfg, params, coeffs, A0,
             frame=frame, length_unit=length_unit,
             return_length_unit=return_length_unit,
+            z0_m=z0_m,
         )
 
-    if frame == "rotating" and z0_m != 0.0:
-        # enter the rotating frame at z0 (A = B on sidebands; pumps rotated)
-        db0 = float(params.cache.delta_beta_1_m)
-        A0 = A0.copy()
-        A0[:2] *= np.exp(-0.5j * db0 * z0_m)
     solver = _fixed_solver(n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, 4)
     y_ri, ok_i, bad_i = solver(
         jnp.asarray(ri_pack_host(A0, rdt)),
@@ -522,7 +530,8 @@ def run_single_simulation(
     if cfg.check_nan and int(np.asarray(ok_i)) == 0:
         bad = int(np.asarray(bad_i))
         raise FloatingPointError(
-            f"NaN or Inf detected at step {bad}, z = {bad * params.grid.dz_m}"
+            f"NaN or Inf detected at step {bad}, "
+            f"z = {z0_m + bad * params.grid.dz_m} m"
         )
 
     y_saved = ri_unpack_host(np.asarray(y_ri))

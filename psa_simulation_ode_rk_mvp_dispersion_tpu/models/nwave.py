@@ -25,7 +25,7 @@ TPU-first evaluation of the O(N^3) sum: it is a convolution-correlation,
 
     S = A * A                (autoconvolution, length 2N-1)
     T_j = sum_m S_{j+m} A_m^*  (cross-correlation)
-      ==> T = IFFT( FFT(A,L)^2 * conj(FFT(A,L)) )[0:N],  L >= 3N-2
+      ==> T = IFFT( FFT(A,L)^2 * conj(FFT(A,L)) )[0:N],  L >= 2N-1
 
 three length-L FFT passes instead of an N^3 loop: O(N log N) work, fully
 batched and XLA-fusable.  A direct ``einsum`` reference path exists for
@@ -68,8 +68,12 @@ class NWaveCoeffs:
 
 
 def _fft_len(n_waves: int) -> int:
-    """Smallest power of two >= 3N-2 (linear, alias-free correlation)."""
-    need = max(3 * n_waves - 2, 1)
+    """Smallest power of two >= 2N-1: alias-free for the kept outputs.
+
+    The circular triple product aliases only when k+l-m-j = +-L; with
+    k,l,m,j in [0, N-1] that combination spans [-(2N-2), 2N-2], so any
+    L >= 2N-1 is exact for T[0:N]."""
+    need = max(2 * n_waves - 1, 1)
     return 1 << (need - 1).bit_length()
 
 
@@ -308,7 +312,6 @@ def run_comb_simulation(
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
     precision = validate_precision(cfg.precision)
-    cdt = complex_dtype(precision)
     rdt = real_dtype(precision)
 
     z_max_m = float(cfg.z_max) * scale

@@ -147,20 +147,23 @@ def _sbs_solver(n_steps: int, save_every: int, n_iterations: int):
             return B
 
         def one_iteration(carry, _):
-            B_traj, _resid = carry
+            B_traj, _A_prev, _resid = carry
             B_pow = B_traj.real ** 2 + B_traj.imag ** 2
             A_traj = forward_sweep(B_pow)
             A_pow = A_traj.real ** 2 + A_traj.imag ** 2
             B_new = backward_sweep(A_pow)
             resid = jnp.max(jnp.abs(B_new - B_traj))
-            return (B_new, resid), A_traj
+            # trajectories ride the carry (only the final pair is needed);
+            # emitting them per-iteration would materialize K copies
+            return (B_new, A_traj, resid), None
 
         B_init = jnp.zeros((n + 1, 4), dtype=cdt)
-        (B_final, resid), A_trajs = lax.scan(
-            one_iteration, (B_init, jnp.zeros((), jnp.float32).astype(a0.real.dtype)),
+        A_init_traj = jnp.zeros((n + 1, 4), dtype=cdt)
+        (B_final, A_final, resid), _ = lax.scan(
+            one_iteration,
+            (B_init, A_init_traj, jnp.zeros((), a0.real.dtype)),
             None, length=n_iterations,
         )
-        A_final = A_trajs[-1]
 
         sl = slice(0, n + 1, save_every)
         return (

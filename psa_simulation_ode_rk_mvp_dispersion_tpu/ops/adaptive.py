@@ -86,12 +86,13 @@ def _error_norm(err, y, y_new, *, atol, rtol):
     """Weighted RMS of the error estimate (complex-aware)."""
 
     def mag(v):
-        if jnp.iscomplexobj(v):
-            return jnp.abs(v)
         return jnp.abs(v)
 
     scale = atol + rtol * jnp.maximum(mag(y), mag(y_new))
-    r = mag(err) / scale
+    # identically-zero components (dark waves) with atol=0 give scale=0 AND
+    # err=0: treat 0/0 as 0 instead of poisoning the norm with NaN
+    e = mag(err)
+    r = jnp.where(scale > 0, e / jnp.where(scale > 0, scale, 1.0), 0.0)
     return jnp.sqrt(jnp.mean(jnp.square(r)))
 
 
@@ -253,25 +254,25 @@ def run_adaptive_trajectory(
     frame: str,
     length_unit: str,
     return_length_unit,
+    z0_m: float = 0.0,
 ):
     """Back end of ``run_single_simulation`` for ``cfg.integrator == 'rk45'``.
 
     Output contract mirrors the rk4 path: states on the decimated grid
     ``z_k = k * save_every * dz`` (plus z=0), z in ``return_length_unit``.
     """
-    from ..utils.precision import complex_dtype, real_dtype, validate_precision
+    from ..utils.precision import real_dtype, validate_precision
     from ..utils.units import length_scale_to_m
     from .rhs import rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
 
     precision = validate_precision(cfg.precision)
-    cdt = complex_dtype(precision)
     rdt = real_dtype(precision)
 
     dz_m = model_params.grid.dz_m
     length_m = model_params.fiber.length_m
     n_steps = int(round(length_m / dz_m))
     n_chunks = n_steps // cfg.save_every
-    z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
+    z_grid = z0_m + np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
 
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 

@@ -48,7 +48,7 @@ from ..utils.units import (  # noqa: F401  (re-exported for parity)
     S_ps_nm2_km_to_SI,
     dSdlmbd_ps_nm3_km_to_SI,
 )
-from .frequency_plan import enforce_energy_conservation, SymmetricPlan
+from .frequency_plan import enforce_energy_conservation
 
 DEFAULT_MAX_ORDER = 4
 

@@ -165,7 +165,6 @@ def solve_batch(
     """
     validate_config(cfg)
     precision = validate_precision(cfg.precision)
-    cdt = complex_dtype(precision)
     rdt = real_dtype(precision)
 
     A0 = np.asarray(A0)
@@ -340,7 +339,6 @@ def solve_batch_trajectories(
     ``(z (S+1,), A (B, S+1, 4) complex, ok (B,))``."""
     validate_config(cfg)
     precision = validate_precision(cfg.precision)
-    cdt = complex_dtype(precision)
     rdt = real_dtype(precision)
     A0 = np.asarray(A0)
     B = A0.shape[0]
@@ -680,12 +678,17 @@ def psa_phase_sweep(
 
     scale_to_m = length_scale_to_m(length_unit)
     if phase_matching_cfg is not None or dispersion is not None:
-        if omega is None:
-            raise ValueError("omega is required when using dispersion-aware phase matching")
-        om = np.asarray(list(omega), dtype=float)[None, :]
-        disp_m = dispersion.scaled(scale_to_m) if dispersion is not None else None
         pm = (phase_matching_cfg or PhaseMatchingConfig()).scaled(scale_to_m)
-        db_m = float(_batched_delta_beta(om, disp_m, pm)[0])
+        if pm.method == PhaseMatchingMethod.PROVIDED:
+            db_m = float(np.asarray(pm.provided_delta_beta))
+        else:
+            if omega is None:
+                raise ValueError(
+                    "omega is required when using dispersion-aware phase matching"
+                )
+            om = np.asarray(list(omega), dtype=float)[None, :]
+            disp_m = dispersion.scaled(scale_to_m) if dispersion is not None else None
+            db_m = float(_batched_delta_beta(om, disp_m, pm)[0])
     else:
         db_m = float(delta_beta) / scale_to_m
 

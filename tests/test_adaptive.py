@@ -142,3 +142,46 @@ def test_run_single_simulation_rk45_matches_rk4():
     assert A45.shape == A4.shape
     np.testing.assert_allclose(z45, z4, rtol=1e-12)
     np.testing.assert_allclose(A45, A4, rtol=1e-7, atol=1e-12)
+
+
+def test_rk45_resume_split_equals_full():
+    """z0/A_init checkpoint-resume must work on the rk45 path too."""
+    omega0 = 2 * np.pi * psa.constants.c / 1.55e-6
+    kw = dict(
+        gamma=10.0, alpha=0.05, omega=np.full(4, omega0),
+        p_in=[0.1, 0.1, 1e-5, 0.0],
+        phase_matching_cfg=psa.PhaseMatchingConfig(
+            method=psa.PhaseMatchingMethod.PROVIDED, provided_delta_beta=0.8
+        ),
+        length_unit="m",
+    )
+    mk = lambda z: psa.custom_simulation_config(  # noqa: E731
+        z_max=z, dz=0.01, save_every=10, integrator="rk45",
+        rtol=1e-11, atol=1e-14,
+    )
+    z_full, A_full = psa.run_single_simulation(mk(4.0), **kw)
+    z1, A1 = psa.run_single_simulation(mk(2.0), **kw)
+    z2, A2 = psa.run_single_simulation(mk(2.0), z0=float(z1[-1]), A_init=A1[-1], **kw)
+    assert z2[0] == pytest.approx(2.0) and z2[-1] == pytest.approx(4.0)
+    np.testing.assert_allclose(
+        np.concatenate([A1, A2[1:]]), A_full, rtol=1e-7, atol=1e-13
+    )
+
+
+def test_rk45_atol_zero_with_dark_waves():
+    """atol=0 with identically-zero signal/idler components must not poison
+    the error norm (0/0 -> 0, not NaN)."""
+    omega0 = 2 * np.pi * psa.constants.c / 1.55e-6
+    cfg = psa.custom_simulation_config(
+        z_max=1.0, dz=0.01, integrator="rk45", rtol=1e-9, atol=0.0
+    )
+    z, A = psa.run_single_simulation(
+        cfg, gamma=5.0, alpha=0.0, omega=np.full(4, omega0),
+        p_in=[0.2, 0.2, 0.0, 0.0],
+        phase_matching_cfg=psa.PhaseMatchingConfig(
+            method=psa.PhaseMatchingMethod.PROVIDED, provided_delta_beta=0.0
+        ),
+        length_unit="m",
+    )
+    assert np.all(np.isfinite(A))
+    np.testing.assert_array_equal(np.abs(A[:, 2]), 0.0)

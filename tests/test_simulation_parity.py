@@ -196,3 +196,26 @@ def test_make_initial_amplitudes():
     assert np.angle(A0[1]) == pytest.approx(np.pi / 2)
     with pytest.raises(ValueError):
         psa.make_initial_amplitudes(np.array([0.1, -0.2, 0.0, 0.0]))
+
+
+def test_beta_legacy_km_units_not_double_scaled():
+    """beta_legacy in 1/km with length_unit='km' must produce the SAME physics
+    as the equivalent per-meter inputs.  (The reference double-scales the
+    derived PROVIDED dbeta here -- an uncatalogued defect, simulation.py:305-312
+    combined with :295 -- not replicated.)"""
+    omega0 = 2 * np.pi * psa.constants.c / 1.55e-6
+    omega = np.full(4, omega0)
+    p_in = np.array([0.2, 0.2, 1e-5, 0.0])
+    betas_km = np.array([5.0, 5.0, 5.0, 15.0])  # dbeta = 10 / km
+    cfg_km = psa.custom_simulation_config(z_max=0.5, dz=5e-4)
+    z_km, A_km = psa.run_single_simulation(
+        cfg_km, gamma=10.0, alpha=0.0, omega=omega, p_in=p_in,
+        beta_legacy=betas_km, length_unit="km", return_length_unit="m",
+    )
+    cfg_m = psa.custom_simulation_config(z_max=500.0, dz=0.5)
+    z_m, A_m = psa.run_single_simulation(
+        cfg_m, gamma=0.01, alpha=0.0, omega=omega, p_in=p_in,
+        beta_legacy=betas_km / 1000.0, length_unit="m",
+    )
+    np.testing.assert_allclose(z_km, z_m, rtol=1e-12)
+    np.testing.assert_allclose(A_km, A_m, rtol=1e-9)
