@@ -72,8 +72,11 @@ def main() -> None:
             z_max=500.0, dz=0.2, save_every=10, precision=prec
         )
         kw = {**common, "cfg": cfg_p}
-        _ = sw.gain_spectrum(lambda_signal_m=lam3[:64], **kw)   # compile small
-        _ = sw.gain_spectrum(lambda_signal_m=lam3, **kw)        # compile full B
+        # warm up with a batch that uses the SAME pallas block geometry as the
+        # full scan (tiny batches trigger pathological small-block Mosaic
+        # compiles), then compile the full-B program
+        _ = sw.gain_spectrum(lambda_signal_m=lam3[:2048], **kw)
+        _ = sw.gain_spectrum(lambda_signal_m=lam3, **kw)
         t0 = time.perf_counter()
         res = sw.gain_spectrum(lambda_signal_m=lam3, **kw)
         return res, time.perf_counter() - t0

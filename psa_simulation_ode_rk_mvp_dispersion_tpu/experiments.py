@@ -234,15 +234,43 @@ def mismatch_scan(
         delta_beta_values=db, gain_mode=gain_mode, gain_unit="linear",
         length_unit="km", mesh=mesh, verbose=verbose,
     )
+    b = sig.best_index
     if verbose:
-        b = sig.best_index
         print(f"best delta_beta = {db[b]:.6g} 1/km, Gs = {sig.gain[b]:.6g}")
+        lo, hi = max(0, b - 3), min(len(db), b + 4)
+        for j in range(lo, hi):
+            print(f"  delta={db[j]: .6g}  Gs={sig.gain[j]: .6g}  Gi={idl.gain[j]: .6g}")
     if save_dir is not None:
         save_sweep_npz(f"{save_dir}/mismatch_scan.npz", sig,
                        metadata=make_run_metadata(config=cfg), overwrite=True)
     plotting.plot_mismatch_scan(
         sig, idl, length_unit="km", show=show,
         save_path=None if save_dir is None else f"{save_dir}/mismatch_scan.png",
+    )
+
+    # re-run the best point and plot its trajectories (reference
+    # scan_mismtach.py:222-246 behavior)
+    from .constants import c as _c
+    from .models.fwm4 import run_single_simulation
+    from .ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
+
+    omega0 = 2 * np.pi * _c / 1.55e-6
+    z_b, A_b = run_single_simulation(
+        cfg, gamma=gamma_km, alpha=0.0, omega=np.full(4, omega0),
+        p_in=[p_pump, p_pump, p_signal, 0.0],
+        phase_matching_cfg=PhaseMatchingConfig(
+            method=PhaseMatchingMethod.PROVIDED, provided_delta_beta=float(db[b])
+        ),
+        length_unit="km", return_length_unit="km",
+    )
+    plotting.plot_signal_and_idler(
+        z_b, A_b, title=f"Best delta = {db[b]:.3g} 1/km", z_unit="km", show=show,
+        save_path=None if save_dir is None else f"{save_dir}/mismatch_best_si.png",
+    )
+    plotting.plot_powers(
+        z_b, A_b, title=f"Powers at best delta = {db[b]:.3g} 1/km", z_unit="km",
+        show=show,
+        save_path=None if save_dir is None else f"{save_dir}/mismatch_best_powers.png",
     )
     return sig, idl
 
