@@ -29,9 +29,11 @@ stored trajectory); the outer relaxation is itself a ``lax.scan`` with a
 convergence residual carried along -- one XLA program for the whole BVP,
 vmap-able over instance batches like every other solver here.
 
-Contraction: each relaxation sweep is a contraction when gB*P*L is below the
-SBS threshold regime; ``SBSResult.residual`` reports the final sup-norm
-change of B so callers can verify convergence.
+Contraction: plain alternating sweeps contract below the SBS-threshold
+regime but oscillate/diverge above it (large gB*P*L); ``damping`` < 1 applies
+under-relaxation B <- (1-w) B_old + w B_new, which restores convergence at
+strong coupling (at the cost of more sweeps).  ``SBSResult.residual`` reports
+the final sup-norm change of B so callers can verify convergence.
 """
 
 from __future__ import annotations
@@ -105,7 +107,7 @@ def _rk4_frozen(rhs, y, frozen0, frozen_mid, frozen1, dz, c):
 
 
 @functools.lru_cache(maxsize=64)
-def _sbs_solver(n_steps: int, save_every: int, n_iterations: int):
+def _sbs_solver(n_steps: int, save_every: int, n_iterations: int, damping: float):
     """Jitted relaxation solver.
 
     All trajectories are stored on the full step grid ((n_steps+1, 4) complex
@@ -146,12 +148,17 @@ def _sbs_solver(n_steps: int, save_every: int, n_iterations: int):
             B = jnp.concatenate([bL[None], B_rev], axis=0)[::-1]  # (n+1,4), index=z
             return B
 
+        w = jnp.asarray(damping, dtype=a0.real.dtype)
+
         def one_iteration(carry, _):
             B_traj, _A_prev, _resid = carry
             B_pow = B_traj.real ** 2 + B_traj.imag ** 2
             A_traj = forward_sweep(B_pow)
             A_pow = A_traj.real ** 2 + A_traj.imag ** 2
-            B_new = backward_sweep(A_pow)
+            B_swept = backward_sweep(A_pow)
+            # under-relaxation, but always pin the boundary value B(L) = bL
+            B_new = (1.0 - w) * B_traj + w * B_swept
+            B_new = B_new.at[-1].set(bL)
             resid = jnp.max(jnp.abs(B_new - B_traj))
             # trajectories ride the carry (only the final pair is needed);
             # emitting them per-iteration would materialize K copies
@@ -188,13 +195,18 @@ def run_sbs_simulation(
     length_unit: str = "m",
     return_length_unit: Optional[str] = None,
     n_iterations: int = 20,
+    damping: float = 1.0,
 ) -> SBSResult:
     """Solve the coupled FWM + SBS two-point BVP on [0, z_max].
 
     ``p_in``: forward powers at z=0 (wave order [p1, p2, s, i]);
     ``p_stokes_seed``: backward Stokes powers entering at z=L.
     All rate coefficients are per ``length_unit`` (converted internally).
+    ``damping`` < 1 under-relaxes the sweeps -- required for convergence in
+    the strong-coupling / above-threshold regime (check ``result.residual``).
     """
+    if not (0.0 < damping <= 1.0):
+        raise ValueError("damping must be in (0, 1]")
     validate_config(cfg)
     if cfg.integrator.lower() != "rk4":
         raise ValueError("SBS relaxation currently supports integrator='rk4'")
@@ -219,7 +231,7 @@ def run_sbs_simulation(
         g_B=jnp.asarray(float(g_B) / scale, dtype=rdt),
     )
 
-    solver = _sbs_solver(n_steps, int(cfg.save_every), int(n_iterations))
+    solver = _sbs_solver(n_steps, int(cfg.save_every), int(n_iterations), float(damping))
     a_ri, b_ri, resid = jax.block_until_ready(
         solver(
             jnp.asarray(ri_pack_host(A0, rdt)),

@@ -91,3 +91,34 @@ def test_convergence_residual_reported():
     r20 = _run(g_B=1.0, p_stokes=1e-5, iters=20)
     assert r20.residual <= r5.residual
     assert r20.residual < 1e-10
+
+
+def test_strong_coupling_requires_damping_and_converges():
+    """Above the SBS threshold (gB*P*L = 10) plain alternating sweeps
+    oscillate; under-relaxation restores convergence with heavy pump
+    depletion and conserved P_A - P_B."""
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.01, save_every=10)
+    common = dict(
+        gamma=0.0, alpha=0.0, g_B=2.0, delta_beta=0.0,
+        p_in=[0.5, 0, 0, 0], p_stokes_seed=[2e-3, 0, 0, 0], length_unit="m",
+    )
+    undamped = sbs.run_sbs_simulation(cfg, n_iterations=60, **common)
+    assert undamped.residual > 1e-2  # oscillating, reported honestly
+
+    damped = sbs.run_sbs_simulation(cfg, n_iterations=400, damping=0.3, **common)
+    assert damped.residual < 1e-10
+    assert damped.reflectivity[0] > 0.5  # strong Stokes conversion
+    P_A = np.abs(damped.A[:, 0]) ** 2
+    P_B = np.abs(damped.B[:, 0]) ** 2
+    inv = P_A - P_B
+    np.testing.assert_allclose(inv, inv[0], rtol=1e-5)
+
+
+def test_damping_validation():
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=0.01)
+    with pytest.raises(ValueError, match="damping"):
+        sbs.run_sbs_simulation(
+            cfg, gamma=0.0, alpha=0.0, g_B=1.0, delta_beta=0.0,
+            p_in=[0.1, 0, 0, 0], p_stokes_seed=[1e-6, 0, 0, 0],
+            damping=0.0,
+        )
