@@ -349,3 +349,28 @@ def plot_comb_spectrum(A, *, line_indices=None, title="Comb power spectrum",
     if any(lab is not None for lab in labels):
         ax.legend()
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_dbeta_spectrum(x, dbeta, *, gamma=None, p_pump_total=None,
+                        x_label=r"Signal wavelength $\lambda_3$ (nm)",
+                        length_unit="m", title=None, xscale="linear",
+                        yscale="linear", show=True, save_path=None):
+    """dbeta(lambda3) alone with the gamma*(P1+P2) overlay (the working
+    counterpart of reference ``plot_dbeta_vs_lambda_signal``,
+    scan_mismtach.py:473-585, whose helper stack crashes -- SURVEY.md 8.3).
+    The overlay is drawn at -gamma*(P1+P2), the ideal-gain condition
+    kappa = dbeta + gamma(P1+P2) = 0."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(np.asarray(x, float), np.asarray(dbeta, float),
+            label=r"$\Delta\beta(\lambda_3)$")
+    if gamma is not None and p_pump_total is not None:
+        ax.axhline(-float(gamma) * float(p_pump_total), linestyle="--",
+                   label=r"$-\gamma(P_1+P_2)$")
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(rf"$\Delta\beta$ [1/{length_unit}]")
+    ax.set_xscale(xscale)
+    ax.set_yscale(yscale)
+    ax.grid(True, which="both", linestyle="--", alpha=0.5)
+    ax.legend()
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

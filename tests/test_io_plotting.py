@@ -228,3 +228,23 @@ def test_cli_help():
     assert out.returncode == 0
     for sub in ("single", "spectrum", "mismatch", "psa-phase", "gain-map", "bench"):
         assert sub in out.stdout
+
+
+def test_plot_dbeta_spectrum(tmp_path):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel.sweep import dbeta_spectrum
+    import psa_tpu as psa2
+
+    disp = psa2.dispersion_params_from_D_S(
+        lambda_ref_m=1552e-9, D=0.1, S=0.02, D_units="ps/nm/km",
+        S_units="ps/nm^2/km",
+    )
+    x, db = dbeta_spectrum(
+        lambda_p1_m=1550e-9, lambda_p2_m=1555e-9,
+        lambda_signal_m=np.linspace(1540e-9, 1565e-9, 11), dispersion=disp,
+    )
+    assert np.all(np.isfinite(db))
+    plotting.plot_dbeta_spectrum(
+        x, db, gamma=0.0115, p_pump_total=1.0, show=False,
+        save_path=str(tmp_path / "db.png"),
+    )
+    assert (tmp_path / "db.png").stat().st_size > 0
