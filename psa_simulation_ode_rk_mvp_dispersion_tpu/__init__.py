@@ -115,7 +115,7 @@ from .ops.integrators import (  # noqa: E402
     rk4_step,
 )
 from .models import fwm4, nwave, sbs  # noqa: E402
-from .models.sbs import SBSCoeffs, SBSResult, run_sbs_simulation  # noqa: E402
+from .models.sbs import SBSCoeffs, SBSResult, run_sbs_batch, run_sbs_simulation  # noqa: E402
 from .models.nwave import (  # noqa: E402
     CombGrid,
     NWaveCoeffs,

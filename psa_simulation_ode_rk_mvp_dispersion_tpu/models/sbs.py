@@ -106,9 +106,8 @@ def _rk4_frozen(rhs, y, frozen0, frozen_mid, frozen1, dz, c):
     return y + (dz / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
 
 
-@functools.lru_cache(maxsize=64)
-def _sbs_solver(n_steps: int, save_every: int, n_iterations: int, damping: float):
-    """Jitted relaxation solver.
+def _make_sbs_run(n_steps: int, save_every: int, n_iterations: int, damping: float):
+    """Single-instance relaxation solve (traceable; vmap lifts batches).
 
     All trajectories are stored on the full step grid ((n_steps+1, 4) complex
     per field) -- tiny for this model -- so each sweep can consume the
@@ -179,7 +178,18 @@ def _sbs_solver(n_steps: int, save_every: int, n_iterations: int, damping: float
             resid.astype(a0_ri.dtype),
         )
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _sbs_solver(n_steps: int, save_every: int, n_iterations: int, damping: float):
+    return jax.jit(_make_sbs_run(n_steps, save_every, n_iterations, damping))
+
+
+@functools.lru_cache(maxsize=64)
+def _sbs_batch_solver(n_steps: int, save_every: int, n_iterations: int, damping: float):
+    run = _make_sbs_run(n_steps, save_every, n_iterations, damping)
+    return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, None)))
 
 
 def run_sbs_simulation(
@@ -265,3 +275,85 @@ def run_sbs_simulation(
         n_iterations=int(n_iterations),
         reflectivity=refl,
     )
+
+
+def run_sbs_batch(
+    cfg: SimulationConfig,
+    *,
+    gamma,
+    alpha,
+    g_B,
+    delta_beta,
+    P_in: np.ndarray,
+    P_stokes_seed: np.ndarray,
+    length_unit: str = "m",
+    return_length_unit: Optional[str] = None,
+    n_iterations: int = 20,
+    damping: float = 1.0,
+):
+    """Solve B independent FWM+SBS boundary-value problems in one program.
+
+    ``P_in``/``P_stokes_seed`` are ``(B, 4)`` power arrays; the rate
+    coefficients broadcast or carry a leading B axis.  Returns
+    ``(z, A (B,S,4), B_waves (B,S,4), residuals (B,), reflectivity (B,4))``.
+    """
+    validate_config(cfg)
+    if not (0.0 < damping <= 1.0):
+        raise ValueError("damping must be in (0, 1]")
+    precision = validate_precision(cfg.precision)
+    rdt = real_dtype(precision)
+    scale = length_scale_to_m(length_unit)
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+
+    P_in = np.asarray(P_in, dtype=float)
+    P_st = np.asarray(P_stokes_seed, dtype=float)
+    if P_in.ndim != 2 or P_in.shape[1] != 4 or P_st.shape != P_in.shape:
+        raise ValueError("P_in and P_stokes_seed must both have shape (B, 4)")
+    if np.any(P_in < 0) or np.any(P_st < 0):
+        raise ValueError("powers must be non-negative")
+    B = P_in.shape[0]
+    A0 = np.sqrt(P_in).astype(np.complex128)
+    BL = np.sqrt(P_st).astype(np.complex128)
+
+    def bcast(x):
+        return np.broadcast_to(np.asarray(x, dtype=float), (B,))
+
+    g = bcast(gamma) / scale
+    al = bcast(alpha) / scale
+    gb = bcast(g_B) / scale
+    db = bcast(delta_beta) / scale
+
+    coeffs = SBSCoeffs(
+        fwm=RHSCoeffs(
+            gamma=jnp.asarray(g, dtype=rdt),
+            alpha=jnp.asarray(al, dtype=rdt),
+            delta_beta=jnp.asarray(db, dtype=rdt),
+        ),
+        g_B=jnp.asarray(gb, dtype=rdt),
+    )
+    solver = _sbs_batch_solver(
+        n_steps, int(cfg.save_every), int(n_iterations), float(damping)
+    )
+    a_ri, b_ri, resid = jax.block_until_ready(
+        solver(
+            jnp.asarray(ri_pack_host(A0, rdt)),
+            jnp.asarray(ri_pack_host(BL, rdt)),
+            coeffs,
+            jnp.asarray(dz_m, dtype=rdt),
+        )
+    )
+    A = ri_unpack_host(np.asarray(a_ri))
+    Bw = ri_unpack_host(np.asarray(b_ri))
+
+    n_saved = A.shape[1]
+    z_m = np.arange(n_saved) * cfg.save_every * dz_m
+    rot = np.exp(0.5j * db[:, None] * z_m[None, :])
+    A[:, :, 0] *= rot
+    A[:, :, 1] *= rot
+
+    out_unit = length_unit if return_length_unit is None else return_length_unit
+    z_out = z_m / length_scale_to_m(out_unit)
+    P_A0 = np.abs(A[:, 0]) ** 2
+    refl = np.where(P_A0 > 0, np.abs(Bw[:, 0]) ** 2 / np.maximum(P_A0, 1e-300), 0.0)
+    return z_out, A, Bw, np.asarray(resid, dtype=float), refl
