@@ -21,8 +21,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 # The axon TPU plugin (if present) registers itself via sitecustomize and
-# overrides JAX_PLATFORMS; force tests onto CPU regardless.
-jax.config.update("jax_platforms", "cpu")
+# overrides JAX_PLATFORMS; force tests onto CPU regardless.  Set
+# PSA_TEST_TPU=1 to run the suite on the attached TPU instead (enables the
+# TPU-gated df32/pallas solver tests).
+if os.environ.get("PSA_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: XLA:CPU is pathologically slow compiling the
 # df32 (two-float) programs (minutes); cache compiled executables across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/psa_tpu_jax_cache")

@@ -234,6 +234,12 @@ def mismatch_scan(
         delta_beta_values=db, gain_mode=gain_mode, gain_unit="linear",
         length_unit="km", mesh=mesh, verbose=verbose,
     )
+    all_failed = not np.any(np.isfinite(sig.gain))
+    if all_failed:
+        if verbose:
+            print("mismatch_scan: every instance failed (all gains NaN)")
+        return sig, idl
+
     b = sig.best_index
     if verbose:
         print(f"best delta_beta = {db[b]:.6g} 1/km, Gs = {sig.gain[b]:.6g}")
@@ -248,30 +254,32 @@ def mismatch_scan(
         save_path=None if save_dir is None else f"{save_dir}/mismatch_scan.png",
     )
 
-    # re-run the best point and plot its trajectories (reference
-    # scan_mismtach.py:222-246 behavior)
-    from .constants import c as _c
-    from .models.fwm4 import run_single_simulation
-    from .ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
+    if show or save_dir is not None:
+        # re-run the best point and plot its trajectories (reference
+        # scan_mismtach.py:222-246 behavior); skipped for purely programmatic
+        # use where neither display nor artifacts are requested
+        from .constants import c as _c
 
-    omega0 = 2 * np.pi * _c / 1.55e-6
-    z_b, A_b = run_single_simulation(
-        cfg, gamma=gamma_km, alpha=0.0, omega=np.full(4, omega0),
-        p_in=[p_pump, p_pump, p_signal, 0.0],
-        phase_matching_cfg=PhaseMatchingConfig(
-            method=PhaseMatchingMethod.PROVIDED, provided_delta_beta=float(db[b])
-        ),
-        length_unit="km", return_length_unit="km",
-    )
-    plotting.plot_signal_and_idler(
-        z_b, A_b, title=f"Best delta = {db[b]:.3g} 1/km", z_unit="km", show=show,
-        save_path=None if save_dir is None else f"{save_dir}/mismatch_best_si.png",
-    )
-    plotting.plot_powers(
-        z_b, A_b, title=f"Powers at best delta = {db[b]:.3g} 1/km", z_unit="km",
-        show=show,
-        save_path=None if save_dir is None else f"{save_dir}/mismatch_best_powers.png",
-    )
+        omega0 = 2 * np.pi * _c / 1.55e-6
+        z_b, A_b = run_single_simulation(
+            cfg, gamma=gamma_km, alpha=0.0, omega=np.full(4, omega0),
+            p_in=[p_pump, p_pump, p_signal, 0.0],
+            phase_matching_cfg=PhaseMatchingConfig(
+                method=PhaseMatchingMethod.PROVIDED,
+                provided_delta_beta=float(db[b]),
+            ),
+            length_unit="km", return_length_unit="km",
+        )
+        plotting.plot_signal_and_idler(
+            z_b, A_b, title=f"Best delta = {db[b]:.3g} 1/km", z_unit="km",
+            show=show,
+            save_path=None if save_dir is None else f"{save_dir}/mismatch_best_si.png",
+        )
+        plotting.plot_powers(
+            z_b, A_b, title=f"Powers at best delta = {db[b]:.3g} 1/km",
+            z_unit="km", show=show,
+            save_path=None if save_dir is None else f"{save_dir}/mismatch_best_powers.png",
+        )
     return sig, idl
 
 

@@ -386,6 +386,28 @@ def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
     return jax.jit(batch)
 
 
+@functools.lru_cache(maxsize=64)
+def _comb_batch_adaptive_solver(rtol: float, atol: float, max_steps: int):
+    def one(y0, coeffs, z_grid):
+        res = integrate_adaptive_grid(
+            rhs_nwave, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
+            max_steps_per_segment=max_steps,
+        )
+        P = res.y_saved.real ** 2 + res.y_saved.imag ** 2
+        return jnp.max(P, axis=0), res.y_final, res.ok
+
+    def batch(y0_ri, coeffs_b, z_grid):
+        y0_b = ri_to_complex(y0_ri)
+        pmax, yf, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, z_grid)
+        return (
+            pmax.astype(y0_ri.dtype),
+            complex_to_ri(yf).astype(y0_ri.dtype),
+            ok.astype(jnp.int32),
+        )
+
+    return jax.jit(batch)
+
+
 def solve_comb_batch(
     cfg: SimulationConfig,
     coeffs: NWaveCoeffs,
@@ -401,7 +423,9 @@ def solve_comb_batch(
     leading B axis (``beta_lin`` must be ``(B, N)`` or ``(N,)``).  Returns
     host ``(P_max (B, N), A_final (B, N), ok (B,))`` -- per-line running max
     power over saved samples and the final comb state.  Pass ``mesh`` to
-    shard the batch axis.
+    shard the batch axis.  ``cfg.integrator`` selects fixed RK4 or adaptive
+    RK45 (dense output on the decimated save grid; note the adaptive P_max
+    includes the initial state row, like the fixed path).
     """
     from ..utils.units import length_scale_to_m
 
@@ -423,7 +447,7 @@ def solve_comb_batch(
 
     n_orig = B
     if mesh is not None:
-        from ..parallel.mesh import batch_sharding, pad_batch
+        from ..parallel.mesh import pad_batch
 
         ndev = int(np.prod(list(mesh.shape.values())))
         A0, n_orig = pad_batch(A0, ndev)
@@ -444,12 +468,22 @@ def solve_comb_batch(
         y0_ri = jax.device_put(y0_ri, sh)
         coeffs_dev = jax.device_put(coeffs_dev, sh)
 
-    solver = _comb_batch_solver(
-        n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll
-    )
-    pmax, yf_ri, ok = jax.block_until_ready(
-        solver(y0_ri, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))
-    )
+    if cfg.integrator.lower() == "rk45":
+        n_chunks = n_steps // cfg.save_every
+        z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
+        solver = _comb_batch_adaptive_solver(
+            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps)
+        )
+        pmax, yf_ri, ok = jax.block_until_ready(
+            solver(y0_ri, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
+        )
+    else:
+        solver = _comb_batch_solver(
+            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll
+        )
+        pmax, yf_ri, ok = jax.block_until_ready(
+            solver(y0_ri, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))
+        )
     P_max = np.asarray(pmax, dtype=np.float64)[:n_orig]
     A_final = ri_unpack_host(np.asarray(yf_ri))[:n_orig]
     return P_max, A_final, np.asarray(ok)[:n_orig].astype(bool)

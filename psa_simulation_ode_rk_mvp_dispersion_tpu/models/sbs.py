@@ -295,9 +295,12 @@ def run_sbs_batch(
 
     ``P_in``/``P_stokes_seed`` are ``(B, 4)`` power arrays; the rate
     coefficients broadcast or carry a leading B axis.  Returns
-    ``(z, A (B,S,4), B_waves (B,S,4), residuals (B,), reflectivity (B,4))``.
+    ``(z, A (B,S,4), B_waves (B,S,4), residuals (B,), reflectivity (B,4),
+    ok (B,))`` -- NaN instances are flagged in ``ok``, not raised.
     """
     validate_config(cfg)
+    if cfg.integrator.lower() != "rk4":
+        raise ValueError("SBS relaxation currently supports integrator='rk4'")
     if not (0.0 < damping <= 1.0):
         raise ValueError("damping must be in (0, 1]")
     precision = validate_precision(cfg.precision)
@@ -346,6 +349,12 @@ def run_sbs_batch(
     A = ri_unpack_host(np.asarray(a_ri))
     Bw = ri_unpack_host(np.asarray(b_ri))
 
+    # batch semantics: NaN instances are flagged, not raised (the per-instance
+    # analog of run_sbs_simulation's FloatingPointError)
+    ok = np.all(np.isfinite(A.reshape(A.shape[0], -1)), axis=1) & np.all(
+        np.isfinite(Bw.reshape(Bw.shape[0], -1)), axis=1
+    )
+
     n_saved = A.shape[1]
     z_m = np.arange(n_saved) * cfg.save_every * dz_m
     rot = np.exp(0.5j * db[:, None] * z_m[None, :])
@@ -356,4 +365,4 @@ def run_sbs_batch(
     z_out = z_m / length_scale_to_m(out_unit)
     P_A0 = np.abs(A[:, 0]) ** 2
     refl = np.where(P_A0 > 0, np.abs(Bw[:, 0]) ** 2 / np.maximum(P_A0, 1e-300), 0.0)
-    return z_out, A, Bw, np.asarray(resid, dtype=float), refl
+    return z_out, A, Bw, np.asarray(resid, dtype=float), refl, ok

@@ -85,13 +85,10 @@ def rk45_step(f: RHSFunction, z, y, dz, params) -> Tuple[jax.Array, jax.Array]:
 def _error_norm(err, y, y_new, *, atol, rtol):
     """Weighted RMS of the error estimate (complex-aware)."""
 
-    def mag(v):
-        return jnp.abs(v)
-
-    scale = atol + rtol * jnp.maximum(mag(y), mag(y_new))
+    scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
     # identically-zero components (dark waves) with atol=0 give scale=0 AND
     # err=0: treat 0/0 as 0 instead of poisoning the norm with NaN
-    e = mag(err)
+    e = jnp.abs(err)
     r = jnp.where(scale > 0, e / jnp.where(scale > 0, scale, 1.0), 0.0)
     return jnp.sqrt(jnp.mean(jnp.square(r)))
 

@@ -180,6 +180,48 @@ def solve_batch(
 
     if engine not in ("auto", "scan", "pallas"):
         raise ValueError(f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}")
+
+    def _result(r, elapsed):
+        return BatchSolveResult(
+            P_max=r.P_max,
+            P_end=np.abs(r.A_end) ** 2,
+            A_end=r.A_end,
+            ok=r.ok,
+            elapsed_s=elapsed,
+            instances_per_s=B / elapsed if elapsed > 0 else float("inf"),
+        )
+
+    if precision == "df32":
+        # compensated two-float32 backend (rotating frame only): <=1e-12
+        # parity on f64-less TPUs; see ops/df32_solver.py.  On TPU the fused
+        # pallas kernel (ops/pallas_df32.py) computes bit-identical results
+        # ~1.8x faster than the scan and is selected by 'auto'/'pallas' for
+        # unsharded runs.
+        on_tpu = jax.default_backend() == "tpu"
+        if engine == "pallas" and not (on_tpu and mesh is None):
+            raise ValueError(
+                "engine='pallas' with precision='df32' requires a TPU backend "
+                "and no mesh (the CPU interpreter compile is pathological)"
+            )
+        t0 = time.perf_counter()
+        if engine != "scan" and mesh is None and on_tpu:
+            from ..ops.pallas_df32 import solve_batch_df32_pallas
+
+            r = solve_batch_df32_pallas(
+                A0, gamma, alpha, dbeta,
+                dz_m=float(cfg.dz), n_steps=n_steps,
+                save_every=int(cfg.save_every),
+            )
+        else:
+            from ..ops.df32_solver import solve_batch_df32
+
+            r = solve_batch_df32(
+                A0, gamma, alpha, dbeta,
+                dz_m=float(cfg.dz), n_steps=n_steps,
+                save_every=int(cfg.save_every), mesh=mesh,
+            )
+        return _result(r, time.perf_counter() - t0)
+
     use_pallas = (
         engine == "pallas"
         or (
@@ -200,54 +242,11 @@ def solve_batch(
             save_every=int(cfg.save_every),
             interpret=jax.default_backend() != "tpu",
         )
-        elapsed = time.perf_counter() - t0
-        return BatchSolveResult(
-            P_max=r.P_max,
-            P_end=np.abs(r.A_end) ** 2,
-            A_end=r.A_end,
-            ok=r.ok,
-            elapsed_s=elapsed,
-            instances_per_s=B / elapsed if elapsed > 0 else float("inf"),
-        )
+        return _result(r, time.perf_counter() - t0)
     if engine == "pallas":
         raise ValueError(
-            "engine='pallas' requires precision='x32', frame='rotating' and no mesh"
-        )
-
-    if precision == "df32":
-        # compensated two-float32 backend (rotating frame only): <=1e-12
-        # parity on f64-less TPUs; see ops/df32_solver.py.  On TPU the fused
-        # pallas kernel (ops/pallas_df32.py) computes bit-identical results
-        # ~1.8x faster than the scan and is auto-selected for unsharded runs.
-        t0 = time.perf_counter()
-        if (
-            engine != "scan"
-            and mesh is None
-            and jax.default_backend() == "tpu"
-        ):
-            from ..ops.pallas_df32 import solve_batch_df32_pallas
-
-            r = solve_batch_df32_pallas(
-                A0, gamma, alpha, dbeta,
-                dz_m=float(cfg.dz), n_steps=n_steps,
-                save_every=int(cfg.save_every),
-            )
-        else:
-            from ..ops.df32_solver import solve_batch_df32
-
-            r = solve_batch_df32(
-                A0, gamma, alpha, dbeta,
-                dz_m=float(cfg.dz), n_steps=n_steps,
-                save_every=int(cfg.save_every), mesh=mesh,
-            )
-        elapsed = time.perf_counter() - t0
-        return BatchSolveResult(
-            P_max=r.P_max,
-            P_end=np.abs(r.A_end) ** 2,
-            A_end=r.A_end,
-            ok=r.ok,
-            elapsed_s=elapsed,
-            instances_per_s=B / elapsed if elapsed > 0 else float("inf"),
+            "engine='pallas' requires precision 'x32' or 'df32', "
+            "frame='rotating' and no mesh"
         )
     solver = _batch_solver(
         n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
@@ -680,7 +679,13 @@ def psa_phase_sweep(
     if phase_matching_cfg is not None or dispersion is not None:
         pm = (phase_matching_cfg or PhaseMatchingConfig()).scaled(scale_to_m)
         if pm.method == PhaseMatchingMethod.PROVIDED:
-            db_m = float(np.asarray(pm.provided_delta_beta))
+            pdb = np.asarray(pm.provided_delta_beta)
+            if pdb.size != 1:
+                raise ValueError(
+                    "psa_phase_sweep needs a scalar provided_delta_beta "
+                    f"(all phase instances share one dbeta); got shape {pdb.shape}"
+                )
+            db_m = float(pdb.reshape(()))
         else:
             if omega is None:
                 raise ValueError(

@@ -17,12 +17,20 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-SKIP_SCAN_SOLVER = (
-    jax.default_backend() == "cpu" and not os.environ.get("PSA_DF32_FULL")
-)
+ON_TPU = jax.default_backend() == "tpu"
+SKIP_SCAN_SOLVER = not ON_TPU and not os.environ.get("PSA_DF32_FULL")
+# scan-solver tests that need no f64 comparison: run on TPU or opt-in CPU
 scan_solver = pytest.mark.skipif(
     SKIP_SCAN_SOLVER,
     reason="XLA:CPU two-float scan compile pathology; validated on TPU via bench.py",
+)
+# tests comparing against the x64 solver additionally need f64 -> CPU opt-in only
+scan_solver_vs_x64 = pytest.mark.skipif(
+    SKIP_SCAN_SOLVER or ON_TPU,
+    reason="needs both the df32 scan solver AND f64 (CPU opt-in via PSA_DF32_FULL)",
+)
+tpu_only = pytest.mark.skipif(
+    not ON_TPU, reason="compiled pallas kernels require the TPU backend"
 )
 
 import psa_tpu as psa
@@ -108,6 +116,7 @@ def test_ctf_abs2_and_mul_i_real():
     np.testing.assert_allclose(got2, 1j * r * x, rtol=1e-12, atol=1e-15)
 
 
+@pytest.mark.skipif(ON_TPU, reason="comparison RHS needs complex128 (no f64 on TPU)")
 def test_df32_rhs_matches_x64_rhs():
     """One df32 RHS evaluation vs the complex128 rotating-frame RHS."""
     from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.rhs import (
@@ -135,7 +144,7 @@ def test_df32_rhs_matches_x64_rhs():
     assert np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-12)) < 1e-12
 
 
-@scan_solver
+@scan_solver_vs_x64
 def test_df32_solver_trajectory_parity_with_x64():
     """Multi-hundred-step solve in pure f32 hardware arithmetic vs the c128
     solver: must be far inside the 1e-9 target.
@@ -170,7 +179,7 @@ def test_df32_solver_trajectory_parity_with_x64():
     assert rel_A < 1e-9, rel_A
 
 
-@scan_solver
+@scan_solver_vs_x64
 def test_df32_sweep_gain_spectrum_parity():
     """Full public sweep in df32 vs x64: linear gains agree to <=1e-9."""
     g = np.load("tests/golden/golden_spectrum.npz")
@@ -250,3 +259,25 @@ def test_df32_rk4_eager_steps_match_f64_rk4():
     got = tfm.ctf_to_c128(y)
     rel = np.max(np.abs(got - y64) / np.maximum(np.abs(y64), 1e-20))
     assert rel < 1e-12, rel
+
+
+@tpu_only
+def test_pallas_df32_bit_identical_to_scan_df32():
+    """The fused two-float Pallas kernel must match the scan-based df32
+    solver (bit-identical on TPU, where both compile; the CPU interpreter's
+    compile is pathological so this is TPU/opt-in like the scan tests)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import pallas_df32 as pdf
+
+    B = 6
+    rng = np.random.default_rng(3)
+    A0 = np.broadcast_to(np.sqrt([0.1, 0.1, 1e-6, 0]).astype(np.complex128),
+                         (B, 4)).copy()
+    gamma = np.full(B, 1.5)
+    alpha = np.full(B, 1.15e-2)
+    dbeta = rng.uniform(-1, 1, B)
+    kw = dict(dz_m=0.2, n_steps=20, save_every=10)
+    r_pl = pdf.solve_batch_df32_pallas(A0, gamma, alpha, dbeta, **kw)
+    r_sc = dfs.solve_batch_df32(A0, gamma, alpha, dbeta, **kw)
+    np.testing.assert_allclose(r_pl.P_max, r_sc.P_max, rtol=1e-12, atol=0)
+    np.testing.assert_allclose(r_pl.A_end, r_sc.A_end, rtol=1e-12, atol=0)
+    np.testing.assert_array_equal(r_pl.ok, r_sc.ok)

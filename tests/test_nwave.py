@@ -239,3 +239,27 @@ def test_solve_comb_batch_matches_singles_and_shards():
     P_sh, A_sh, ok_sh = nw.solve_comb_batch(cfg, coeffs, A0, mesh=mesh)
     np.testing.assert_allclose(P_sh, P_max, rtol=1e-12)
     np.testing.assert_array_equal(ok_sh, ok)
+
+
+def test_solve_comb_batch_rk45():
+    """solve_comb_batch honors integrator='rk45' (batched adaptive)."""
+    n = 12
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, n)
+    disp = DispersionParams.from_betas(1.2e15, beta2=-2e-26)
+    beta = nw.comb_beta_lin(grid, disp)
+    B = 3
+    A0 = np.stack([nw.seed_comb(grid, pump_lines={5: 0.3, 7: 0.3})] * B)
+    coeffs = nw.NWaveCoeffs(
+        gamma=jnp.asarray(np.linspace(2.0, 8.0, B)),
+        alpha=jnp.asarray(np.zeros(B)),
+        beta_lin=jnp.asarray(np.broadcast_to(beta, (B, n))),
+    )
+    cfg45 = psa.custom_simulation_config(
+        z_max=1.0, dz=1e-3, save_every=200, integrator="rk45",
+        rtol=1e-10, atol=1e-14,
+    )
+    P45, A45, ok45 = nw.solve_comb_batch(cfg45, coeffs, A0)
+    assert ok45.all()
+    cfg4 = psa.custom_simulation_config(z_max=1.0, dz=1e-4, save_every=2000)
+    P4, A4, ok4 = nw.solve_comb_batch(cfg4, coeffs, A0)
+    np.testing.assert_allclose(A45, A4, rtol=1e-6, atol=1e-12)

@@ -131,7 +131,7 @@ def test_run_sbs_batch_matches_singles():
     P_in = np.broadcast_to([0.1, 0.1, 1e-5, 0.0], (B, 4)).copy()
     P_st = np.broadcast_to([0.0, 0.0, 1e-6, 0.0], (B, 4)).copy()
     cfg = psa.custom_simulation_config(z_max=5.0, dz=0.01, save_every=10)
-    z, A, Bw, resid, refl = sbs.run_sbs_batch(
+    z, A, Bw, resid, refl, ok = sbs.run_sbs_batch(
         cfg, gamma=2.0, alpha=0.01, g_B=gB, delta_beta=0.5,
         P_in=P_in, P_stokes_seed=P_st, length_unit="m", n_iterations=20,
     )
@@ -145,3 +145,4 @@ def test_run_sbs_batch_matches_singles():
         np.testing.assert_allclose(A[i], res_i.A, rtol=1e-10, atol=1e-14)
         np.testing.assert_allclose(Bw[i], res_i.B, rtol=1e-10, atol=1e-14)
     assert np.all(resid < 1e-8)
+    assert np.all(ok)
