@@ -105,7 +105,8 @@ from .parallel.sweep import (  # noqa: E402
     solve_batch,
     solve_batch_trajectories,
 )
-from .ops import adaptive  # noqa: E402
+from .ops import adaptive, analytic  # noqa: E402
+from .ops.analytic import pia_signal_gain, psa_gain_extrema  # noqa: E402
 from .ops.adaptive import integrate_adaptive_grid, rk45_step  # noqa: E402
 from .ops.integrators import (  # noqa: E402
     integrate_fixed_grid,
