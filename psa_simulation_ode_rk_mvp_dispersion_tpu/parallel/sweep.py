@@ -332,10 +332,12 @@ def solve_batch_trajectories(
     A0: np.ndarray,
     *,
     frame: str = "rotating",
+    mesh=None,
     unroll: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched solve returning full decimated trajectories
-    ``(z (S+1,), A (B, S+1, 4) complex, ok (B,))``."""
+    ``(z (S+1,), A (B, S+1, 4) complex, ok (B,))``.  Pass ``mesh`` to shard
+    the batch axis (trajectories gather back to the host)."""
     validate_config(cfg)
     precision = validate_precision(cfg.precision)
     rdt = real_dtype(precision)
@@ -345,18 +347,36 @@ def solve_batch_trajectories(
     solver = _batch_traj_solver(
         n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
     )
+    gamma = np.broadcast_to(np.asarray(coeffs.gamma, float), (B,))
+    alpha = np.broadcast_to(np.asarray(coeffs.alpha, float), (B,))
+    dbeta = np.broadcast_to(np.asarray(coeffs.delta_beta, float), (B,))
+
+    n_orig = B
+    y0_ri = jnp.asarray(ri_pack_host(A0, rdt))
     coeffs_dev = RHSCoeffs(
-        gamma=jnp.asarray(np.broadcast_to(np.asarray(coeffs.gamma, float), (B,)), dtype=rdt),
-        alpha=jnp.asarray(np.broadcast_to(np.asarray(coeffs.alpha, float), (B,)), dtype=rdt),
-        delta_beta=jnp.asarray(np.broadcast_to(np.asarray(coeffs.delta_beta, float), (B,)), dtype=rdt),
+        gamma=jnp.asarray(gamma, dtype=rdt),
+        alpha=jnp.asarray(alpha, dtype=rdt),
+        delta_beta=jnp.asarray(dbeta, dtype=rdt),
     )
+    if mesh is not None:
+        from .mesh import batch_sharding, pad_batch
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        A0_p, n_orig = pad_batch(A0, ndev)
+        sh = batch_sharding(mesh)
+        y0_ri = jax.device_put(jnp.asarray(ri_pack_host(A0_p, rdt)), sh)
+        coeffs_dev = RHSCoeffs(
+            gamma=jax.device_put(jnp.asarray(pad_batch(gamma, ndev)[0], dtype=rdt), sh),
+            alpha=jax.device_put(jnp.asarray(pad_batch(alpha, ndev)[0], dtype=rdt), sh),
+            delta_beta=jax.device_put(jnp.asarray(pad_batch(dbeta, ndev)[0], dtype=rdt), sh),
+        )
     z, y_ri, ok = solver(
-        jnp.asarray(ri_pack_host(A0, rdt)), coeffs_dev,
+        y0_ri, coeffs_dev,
         jnp.asarray(0.0, dtype=rdt), jnp.asarray(cfg.dz, dtype=rdt),
     )
     z = np.asarray(z, dtype=np.float64)
-    A = ri_unpack_host(np.asarray(y_ri))
-    return z, A, np.asarray(ok).astype(bool)
+    A = ri_unpack_host(np.asarray(y_ri))[:n_orig]
+    return z, A, np.asarray(ok).astype(bool)[:n_orig]
 
 
 # ---------------------------------------------------------------------------
