@@ -160,6 +160,44 @@ def main() -> None:
         p_in=p_in_s, gamma=gamma_m, alpha=alpha_s,
         D=0.1, S=0.02, lambda_c=lc, omega_c=sp.omega_c,
     )
+
+    # ---- the BENCH configuration (main_gain_spectrum, main.py:119-203) ----
+    lam1b, lam2b = 1550e-9, 1555e-9
+    lam3b = np.linspace(1540e-9, 1650e-9, 16)
+    om_b = rfp.plan_from_wavelengths(lam1b, lam2b, float(lam3b[0]), lambda4_m=None)
+    sp_b = rfp.infer_symmetry_from_omegas(
+        omega1=om_b[0], omega2=om_b[1], omega3=om_b[2], omega4=om_b[3]
+    )
+    lc_b = rfp.lambda_from_omega(sp_b.omega_c)
+    disp_b = rdisp.dispersion_params_from_D_S(
+        lambda_ref_m=lc_b, D=0.2, S=0.02, dSdlmbd=0,
+        D_units="ps/nm/km", S_units="ps/nm^2/km", dSdlmbd_units="ps/nm^3/km",
+        omega_ref=sp_b.omega_c,
+    )
+    alpha_b = (np.log(10.0) / 10.0) * 0.5 / 1000.0
+    p_in_b = np.array([0.5, 0.5, 1e-7, 1e-7])
+    gain_b = np.full(lam3b.shape, np.nan)
+    for i, l3 in enumerate(lam3b):
+        try:
+            om_i = rfp.plan_from_wavelengths(lam1b, lam2b, float(l3), lambda4_m=None)
+            zi, Ai = rsim.run_single_simulation(
+                cfg, gamma=gamma_m, alpha=alpha_b, omega=om_i, p_in=p_in_b,
+                phase_in=np.zeros(4), dispersion=disp_b, phase_matching_cfg=pm_cfg,
+                length_unit="m", return_length_unit="m",
+            )
+            P3 = np.abs(Ai[:, 2]) ** 2
+            if np.all(np.isfinite(P3)):
+                g = float(np.max(P3) / p_in_b[2])
+                if np.isfinite(g) and g > 0:
+                    gain_b[i] = 10 * np.log10(g)
+        except Exception:
+            pass
+    np.savez_compressed(
+        OUT / "golden_bench_config.npz",
+        lam1=lam1b, lam2=lam2b, lam3=lam3b, gain_db=gain_b,
+        p_in=p_in_b, gamma=gamma_m, alpha=alpha_b,
+        D=0.2, S=0.02, lambda_c=lc_b, omega_c=sp_b.omega_c,
+    )
     print("golden data written to", OUT)
 
 
