@@ -544,6 +544,16 @@ def run_single_simulation(
     z_m = z0_m + (np.arange(n_saved) * cfg.save_every) * params.grid.dz_m
     z_out = z_m / out_scale
 
+    if cfg.verbose:
+        # the reference declares this flag but never reads it (SURVEY.md 8.8)
+        P_out = np.abs(y_saved[-1]) ** 2
+        print(
+            f"[run_single_simulation] {n_steps} RK4 steps ({frame} frame, "
+            f"{cfg.precision}), dbeta = {params.cache.delta_beta_1_m:.6g} 1/m, "
+            f"z_end = {z_out[-1]:.6g} {out_unit}, "
+            f"P_out [W] = {np.array2string(P_out, precision=6)}"
+        )
+
     return z_out, y_saved
 
 

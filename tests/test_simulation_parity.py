@@ -219,3 +219,18 @@ def test_beta_legacy_km_units_not_double_scaled():
     )
     np.testing.assert_allclose(z_km, z_m, rtol=1e-12)
     np.testing.assert_allclose(A_km, A_m, rtol=1e-9)
+
+
+def test_verbose_flag_is_live(capsys):
+    """cfg.verbose prints a run summary (the reference declares but never
+    reads its verbose flag, SURVEY.md 8.8)."""
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=0.01, verbose=True)
+    pm = psa.PhaseMatchingConfig(
+        method=psa.PhaseMatchingMethod.PROVIDED, provided_delta_beta=0.3
+    )
+    psa.run_single_simulation(
+        cfg, gamma=1.0, alpha=0.0, omega=np.full(4, 1.2e15),
+        p_in=[0.1, 0.1, 0, 0], phase_matching_cfg=pm, length_unit="m",
+    )
+    out = capsys.readouterr().out
+    assert "run_single_simulation" in out and "dbeta = 0.3" in out
