@@ -238,6 +238,74 @@ def integrate_adaptive_grid(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AdaptiveReduceResult:
+    reduction: Any
+    y_final: jax.Array
+    ok: jax.Array
+    n_accepted: jax.Array
+    n_rejected: jax.Array
+
+
+def integrate_adaptive_reduce(
+    f: RHSFunction,
+    y0,
+    params,
+    *,
+    z_grid,
+    reduce_init,
+    reduce_fn,
+    rtol: float = 1e-9,
+    atol: float = 1e-12,
+    dt0=None,
+    max_steps_per_segment: int = 10_000,
+) -> AdaptiveReduceResult:
+    """Like :func:`integrate_adaptive_grid` but folds each grid-point state
+    into a running reduction instead of materializing the trajectory --
+    the adaptive analog of ``ops.integrators.integrate_reduce``.  Memory is
+    O(state), independent of grid length, so huge batches of sweeps fit in
+    HBM.  ``reduce_fn(acc, y) -> acc`` is applied at every grid point after
+    the initial one; seed ``reduce_init`` with the z=0 contribution.
+    """
+    y0 = jnp.asarray(y0)
+    zg = jnp.asarray(z_grid)
+    if zg.ndim != 1 or int(zg.shape[0]) < 2:
+        raise ValueError("z_grid must be 1-D with at least 2 points")
+    rdt = zg.dtype if jnp.issubdtype(zg.dtype, jnp.floating) else jnp.result_type(float)
+    zg = zg.astype(rdt)
+
+    if dt0 is None:
+        dt0 = (zg[1] - zg[0]) * 0.1
+    carry = _SegCarry(
+        z=zg[0],
+        y=y0,
+        dt=jnp.asarray(dt0, dtype=rdt),
+        ok=jnp.asarray(True),
+        n_accepted=jnp.asarray(0, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32),
+    )
+
+    def seg(state, z_end):
+        c, acc = state
+        c = _advance_segment(
+            f, c, z_end, params,
+            rtol=rtol, atol=atol, max_steps=max_steps_per_segment,
+        )
+        c = _SegCarry(z_end, c.y, c.dt, c.ok, c.n_accepted, c.n_rejected)
+        acc = reduce_fn(acc, c.y)
+        return (c, acc), None
+
+    (c_final, acc), _ = lax.scan(seg, (carry, reduce_init), zg[1:])
+    return AdaptiveReduceResult(
+        reduction=acc,
+        y_final=c_final.y,
+        ok=c_final.ok,
+        n_accepted=c_final.n_accepted,
+        n_rejected=c_final.n_rejected,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Runner glue: rk45 trajectory with the fixed-RK4 output contract
 # ---------------------------------------------------------------------------

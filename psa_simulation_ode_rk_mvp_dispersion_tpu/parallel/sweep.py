@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from ..config import SimulationConfig, validate_config
 from ..constants import c as C0, TWO_PI
 from ..ops.dispersion import DispersionParams, delta_beta_from_omegas, delta_beta_symmetric
+from ..ops.adaptive import integrate_adaptive_reduce
 from ..ops.integrators import integrate_fixed_grid, integrate_reduce
 from ..ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
 from ..ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
@@ -142,6 +143,48 @@ def _batch_solver(
     return jax.jit(batch)
 
 
+@functools.lru_cache(maxsize=64)
+def _batch_adaptive_solver(frame: str, rtol: float, atol: float, max_steps: int):
+    """Jitted vmapped reduce-mode RK45 (Dormand-Prince) solver.
+
+    The batched realization of the reference's reserved ``cfg.integrator``
+    slot (``/root/reference/config.py:89``) for sweeps: every lane adapts its
+    own step size in lockstep (masked while_loop, ``ops/adaptive.py``), with
+    dense output reduced on the decimated save grid so only (B, 4) summaries
+    cross back to the host.
+    """
+    rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
+
+    def one(y0, coeffs, z_grid):
+        P0 = y0.real * y0.real + y0.imag * y0.imag
+
+        def red(pmax, y):
+            P = y.real * y.real + y.imag * y.imag
+            return jnp.maximum(pmax, P)
+
+        res = integrate_adaptive_reduce(
+            rhs, y0, coeffs, z_grid=z_grid,
+            reduce_init=P0, reduce_fn=red,
+            rtol=rtol, atol=atol, max_steps_per_segment=max_steps,
+        )
+        y_last = res.y_final
+        if frame == "rotating":
+            y_last = rotating_to_lab(z_grid[-1], y_last, coeffs)
+        return res.reduction, y_last, res.ok
+
+    def batch(y0_ri, coeffs_b, z_grid):
+        y0_b = ri_to_complex(y0_ri)
+        pmax, y_last, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, z_grid)
+        rdt = y0_ri.dtype
+        return (
+            pmax.astype(rdt),
+            complex_to_ri(y_last).astype(rdt),
+            ok.astype(jnp.int32),
+        )
+
+    return jax.jit(batch)
+
+
 def solve_batch(
     cfg: SimulationConfig,
     coeffs: RHSCoeffs,
@@ -189,6 +232,26 @@ def solve_batch(
             ok=r.ok,
             elapsed_s=elapsed,
             instances_per_s=B / elapsed if elapsed > 0 else float("inf"),
+        )
+
+    integrator = cfg.integrator.lower()
+    if integrator == "rk45":
+        # Honor the adaptive slot everywhere (reference config.py:89 only
+        # validated it; round-1 sweeps silently ran rk4).  Unsupported combos
+        # raise instead of silently substituting an integrator.
+        if engine == "pallas":
+            raise ValueError(
+                "engine='pallas' implements fixed-step rk4 only; "
+                "use engine='scan'/'auto' with integrator='rk45'"
+            )
+        if precision == "df32":
+            raise ValueError(
+                "integrator='rk45' supports precision 'x64'/'x32' only "
+                "(the compensated df32 backend is fixed-step rk4)"
+            )
+        return _solve_batch_rk45(
+            cfg, A0, gamma, alpha, dbeta,
+            n_steps=n_steps, frame=frame, mesh=mesh, rdt=rdt,
         )
 
     if precision == "df32":
@@ -299,9 +362,103 @@ def solve_batch(
     )
 
 
+def _solve_batch_rk45(
+    cfg: SimulationConfig,
+    A0: np.ndarray,
+    gamma: np.ndarray,
+    alpha: np.ndarray,
+    dbeta: np.ndarray,
+    *,
+    n_steps: int,
+    frame: str,
+    mesh,
+    rdt,
+) -> BatchSolveResult:
+    """Adaptive (rk45) back end of :func:`solve_batch`.
+
+    Output contract matches the rk4 reduce path: P_max over the decimated
+    save grid (row 0 + every ``save_every``-th step; trailing partial chunk
+    unsaved), A_end at the last saved grid point.
+    """
+    B = A0.shape[0]
+    n_chunks = max(1, n_steps // int(cfg.save_every))
+    z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * float(cfg.dz)
+    )
+
+    solver = _batch_adaptive_solver(
+        frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps)
+    )
+
+    y0_dev = jnp.asarray(ri_pack_host(A0, rdt))
+    coeffs_dev = RHSCoeffs(
+        gamma=jnp.asarray(gamma, dtype=rdt),
+        alpha=jnp.asarray(alpha, dtype=rdt),
+        delta_beta=jnp.asarray(dbeta, dtype=rdt),
+    )
+
+    n_orig = B
+    if mesh is not None:
+        from .mesh import batch_sharding, pad_batch
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        A0_p, n_orig = pad_batch(A0, ndev)
+        sh = batch_sharding(mesh)
+        y0_dev = jax.device_put(jnp.asarray(ri_pack_host(A0_p, rdt)), sh)
+        coeffs_dev = RHSCoeffs(
+            gamma=jax.device_put(jnp.asarray(pad_batch(gamma, ndev)[0], dtype=rdt), sh),
+            alpha=jax.device_put(jnp.asarray(pad_batch(alpha, ndev)[0], dtype=rdt), sh),
+            delta_beta=jax.device_put(
+                jnp.asarray(pad_batch(dbeta, ndev)[0], dtype=rdt), sh
+            ),
+        )
+
+    t0 = time.perf_counter()
+    pmax, a_ri, ok = solver(y0_dev, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
+    pmax, a_ri, ok = jax.block_until_ready((pmax, a_ri, ok))
+    elapsed = time.perf_counter() - t0
+
+    pmax = np.asarray(pmax, dtype=np.float64)[:n_orig]
+    a_ri = np.asarray(a_ri)[:n_orig]
+    ok = np.asarray(ok)[:n_orig].astype(bool)
+    A_end = ri_unpack_host(a_ri)
+    return BatchSolveResult(
+        P_max=pmax,
+        P_end=np.abs(A_end) ** 2,
+        A_end=A_end,
+        ok=ok,
+        elapsed_s=elapsed,
+        instances_per_s=n_orig / elapsed if elapsed > 0 else float("inf"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trajectory-mode batched solve (moderate B; full decimated trajectories)
 # ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _batch_adaptive_traj_solver(frame: str, rtol: float, atol: float, max_steps: int):
+    from ..ops.adaptive import integrate_adaptive_grid
+
+    rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
+
+    def one(y0, coeffs, z_grid):
+        res = integrate_adaptive_grid(
+            rhs, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
+            max_steps_per_segment=max_steps,
+        )
+        y_saved = res.y_saved
+        if frame == "rotating":
+            y_saved = rotating_to_lab(res.z_saved, y_saved, coeffs)
+        return y_saved, res.ok
+
+    def batch(y0_ri, coeffs_b, z_grid):
+        y0_b = ri_to_complex(y0_ri)
+        ys, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, z_grid)
+        return complex_to_ri(ys).astype(y0_ri.dtype), ok.astype(jnp.int32)
+
+    return jax.jit(batch)
+
 
 @functools.lru_cache(maxsize=64)
 def _batch_traj_solver(n_steps: int, save_every: int, check_nan: bool, frame: str, unroll: int):
@@ -344,9 +501,19 @@ def solve_batch_trajectories(
     A0 = np.asarray(A0)
     B = A0.shape[0]
     n_steps = int(round(cfg.z_max / cfg.dz))
-    solver = _batch_traj_solver(
-        n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
-    )
+    adaptive = cfg.integrator.lower() == "rk45"
+    if adaptive:
+        if precision == "df32":
+            raise ValueError(
+                "integrator='rk45' supports precision 'x64'/'x32' only"
+            )
+        solver = _batch_adaptive_traj_solver(
+            frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps)
+        )
+    else:
+        solver = _batch_traj_solver(
+            n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
+        )
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, float), (B,))
     alpha = np.broadcast_to(np.asarray(coeffs.alpha, float), (B,))
     dbeta = np.broadcast_to(np.asarray(coeffs.delta_beta, float), (B,))
@@ -370,11 +537,19 @@ def solve_batch_trajectories(
             alpha=jax.device_put(jnp.asarray(pad_batch(alpha, ndev)[0], dtype=rdt), sh),
             delta_beta=jax.device_put(jnp.asarray(pad_batch(dbeta, ndev)[0], dtype=rdt), sh),
         )
-    z, y_ri, ok = solver(
-        y0_ri, coeffs_dev,
-        jnp.asarray(0.0, dtype=rdt), jnp.asarray(cfg.dz, dtype=rdt),
-    )
-    z = np.asarray(z, dtype=np.float64)
+    if adaptive:
+        n_chunks = max(1, n_steps // int(cfg.save_every))
+        z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
+            int(cfg.save_every) * float(cfg.dz)
+        )
+        y_ri, ok = solver(y0_ri, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
+        z = z_grid
+    else:
+        z, y_ri, ok = solver(
+            y0_ri, coeffs_dev,
+            jnp.asarray(0.0, dtype=rdt), jnp.asarray(cfg.dz, dtype=rdt),
+        )
+        z = np.asarray(z, dtype=np.float64)
     A = ri_unpack_host(np.asarray(y_ri))[:n_orig]
     return z, A, np.asarray(ok).astype(bool)[:n_orig]
 
