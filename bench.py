@@ -95,6 +95,7 @@ def main() -> None:
 
     # --- accuracy: subset agreement with the x64 CPU reference-parity path ---
     max_rel_err = None
+    x32_max_rel_err = None
     try:
         cpu = jax.devices("cpu")
         if cpu and primary_precision != "x64":
@@ -106,13 +107,22 @@ def main() -> None:
                 ref = sw.gain_spectrum(
                     lambda_signal_m=sub, **{**common, "cfg": cfg64, "frame": "rotating"}
                 )
-            cfg_p = psa.custom_simulation_config(
-                z_max=500.0, dz=0.2, save_every=10, precision=primary_precision
-            )
-            fast = sw.gain_spectrum(lambda_signal_m=sub, **{**common, "cfg": cfg_p})
             lin_ref = 10 ** (ref.gain / 10.0)
-            lin_fast = 10 ** (fast.gain / 10.0)
-            max_rel_err = float(np.nanmax(np.abs(lin_fast / lin_ref - 1.0)))
+
+            def subset_err(prec: str) -> float:
+                cfg_p = psa.custom_simulation_config(
+                    z_max=500.0, dz=0.2, save_every=10, precision=prec
+                )
+                fast = sw.gain_spectrum(
+                    lambda_signal_m=sub, **{**common, "cfg": cfg_p}
+                )
+                lin_fast = 10 ** (fast.gain / 10.0)
+                return float(np.nanmax(np.abs(lin_fast / lin_ref - 1.0)))
+
+            max_rel_err = subset_err(primary_precision)
+            if x32_pts_per_s is not None:
+                # the advertised fast path gets its own error bound
+                x32_max_rel_err = subset_err("x32")
     except Exception as e:  # noqa: BLE001
         print(f"# accuracy cross-check skipped: {e}", file=sys.stderr)
 
@@ -126,6 +136,7 @@ def main() -> None:
         "finite_points": n_finite,
         "subset_max_rel_err_vs_x64": max_rel_err,
         "x32_fast_path_points_per_s": x32_pts_per_s,
+        "x32_subset_max_rel_err": x32_max_rel_err,
     }
     print(f"# {json.dumps(meta)}", file=sys.stderr)
     print(

@@ -1,0 +1,200 @@
+"""Comb benchmark: batched N-wave cascaded-FWM solves (BASELINE.json config 5).
+
+The headline ``bench.py`` measures the 4-wave sweep -- a tiny-state,
+VPU/latency-bound workload.  This second bench measures the framework's
+MXU-relevant workload: B independent N-line combs integrating in one XLA
+program, with the cubic coupling evaluated either as padded FFTs or as dense
+DFT matmuls (``models/nwave.py``).  It reports achieved throughput, an
+algorithmic-FLOP/s estimate, and an accuracy cross-check of a subset against
+the x64 CPU solver.
+
+Prints ONE JSON line:
+
+    {"metric": "comb_rk4_instance_steps_per_s", "value": ..., "unit": ...,
+     "vs_baseline": ...}
+
+vs_baseline is measured against the single-core NumPy 4-wave reference's
+step rate (~8,600 RK4 steps/s, BASELINE.md) scaled by state size: a fair
+"equivalent reference steps/s" for an N-line comb would be even slower, so
+this is a conservative denominator.
+
+Run on TPU: PYTHONPATH=/root/repo:/root/.axon_site python bench_comb.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+# reference single-core 4-wave RK4 step rate (BASELINE.md); conservative
+# denominator for an N-line comb (the reference has no comb model at all)
+BASELINE_STEPS_PER_S = 8_600.0
+
+N_LINES = 64
+BATCH = 4096
+N_STEPS = 1000
+SAVE_EVERY = 100
+Z_MAX_M = 500.0
+
+
+def _flops_per_rk4_step(n: int, L: int, coupling: str) -> float:
+    """Algorithmic real-FLOP estimate per instance per RK4 step.
+
+    dft: two complex matmuls per RHS eval -- (1,n)x(n,L) and (1,L)x(L,n) --
+    at 8 real flops per complex MAC, plus the elementwise triple product
+    (~13L) and linear terms (~16n).  fft: 3 complex FFTs at ~5 L log2 L real
+    flops each.  RK4 = 4 RHS evals + ~4 axpy state updates (~8n each).
+    """
+    if coupling == "dft":
+        rhs = 16.0 * n * L + 13.0 * L + 16.0 * n
+    else:
+        rhs = 15.0 * L * math.log2(L) + 13.0 * L + 16.0 * n
+    return 4.0 * rhs + 32.0 * n
+
+
+def main() -> None:
+    import jax
+
+    import psa_tpu as psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+
+    backend = jax.default_backend()
+    precision = "x32" if backend == "tpu" else "x64"
+
+    # --- physics: two 0.5 W pumps, 50 GHz spacing, weak anomalous beta2 ----
+    omega_c = 2.0 * np.pi * 193.1e12
+    domega = 2.0 * np.pi * 50e9
+    grid = nw.CombGrid.centered(omega_c, domega, N_LINES)
+    disp = psa.DispersionParams.from_betas(
+        omega_c, beta2=-1.0e-27, beta3=1.2e-41
+    )
+    coeffs1 = nw.make_comb_coeffs(
+        grid, disp, gamma_W_m=10e-3, alpha_1_m=5e-5, precision=precision
+    )
+    c = N_LINES // 2
+    A0_1 = nw.seed_comb(
+        grid, pump_lines={c - 8: 0.5, c + 8: 0.5}, noise_floor_W=1e-9, seed=0
+    )
+
+    # batch: replicate the comb over a gamma grid (a realistic sweep)
+    gammas = np.linspace(5e-3, 15e-3, BATCH)
+    coeffs = nw.NWaveCoeffs(
+        gamma=gammas, alpha=np.full(BATCH, 5e-5),
+        beta_lin=np.broadcast_to(np.asarray(coeffs1.beta_lin, float), (BATCH, N_LINES)),
+    )
+    A0 = np.broadcast_to(A0_1, (BATCH, N_LINES)).copy()
+
+    cfg = psa.custom_simulation_config(
+        z_max=Z_MAX_M, dz=Z_MAX_M / N_STEPS, save_every=SAVE_EVERY,
+        precision=precision,
+    )
+
+    def timed(coupling: str, n_rep: int = 1):
+        # warm-up compiles the program; then time
+        nw.solve_comb_batch(cfg, coeffs, A0, coupling=coupling)
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            P_max, A_fin, ok = nw.solve_comb_batch(cfg, coeffs, A0, coupling=coupling)
+        el = (time.perf_counter() - t0) / n_rep
+        return el, P_max, A_fin, ok
+
+    results = {}
+    for coupling in ("fft", "dft"):
+        el, P_max, A_fin, ok = timed(coupling)
+        inst_steps = BATCH * N_STEPS / el
+        L = nw._fft_len(N_LINES)
+        flops = inst_steps * _flops_per_rk4_step(N_LINES, L, coupling)
+        results[coupling] = {
+            "elapsed_s": round(el, 4),
+            "instance_steps_per_s": round(inst_steps),
+            "est_tflops_per_s": round(flops / 1e12, 3),
+            "ok_fraction": float(np.mean(ok)),
+        }
+
+    best = max(results, key=lambda k: results[k]["instance_steps_per_s"])
+    best_rate = results[best]["instance_steps_per_s"]
+
+    # --- rk45 adaptive lane (smaller batch; wall-clock depends on stiffness)
+    cfg45 = psa.custom_simulation_config(
+        z_max=Z_MAX_M, dz=Z_MAX_M / N_STEPS, save_every=SAVE_EVERY,
+        precision=precision, integrator="rk45",
+        rtol=1e-6 if precision == "x32" else 1e-9,
+        atol=1e-10 if precision == "x32" else 1e-12,
+    )
+    B45 = min(512, BATCH)
+    c45 = nw.NWaveCoeffs(
+        gamma=gammas[:B45], alpha=np.full(B45, 5e-5),
+        beta_lin=np.broadcast_to(np.asarray(coeffs1.beta_lin, float), (B45, N_LINES)),
+    )
+    nw.solve_comb_batch(cfg45, c45, A0[:B45], coupling=best)
+    t0 = time.perf_counter()
+    _, _, ok45 = nw.solve_comb_batch(cfg45, c45, A0[:B45], coupling=best)
+    el45 = time.perf_counter() - t0
+    rk45_combs_per_s = B45 / el45
+
+    # --- accuracy: subset vs x64 CPU (FFT coupling, reference-parity path) --
+    max_rel_err = None
+    try:
+        cpu = jax.devices("cpu")
+        sub = 8
+        csub = nw.NWaveCoeffs(
+            gamma=gammas[:sub], alpha=np.full(sub, 5e-5),
+            beta_lin=np.broadcast_to(
+                np.asarray(coeffs1.beta_lin, float), (sub, N_LINES)
+            ),
+        )
+        _, A_fast, _ = nw.solve_comb_batch(cfg, csub, A0[:sub], coupling=best)
+        if precision != "x64" and cpu:
+            with jax.default_device(cpu[0]):
+                cfg64 = psa.custom_simulation_config(
+                    z_max=Z_MAX_M, dz=Z_MAX_M / N_STEPS, save_every=SAVE_EVERY,
+                    precision="x64",
+                )
+                _, A_ref, _ = nw.solve_comb_batch(
+                    cfg64, csub, A0[:sub], coupling="fft"
+                )
+            P_fast = np.abs(A_fast) ** 2
+            P_ref = np.abs(A_ref) ** 2
+            sig = P_ref > 1e-6  # compare lines carrying real power
+            max_rel_err = float(
+                np.max(np.abs(P_fast[sig] / P_ref[sig] - 1.0))
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"# comb accuracy cross-check skipped: {e}", file=sys.stderr)
+
+    meta = {
+        "backend": backend,
+        "precision": precision,
+        "n_lines": N_LINES,
+        "fft_len": nw._fft_len(N_LINES),
+        "batch": BATCH,
+        "rk4_steps": N_STEPS,
+        "coupling_paths": results,
+        "best_coupling": best,
+        "rk45_combs_per_s": round(rk45_combs_per_s, 1),
+        "rk45_ok_fraction": float(np.mean(ok45)),
+        "subset_max_rel_power_err_vs_x64": max_rel_err,
+        "flops_note": (
+            "algorithmic real-FLOPs of the chosen formulation; dft path runs "
+            "f32 matmuls at Precision.HIGHEST on the MXU"
+        ),
+    }
+    print(f"# {json.dumps(meta)}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "comb_rk4_instance_steps_per_s",
+                "value": best_rate,
+                "unit": f"instance-steps/s (N={N_LINES} lines)",
+                "vs_baseline": round(best_rate / BASELINE_STEPS_PER_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

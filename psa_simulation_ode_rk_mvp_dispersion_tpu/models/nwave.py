@@ -86,6 +86,43 @@ def fwm_polarization(a: jax.Array) -> jax.Array:
     return T[..., :n]
 
 
+@functools.lru_cache(maxsize=32)
+def _dft_mats(n_waves: int, rdt_name: str):
+    """Host-precomputed DFT / inverse-DFT matrix factors (real/imag pairs).
+
+    Forward maps the N physical lines into L >= 2N-1 bins ((N, L) slice of
+    the DFT); inverse keeps only the N physical outputs ((L, N) slice,
+    including the 1/L normalization).  f32 pairs, combined on device with
+    ``lax.complex`` (TPU-safe: no weak-c128 constants)."""
+    L = _fft_len(n_waves)
+    jj = np.arange(L)
+    ang_f = (-2.0 * np.pi / L) * np.outer(np.arange(n_waves), jj)
+    ang_i = (2.0 * np.pi / L) * np.outer(jj, np.arange(n_waves))
+    return (
+        np.cos(ang_f).astype(rdt_name), np.sin(ang_f).astype(rdt_name),
+        (np.cos(ang_i) / L).astype(rdt_name), (np.sin(ang_i) / L).astype(rdt_name),
+    )
+
+
+def fwm_polarization_dft(a: jax.Array) -> jax.Array:
+    """Same cubic sum as :func:`fwm_polarization`, with the transforms as
+    dense DFT *matmuls* instead of FFT passes.
+
+    O(N*L) per transform instead of O(L log L), but the work lands on the
+    MXU as (B, N) @ (N, L) / (B, L) @ (L, N) contractions -- for batched
+    combs of moderate width this is the highest-utilization formulation on
+    TPU (the FFT path is latency/VPU-bound), and it partitions cleanly under
+    GSPMD (XLA:CPU's FFT thunk cannot run on sharded buffers)."""
+    n = a.shape[-1]
+    rdt = jnp.finfo(a.dtype).dtype
+    fr, fi, ir, ii = _dft_mats(int(n), np.dtype(rdt).name)
+    Wf = jax.lax.complex(jnp.asarray(fr), jnp.asarray(fi)).astype(a.dtype)
+    Wi = jax.lax.complex(jnp.asarray(ir), jnp.asarray(ii)).astype(a.dtype)
+    F = jnp.matmul(a, Wf, precision=jax.lax.Precision.HIGHEST)
+    G = F * F * jnp.conj(F)
+    return jnp.matmul(G, Wi, precision=jax.lax.Precision.HIGHEST)
+
+
 def fwm_polarization_direct(a: jax.Array) -> jax.Array:
     """Reference O(N^3) evaluation of the same sum (validation / tiny N)."""
     n = a.shape[-1]
@@ -108,52 +145,53 @@ def fwm_polarization_direct(a: jax.Array) -> jax.Array:
     return jnp.einsum("...klm,klmj->...j", prod, onehot)
 
 
-def rhs_nwave(z, a: jax.Array, p: NWaveCoeffs) -> jax.Array:
-    """Comb RHS over ``(..., N)`` complex state; autonomous (z unused)."""
-    nb = a.ndim - 1
-    g = jnp.asarray(p.gamma)
-    al = jnp.asarray(p.alpha)
-    if g.ndim > 0:
-        g = g.reshape(g.shape + (1,) * (1 + nb - g.ndim))
-    if al.ndim > 0:
-        al = al.reshape(al.shape + (1,) * (1 + nb - al.ndim))
+VALID_COUPLINGS = ("fft", "dft", "einsum")
 
-    rdt = jnp.finfo(a.dtype).dtype
-    beta = jnp.asarray(p.beta_lin).astype(rdt)
-
-    T = fwm_polarization(a)
-    # (-alpha/2) A + i beta A + i gamma T, built via lax.complex to avoid
-    # weak-c128 constants (TPU-safe, see ops/rhs.py)
-    lin_re = (-0.5 * al.astype(rdt)) * a.real - beta * a.imag
-    lin_im = (-0.5 * al.astype(rdt)) * a.imag + beta * a.real
-    lin = jax.lax.complex(lin_re, lin_im).astype(a.dtype)
-    gT = g.astype(rdt) * T
-    nonlin = jax.lax.complex(-gT.imag, gT.real).astype(a.dtype)
-    return lin + nonlin
+_COUPLING_FNS = {
+    "fft": fwm_polarization,
+    "dft": fwm_polarization_dft,
+    "einsum": fwm_polarization_direct,
+}
 
 
-def rhs_nwave_direct(z, a: jax.Array, p: NWaveCoeffs) -> jax.Array:
-    """Comb RHS using the dense einsum coupling instead of FFTs.
+def make_rhs_nwave(coupling: str = "fft"):
+    """Comb RHS factory over ``(..., N)`` complex state; autonomous.
 
-    O(N^3) work on the MXU via contraction -- preferable for small N, and for
-    sharded execution (einsum partitions cleanly under GSPMD, whereas
-    XLA:CPU's FFT cannot run on sharded buffers)."""
-    nb = a.ndim - 1
-    g = jnp.asarray(p.gamma)
-    al = jnp.asarray(p.alpha)
-    if g.ndim > 0:
-        g = g.reshape(g.shape + (1,) * (1 + nb - g.ndim))
-    if al.ndim > 0:
-        al = al.reshape(al.shape + (1,) * (1 + nb - al.ndim))
-    rdt = jnp.finfo(a.dtype).dtype
-    beta = jnp.asarray(p.beta_lin).astype(rdt)
-    T = fwm_polarization_direct(a)
-    lin_re = (-0.5 * al.astype(rdt)) * a.real - beta * a.imag
-    lin_im = (-0.5 * al.astype(rdt)) * a.imag + beta * a.real
-    lin = jax.lax.complex(lin_re, lin_im).astype(a.dtype)
-    gT = g.astype(rdt) * T
-    nonlin = jax.lax.complex(-gT.imag, gT.real).astype(a.dtype)
-    return lin + nonlin
+    ``coupling`` selects the evaluation of the cubic sum: 'fft'
+    (O(N log N), default), 'dft' (dense DFT matmuls -- MXU-saturating for
+    batched combs, GSPMD-partitionable), or 'einsum' (O(N^3) reference)."""
+    if coupling not in VALID_COUPLINGS:
+        raise ValueError(f"coupling must be one of {VALID_COUPLINGS}, got {coupling!r}")
+    pol = _COUPLING_FNS[coupling]
+
+    def rhs(z, a: jax.Array, p: NWaveCoeffs) -> jax.Array:
+        nb = a.ndim - 1
+        g = jnp.asarray(p.gamma)
+        al = jnp.asarray(p.alpha)
+        if g.ndim > 0:
+            g = g.reshape(g.shape + (1,) * (1 + nb - g.ndim))
+        if al.ndim > 0:
+            al = al.reshape(al.shape + (1,) * (1 + nb - al.ndim))
+
+        rdt = jnp.finfo(a.dtype).dtype
+        beta = jnp.asarray(p.beta_lin).astype(rdt)
+
+        T = pol(a)
+        # (-alpha/2) A + i beta A + i gamma T, built via lax.complex to avoid
+        # weak-c128 constants (TPU-safe, see ops/rhs.py)
+        lin_re = (-0.5 * al.astype(rdt)) * a.real - beta * a.imag
+        lin_im = (-0.5 * al.astype(rdt)) * a.imag + beta * a.real
+        lin = jax.lax.complex(lin_re, lin_im).astype(a.dtype)
+        gT = g.astype(rdt) * T
+        nonlin = jax.lax.complex(-gT.imag, gT.real).astype(a.dtype)
+        return lin + nonlin
+
+    rhs.__name__ = f"rhs_nwave_{coupling}"
+    return rhs
+
+
+rhs_nwave = make_rhs_nwave("fft")
+rhs_nwave_direct = make_rhs_nwave("einsum")
 
 
 # ---------------------------------------------------------------------------
@@ -262,12 +300,15 @@ def seed_comb(
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def _comb_fixed_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int):
+def _comb_fixed_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int,
+                       coupling: str = "fft"):
+    rhs = make_rhs_nwave(coupling)
+
     def run(y0_ri, coeffs, dz):
         # real/imag packing at the jit boundary (restricted TPU attachments
         # cannot transfer complex or computed-bool buffers)
         res = integrate_fixed_grid(
-            rhs_nwave, ri_to_complex(y0_ri), coeffs, z0=jnp.zeros((), dz.dtype),
+            rhs, ri_to_complex(y0_ri), coeffs, z0=jnp.zeros((), dz.dtype),
             dz=dz, n_steps=n_steps, save_every=save_every, check_nan=check_nan,
             unroll=unroll,
         )
@@ -280,10 +321,13 @@ def _comb_fixed_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
 
 
 @functools.lru_cache(maxsize=64)
-def _comb_adaptive_solver(rtol: float, atol: float, max_steps: int):
+def _comb_adaptive_solver(rtol: float, atol: float, max_steps: int,
+                          coupling: str = "fft"):
+    rhs = make_rhs_nwave(coupling)
+
     def run(y0_ri, coeffs, z_grid):
         res = integrate_adaptive_grid(
-            rhs_nwave, ri_to_complex(y0_ri), coeffs, z_grid=z_grid, rtol=rtol,
+            rhs, ri_to_complex(y0_ri), coeffs, z_grid=z_grid, rtol=rtol,
             atol=atol, max_steps_per_segment=max_steps,
         )
         return (
@@ -300,6 +344,7 @@ def run_comb_simulation(
     *,
     length_unit: str = "m",
     unroll: int = 2,
+    coupling: str = "fft",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Integrate a comb over [0, z_max]; returns host ``(z, A (S+1, N))``.
 
@@ -325,7 +370,9 @@ def run_comb_simulation(
         n_chunks = n_steps // cfg.save_every
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
 
-        solver = _comb_adaptive_solver(float(cfg.rtol), float(cfg.atol), int(cfg.max_steps))
+        solver = _comb_adaptive_solver(
+            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling
+        )
         y_ri, ok_i = solver(
             jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(z_grid, dtype=rdt)
         )
@@ -333,7 +380,7 @@ def run_comb_simulation(
         z_out = z_grid / scale
     else:
         solver = _comb_fixed_solver(
-            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll
+            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll, coupling
         )
         z_dev, y_ri, ok_i = solver(
             jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(dz_m, dtype=rdt)
@@ -357,7 +404,10 @@ def comb_spectrum_db(A: np.ndarray, *, floor_dbw: float = -200.0) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int):
+def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int,
+                       coupling: str = "fft"):
+    rhs = make_rhs_nwave(coupling)
+
     def one(y0, coeffs, dz):
         P0 = y0.real * y0.real + y0.imag * y0.imag
 
@@ -366,7 +416,7 @@ def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
             return jnp.maximum(acc, P)
 
         res = integrate_reduce(
-            rhs_nwave, y0, coeffs,
+            rhs, y0, coeffs,
             z0=jnp.zeros((), dz.dtype), dz=dz,
             n_steps=n_steps, save_every=save_every,
             reduce_init=P0, reduce_fn=red,
@@ -387,10 +437,13 @@ def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
 
 
 @functools.lru_cache(maxsize=64)
-def _comb_batch_adaptive_solver(rtol: float, atol: float, max_steps: int):
+def _comb_batch_adaptive_solver(rtol: float, atol: float, max_steps: int,
+                                coupling: str = "fft"):
+    rhs = make_rhs_nwave(coupling)
+
     def one(y0, coeffs, z_grid):
         res = integrate_adaptive_grid(
-            rhs_nwave, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
+            rhs, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
             max_steps_per_segment=max_steps,
         )
         P = res.y_saved.real ** 2 + res.y_saved.imag ** 2
@@ -416,6 +469,7 @@ def solve_comb_batch(
     length_unit: str = "m",
     mesh=None,
     unroll: int = 2,
+    coupling: str = "fft",
 ):
     """Solve B independent combs in one XLA program.
 
@@ -472,14 +526,14 @@ def solve_comb_batch(
         n_chunks = n_steps // cfg.save_every
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
         solver = _comb_batch_adaptive_solver(
-            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps)
+            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling
         )
         pmax, yf_ri, ok = jax.block_until_ready(
             solver(y0_ri, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
         )
     else:
         solver = _comb_batch_solver(
-            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll
+            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll, coupling
         )
         pmax, yf_ri, ok = jax.block_until_ready(
             solver(y0_ri, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))

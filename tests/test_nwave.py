@@ -263,3 +263,46 @@ def test_solve_comb_batch_rk45():
     cfg4 = psa.custom_simulation_config(z_max=1.0, dz=1e-4, save_every=2000)
     P4, A4, ok4 = nw.solve_comb_batch(cfg4, coeffs, A0)
     np.testing.assert_allclose(A45, A4, rtol=1e-6, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 16, 33, 64])
+def test_dft_polarization_matches_fft(n):
+    """The dense DFT-matmul coupling (MXU path) equals the FFT path."""
+    a = jnp.asarray(_rand_state(n, seed=3))
+    T_fft = np.asarray(nw.fwm_polarization(a))
+    T_dft = np.asarray(nw.fwm_polarization_dft(a))
+    np.testing.assert_allclose(T_dft, T_fft, rtol=1e-9, atol=1e-10)
+
+
+def test_make_rhs_nwave_couplings_agree():
+    a = jnp.asarray(_rand_state(12, b=3, seed=5))
+    coeffs = nw.NWaveCoeffs(
+        gamma=jnp.asarray(0.01), alpha=jnp.asarray(1e-4),
+        beta_lin=jnp.asarray(np.linspace(-0.3, 0.3, 12)),
+    )
+    ref = np.asarray(nw.make_rhs_nwave("fft")(0.0, a, coeffs))
+    for coupling in ("dft", "einsum"):
+        got = np.asarray(nw.make_rhs_nwave(coupling)(0.0, a, coeffs))
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+    with pytest.raises(ValueError, match="coupling"):
+        nw.make_rhs_nwave("bogus")
+
+
+def test_solve_comb_batch_dft_coupling_end_to_end():
+    n = 16
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, n)
+    disp = DispersionParams.from_betas(1.2e15, beta2=-1e-27)
+    c1 = nw.make_comb_coeffs(grid, disp, gamma_W_m=0.01, alpha_1_m=0.0)
+    A0 = nw.seed_comb(grid, pump_lines={6: 0.4, 10: 0.4}, noise_floor_W=1e-9)
+    B = 3
+    coeffs = nw.NWaveCoeffs(
+        gamma=np.full(B, 0.01), alpha=np.zeros(B),
+        beta_lin=np.broadcast_to(np.asarray(c1.beta_lin, float), (B, n)),
+    )
+    A0b = np.broadcast_to(A0, (B, n)).copy()
+    cfg = psa.custom_simulation_config(z_max=50.0, dz=0.05, save_every=100)
+    P1, A1, ok1 = nw.solve_comb_batch(cfg, coeffs, A0b, coupling="fft")
+    P2, A2, ok2 = nw.solve_comb_batch(cfg, coeffs, A0b, coupling="dft")
+    assert np.all(ok1) and np.all(ok2)
+    np.testing.assert_allclose(A2, A1, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(P2, P1, rtol=1e-8, atol=1e-10)
