@@ -106,12 +106,20 @@ def _rk4_frozen(rhs, y, frozen0, frozen_mid, frozen1, dz, c):
     return y + (dz / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
 
 
-def _make_sbs_run(n_steps: int, save_every: int, n_iterations: int, damping: float):
+def _make_sbs_run(
+    n_steps: int, save_every: int, max_iterations: int, damping: float, tol: float
+):
     """Single-instance relaxation solve (traceable; vmap lifts batches).
 
     All trajectories are stored on the full step grid ((n_steps+1, 4) complex
     per field) -- tiny for this model -- so each sweep can consume the
     opposing field exactly.  I/O is real/imag packed.
+
+    Iterates until the sup-norm change of B drops to ``tol`` (in sqrt(W)
+    amplitude units) or ``max_iterations`` sweeps, whichever first.  The body
+    is self-masking, so a vmapped batch is sound: lanes that have converged
+    are frozen (bit-identical to running them alone) while slower lanes keep
+    relaxing.
     """
 
     def run(a0_ri, bL_ri, coeffs: SBSCoeffs, dz):
@@ -147,10 +155,21 @@ def _make_sbs_run(n_steps: int, save_every: int, n_iterations: int, damping: flo
             B = jnp.concatenate([bL[None], B_rev], axis=0)[::-1]  # (n+1,4), index=z
             return B
 
-        w = jnp.asarray(damping, dtype=a0.real.dtype)
+        rdt = a0.real.dtype
+        w = jnp.asarray(damping, dtype=rdt)
+        tol_a = jnp.asarray(tol, dtype=rdt)
 
-        def one_iteration(carry, _):
-            B_traj, _A_prev, _resid = carry
+        def cond(state):
+            _B, _A, resid, it = state
+            return (resid > tol_a) & (it < max_iterations)
+
+        def body(state):
+            B_traj, A_prev, resid_old, it = state
+            # Per-lane activity mask: under vmap the body runs for every lane
+            # while ANY lane's cond holds; converged lanes must be no-ops so
+            # a batched solve stays bit-identical to solving each lane alone.
+            active = (resid_old > tol_a) & (it < max_iterations)
+
             B_pow = B_traj.real ** 2 + B_traj.imag ** 2
             A_traj = forward_sweep(B_pow)
             A_pow = A_traj.real ** 2 + A_traj.imag ** 2
@@ -158,17 +177,23 @@ def _make_sbs_run(n_steps: int, save_every: int, n_iterations: int, damping: flo
             # under-relaxation, but always pin the boundary value B(L) = bL
             B_new = (1.0 - w) * B_traj + w * B_swept
             B_new = B_new.at[-1].set(bL)
-            resid = jnp.max(jnp.abs(B_new - B_traj))
+            resid_new = jnp.max(jnp.abs(B_new - B_traj))
+
+            B_out = jnp.where(active, B_new, B_traj)
+            A_out = jnp.where(active, A_traj, A_prev)
+            resid_out = jnp.where(active, resid_new, resid_old)
+            it_out = it + active.astype(jnp.int32)
             # trajectories ride the carry (only the final pair is needed);
             # emitting them per-iteration would materialize K copies
-            return (B_new, A_traj, resid), None
+            return (B_out, A_out, resid_out, it_out)
 
         B_init = jnp.zeros((n + 1, 4), dtype=cdt)
         A_init_traj = jnp.zeros((n + 1, 4), dtype=cdt)
-        (B_final, A_final, resid), _ = lax.scan(
-            one_iteration,
-            (B_init, A_init_traj, jnp.zeros((), a0.real.dtype)),
-            None, length=n_iterations,
+        B_final, A_final, resid, n_it = lax.while_loop(
+            cond,
+            body,
+            (B_init, A_init_traj, jnp.asarray(jnp.inf, dtype=rdt),
+             jnp.asarray(0, jnp.int32)),
         )
 
         sl = slice(0, n + 1, save_every)
@@ -176,19 +201,22 @@ def _make_sbs_run(n_steps: int, save_every: int, n_iterations: int, damping: flo
             complex_to_ri(A_final[sl]).astype(a0_ri.dtype),
             complex_to_ri(B_final[sl]).astype(a0_ri.dtype),
             resid.astype(a0_ri.dtype),
+            n_it,
         )
 
     return run
 
 
 @functools.lru_cache(maxsize=64)
-def _sbs_solver(n_steps: int, save_every: int, n_iterations: int, damping: float):
-    return jax.jit(_make_sbs_run(n_steps, save_every, n_iterations, damping))
+def _sbs_solver(n_steps: int, save_every: int, max_iterations: int, damping: float,
+                tol: float):
+    return jax.jit(_make_sbs_run(n_steps, save_every, max_iterations, damping, tol))
 
 
 @functools.lru_cache(maxsize=64)
-def _sbs_batch_solver(n_steps: int, save_every: int, n_iterations: int, damping: float):
-    run = _make_sbs_run(n_steps, save_every, n_iterations, damping)
+def _sbs_batch_solver(n_steps: int, save_every: int, max_iterations: int,
+                      damping: float, tol: float):
+    run = _make_sbs_run(n_steps, save_every, max_iterations, damping, tol)
     return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, None)))
 
 
@@ -206,6 +234,8 @@ def run_sbs_simulation(
     return_length_unit: Optional[str] = None,
     n_iterations: int = 20,
     damping: float = 1.0,
+    tol: float = 0.0,
+    max_iterations: Optional[int] = None,
 ) -> SBSResult:
     """Solve the coupled FWM + SBS two-point BVP on [0, z_max].
 
@@ -213,10 +243,21 @@ def run_sbs_simulation(
     ``p_stokes_seed``: backward Stokes powers entering at z=L.
     All rate coefficients are per ``length_unit`` (converted internally).
     ``damping`` < 1 under-relaxes the sweeps -- required for convergence in
-    the strong-coupling / above-threshold regime (check ``result.residual``).
+    the strong-coupling / above-threshold regime.
+
+    Relaxation runs until the sup-norm change of B between sweeps drops to
+    ``tol`` (amplitude units, sqrt(W)) or ``max_iterations`` sweeps
+    (defaults to ``n_iterations``), whichever comes first;
+    ``SBSResult.residual`` / ``.n_iterations`` report what actually
+    happened.  ``tol=0`` runs exactly the iteration budget.
     """
     if not (0.0 < damping <= 1.0):
         raise ValueError("damping must be in (0, 1]")
+    if tol < 0.0:
+        raise ValueError("tol must be >= 0")
+    max_it = int(n_iterations if max_iterations is None else max_iterations)
+    if max_it <= 0:
+        raise ValueError("max_iterations must be positive")
     validate_config(cfg)
     if cfg.integrator.lower() != "rk4":
         raise ValueError("SBS relaxation currently supports integrator='rk4'")
@@ -241,8 +282,10 @@ def run_sbs_simulation(
         g_B=jnp.asarray(float(g_B) / scale, dtype=rdt),
     )
 
-    solver = _sbs_solver(n_steps, int(cfg.save_every), int(n_iterations), float(damping))
-    a_ri, b_ri, resid = jax.block_until_ready(
+    solver = _sbs_solver(
+        n_steps, int(cfg.save_every), max_it, float(damping), float(tol)
+    )
+    a_ri, b_ri, resid, n_it = jax.block_until_ready(
         solver(
             jnp.asarray(ri_pack_host(A0, rdt)),
             jnp.asarray(ri_pack_host(BL, rdt)),
@@ -272,7 +315,7 @@ def run_sbs_simulation(
     return SBSResult(
         z=z_out, A=A, B=B,
         residual=float(np.asarray(resid)),
-        n_iterations=int(n_iterations),
+        n_iterations=int(np.asarray(n_it)),
         reflectivity=refl,
     )
 
@@ -290,19 +333,30 @@ def run_sbs_batch(
     return_length_unit: Optional[str] = None,
     n_iterations: int = 20,
     damping: float = 1.0,
+    tol: float = 0.0,
+    max_iterations: Optional[int] = None,
 ):
     """Solve B independent FWM+SBS boundary-value problems in one program.
 
     ``P_in``/``P_stokes_seed`` are ``(B, 4)`` power arrays; the rate
     coefficients broadcast or carry a leading B axis.  Returns
     ``(z, A (B,S,4), B_waves (B,S,4), residuals (B,), reflectivity (B,4),
-    ok (B,))`` -- NaN instances are flagged in ``ok``, not raised.
+    ok (B,), n_iters (B,))`` -- NaN instances are flagged in ``ok``, not
+    raised.  Per-lane convergence control as in
+    :func:`run_sbs_simulation` (``tol`` / ``max_iterations``): converged
+    lanes freeze (bit-identical to solving them alone) while slow lanes
+    keep relaxing.
     """
     validate_config(cfg)
     if cfg.integrator.lower() != "rk4":
         raise ValueError("SBS relaxation currently supports integrator='rk4'")
     if not (0.0 < damping <= 1.0):
         raise ValueError("damping must be in (0, 1]")
+    if tol < 0.0:
+        raise ValueError("tol must be >= 0")
+    max_it = int(n_iterations if max_iterations is None else max_iterations)
+    if max_it <= 0:
+        raise ValueError("max_iterations must be positive")
     precision = validate_precision(cfg.precision)
     rdt = real_dtype(precision)
     scale = length_scale_to_m(length_unit)
@@ -336,9 +390,9 @@ def run_sbs_batch(
         g_B=jnp.asarray(gb, dtype=rdt),
     )
     solver = _sbs_batch_solver(
-        n_steps, int(cfg.save_every), int(n_iterations), float(damping)
+        n_steps, int(cfg.save_every), max_it, float(damping), float(tol)
     )
-    a_ri, b_ri, resid = jax.block_until_ready(
+    a_ri, b_ri, resid, n_it = jax.block_until_ready(
         solver(
             jnp.asarray(ri_pack_host(A0, rdt)),
             jnp.asarray(ri_pack_host(BL, rdt)),
@@ -365,4 +419,5 @@ def run_sbs_batch(
     z_out = z_m / length_scale_to_m(out_unit)
     P_A0 = np.abs(A[:, 0]) ** 2
     refl = np.where(P_A0 > 0, np.abs(Bw[:, 0]) ** 2 / np.maximum(P_A0, 1e-300), 0.0)
-    return z_out, A, Bw, np.asarray(resid, dtype=float), refl, ok
+    return (z_out, A, Bw, np.asarray(resid, dtype=float), refl, ok,
+            np.asarray(n_it, dtype=np.int32))

@@ -201,5 +201,91 @@ def main() -> None:
     print("golden data written to", OUT)
 
 
+def gen_sbs_bvp() -> None:
+    """Independent oracle for the FWM+SBS two-point BVP (models/sbs.py):
+    scipy.integrate.solve_bvp on the fully-coupled, pump-depleted system
+    (54% pump-1 depletion, 63% Stokes reflectivity), with the FWM part
+    EXECUTED from the reference (yaman_model.py:10).
+
+    System (16 real components = 4 forward + 4 backward complex waves):
+        dA/dz = rhs_yaman_simplified(z, A) - (gB/2) |B|^2 A
+        dB/dz = +(alpha/2) B - (gB/2) |A|^2 B
+    BCs: A(0) = sqrt(p_in), B(L) = sqrt(p_stokes_seed).
+    Continuation in g_B then in tol keeps the collocation Jacobian
+    well-conditioned down to tol=1e-10.
+    """
+    from types import SimpleNamespace
+
+    from scipy.integrate import solve_bvp
+
+    import yaman_model as rym
+
+    gamma, alpha, g_B, delta_beta = 0.5, 0.01, 3.0, 0.5
+    L = 2.0
+    p_in = np.array([0.5, 0.4, 1e-3, 0.0])
+    p_stokes = np.array([0.05, 0.02, 0.0, 0.0])
+
+    params = SimpleNamespace(
+        fiber=SimpleNamespace(gamma_W_m=gamma, alpha_1_m=alpha),
+        cache=SimpleNamespace(delta_beta_1_m=delta_beta),
+    )
+
+    def make_fun(gB):
+        def fun(x, y):
+            out = np.empty_like(y)
+            for k in range(x.size):
+                A = y[0:4, k] + 1j * y[4:8, k]
+                B = y[8:12, k] + 1j * y[12:16, k]
+                dA = rym.rhs_yaman_simplified(float(x[k]), A, params)
+                dA = dA - 0.5 * gB * (np.abs(B) ** 2) * A
+                dB = 0.5 * alpha * B - 0.5 * gB * (np.abs(A) ** 2) * B
+                out[0:4, k] = dA.real
+                out[4:8, k] = dA.imag
+                out[8:12, k] = dB.real
+                out[12:16, k] = dB.imag
+            return out
+        return fun
+
+    A0 = np.sqrt(p_in)
+    BL = np.sqrt(p_stokes)
+
+    def bc(ya, yb):
+        return np.concatenate([
+            ya[0:4] - A0, ya[4:8],      # A(0) = sqrt(p_in), real
+            yb[8:12] - BL, yb[12:16],   # B(L) = sqrt(p_stokes), real
+        ])
+
+    x = np.linspace(0.0, L, 201)
+    y0 = np.zeros((16, x.size))
+    y0[0:4] = A0[:, None]
+    y0[8:12] = BL[:, None]
+
+    sol = None
+    for gB in (0.0, 1.0, 2.0, g_B):
+        sol = solve_bvp(make_fun(gB), bc, x, y0, tol=1e-6, max_nodes=400_000)
+        assert sol.success, f"gB={gB}: {sol.message}"
+        x, y0 = sol.x, sol.y
+    for tol in (1e-8, 1e-10):
+        sol = solve_bvp(make_fun(g_B), bc, x, y0, tol=tol, max_nodes=400_000)
+        assert sol.success, f"tol={tol}: {sol.message}"
+        x, y0 = sol.x, sol.y
+
+    # evaluate on the framework's save grid (dz=0.002, save_every=50)
+    z_save = np.arange(0.0, L + 1e-12, 0.1)
+    Y = sol.sol(z_save)
+    A = (Y[0:4] + 1j * Y[4:8]).T     # (S, 4)
+    B = (Y[8:12] + 1j * Y[12:16]).T
+    np.savez_compressed(
+        OUT / "golden_sbs_bvp.npz",
+        z=z_save, A_re=A.real, A_im=A.imag, B_re=B.real, B_im=B.imag,
+        gamma=gamma, alpha=alpha, g_B=g_B, delta_beta=delta_beta, L=L,
+        p_in=p_in, p_stokes=p_stokes,
+        bvp_rms_residual=float(np.max(sol.rms_residuals)),
+    )
+    print("golden_sbs_bvp.npz written; max rms residual",
+          float(np.max(sol.rms_residuals)))
+
+
 if __name__ == "__main__":
     main()
+    gen_sbs_bvp()

@@ -1,6 +1,8 @@
 """FWM + SBS two-point boundary-value model tests: decoupled limits,
 undepleted-pump analytics, convergence, energy bookkeeping."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -131,7 +133,7 @@ def test_run_sbs_batch_matches_singles():
     P_in = np.broadcast_to([0.1, 0.1, 1e-5, 0.0], (B, 4)).copy()
     P_st = np.broadcast_to([0.0, 0.0, 1e-6, 0.0], (B, 4)).copy()
     cfg = psa.custom_simulation_config(z_max=5.0, dz=0.01, save_every=10)
-    z, A, Bw, resid, refl, ok = sbs.run_sbs_batch(
+    z, A, Bw, resid, refl, ok, n_iters = sbs.run_sbs_batch(
         cfg, gamma=2.0, alpha=0.01, g_B=gB, delta_beta=0.5,
         P_in=P_in, P_stokes_seed=P_st, length_unit="m", n_iterations=20,
     )
@@ -146,3 +148,70 @@ def test_run_sbs_batch_matches_singles():
         np.testing.assert_allclose(Bw[i], res_i.B, rtol=1e-10, atol=1e-14)
     assert np.all(resid < 1e-8)
     assert np.all(ok)
+
+
+def test_fully_coupled_depleted_matches_solve_bvp_golden():
+    """Independent oracle: scipy.integrate.solve_bvp (tol=1e-10, FWM part
+    executed from the reference) on a fully-coupled, pump-depleted BVP
+    (54% pump depletion, 63% Stokes reflectivity).  Relaxation must agree
+    to <= 1e-6 (target); observed ~1e-7, limited by the frozen-field RK4
+    interpolation."""
+    g = np.load(Path(__file__).parent / "golden" / "golden_sbs_bvp.npz")
+    cfg = psa.custom_simulation_config(z_max=float(g["L"]), dz=0.002, save_every=50)
+    res = sbs.run_sbs_simulation(
+        cfg, gamma=float(g["gamma"]), alpha=float(g["alpha"]),
+        g_B=float(g["g_B"]), delta_beta=float(g["delta_beta"]),
+        p_in=g["p_in"], p_stokes_seed=g["p_stokes"], length_unit="m",
+        damping=0.5, tol=1e-13, max_iterations=2000,
+    )
+    A_ref = g["A_re"] + 1j * g["A_im"]
+    B_ref = g["B_re"] + 1j * g["B_im"]
+    np.testing.assert_allclose(res.z, g["z"], atol=1e-12)
+    assert res.residual < 1e-12          # converged, not budget-capped
+    assert res.n_iterations < 2000
+    assert np.max(np.abs(res.A - A_ref)) < 1e-6
+    assert np.max(np.abs(res.B - B_ref)) < 1e-6
+
+
+def test_tol_stops_iteration_early():
+    """tol > 0 stops as soon as the residual drops below it; the loose solve
+    uses strictly fewer sweeps and still reports its actual residual."""
+    cfg = psa.custom_simulation_config(z_max=5.0, dz=0.01, save_every=10)
+    common = dict(
+        gamma=0.5, alpha=0.01, g_B=1.0, delta_beta=0.0,
+        p_in=[0.2, 0.1, 1e-5, 0.0], p_stokes_seed=[1e-4, 0, 0, 0],
+        length_unit="m",
+    )
+    tight = sbs.run_sbs_simulation(cfg, tol=1e-12, max_iterations=100, **common)
+    loose = sbs.run_sbs_simulation(cfg, tol=1e-4, max_iterations=100, **common)
+    assert tight.residual <= 1e-12
+    assert loose.n_iterations < tight.n_iterations
+    assert loose.residual <= 1e-4
+    # both converged to the same physics at their tolerances
+    np.testing.assert_allclose(loose.A, tight.A, atol=1e-3)
+
+
+def test_batch_convergence_masking_matches_singles():
+    """Lanes converging at different sweep counts under one while_loop must
+    be bit-identical to solving each alone (self-masking body)."""
+    B = 3
+    gB = np.array([0.1, 1.0, 2.0])  # very different convergence speeds
+    P_in = np.broadcast_to([0.2, 0.1, 1e-5, 0.0], (B, 4)).copy()
+    P_st = np.broadcast_to([1e-3, 0.0, 0.0, 0.0], (B, 4)).copy()
+    cfg = psa.custom_simulation_config(z_max=3.0, dz=0.01, save_every=30)
+    z, A, Bw, resid, refl, ok, n_iters = sbs.run_sbs_batch(
+        cfg, gamma=0.5, alpha=0.01, g_B=gB, delta_beta=0.2,
+        P_in=P_in, P_stokes_seed=P_st, length_unit="m",
+        tol=1e-11, max_iterations=200,
+    )
+    assert np.all(ok)
+    assert n_iters[0] != n_iters[2]  # genuinely different lane schedules
+    for i in range(B):
+        res_i = sbs.run_sbs_simulation(
+            cfg, gamma=0.5, alpha=0.01, g_B=float(gB[i]), delta_beta=0.2,
+            p_in=list(P_in[i]), p_stokes_seed=list(P_st[i]), length_unit="m",
+            tol=1e-11, max_iterations=200,
+        )
+        assert int(n_iters[i]) == res_i.n_iterations
+        np.testing.assert_array_equal(A[i], res_i.A)
+        np.testing.assert_array_equal(Bw[i], res_i.B)
