@@ -89,12 +89,15 @@ from .io_fwm import (  # noqa: E402
     save_run_bundle,
     save_summary_csv,
     save_sweep_npz,
+    save_gain_map_npz,
+    load_gain_map_npz,
 )
 from .parallel import mesh as mesh_utils  # noqa: E402
 from .parallel import sweep as sweeps  # noqa: E402
 from .parallel.mesh import default_mesh  # noqa: E402
 from .parallel.sweep import (  # noqa: E402
     BatchSolveResult,
+    GainMapResult,
     SweepResult,
     dbeta_spectrum,
     gain_and_dbeta_spectrum,

@@ -307,3 +307,57 @@ def load_sweep_npz(path):
             except Exception:  # noqa: BLE001
                 metadata = {}
     return x, gain, dbeta, ok, metadata
+
+
+def save_gain_map_npz(
+    path,
+    gain_map,
+    *,
+    metadata: Optional[Dict[str, Any]] = None,
+    overwrite: bool = False,
+) -> Path:
+    """Persist a 2-D ``GainMapResult`` (x, pump_powers, gain, ok + metadata)
+    -- artifact parity with 1-D sweeps (``save_sweep_npz``)."""
+    p = _as_path(path, ".npz")
+    _check_writable(p, overwrite)
+    md = _finalize_metadata(metadata)
+    md.setdefault("gain_unit", gain_map.gain_unit)
+    md.setdefault("elapsed_s", gain_map.elapsed_s)
+    md.setdefault("points_per_s", gain_map.points_per_s)
+    np.savez_compressed(
+        p,
+        x=np.asarray(gain_map.x, dtype=float),
+        pump_powers=np.asarray(gain_map.pump_powers, dtype=float),
+        gain=np.asarray(gain_map.gain, dtype=float),
+        ok=np.asarray(gain_map.ok, dtype=np.int8),
+        metadata_json=np.array(
+            json.dumps(md, ensure_ascii=False, default=_json_default)
+        ),
+    )
+    return p
+
+
+def load_gain_map_npz(path):
+    """Load a gain-map artifact -> ``(GainMapResult, metadata)``."""
+    from .parallel.sweep import GainMapResult
+
+    p = _as_path(path)
+    if not p.exists():
+        raise FileNotFoundError(f"No such file: {p}")
+    with np.load(p, allow_pickle=False) as data:
+        metadata: Dict[str, Any] = {}
+        if "metadata_json" in data:
+            try:
+                metadata = json.loads(str(data["metadata_json"])) or {}
+            except Exception:  # noqa: BLE001
+                metadata = {}
+        gm = GainMapResult(
+            x=np.array(data["x"]),
+            pump_powers=np.array(data["pump_powers"]),
+            gain=np.array(data["gain"]),
+            ok=np.array(data["ok"]).astype(bool),
+            gain_unit=str(metadata.get("gain_unit", "db")),
+            elapsed_s=float(metadata.get("elapsed_s", 0.0)),
+            points_per_s=float(metadata.get("points_per_s", 0.0)),
+        )
+    return gm, metadata

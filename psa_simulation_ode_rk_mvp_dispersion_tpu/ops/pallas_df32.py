@@ -176,8 +176,7 @@ def _kernel_body(n_steps: int, save_every: int):
     return kernel
 
 
-@functools.lru_cache(maxsize=64)
-def _pallas_df32_solver(n_steps: int, save_every: int, interpret: bool, block: int):
+def _make_call(n_steps: int, save_every: int, interpret: bool, block: int):
     from jax.experimental import pallas as pl
 
     kernel = _kernel_body(n_steps, save_every)
@@ -213,7 +212,36 @@ def _pallas_df32_solver(n_steps: int, save_every: int, interpret: bool, block: i
             interpret=interpret,
         )(coef, y0)
 
-    return jax.jit(call)
+    return call
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_df32_solver(n_steps: int, save_every: int, interpret: bool, block: int):
+    return jax.jit(_make_call(n_steps, save_every, interpret, block))
+
+
+@functools.lru_cache(maxsize=16)
+def _pallas_df32_solver_sharded(
+    n_steps: int, save_every: int, interpret: bool, block: int, mesh
+):
+    """shard_map-wrapped fused kernel: the batch (lane) axis is split over the
+    mesh and each device runs the single-launch VMEM kernel on its shard --
+    embarrassingly SPMD, no collectives."""
+    from jax.sharding import PartitionSpec
+
+    call = _make_call(n_steps, save_every, interpret, block)
+    axes = tuple(mesh.axis_names)
+    spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
+    return jax.jit(
+        jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, spec, spec),
+            # pallas_call's ShapeDtypeStruct outputs carry no varying-mesh-axes
+            # annotation; the kernel is per-shard pure so the check is moot
+            check_vma=False,
+        )
+    ), spec
 
 
 def solve_batch_df32_pallas(
@@ -227,9 +255,13 @@ def solve_batch_df32_pallas(
     save_every: int,
     interpret: bool = False,
     block: int = BLOCK,
+    mesh=None,
 ):
     """Fused-kernel counterpart of ``df32_solver.solve_batch_df32``; same
-    contract and :class:`~.df32_solver.DF32BatchResult` result type."""
+    contract and :class:`~.df32_solver.DF32BatchResult` result type.
+
+    Pass ``mesh`` to split the batch axis over devices with ``shard_map``
+    (each chip runs the fused kernel on its shard; no collectives)."""
     from .df32_solver import DF32BatchResult
 
     A0 = np.asarray(A0, dtype=np.complex128)
@@ -240,7 +272,9 @@ def solve_batch_df32_pallas(
     alpha = np.broadcast_to(np.asarray(alpha, dtype=np.float64), (B,))
     dbeta = np.broadcast_to(np.asarray(delta_beta, dtype=np.float64), (B,))
 
-    mult = block if B >= block else LANES
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    # per-shard lane count must be a whole number of pallas blocks
+    mult = ndev * (block if B >= ndev * block else LANES)
     Bp = ((B + mult - 1) // mult) * mult
     pad = Bp - B
 
@@ -276,13 +310,22 @@ def solve_batch_df32_pallas(
     im_hi, im_lo = split_rows(A0p.imag.T)
     y0 = np.concatenate([re_hi, re_lo, im_hi, im_lo], axis=0)  # (16, Bp)
 
-    solver = _pallas_df32_solver(
-        int(n_steps), int(save_every), bool(interpret), int(block)
-    )
-    with jax.enable_x64(False):
-        pmax, y_last, ok = jax.block_until_ready(
-            solver(jnp.asarray(coef), jnp.asarray(y0))
+    if mesh is None:
+        solver = _pallas_df32_solver(
+            int(n_steps), int(save_every), bool(interpret), int(block)
         )
+        coef_dev, y0_dev = jnp.asarray(coef), jnp.asarray(y0)
+    else:
+        from jax.sharding import NamedSharding
+
+        solver, spec = _pallas_df32_solver_sharded(
+            int(n_steps), int(save_every), bool(interpret), int(block), mesh
+        )
+        sh = NamedSharding(mesh, spec)
+        coef_dev = jax.device_put(jnp.asarray(coef), sh)
+        y0_dev = jax.device_put(jnp.asarray(y0), sh)
+    with jax.enable_x64(False):
+        pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
 
     pmax = np.asarray(pmax, np.float64)
     P_max = (pmax[0:4] + pmax[4:8]).T[:B]

@@ -73,6 +73,31 @@ class BatchSolveResult:
 
 
 @dataclass(frozen=True)
+class GainMapResult:
+    """A 2-D (pump power x wavelength) gain map with per-cell ok mask.
+
+    Iterates as ``(x, pump_powers, gain)`` for drop-in use where the bare
+    tuple was previously returned."""
+
+    x: np.ndarray             # (Nl,) wavelengths [return_wavelength_unit]
+    pump_powers: np.ndarray   # (Np,) [W]
+    gain: np.ndarray          # (Np, Nl), NaN where failed/invalid
+    ok: np.ndarray            # (Np, Nl) bool
+    gain_unit: str
+    elapsed_s: float
+    points_per_s: float
+
+    def __iter__(self):
+        return iter((self.x, self.pump_powers, self.gain))
+
+    @property
+    def best_index(self):
+        """(ip, il) of the maximum finite gain."""
+        flat = int(np.nanargmax(self.gain))
+        return np.unravel_index(flat, self.gain.shape)
+
+
+@dataclass(frozen=True)
 class SweepResult:
     """A 1-D sweep: x grid + gain (+ optional dbeta) with NaN for failures."""
 
@@ -258,22 +283,22 @@ def solve_batch(
         # compensated two-float32 backend (rotating frame only): <=1e-12
         # parity on f64-less TPUs; see ops/df32_solver.py.  On TPU the fused
         # pallas kernel (ops/pallas_df32.py) computes bit-identical results
-        # ~1.8x faster than the scan and is selected by 'auto'/'pallas' for
-        # unsharded runs.
+        # ~1.8x faster than the scan and is selected by 'auto'/'pallas';
+        # with a mesh the kernel is shard_map-ped over the batch axis.
         on_tpu = jax.default_backend() == "tpu"
-        if engine == "pallas" and not (on_tpu and mesh is None):
+        if engine == "pallas" and not on_tpu:
             raise ValueError(
                 "engine='pallas' with precision='df32' requires a TPU backend "
-                "and no mesh (the CPU interpreter compile is pathological)"
+                "(the CPU interpreter compile is pathological)"
             )
         t0 = time.perf_counter()
-        if engine != "scan" and mesh is None and on_tpu:
+        if engine != "scan" and on_tpu:
             from ..ops.pallas_df32 import solve_batch_df32_pallas
 
             r = solve_batch_df32_pallas(
                 A0, gamma, alpha, dbeta,
                 dz_m=float(cfg.dz), n_steps=n_steps,
-                save_every=int(cfg.save_every),
+                save_every=int(cfg.save_every), mesh=mesh,
             )
         else:
             from ..ops.df32_solver import solve_batch_df32
@@ -934,11 +959,13 @@ def gain_map_power_wavelength(
     frame: str = "rotating",
     mesh=None,
     engine: str = "auto",
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> GainMapResult:
     """2-D scan: (pump power) x (signal wavelength) -> gain map.
 
     BASELINE.json config 4: 10^4+ instances batched in one program.  Returns
-    ``(x_wavelength (Nl,), pump_powers (Np,), gain (Np, Nl))``.
+    a :class:`GainMapResult` (iterable as ``(x, pump_powers, gain)``), with
+    the per-cell ``ok`` mask and persistence via
+    ``io_fwm.save_gain_map_npz``.
     """
     validate_config(cfg)
     gu = _norm_gain_unit(gain_unit)
@@ -986,9 +1013,15 @@ def gain_map_power_wavelength(
     res = solve_batch(cfg_m, coeffs, A0.astype(np.complex128), frame=frame,
                       mesh=mesh, engine=engine)
     P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
-    gain = _gain_from_power(P3, p_sig, res.ok & valid_flat, gu)
-    return (
-        _x_wavelength(lam3, return_wavelength_unit),
-        pows,
-        gain.reshape(Np, Nl),
+    ok = res.ok & valid_flat
+    gain = _gain_from_power(P3, p_sig, ok, gu)
+    pts = B / res.elapsed_s if res.elapsed_s > 0 else float("inf")
+    return GainMapResult(
+        x=_x_wavelength(lam3, return_wavelength_unit),
+        pump_powers=pows,
+        gain=gain.reshape(Np, Nl),
+        ok=ok.reshape(Np, Nl),
+        gain_unit=gu,
+        elapsed_s=res.elapsed_s,
+        points_per_s=pts,
     )

@@ -102,6 +102,30 @@ def test_sweep_npz_roundtrip(tmp_path):
     assert md["gain_unit"] == "db"
 
 
+def test_gain_map_npz_roundtrip(tmp_path):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel.sweep import GainMapResult
+
+    gm = GainMapResult(
+        x=np.linspace(1540, 1560, 4),
+        pump_powers=np.array([0.1, 0.2, 0.3]),
+        gain=np.arange(12, dtype=float).reshape(3, 4),
+        ok=np.array([[1, 1, 0, 1]] * 3, dtype=bool),
+        gain_unit="db", elapsed_s=0.25, points_per_s=48.0,
+    )
+    p = io_fwm.save_gain_map_npz(tmp_path / "gmap", gm, metadata={"note": "t"})
+    got, md = io_fwm.load_gain_map_npz(p)
+    np.testing.assert_array_equal(got.x, gm.x)
+    np.testing.assert_array_equal(got.pump_powers, gm.pump_powers)
+    np.testing.assert_array_equal(got.gain, gm.gain)
+    np.testing.assert_array_equal(got.ok, gm.ok)
+    assert got.gain_unit == "db" and md["note"] == "t"
+    # tuple-compat iteration
+    x, pows, gain = got
+    np.testing.assert_array_equal(gain, gm.gain)
+    with pytest.raises(FileExistsError):
+        io_fwm.save_gain_map_npz(p, gm)
+
+
 # ---------------------------------------------------------------------------
 # Plotting (Agg backend; assert files are produced, incl. the dbW paths)
 # ---------------------------------------------------------------------------
