@@ -36,12 +36,120 @@ def default_mesh(
 
 
 def batch_sharding(mesh: Mesh, *, axis_name: str = BATCH_AXIS) -> NamedSharding:
-    """Shard the leading (batch) axis; replicate everything else."""
-    return NamedSharding(mesh, PartitionSpec(axis_name))
+    """Shard the leading (batch) axis over EVERY mesh axis; replicate the
+    rest.  On a 1-D mesh this is the plain batch split; on a multihost
+    (dcn, batch) mesh the lead axis folds over both."""
+    axes = tuple(mesh.axis_names)
+    spec = PartitionSpec(axes if len(axes) > 1 else axes[0])
+    return NamedSharding(mesh, spec)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> bool:
+    """Guarded ``jax.distributed.initialize``: returns True if a multi-process
+    runtime is (now) active, False for the single-process case.
+
+    Safe to call unconditionally: no-ops when already initialized or when no
+    coordinator is configured (neither arguments nor the standard cluster
+    env vars JAX_COORDINATOR_ADDRESS / cloud auto-detection).  On CPU
+    clusters set ``JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo`` (or pass
+    ``cluster_detection_method``) before the first backend query.
+    """
+    import jax
+
+    # NOTE: don't touch jax.process_count()/jax.devices() before initialize --
+    # any backend query locks in the single-process runtime.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    import os
+
+    have_cfg = (
+        coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if not have_cfg:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError:
+        # already initialized (e.g. by the launcher)
+        pass
+    return jax.process_count() > 1
+
+
+def multihost_mesh(
+    *,
+    axis_name: str = BATCH_AXIS,
+    dcn_axis_name: str = "dcn",
+) -> Optional[Mesh]:
+    """Mesh spanning every process: a (process, local-device) 2-D mesh with
+    the slow cross-host links isolated on ``dcn_axis_name``.
+
+    The sweep workload is embarrassingly parallel, so both axes carry the
+    batch; keeping them separate lets any collective-bearing model (e.g. the
+    comb's wave axis) stay inside a host while the batch rides DCN.  Returns
+    a 1-D local mesh (or None) when only one process is present.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return default_mesh(axis_name=axis_name)
+    # Group devices by owning process: the process boundary IS the DCN
+    # boundary on multi-host pods (and on the CPU cluster stand-in, where
+    # devices carry no slice_index for mesh_utils.create_hybrid_device_mesh).
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    grid = np.asarray(devs).reshape(jax.process_count(), -1)
+    return Mesh(grid, (dcn_axis_name, axis_name))
+
+
+def put_global(arr: np.ndarray, sharding: NamedSharding):
+    """Place a host array onto a (possibly multi-process) sharding.
+
+    Single-process meshes use a plain ``device_put``.  When the mesh spans
+    processes (some devices not addressable here), every process must hold
+    the same global host array; each contributes its addressable shards via
+    ``jax.make_array_from_callback``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    arr = np.asarray(arr)
+    if sharding.is_fully_addressable:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def put_global_tree(tree, sharding: NamedSharding):
+    """``put_global`` over every array leaf of a pytree."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
+
+
+def fetch_global(x) -> np.ndarray:
+    """Fetch a device array to host numpy, all-gathering across processes
+    when the array is not fully addressable locally."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def pad_batch(arr: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:

@@ -210,6 +210,18 @@ def _batch_adaptive_solver(frame: str, rtol: float, atol: float, max_steps: int)
     return jax.jit(batch)
 
 
+def _default_progress(done: int, total: int, elapsed: float) -> None:
+    """Reference-style live instrumentation (scan_mismtach.py:162-180):
+    elapsed total / avg per point / throughput, printed per dispatched chunk."""
+    pts = done / elapsed if elapsed > 0 else float("inf")
+    avg_ms = 1e3 * elapsed / max(done, 1)
+    print(
+        f"[sweep {done}/{total}] elapsed {elapsed:8.2f} s | "
+        f"avg {avg_ms:7.3f} ms/pt | {pts:10.1f} pt/s",
+        flush=True,
+    )
+
+
 def solve_batch(
     cfg: SimulationConfig,
     coeffs: RHSCoeffs,
@@ -219,6 +231,8 @@ def solve_batch(
     mesh=None,
     unroll: int = 4,
     engine: str = "auto",
+    progress=None,
+    progress_chunk: int = 16384,
 ) -> BatchSolveResult:
     """Solve B independent 4-wave instances in one XLA program.
 
@@ -248,6 +262,48 @@ def solve_batch(
 
     if engine not in ("auto", "scan", "pallas"):
         raise ValueError(f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}")
+
+    if progress is not None and B > int(progress_chunk):
+        # Chunked dispatch: live in-flight instrumentation for long scans
+        # (the reference shows tqdm throughput on every sweep,
+        # scan_mismtach.py:117-124/:162-180; one monolithic XLA program is a
+        # silent black box).  Every chunk is padded to the same shape, so the
+        # whole scan still compiles exactly once per engine.
+        chunk = int(progress_chunk)
+        t0 = time.perf_counter()
+        parts = []
+        done = 0
+        for s in range(0, B, chunk):
+            e = min(s + chunk, B)
+            n_sub = e - s
+            pad = chunk - n_sub
+            sl = slice(s, e)
+
+            def padded(x):
+                if pad == 0:
+                    return x[sl]
+                return np.concatenate([x[sl], np.repeat(x[e - 1:e], pad, axis=0)])
+
+            sub = solve_batch(
+                cfg,
+                RHSCoeffs(gamma=padded(gamma), alpha=padded(alpha),
+                          delta_beta=padded(dbeta)),
+                padded(A0),
+                frame=frame, mesh=mesh, unroll=unroll, engine=engine,
+                progress=None,
+            )
+            parts.append((sub, n_sub))
+            done += n_sub
+            progress(done, B, time.perf_counter() - t0)
+        elapsed = time.perf_counter() - t0
+        return BatchSolveResult(
+            P_max=np.concatenate([r.P_max[:n] for r, n in parts]),
+            P_end=np.concatenate([r.P_end[:n] for r, n in parts]),
+            A_end=np.concatenate([r.A_end[:n] for r, n in parts]),
+            ok=np.concatenate([r.ok[:n] for r, n in parts]),
+            elapsed_s=elapsed,
+            instances_per_s=B / elapsed if elapsed > 0 else float("inf"),
+        )
 
     def _result(r, elapsed):
         return BatchSolveResult(
@@ -349,7 +405,7 @@ def solve_batch(
 
     n_orig = B
     if mesh is not None:
-        from .mesh import batch_sharding, pad_batch
+        from .mesh import batch_sharding, pad_batch, put_global
 
         ndev = int(np.prod(list(mesh.shape.values())))
         A0_p, n_orig = pad_batch(A0, ndev)
@@ -357,12 +413,14 @@ def solve_batch(
         alpha_p, _ = pad_batch(alpha, ndev)
         dbeta_p, _ = pad_batch(dbeta, ndev)
         sh = batch_sharding(mesh)
-        y0_dev = jax.device_put(jnp.asarray(ri_pack_host(A0_p, rdt)), sh)
+        y0_dev = put_global(ri_pack_host(A0_p, rdt), sh)
         coeffs_dev = RHSCoeffs(
-            gamma=jax.device_put(jnp.asarray(gamma_p, dtype=rdt), sh),
-            alpha=jax.device_put(jnp.asarray(alpha_p, dtype=rdt), sh),
-            delta_beta=jax.device_put(jnp.asarray(dbeta_p, dtype=rdt), sh),
+            gamma=put_global(np.asarray(gamma_p, dtype=rdt), sh),
+            alpha=put_global(np.asarray(alpha_p, dtype=rdt), sh),
+            delta_beta=put_global(np.asarray(dbeta_p, dtype=rdt), sh),
         )
+
+    from .mesh import fetch_global
 
     t0 = time.perf_counter()
     pmax, a_ri, ok = solver(
@@ -371,9 +429,9 @@ def solve_batch(
     pmax, a_ri, ok = jax.block_until_ready((pmax, a_ri, ok))
     elapsed = time.perf_counter() - t0
 
-    pmax = np.asarray(pmax, dtype=np.float64)[:n_orig]
-    a_ri = np.asarray(a_ri)[:n_orig]
-    ok = np.asarray(ok)[:n_orig].astype(bool)
+    pmax = fetch_global(pmax).astype(np.float64)[:n_orig]
+    a_ri = fetch_global(a_ri)[:n_orig]
+    ok = fetch_global(ok)[:n_orig].astype(bool)
     A_end = ri_unpack_host(a_ri)
     P_end = np.abs(A_end) ** 2
 
@@ -424,28 +482,30 @@ def _solve_batch_rk45(
 
     n_orig = B
     if mesh is not None:
-        from .mesh import batch_sharding, pad_batch
+        from .mesh import batch_sharding, pad_batch, put_global
 
         ndev = int(np.prod(list(mesh.shape.values())))
         A0_p, n_orig = pad_batch(A0, ndev)
         sh = batch_sharding(mesh)
-        y0_dev = jax.device_put(jnp.asarray(ri_pack_host(A0_p, rdt)), sh)
+        y0_dev = put_global(ri_pack_host(A0_p, rdt), sh)
         coeffs_dev = RHSCoeffs(
-            gamma=jax.device_put(jnp.asarray(pad_batch(gamma, ndev)[0], dtype=rdt), sh),
-            alpha=jax.device_put(jnp.asarray(pad_batch(alpha, ndev)[0], dtype=rdt), sh),
-            delta_beta=jax.device_put(
-                jnp.asarray(pad_batch(dbeta, ndev)[0], dtype=rdt), sh
+            gamma=put_global(np.asarray(pad_batch(gamma, ndev)[0], dtype=rdt), sh),
+            alpha=put_global(np.asarray(pad_batch(alpha, ndev)[0], dtype=rdt), sh),
+            delta_beta=put_global(
+                np.asarray(pad_batch(dbeta, ndev)[0], dtype=rdt), sh
             ),
         )
+
+    from .mesh import fetch_global
 
     t0 = time.perf_counter()
     pmax, a_ri, ok = solver(y0_dev, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
     pmax, a_ri, ok = jax.block_until_ready((pmax, a_ri, ok))
     elapsed = time.perf_counter() - t0
 
-    pmax = np.asarray(pmax, dtype=np.float64)[:n_orig]
-    a_ri = np.asarray(a_ri)[:n_orig]
-    ok = np.asarray(ok)[:n_orig].astype(bool)
+    pmax = fetch_global(pmax).astype(np.float64)[:n_orig]
+    a_ri = fetch_global(a_ri)[:n_orig]
+    ok = fetch_global(ok)[:n_orig].astype(bool)
     A_end = ri_unpack_host(a_ri)
     return BatchSolveResult(
         P_max=pmax,
@@ -551,17 +611,19 @@ def solve_batch_trajectories(
         delta_beta=jnp.asarray(dbeta, dtype=rdt),
     )
     if mesh is not None:
-        from .mesh import batch_sharding, pad_batch
+        from .mesh import batch_sharding, pad_batch, put_global
 
         ndev = int(np.prod(list(mesh.shape.values())))
         A0_p, n_orig = pad_batch(A0, ndev)
         sh = batch_sharding(mesh)
-        y0_ri = jax.device_put(jnp.asarray(ri_pack_host(A0_p, rdt)), sh)
+        y0_ri = put_global(ri_pack_host(A0_p, rdt), sh)
         coeffs_dev = RHSCoeffs(
-            gamma=jax.device_put(jnp.asarray(pad_batch(gamma, ndev)[0], dtype=rdt), sh),
-            alpha=jax.device_put(jnp.asarray(pad_batch(alpha, ndev)[0], dtype=rdt), sh),
-            delta_beta=jax.device_put(jnp.asarray(pad_batch(dbeta, ndev)[0], dtype=rdt), sh),
+            gamma=put_global(np.asarray(pad_batch(gamma, ndev)[0], dtype=rdt), sh),
+            alpha=put_global(np.asarray(pad_batch(alpha, ndev)[0], dtype=rdt), sh),
+            delta_beta=put_global(np.asarray(pad_batch(dbeta, ndev)[0], dtype=rdt), sh),
         )
+    from .mesh import fetch_global
+
     if adaptive:
         n_chunks = max(1, n_steps // int(cfg.save_every))
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
@@ -574,9 +636,9 @@ def solve_batch_trajectories(
             y0_ri, coeffs_dev,
             jnp.asarray(0.0, dtype=rdt), jnp.asarray(cfg.dz, dtype=rdt),
         )
-        z = np.asarray(z, dtype=np.float64)
-    A = ri_unpack_host(np.asarray(y_ri))[:n_orig]
-    return z, A, np.asarray(ok).astype(bool)[:n_orig]
+        z = fetch_global(z).astype(np.float64)
+    A = ri_unpack_host(fetch_global(y_ri))[:n_orig]
+    return z, A, fetch_global(ok).astype(bool)[:n_orig]
 
 
 # ---------------------------------------------------------------------------
@@ -733,7 +795,10 @@ def gain_and_dbeta_spectrum(
         delta_beta=dbeta_m,
     )
 
-    res = solve_batch(cfg_m, coeffs, A0, frame=frame, mesh=mesh, engine=engine)
+    res = solve_batch(
+        cfg_m, coeffs, A0, frame=frame, mesh=mesh, engine=engine,
+        progress=_default_progress if verbose else None,
+    )
 
     P3_metric = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
     ok = res.ok & valid
@@ -844,7 +909,10 @@ def mismatch_scan(
         alpha=np.full(B, float(alpha) / scale_to_m),
         delta_beta=db / scale_to_m,
     )
-    res = solve_batch(cfg_m, coeffs, A0, frame=frame, mesh=mesh, engine=engine)
+    res = solve_batch(
+        cfg_m, coeffs, A0, frame=frame, mesh=mesh, engine=engine,
+        progress=_default_progress if verbose else None,
+    )
 
     P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
     P4 = res.P_max[:, 3] if gain_mode == "max" else res.P_end[:, 3]
@@ -959,6 +1027,7 @@ def gain_map_power_wavelength(
     frame: str = "rotating",
     mesh=None,
     engine: str = "auto",
+    verbose: bool = False,
 ) -> GainMapResult:
     """2-D scan: (pump power) x (signal wavelength) -> gain map.
 
@@ -1010,8 +1079,11 @@ def gain_map_power_wavelength(
         alpha=np.full(B, float(alpha) / scale_to_m),
         delta_beta=dbeta_flat,
     )
-    res = solve_batch(cfg_m, coeffs, A0.astype(np.complex128), frame=frame,
-                      mesh=mesh, engine=engine)
+    res = solve_batch(
+        cfg_m, coeffs, A0.astype(np.complex128), frame=frame,
+        mesh=mesh, engine=engine,
+        progress=_default_progress if verbose else None,
+    )
     P3 = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
     ok = res.ok & valid_flat
     gain = _gain_from_power(P3, p_sig, ok, gu)
