@@ -115,8 +115,32 @@ def main() -> None:
             "ok_fraction": float(np.mean(ok)),
         }
 
+    # fused single-launch VMEM kernel (ops/pallas_comb.py): TPU x32 only
+    if backend == "tpu":
+        try:
+            nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+            t0 = time.perf_counter()
+            _, _, okk = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+            elk = time.perf_counter() - t0
+            inst_steps = BATCH * N_STEPS / elk
+            L = nw._fft_len(N_LINES)
+            results["pallas"] = {
+                "elapsed_s": round(elk, 4),
+                "instance_steps_per_s": round(inst_steps),
+                "est_tflops_per_s": round(
+                    inst_steps * _flops_per_rk4_step(N_LINES, L, "dft") / 1e12, 3
+                ),
+                "ok_fraction": float(np.mean(okk)),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"# pallas comb kernel skipped: {e}", file=sys.stderr)
+
     best = max(results, key=lambda k: results[k]["instance_steps_per_s"])
     best_rate = results[best]["instance_steps_per_s"]
+    # rk45/accuracy lanes need a *coupling* (the pallas entry is an engine)
+    best_coupling = max(
+        ("fft", "dft"), key=lambda k: results[k]["instance_steps_per_s"]
+    )
 
     # --- rk45 adaptive lane (smaller batch; wall-clock depends on stiffness)
     cfg45 = psa.custom_simulation_config(
@@ -130,9 +154,9 @@ def main() -> None:
         gamma=gammas[:B45], alpha=np.full(B45, 5e-5),
         beta_lin=np.broadcast_to(np.asarray(coeffs1.beta_lin, float), (B45, N_LINES)),
     )
-    nw.solve_comb_batch(cfg45, c45, A0[:B45], coupling=best)
+    nw.solve_comb_batch(cfg45, c45, A0[:B45], coupling=best_coupling)
     t0 = time.perf_counter()
-    _, _, ok45 = nw.solve_comb_batch(cfg45, c45, A0[:B45], coupling=best)
+    _, _, ok45 = nw.solve_comb_batch(cfg45, c45, A0[:B45], coupling=best_coupling)
     el45 = time.perf_counter() - t0
     rk45_combs_per_s = B45 / el45
 
@@ -147,7 +171,7 @@ def main() -> None:
                 np.asarray(coeffs1.beta_lin, float), (sub, N_LINES)
             ),
         )
-        _, A_fast, _ = nw.solve_comb_batch(cfg, csub, A0[:sub], coupling=best)
+        _, A_fast, _ = nw.solve_comb_batch(cfg, csub, A0[:sub], coupling=best_coupling)
         if precision != "x64" and cpu:
             with jax.default_device(cpu[0]):
                 cfg64 = psa.custom_simulation_config(
@@ -174,7 +198,8 @@ def main() -> None:
         "batch": BATCH,
         "rk4_steps": N_STEPS,
         "coupling_paths": results,
-        "best_coupling": best,
+        "best_path": best,
+        "best_coupling": best_coupling,
         "rk45_combs_per_s": round(rk45_combs_per_s, 1),
         "rk45_ok_fraction": float(np.mean(ok45)),
         "subset_max_rel_power_err_vs_x64": max_rel_err,

@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--precision", default="x64", choices=("x64", "x32", "df32"),
                    help="dtype tier (x64 = reference parity; x32/df32 = TPU)")
+    p.add_argument("--integrator", default="rk4", choices=("rk4", "rk45"),
+                   help="ODE stepper for sweep/single commands")
+    p.add_argument("--shard", action="store_true",
+                   help="shard the batch over all local devices (default_mesh)")
     p.add_argument("--save-dir", default=None, help="write result bundles here")
     p.add_argument("--no-show", action="store_true", help="do not open plot windows")
     p.add_argument("--quiet", action="store_true")
@@ -54,11 +58,18 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("comb", help="N-wave cascaded FWM comb generation")
     s.add_argument("--lines", type=int, default=64)
     s.add_argument("--z-max", type=float, default=100.0, help="fiber length [m]")
-    s.add_argument("--integrator", default="rk45", choices=("rk4", "rk45"))
+    s.add_argument("--comb-integrator", default="rk45", choices=("rk4", "rk45"))
+    s.add_argument("--coupling", default="fft", choices=("fft", "dft", "einsum"),
+                   help="cubic-sum evaluation (dft = dense MXU matmuls)")
 
     s = sub.add_parser("sbs", help="coupled FWM + SBS forward/backward solve")
     s.add_argument("--z-max", type=float, default=200.0, help="fiber length [m]")
     s.add_argument("--gb", type=float, default=150.0, help="Brillouin gain [1/(W km)]")
+    s.add_argument("--tol", type=float, default=1e-10,
+                   help="relaxation stops when the B-field residual drops below this")
+    s.add_argument("--damping", type=float, default=1.0,
+                   help="under-relaxation factor (use <1 above SBS threshold)")
+    s.add_argument("--max-iterations", type=int, default=200)
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
@@ -68,38 +79,45 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from . import experiments as ex
 
+    mesh = None
+    if args.shard:
+        from .parallel.mesh import default_mesh
+
+        mesh = default_mesh()
     common = dict(
         precision=args.precision,
         show=not args.no_show,
         save_dir=args.save_dir,
     )
+    sweep_common = dict(common, integrator=args.integrator, mesh=mesh)
     verbose = not args.quiet
 
     if args.cmd == "single":
         ex.single_simulation(
             z_max_m=args.z_max, dz_m=args.dz, lambda_signal=args.lambda_signal,
-            verbose=verbose, **common,
+            verbose=verbose, integrator=args.integrator, **common,
         )
     elif args.cmd == "spectrum":
-        ex.gain_spectrum(n_points=args.points, verbose=verbose, **common)
+        ex.gain_spectrum(n_points=args.points, verbose=verbose, **sweep_common)
     elif args.cmd == "spectrum-dbeta":
-        ex.gain_spectrum_dbeta(n_points=args.points, verbose=verbose, **common)
+        ex.gain_spectrum_dbeta(n_points=args.points, verbose=verbose, **sweep_common)
     elif args.cmd == "mismatch":
         ex.mismatch_scan(
             span=args.span, n_points=args.points, gain_mode=args.gain_mode,
-            verbose=verbose, **common,
+            verbose=verbose, **sweep_common,
         )
     elif args.cmd == "psa-phase":
-        ex.psa_phase_sweep(n_points=args.points, verbose=verbose, **common)
+        ex.psa_phase_sweep(n_points=args.points, verbose=verbose, **sweep_common)
     elif args.cmd == "gain-map":
-        ex.gain_map(n_wavelengths=args.wavelengths, **{
-            k: v for k, v in common.items() if k != "verbose"
-        })
+        ex.gain_map(n_wavelengths=args.wavelengths, **sweep_common)
     elif args.cmd == "comb":
         ex.comb(n_lines=args.lines, z_max_m=args.z_max,
-                integrator=args.integrator, verbose=verbose, **common)
+                integrator=args.comb_integrator, coupling=args.coupling,
+                verbose=verbose, **common)
     elif args.cmd == "sbs":
         ex.fwm_sbs(z_max_m=args.z_max, g_B_km=args.gb, verbose=verbose,
+                   tol=args.tol, damping=args.damping,
+                   max_iterations=args.max_iterations,
                    **{k: v for k, v in common.items() if k != "precision"})
     elif args.cmd == "bench":
         import runpy

@@ -66,6 +66,7 @@ def single_simulation(
     alpha_db_per_km: float = 0.9,
     p_in=(0.5, 0.5, 1e-5, 1e-5),
     precision: str = "x64",
+    integrator: str = "rk4",
     show: bool = True,
     save_dir: Optional[str] = None,
     verbose: bool = True,
@@ -73,7 +74,9 @@ def single_simulation(
     """Single dual-pump run with dispersion-aware phase matching; prints the
     plan and result summary, plots powers in dBW.  Defaults reproduce
     reference ``main_single_simulation`` (main.py:22-117; 45.292 dB anchor)."""
-    cfg = custom_simulation_config(z_max=z_max_m, dz=dz_m, precision=precision)
+    cfg = custom_simulation_config(
+        z_max=z_max_m, dz=dz_m, precision=precision, integrator=integrator
+    )
     omega, sp, disp = _dispersion_at_pump_center(
         lambda_p1, lambda_p2, lambda_signal, D=D, S=S
     )
@@ -134,6 +137,7 @@ def gain_spectrum(
     alpha_db_per_km: float = 0.5,
     p_in=(0.5, 0.5, 1e-7, 1e-7),
     precision: str = "x64",
+    integrator: str = "rk4",
     mesh=None,
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -141,7 +145,9 @@ def gain_spectrum(
 ):
     """Signal-wavelength gain spectrum (defaults: reference
     ``main_gain_spectrum``, main.py:119-203) -- one batched solve."""
-    cfg = custom_simulation_config(z_max=z_max_m, dz=dz_m, precision=precision)
+    cfg = custom_simulation_config(
+        z_max=z_max_m, dz=dz_m, precision=precision, integrator=integrator
+    )
     lam3 = np.linspace(*lambda_signal_range, n_points)
     _, _, disp = _dispersion_at_pump_center(lambda_p1, lambda_p2, float(lam3[0]), D=D, S=S)
     res = sweeps.gain_spectrum(
@@ -176,6 +182,7 @@ def gain_spectrum_dbeta(
     alpha_db_per_km: float = 0.5,
     p_in=(0.1, 0.1, 1e-7, 1e-7),
     precision: str = "x64",
+    integrator: str = "rk4",
     mesh=None,
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -183,7 +190,9 @@ def gain_spectrum_dbeta(
 ):
     """Combined gain + dbeta spectrum with the -gamma(P1+P2) overlay
     (defaults: reference ``main_gain_spectrum_dbeta``, main.py:206-280)."""
-    cfg = custom_simulation_config(z_max=z_max_m, dz=dz_m, precision=precision)
+    cfg = custom_simulation_config(
+        z_max=z_max_m, dz=dz_m, precision=precision, integrator=integrator
+    )
     lam3 = np.linspace(*lambda_signal_range, n_points)
     _, _, disp = _dispersion_at_pump_center(lambda_p1, lambda_p2, float(lam3[0]), D=D, S=S)
     p0 = np.asarray(p_in, dtype=float)
@@ -218,6 +227,7 @@ def mismatch_scan(
     p_signal: float = 1e-5,
     gain_mode: str = "end",
     precision: str = "x64",
+    integrator: str = "rk4",
     mesh=None,
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -226,7 +236,9 @@ def mismatch_scan(
     """Gain vs provided phase mismatch (the working realization of the
     reference's stale ``scan_mismatch_seeded_signal``, scan_mismtach.py:43-259:
     same physics defaults, batched)."""
-    cfg = custom_simulation_config(z_max=z_max_km, dz=dz_km, precision=precision)
+    cfg = custom_simulation_config(
+        z_max=z_max_km, dz=dz_km, precision=precision, integrator=integrator
+    )
     db = np.linspace(-span, span, n_points)
     sig, idl = sweeps.mismatch_scan(
         cfg=cfg, gamma=gamma_km, alpha=0.0,
@@ -294,13 +306,16 @@ def psa_phase_sweep(
     p_idler: float = 1e-4,
     delta_beta_km: float = 0.0,
     precision: str = "x64",
+    integrator: str = "rk4",
     mesh=None,
     show: bool = True,
     save_dir: Optional[str] = None,
     verbose: bool = True,
 ):
     """Phase-sensitive gain vs input signal phase (BASELINE config 3)."""
-    cfg = custom_simulation_config(z_max=z_max_km, dz=dz_km, precision=precision)
+    cfg = custom_simulation_config(
+        z_max=z_max_km, dz=dz_km, precision=precision, integrator=integrator
+    )
     phases = np.linspace(0.0, 2 * np.pi, n_points)
     res = sweeps.psa_phase_sweep(
         cfg=cfg, gamma=gamma_km, alpha=0.0,
@@ -337,12 +352,15 @@ def gain_map(
     gamma_km: float = 11.5,
     alpha_db_per_km: float = 0.5,
     precision: str = "x64",
+    integrator: str = "rk4",
     mesh=None,
     show: bool = True,
     save_dir: Optional[str] = None,
 ):
     """2-D pump-power x wavelength gain map (BASELINE config 4)."""
-    cfg = custom_simulation_config(z_max=z_max_m, dz=dz_m, precision=precision)
+    cfg = custom_simulation_config(
+        z_max=z_max_m, dz=dz_m, precision=precision, integrator=integrator
+    )
     lam3 = np.linspace(*lambda_signal_range, n_wavelengths)
     _, _, disp = _dispersion_at_pump_center(lambda_p1, lambda_p2, float(lam3[0]), D=D, S=S)
     x, pows, gm = sweeps.gain_map_power_wavelength(
@@ -373,6 +391,7 @@ def comb(
     gamma_km: float = 11.5,
     alpha_db_per_km: float = 0.5,
     integrator: str = "rk45",
+    coupling: str = "fft",
     precision: str = "x64",
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -407,7 +426,7 @@ def comb(
         z_max=z_max_m, dz=dz_m, save_every=max(1, int(round(z_max_m / dz_m)) // 50),
         integrator=integrator, precision=precision,
     )
-    z, A = nw.run_comb_simulation(cfg, coeffs, A0)
+    z, A = nw.run_comb_simulation(cfg, coeffs, A0, coupling=coupling)
     if verbose:
         P_end = _np.abs(A[-1]) ** 2
         n_above = int((P_end > 1e-9).sum())
@@ -436,6 +455,9 @@ def fwm_sbs(
     p_in=(0.5, 0.5, 1e-5, 0.0),
     p_stokes_seed=(1e-6, 1e-6, 0.0, 0.0),
     n_iterations: int = 40,
+    damping: float = 1.0,
+    tol: float = 0.0,
+    max_iterations=None,
     show: bool = True,
     save_dir: Optional[str] = None,
     verbose: bool = True,
@@ -450,7 +472,8 @@ def fwm_sbs(
         alpha=alpha_db_per_km_to_1_m(alpha_db_per_km),
         g_B=g_B_km / 1000.0, delta_beta=delta_beta,
         p_in=list(p_in), p_stokes_seed=list(p_stokes_seed),
-        length_unit="m", n_iterations=n_iterations,
+        length_unit="m", n_iterations=n_iterations, damping=damping,
+        tol=tol, max_iterations=max_iterations,
     )
     if verbose:
         print(f"SBS relaxation: residual {res.residual:.2e} after {res.n_iterations} sweeps")

@@ -470,6 +470,7 @@ def solve_comb_batch(
     mesh=None,
     unroll: int = 2,
     coupling: str = "fft",
+    engine: str = "auto",
 ):
     """Solve B independent combs in one XLA program.
 
@@ -480,6 +481,11 @@ def solve_comb_batch(
     shard the batch axis.  ``cfg.integrator`` selects fixed RK4 or adaptive
     RK45 (dense output on the decimated save grid; note the adaptive P_max
     includes the initial state row, like the fixed path).
+
+    ``engine``: 'scan' (XLA loop, any coupling/integrator), 'pallas' (fused
+    single-launch VMEM kernel: TPU, rk4, x32, DFT-matmul coupling, no mesh),
+    or 'auto' (scan; the kernel is opt-in since its advantage is
+    width-dependent -- ~+60% at N=128, ~+20% at N=64 over the scan).
     """
     from ..utils.units import length_scale_to_m
 
@@ -498,6 +504,23 @@ def solve_comb_batch(
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
     alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
     beta = np.broadcast_to(np.asarray(coeffs.beta_lin, dtype=float), (B, N))
+
+    if engine not in ("auto", "scan", "pallas"):
+        raise ValueError(f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}")
+    if engine == "pallas":
+        on_tpu = jax.default_backend() == "tpu"
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError("engine='pallas' comb solver implements rk4 only")
+        if precision != "x32":
+            raise ValueError("engine='pallas' comb solver is x32 only")
+        if mesh is not None:
+            raise ValueError("engine='pallas' comb solver does not take a mesh yet")
+        from ..ops.pallas_comb import solve_batch_pallas_comb_result
+
+        return solve_batch_pallas_comb_result(
+            A0, gamma, alpha, beta, dz_m=dz_m, n_steps=n_steps,
+            save_every=int(cfg.save_every), interpret=not on_tpu,
+        )
 
     n_orig = B
     if mesh is not None:

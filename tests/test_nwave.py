@@ -306,3 +306,41 @@ def test_solve_comb_batch_dft_coupling_end_to_end():
     assert np.all(ok1) and np.all(ok2)
     np.testing.assert_allclose(A2, A1, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(P2, P1, rtol=1e-8, atol=1e-10)
+
+
+def test_solve_comb_batch_pallas_engine_interpret_parity():
+    """engine='pallas' (fused VMEM kernel; interpret mode off-TPU) matches
+    the scan engine with dft coupling at x32."""
+    n, B = 8, 4
+    rng = np.random.default_rng(2)
+    A0 = rng.normal(size=(B, n)) * 0.3 + 1j * rng.normal(size=(B, n)) * 0.3
+    coeffs = nw.NWaveCoeffs(
+        gamma=np.linspace(0.5, 1.5, B), alpha=np.full(B, 0.02),
+        beta_lin=np.broadcast_to(np.linspace(-0.3, 0.3, n), (B, n)),
+    )
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=0.01, save_every=10,
+                                       precision="x32")
+    P1, A1, ok1 = nw.solve_comb_batch(cfg, coeffs, A0, coupling="dft")
+    P2, A2, ok2 = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+    assert ok1.all() and ok2.all()
+    np.testing.assert_allclose(A2, A1, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(P2, P1, rtol=2e-5, atol=1e-7)
+
+
+def test_solve_comb_batch_pallas_engine_validation():
+    n, B = 8, 4
+    A0 = np.ones((B, n), dtype=np.complex128) * 0.1
+    coeffs = nw.NWaveCoeffs(
+        gamma=np.full(B, 1.0), alpha=np.zeros(B),
+        beta_lin=np.zeros((B, n)),
+    )
+    cfg_rk45 = psa.custom_simulation_config(
+        z_max=1.0, dz=0.01, precision="x32", integrator="rk45"
+    )
+    with pytest.raises(ValueError, match="rk4"):
+        nw.solve_comb_batch(cfg_rk45, coeffs, A0, engine="pallas")
+    cfg_x64 = psa.custom_simulation_config(z_max=1.0, dz=0.01)
+    with pytest.raises(ValueError, match="x32"):
+        nw.solve_comb_batch(cfg_x64, coeffs, A0, engine="pallas")
+    with pytest.raises(ValueError, match="engine"):
+        nw.solve_comb_batch(cfg_x64, coeffs, A0, engine="bogus")

@@ -92,3 +92,29 @@ def test_pallas_lane_padding_exact():
         save_every=10, interpret=True,
     )
     np.testing.assert_allclose(r7.P_max[0], r1.P_max[0], rtol=1e-12)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled comb kernel requires the TPU backend (interpret-mode "
+    "parity runs in test_nwave)",
+)
+def test_pallas_comb_kernel_matches_scan_on_tpu():
+    """The fused VMEM comb kernel (ops/pallas_comb.py) must track the scan
+    dft engine on-chip (both x32 HIGHEST; small ordering differences only)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+
+    n, B = 16, 130  # non-multiple of the 128-lane block: exercises padding
+    rng = np.random.default_rng(9)
+    A0 = rng.normal(size=(B, n)) * 0.25 + 1j * rng.normal(size=(B, n)) * 0.25
+    coeffs = nw.NWaveCoeffs(
+        gamma=np.linspace(0.2, 0.6, B), alpha=np.full(B, 0.01),
+        beta_lin=np.broadcast_to(np.linspace(-0.2, 0.2, n), (B, n)),
+    )
+    cfg = psa.custom_simulation_config(z_max=2.0, dz=0.01, save_every=20,
+                                       precision="x32")
+    P1, A1, ok1 = nw.solve_comb_batch(cfg, coeffs, A0, coupling="dft")
+    P2, A2, ok2 = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+    assert ok1.all() and ok2.all()
+    np.testing.assert_allclose(A2, A1, rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(P2, P1, rtol=5e-4, atol=1e-6)
