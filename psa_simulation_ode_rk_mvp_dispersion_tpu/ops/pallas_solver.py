@@ -204,11 +204,14 @@ def solve_batch_pallas(
     n_steps: int,
     save_every: int,
     interpret: bool = False,
+    group: int = None,
 ) -> PallasBatchResult:
     """Fused single-launch x32 solve of B instances (rotating frame).
 
     Same contract as ``df32_solver.solve_batch_df32`` at x32 precision.
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    ``group`` packs that many instances per lane column (default GROUP=8 on
+    the compiled path -- full tile occupancy; see ``_kernel_body_grouped``).
     """
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 2 or A0.shape[1] != 4:
@@ -217,6 +220,15 @@ def solve_batch_pallas(
     gamma = np.broadcast_to(np.asarray(gamma, dtype=np.float64), (B,))
     alpha = np.broadcast_to(np.asarray(alpha, dtype=np.float64), (B,))
     dbeta = np.broadcast_to(np.asarray(delta_beta, dtype=np.float64), (B,))
+
+    if group is None:
+        group = GROUP
+    if group > 1:
+        return _solve_grouped_x32(
+            A0, gamma, alpha, dbeta, dz_m=dz_m, n_steps=n_steps,
+            save_every=save_every, interpret=interpret,
+            block=BLOCK_GROUPED, g=int(group),
+        )
 
     # pad lanes to a multiple of the block (edge-replicate: padding is benign)
     mult = BLOCK if B >= BLOCK else LANES
@@ -254,4 +266,224 @@ def solve_batch_pallas(
     A_end[:, 0] *= rot
     A_end[:, 1] *= rot
 
+    return PallasBatchResult(P_max=pmax, A_end=A_end, ok=ok_arr)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-lane kernel: g instances per lane column (wave-major row groups)
+# ---------------------------------------------------------------------------
+#
+# The ungrouped kernel's FWM section is 12 products over (1, B) single-row
+# slices -- 1/8 sublane occupancy on the (8, 128) f32 tile.  Grouping packs
+# g instances per lane column: every wave slice becomes a contiguous
+# (g, B/g) plane and g=8 fills tiles exactly.  Same trick as the df32
+# kernel (ops/pallas_df32.py), measured there at +54% throughput.
+
+GROUP = 8
+BLOCK_GROUPED = 256
+
+
+def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
+    G = 4 * g
+
+    def kernel(coef_ref, y0_ref, pmax_ref, yf_ref, ok_ref):
+        coef = coef_ref[:, :]
+        gamma = coef[0:G, :]              # per-member, replicated per wave
+        neg_half_alpha = -0.5 * coef[G:2 * G, :]
+        half_db = 0.5 * coef[2 * G:2 * G + 2 * g, :]   # waves 0,1 rows only
+        dz = coef[2 * G + 2 * g:2 * G + 2 * g + 1, :]  # (1, B)
+        two_gamma = 2.0 * gamma
+
+        def tile4(t):
+            return jnp.concatenate([t] * 4, axis=0)
+
+        def rhs(y):
+            re = y[0:G, :]
+            im = y[G:2 * G, :]
+            P = re * re + im * im                       # (4g, B)
+            tot = P[0:g] + P[g:2 * g] + P[2 * g:3 * g] + P[3 * g:4 * g]
+            F = 2.0 * tile4(tot) - P
+            gF = gamma * F
+            d_re = neg_half_alpha * re - gF * im
+            d_im = neg_half_alpha * im + gF * re
+
+            r1, r2 = re[0:g], re[g:2 * g]
+            r3, r4 = re[2 * g:3 * g], re[3 * g:4 * g]
+            i1, i2 = im[0:g], im[g:2 * g]
+            i3, i4 = im[2 * g:3 * g], im[3 * g:4 * g]
+            s34_re = r3 * r4 - i3 * i4
+            s34_im = r3 * i4 + i3 * r4
+            s12_re = r1 * r2 - i1 * i2
+            s12_im = r1 * i2 + i1 * r2
+            t_re = jnp.concatenate([
+                r2 * s34_re + i2 * s34_im,
+                r1 * s34_re + i1 * s34_im,
+                r4 * s12_re + i4 * s12_im,
+                r3 * s12_re + i3 * s12_im,
+            ], axis=0)
+            t_im = jnp.concatenate([
+                r2 * s34_im - i2 * s34_re,
+                r1 * s34_im - i1 * s34_re,
+                r4 * s12_im - i4 * s12_re,
+                r3 * s12_im - i3 * s12_re,
+            ], axis=0)
+            d_re = d_re - two_gamma * t_im
+            d_im = d_im + two_gamma * t_re
+
+            det_re = half_db * im[0:2 * g, :]
+            det_im = -half_db * re[0:2 * g, :]
+            zero = jnp.zeros_like(det_re)
+            d_re = d_re + jnp.concatenate([det_re, zero], axis=0)
+            d_im = d_im + jnp.concatenate([det_im, zero], axis=0)
+            return jnp.concatenate([d_re, d_im], axis=0)
+
+        def rk4(y):
+            k1 = rhs(y)
+            k2 = rhs(y + (0.5 * dz) * k1)
+            k3 = rhs(y + (0.5 * dz) * k2)
+            k4 = rhs(y + dz * k3)
+            return y + (dz / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
+        def powers(y):
+            re = y[0:G, :]
+            im = y[G:2 * G, :]
+            return re * re + im * im
+
+        y0 = y0_ref[:, :]
+        pmax0 = powers(y0)
+        ok0 = jnp.ones_like(y0[0:g, :])
+
+        def memall(m):
+            # (8g, B) boolean plane -> (g, B): all 8 rows of each member
+            out = m[0:g]
+            for k in range(1, 8):
+                out = out & m[k * g:(k + 1) * g]
+            return out
+
+        def step(i, carry):
+            y, y_last, pmax, ok = carry
+            y_new = rk4(y)
+            fin = memall(
+                (jnp.abs(y_new) < jnp.asarray(3.4e38, jnp.float32))
+                & (y_new == y_new)
+            )
+            ok_new = ok * fin.astype(jnp.float32)
+            # concat the f32 mask, not booleans (Mosaic cannot cast i1 vregs)
+            alive = jnp.concatenate([ok_new] * 8, axis=0) > 0.0
+            y_out = jnp.where(alive, y_new, y)
+            at_save = (
+                (i + jnp.int32(1)) % jnp.int32(save_every)
+            ) == jnp.int32(0)
+            P = powers(y_out)
+            pmax_out = jnp.where(at_save, jnp.maximum(pmax, P), pmax)
+            y_last_out = jnp.where(at_save, y_out, y_last)
+            return (y_out, y_last_out, pmax_out, ok_new)
+
+        y, y_last, pmax, ok = lax.fori_loop(
+            0, n_steps, step, (y0, y0, pmax0, ok0)
+        )
+        pmax_ref[:, :] = pmax
+        yf_ref[:, :] = y_last
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_solver_grouped(n_steps: int, save_every: int, interpret: bool,
+                           block: int, g: int):
+    from jax.experimental import pallas as pl
+
+    kernel = _kernel_body_grouped(n_steps, save_every, g)
+    G = 4 * g
+    n_coef = 2 * G + 2 * g + 1
+
+    def call(coef, y0):
+        B = y0.shape[1]
+        blk = min(block, B)
+        grid = (B // blk,)
+        spec_kwargs = {}
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            spec_kwargs = {"memory_space": pltpu.VMEM}
+        in_specs = [
+            pl.BlockSpec((n_coef, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((2 * G, blk), lambda i: (0, i), **spec_kwargs),
+        ]
+        out_specs = (
+            pl.BlockSpec((G, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((2 * G, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((g, blk), lambda i: (0, i), **spec_kwargs),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((G, B), jnp.float32),
+                jax.ShapeDtypeStruct((2 * G, B), jnp.float32),
+                jax.ShapeDtypeStruct((g, B), jnp.float32),
+            ),
+            interpret=interpret,
+        )(coef, y0)
+
+    return jax.jit(call)
+
+
+def _solve_grouped_x32(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
+                       interpret, block, g):
+    B = A0.shape[0]
+    lane_mult = block if (B // g) >= block else LANES
+    mult = g * lane_mult
+    Bp = ((B + mult - 1) // mult) * mult
+    pad = Bp - B
+
+    def padded(x):
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)]) if pad else x
+
+    A0p, ga, al, db = padded(A0), padded(gamma), padded(alpha), padded(dbeta)
+    Bl = Bp // g
+    G = 4 * g
+
+    def plane_state(X):
+        # (Bp, 4) -> (4g, Bl): wave k of member j on row k*g + j
+        return X.reshape(Bl, g, 4).transpose(2, 1, 0).reshape(G, Bl)
+
+    def rows_scalar(v, waves=4):
+        return np.tile(v.reshape(Bl, g).T, (waves, 1))
+
+    coef = np.concatenate([
+        rows_scalar(ga),                 # gamma      (4g, Bl)
+        rows_scalar(al),                 # alpha      (4g, Bl)
+        rows_scalar(db, waves=2),        # dbeta      (2g, Bl)
+        np.full((1, Bl), float(dz_m)),   # dz         (1, Bl)
+    ], axis=0).astype(np.float32)
+    y0 = np.concatenate(
+        [plane_state(A0p.real), plane_state(A0p.imag)], axis=0
+    ).astype(np.float32)  # (8g, Bl)
+
+    solver = _pallas_solver_grouped(
+        int(n_steps), int(save_every), bool(interpret), int(block), g
+    )
+    with jax.enable_x64(False):
+        pmax, y_last, ok = jax.block_until_ready(
+            solver(jnp.asarray(coef), jnp.asarray(y0))
+        )
+
+    def unplane(rows64):
+        return rows64.reshape(4, g, Bl).transpose(2, 1, 0).reshape(Bp, 4)
+
+    pmax = unplane(np.asarray(pmax, np.float64))[:B]
+    yl = np.asarray(y_last, np.float64)
+    A_end_rot = (unplane(yl[0:G]) + 1j * unplane(yl[G:2 * G]))[:B]
+    ok_arr = (np.asarray(ok, np.float64).T.reshape(Bp) > 0.0)[:B]
+
+    n_chunks = int(n_steps) // int(save_every)
+    z_last = n_chunks * int(save_every) * float(dz_m)
+    rot = np.exp(0.5j * dbeta * z_last)
+    A_end = A_end_rot.copy()
+    A_end[:, 0] *= rot
+    A_end[:, 1] *= rot
     return PallasBatchResult(P_max=pmax, A_end=A_end, ok=ok_arr)

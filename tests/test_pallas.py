@@ -118,3 +118,18 @@ def test_pallas_comb_kernel_matches_scan_on_tpu():
     assert ok1.all() and ok2.all()
     np.testing.assert_allclose(A2, A1, rtol=5e-4, atol=1e-6)
     np.testing.assert_allclose(P2, P1, rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="grouped-lane bit parity is exact only on the compiled TPU path "
+    "(interpret mode FMA-contracts differently, ~1 ulp phase noise)",
+)
+def test_pallas_x32_grouped_bit_identical_on_tpu():
+    A0, gamma, alpha, dbeta = _case(B=700, seed=2)  # non-multiple padding
+    kw = dict(dz_m=0.2, n_steps=300, save_every=10)
+    r1 = ps.solve_batch_pallas(A0, gamma, alpha, dbeta, group=1, **kw)
+    r8 = ps.solve_batch_pallas(A0, gamma, alpha, dbeta, group=8, **kw)
+    np.testing.assert_array_equal(r8.P_max, r1.P_max)
+    np.testing.assert_array_equal(r8.A_end, r1.A_end)
+    np.testing.assert_array_equal(r8.ok, r1.ok)
