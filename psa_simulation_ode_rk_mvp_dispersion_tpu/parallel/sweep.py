@@ -12,7 +12,8 @@ Capability parity with the reference sweep layer ``scan_mismtach.py``:
   ``vmap`` lifts the ``lax.scan`` RK4 solver over the batch, and the running
   gain reduction happens on-device (``integrate_reduce``) so only (B,) f32
   summaries ever cross back to the host.
-- Sharding: pass a ``Mesh`` (or let ``auto_mesh=True`` build one) and the
+- Sharding: pass a ``Mesh`` (``parallel.mesh.default_mesh()`` builds one over
+  the local devices, ``multihost_mesh()`` over every process) and the
   batch axis is sharded over devices with ``NamedSharding`` -- embarrassingly
   SPMD, no collectives in the hot loop.
 - Failure semantics: the reference wraps each point in try/except and records
