@@ -94,7 +94,13 @@ from .io_fwm import (  # noqa: E402
 )
 from .parallel import mesh as mesh_utils  # noqa: E402
 from .parallel import sweep as sweeps  # noqa: E402
-from .parallel.mesh import default_mesh  # noqa: E402
+from .parallel.mesh import (  # noqa: E402
+    default_mesh,
+    fetch_global,
+    initialize_distributed,
+    multihost_mesh,
+    put_global,
+)
 from .parallel.sweep import (  # noqa: E402
     BatchSolveResult,
     GainMapResult,
