@@ -513,13 +513,11 @@ def solve_comb_batch(
             raise ValueError("engine='pallas' comb solver implements rk4 only")
         if precision != "x32":
             raise ValueError("engine='pallas' comb solver is x32 only")
-        if mesh is not None:
-            raise ValueError("engine='pallas' comb solver does not take a mesh yet")
         from ..ops.pallas_comb import solve_batch_pallas_comb_result
 
         return solve_batch_pallas_comb_result(
             A0, gamma, alpha, beta, dz_m=dz_m, n_steps=n_steps,
-            save_every=int(cfg.save_every), interpret=not on_tpu,
+            save_every=int(cfg.save_every), interpret=not on_tpu, mesh=mesh,
         )
 
     n_orig = B

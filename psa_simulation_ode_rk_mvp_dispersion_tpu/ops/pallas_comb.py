@@ -161,8 +161,7 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
     return kernel
 
 
-@functools.lru_cache(maxsize=32)
-def _pallas_comb_solver(
+def _make_comb_call(
     n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
     mxu_precision: str = "highest",
 ):
@@ -210,7 +209,40 @@ def _pallas_comb_solver(
             interpret=interpret,
         )(*w_f, *w_i, beta, gamma, alpha, y0)
 
-    return jax.jit(call)
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_comb_solver(
+    n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
+    mxu_precision: str = "highest",
+):
+    return jax.jit(_make_comb_call(
+        n_steps, save_every, n, dz, interpret, block, mxu_precision
+    ))
+
+
+@functools.lru_cache(maxsize=16)
+def _pallas_comb_solver_sharded(
+    n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
+    mxu_precision: str, mesh,
+):
+    """shard_map-wrapped comb kernel: lane (batch) axis split over the mesh;
+    the DFT weight planes are closure constants, replicated to every shard."""
+    from jax.sharding import PartitionSpec
+
+    call = _make_comb_call(n_steps, save_every, n, dz, interpret, block,
+                           mxu_precision)
+    axes = tuple(mesh.axis_names)
+    spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
+    return jax.jit(
+        jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec, spec),
+            check_vma=False,
+        )
+    ), spec
 
 
 def solve_comb_batch_pallas(
@@ -225,12 +257,14 @@ def solve_comb_batch_pallas(
     interpret: bool = False,
     block: int = BLOCK,
     mxu_precision: str = "highest",
+    mesh=None,
 ):
     """Fused-kernel comb solve; contract mirrors ``nwave.solve_comb_batch``
     (rk4, x32): returns host ``(P_max (B, N), A_final (B, N), ok (B,))``.
 
     ``A0`` is ``(B, N)`` complex; ``gamma``/``alpha`` broadcast to ``(B,)``;
-    ``beta_lin`` broadcasts to ``(B, N)``.
+    ``beta_lin`` broadcasts to ``(B, N)``.  Pass ``mesh`` to shard the batch
+    axis with ``shard_map`` (per-shard kernel launch, no collectives).
     """
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 2:
@@ -256,7 +290,8 @@ def solve_comb_batch_pallas(
         )
     block = int(min(block, blk_fit))
 
-    mult = block if B >= block else LANES
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    mult = ndev * (block if B >= ndev * block else LANES)
     Bp = ((B + mult - 1) // mult) * mult
     pad = Bp - B
 
@@ -271,15 +306,25 @@ def solve_comb_batch_pallas(
         [A0p.real.T.astype(np.float32), A0p.imag.T.astype(np.float32)], axis=0
     )  # (2N, Bp)
 
-    solver = _pallas_comb_solver(
-        int(n_steps), int(save_every), int(n), float(dz_m), bool(interpret),
-        int(block), str(mxu_precision),
-    )
-    with jax.enable_x64(False):
-        pmax, y_last, ok = jax.block_until_ready(
-            solver(jnp.asarray(bt), jnp.asarray(g), jnp.asarray(a),
-                   jnp.asarray(y0))
+    if mesh is None:
+        solver = _pallas_comb_solver(
+            int(n_steps), int(save_every), int(n), float(dz_m), bool(interpret),
+            int(block), str(mxu_precision),
         )
+        args = (jnp.asarray(bt), jnp.asarray(g), jnp.asarray(a), jnp.asarray(y0))
+    else:
+        from jax.sharding import NamedSharding
+
+        solver, spec = _pallas_comb_solver_sharded(
+            int(n_steps), int(save_every), int(n), float(dz_m), bool(interpret),
+            int(block), str(mxu_precision), mesh,
+        )
+        sh = NamedSharding(mesh, spec)
+        args = tuple(
+            jax.device_put(jnp.asarray(x), sh) for x in (bt, g, a, y0)
+        )
+    with jax.enable_x64(False):
+        pmax, y_last, ok = jax.block_until_ready(solver(*args))
 
     pmax = np.asarray(pmax, np.float64).T[:B]
     yl = np.asarray(y_last, np.float64)
@@ -289,10 +334,12 @@ def solve_comb_batch_pallas(
 
 
 def solve_batch_pallas_comb_result(
-    A0, gamma, alpha, beta_lin, *, dz_m, n_steps, save_every, interpret=False
+    A0, gamma, alpha, beta_lin, *, dz_m, n_steps, save_every, interpret=False,
+    mesh=None,
 ):
     """``nwave.solve_comb_batch``-shaped wrapper: (P_max, A_final, ok)."""
     return solve_comb_batch_pallas(
         A0, gamma, alpha, beta_lin,
         dz_m=dz_m, n_steps=n_steps, save_every=save_every, interpret=interpret,
+        mesh=mesh,
     )

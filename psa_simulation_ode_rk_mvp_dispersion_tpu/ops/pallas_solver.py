@@ -205,6 +205,7 @@ def solve_batch_pallas(
     save_every: int,
     interpret: bool = False,
     group: int = None,
+    mesh=None,
 ) -> PallasBatchResult:
     """Fused single-launch x32 solve of B instances (rotating frame).
 
@@ -227,8 +228,10 @@ def solve_batch_pallas(
         return _solve_grouped_x32(
             A0, gamma, alpha, dbeta, dz_m=dz_m, n_steps=n_steps,
             save_every=save_every, interpret=interpret,
-            block=BLOCK_GROUPED, g=int(group),
+            block=BLOCK_GROUPED, g=int(group), mesh=mesh,
         )
+    if mesh is not None:
+        raise ValueError("mesh sharding requires the grouped kernel (group > 1)")
 
     # pad lanes to a multiple of the block (edge-replicate: padding is benign)
     mult = BLOCK if B >= BLOCK else LANES
@@ -389,9 +392,8 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
     return kernel
 
 
-@functools.lru_cache(maxsize=64)
-def _pallas_solver_grouped(n_steps: int, save_every: int, interpret: bool,
-                           block: int, g: int):
+def _make_call_grouped(n_steps: int, save_every: int, interpret: bool,
+                       block: int, g: int):
     from jax.experimental import pallas as pl
 
     kernel = _kernel_body_grouped(n_steps, save_every, g)
@@ -429,14 +431,41 @@ def _pallas_solver_grouped(n_steps: int, save_every: int, interpret: bool,
             interpret=interpret,
         )(coef, y0)
 
-    return jax.jit(call)
+    return call
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_solver_grouped(n_steps: int, save_every: int, interpret: bool,
+                           block: int, g: int):
+    return jax.jit(_make_call_grouped(n_steps, save_every, interpret, block, g))
+
+
+@functools.lru_cache(maxsize=16)
+def _pallas_solver_grouped_sharded(n_steps: int, save_every: int,
+                                   interpret: bool, block: int, g: int, mesh):
+    """shard_map-wrapped grouped x32 kernel (lane axis split over the mesh,
+    per-shard pallas launch, no collectives -- same pattern as pallas_df32)."""
+    from jax.sharding import PartitionSpec
+
+    call = _make_call_grouped(n_steps, save_every, interpret, block, g)
+    axes = tuple(mesh.axis_names)
+    spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
+    return jax.jit(
+        jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, spec, spec),
+            check_vma=False,
+        )
+    ), spec
 
 
 def _solve_grouped_x32(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
-                       interpret, block, g):
+                       interpret, block, g, mesh=None):
     B = A0.shape[0]
-    lane_mult = block if (B // g) >= block else LANES
-    mult = g * lane_mult
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    lane_mult = block if (B // g) >= ndev * block else LANES
+    mult = ndev * g * lane_mult
     Bp = ((B + mult - 1) // mult) * mult
     pad = Bp - B
 
@@ -464,13 +493,22 @@ def _solve_grouped_x32(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
         [plane_state(A0p.real), plane_state(A0p.imag)], axis=0
     ).astype(np.float32)  # (8g, Bl)
 
-    solver = _pallas_solver_grouped(
-        int(n_steps), int(save_every), bool(interpret), int(block), g
-    )
-    with jax.enable_x64(False):
-        pmax, y_last, ok = jax.block_until_ready(
-            solver(jnp.asarray(coef), jnp.asarray(y0))
+    if mesh is None:
+        solver = _pallas_solver_grouped(
+            int(n_steps), int(save_every), bool(interpret), int(block), g
         )
+        coef_dev, y0_dev = jnp.asarray(coef), jnp.asarray(y0)
+    else:
+        from jax.sharding import NamedSharding
+
+        solver, spec = _pallas_solver_grouped_sharded(
+            int(n_steps), int(save_every), bool(interpret), int(block), g, mesh
+        )
+        sh = NamedSharding(mesh, spec)
+        coef_dev = jax.device_put(jnp.asarray(coef), sh)
+        y0_dev = jax.device_put(jnp.asarray(y0), sh)
+    with jax.enable_x64(False):
+        pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
 
     def unplane(rows64):
         return rows64.reshape(4, g, Bl).transpose(2, 1, 0).reshape(Bp, 4)

@@ -373,11 +373,10 @@ def solve_batch(
             engine == "auto"
             and precision == "x32"
             and frame == "rotating"
-            and mesh is None
             and jax.default_backend() == "tpu"
         )
     )
-    if use_pallas and precision == "x32" and frame == "rotating" and mesh is None:
+    if use_pallas and precision == "x32" and frame == "rotating":
         from ..ops.pallas_solver import solve_batch_pallas
 
         t0 = time.perf_counter()
@@ -386,12 +385,13 @@ def solve_batch(
             dz_m=float(cfg.dz), n_steps=n_steps,
             save_every=int(cfg.save_every),
             interpret=jax.default_backend() != "tpu",
+            mesh=mesh,
         )
         return _result(r, time.perf_counter() - t0)
     if engine == "pallas":
         raise ValueError(
-            "engine='pallas' requires precision 'x32' or 'df32', "
-            "frame='rotating' and no mesh"
+            "engine='pallas' requires precision 'x32' or 'df32' and "
+            "frame='rotating'"
         )
     solver = _batch_solver(
         n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll

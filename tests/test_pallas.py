@@ -133,3 +133,49 @@ def test_pallas_x32_grouped_bit_identical_on_tpu():
     np.testing.assert_array_equal(r8.P_max, r1.P_max)
     np.testing.assert_array_equal(r8.A_end, r1.A_end)
     np.testing.assert_array_equal(r8.ok, r1.ok)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="sharded compiled kernels require the TPU backend",
+)
+def test_pallas_x32_sharded_bit_identical_on_tpu():
+    from jax.sharding import Mesh
+
+    A0, gamma, alpha, dbeta = _case(B=700, seed=3)
+    kw = dict(dz_m=0.2, n_steps=300, save_every=10)
+    r1 = ps.solve_batch_pallas(A0, gamma, alpha, dbeta, **kw)
+    tpu = np.asarray([d for d in jax.devices() if d.platform == "tpu"])
+    mesh = Mesh(tpu, ("batch",))
+    r2 = ps.solve_batch_pallas(A0, gamma, alpha, dbeta, mesh=mesh, **kw)
+    np.testing.assert_array_equal(r2.P_max, r1.P_max)
+    np.testing.assert_array_equal(r2.A_end, r1.A_end)
+    np.testing.assert_array_equal(r2.ok, r1.ok)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="sharded compiled kernels require the TPU backend",
+)
+def test_pallas_comb_sharded_bit_identical_on_tpu():
+    from jax.sharding import Mesh
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+
+    n, B = 16, 130
+    rng = np.random.default_rng(9)
+    A0 = rng.normal(size=(B, n)) * 0.25 + 1j * rng.normal(size=(B, n)) * 0.25
+    coeffs = nw.NWaveCoeffs(
+        gamma=np.linspace(0.2, 0.6, B), alpha=np.full(B, 0.01),
+        beta_lin=np.broadcast_to(np.linspace(-0.2, 0.2, n), (B, n)),
+    )
+    cfg = psa.custom_simulation_config(z_max=2.0, dz=0.01, save_every=20,
+                                       precision="x32")
+    P1, A1, ok1 = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+    tpu = np.asarray([d for d in jax.devices() if d.platform == "tpu"])
+    mesh = Mesh(tpu, ("batch",))
+    P2, A2, ok2 = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas",
+                                      mesh=mesh)
+    np.testing.assert_array_equal(P2, P1)
+    np.testing.assert_array_equal(A2, A1)
+    np.testing.assert_array_equal(ok2, ok1)
