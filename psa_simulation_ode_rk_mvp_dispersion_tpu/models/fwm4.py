@@ -24,7 +24,7 @@ cached-jit ``lax.scan`` program from ``ops/integrators.py``.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..config import SimulationConfig, validate_config
 from ..ops.dispersion import DispersionParams
 from ..ops.frequency_plan import SymmetricPlan
-from ..ops.integrators import IntegrationResult, integrate_fixed_grid
+from ..ops.integrators import integrate_fixed_grid
 from ..ops.phase_matching import (
     PhaseMatchingConfig,
     PhaseMatchingMethod,

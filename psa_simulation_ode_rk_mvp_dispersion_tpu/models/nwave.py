@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np
@@ -48,9 +48,8 @@ from ..config import SimulationConfig, validate_config
 from ..ops.adaptive import integrate_adaptive_grid
 from ..ops.dispersion import DispersionParams, beta_taylor
 from ..ops.integrators import integrate_fixed_grid, integrate_reduce
-from ..utils.checks import check_last_dim
 from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex, ri_unpack_host
-from ..utils.precision import complex_dtype, real_dtype, validate_precision
+from ..utils.precision import real_dtype, validate_precision
 
 
 @jax.tree_util.register_dataclass

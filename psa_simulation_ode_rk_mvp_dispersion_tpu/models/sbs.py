@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
@@ -48,9 +48,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import SimulationConfig, validate_config
-from ..ops.rhs import RHSCoeffs, rhs_yaman_autonomous, rotating_to_lab
+from ..ops.rhs import RHSCoeffs, rhs_yaman_autonomous
 from ..utils.packing import ri_pack_host, ri_to_complex, complex_to_ri, ri_unpack_host
-from ..utils.precision import complex_dtype, real_dtype, validate_precision
+from ..utils.precision import real_dtype, validate_precision
 from ..utils.units import length_scale_to_m
 
 

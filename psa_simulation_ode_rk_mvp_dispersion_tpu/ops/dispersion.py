@@ -28,11 +28,10 @@ from __future__ import annotations
 
 import dataclasses
 from math import factorial
-from typing import Dict, Iterable, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Optional, Tuple
 
 import jax
 import numpy as np
-import jax.numpy as jnp
 
 from ..constants import c, TWO_PI
 from ..utils.checks import (

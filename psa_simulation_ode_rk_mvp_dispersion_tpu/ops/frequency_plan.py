@@ -22,11 +22,10 @@ Energy conservation: omega1 + omega2 = omega3 + omega4.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np
-import jax.numpy as jnp
 
 from ..constants import c, TWO_PI
 from ..utils.checks import (

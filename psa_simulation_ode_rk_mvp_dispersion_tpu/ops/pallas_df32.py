@@ -27,7 +27,6 @@ See ``_kernel_body_grouped``.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -46,7 +45,6 @@ from .twofloat import (
     ctf_mul_real,
     ctf_scale_f32,
     tf_add,
-    tf_from_f64,
     tf_mul,
     tf_mul_f32,
     tf_sub,

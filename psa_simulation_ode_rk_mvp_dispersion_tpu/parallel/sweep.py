@@ -48,7 +48,7 @@ from ..ops.integrators import integrate_fixed_grid, integrate_reduce
 from ..ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
 from ..ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
 from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex, ri_unpack_host
-from ..utils.precision import complex_dtype, real_dtype, validate_precision
+from ..utils.precision import real_dtype, validate_precision
 from ..utils.units import length_scale_to_m, wavelength_scale
 from ..models.fwm4 import _to_power_array, _to_phase_array
 
