@@ -89,9 +89,25 @@ def main() -> None:
     n_finite = int(np.isfinite(res.gain).sum())
 
     x32_pts_per_s = None
+    rk45_pts_per_s = None
     if backend == "tpu":
         _, el32 = timed_scan("x32")
         x32_pts_per_s = round(N_POINTS / el32, 2)
+
+        # adaptive-engine lane: 512-point rk45 sweep (x32, rtol 1e-6)
+        try:
+            cfg45 = psa.custom_simulation_config(
+                z_max=500.0, dz=0.2, save_every=10, precision="x32",
+                integrator="rk45", rtol=1e-6, atol=1e-10,
+            )
+            lam45 = lam3[:512]
+            kw45 = {**common, "cfg": cfg45}
+            _ = sw.gain_spectrum(lambda_signal_m=lam45, **kw45)
+            t0 = time.perf_counter()
+            _ = sw.gain_spectrum(lambda_signal_m=lam45, **kw45)
+            rk45_pts_per_s = round(512 / (time.perf_counter() - t0), 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"# rk45 lane skipped: {e}", file=sys.stderr)
 
     # --- accuracy: subset agreement with the x64 CPU reference-parity path ---
     max_rel_err = None
@@ -137,6 +153,7 @@ def main() -> None:
         "subset_max_rel_err_vs_x64": max_rel_err,
         "x32_fast_path_points_per_s": x32_pts_per_s,
         "x32_subset_max_rel_err": x32_max_rel_err,
+        "rk45_x32_points_per_s": rk45_pts_per_s,
     }
     print(f"# {json.dumps(meta)}", file=sys.stderr)
     print(

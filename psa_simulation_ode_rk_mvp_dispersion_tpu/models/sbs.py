@@ -335,11 +335,14 @@ def run_sbs_batch(
     damping: float = 1.0,
     tol: float = 0.0,
     max_iterations: Optional[int] = None,
+    mesh=None,
 ):
     """Solve B independent FWM+SBS boundary-value problems in one program.
 
     ``P_in``/``P_stokes_seed`` are ``(B, 4)`` power arrays; the rate
-    coefficients broadcast or carry a leading B axis.  Returns
+    coefficients broadcast or carry a leading B axis.  Pass ``mesh`` to
+    shard the batch of BVPs over devices (embarrassingly SPMD -- each lane
+    relaxes independently, per-lane while_loop masking).  Returns
     ``(z, A (B,S,4), B_waves (B,S,4), residuals (B,), reflectivity (B,4),
     ok (B,), n_iters (B,))`` -- NaN instances are flagged in ``ok``, not
     raised.  Per-lane convergence control as in
@@ -392,16 +395,38 @@ def run_sbs_batch(
     solver = _sbs_batch_solver(
         n_steps, int(cfg.save_every), max_it, float(damping), float(tol)
     )
-    a_ri, b_ri, resid, n_it = jax.block_until_ready(
-        solver(
-            jnp.asarray(ri_pack_host(A0, rdt)),
-            jnp.asarray(ri_pack_host(BL, rdt)),
-            coeffs,
-            jnp.asarray(dz_m, dtype=rdt),
+    n_orig = B
+    a0_ri = ri_pack_host(A0, rdt)
+    bl_ri = ri_pack_host(BL, rdt)
+    if mesh is None:
+        a0_dev, bl_dev, coeffs_dev = (
+            jnp.asarray(a0_ri), jnp.asarray(bl_ri), coeffs
         )
+    else:
+        from ..parallel.mesh import batch_sharding, pad_batch, put_global, put_global_tree
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        sh = batch_sharding(mesh)
+        a0_p, n_orig = pad_batch(a0_ri, ndev)
+        a0_dev = put_global(a0_p, sh)
+        bl_dev = put_global(pad_batch(bl_ri, ndev)[0], sh)
+        coeffs_dev = SBSCoeffs(
+            fwm=RHSCoeffs(
+                gamma=put_global(pad_batch(np.asarray(g, dtype=rdt), ndev)[0], sh),
+                alpha=put_global(pad_batch(np.asarray(al, dtype=rdt), ndev)[0], sh),
+                delta_beta=put_global(pad_batch(np.asarray(db, dtype=rdt), ndev)[0], sh),
+            ),
+            g_B=put_global(pad_batch(np.asarray(gb, dtype=rdt), ndev)[0], sh),
+        )
+    a_ri, b_ri, resid, n_it = jax.block_until_ready(
+        solver(a0_dev, bl_dev, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))
     )
-    A = ri_unpack_host(np.asarray(a_ri))
-    Bw = ri_unpack_host(np.asarray(b_ri))
+    from ..parallel.mesh import fetch_global
+
+    A = ri_unpack_host(fetch_global(a_ri))[:n_orig]
+    Bw = ri_unpack_host(fetch_global(b_ri))[:n_orig]
+    resid = fetch_global(resid)[:n_orig]
+    n_it = fetch_global(n_it)[:n_orig]
 
     # batch semantics: NaN instances are flagged, not raised (the per-instance
     # analog of run_sbs_simulation's FloatingPointError)

@@ -215,3 +215,33 @@ def test_batch_convergence_masking_matches_singles():
         assert int(n_iters[i]) == res_i.n_iterations
         np.testing.assert_array_equal(A[i], res_i.A)
         np.testing.assert_array_equal(Bw[i], res_i.B)
+
+
+def test_run_sbs_batch_sharded_matches_unsharded():
+    """The batch of BVPs sharded over the 8-device mesh must equal the
+    single-device batch exactly (embarrassingly SPMD relaxation)."""
+    import jax
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import mesh as pm
+
+    assert len(jax.devices()) == 8
+    B = 11  # not divisible by 8: exercises padding
+    gB = np.linspace(0.1, 1.2, B)
+    P_in = np.broadcast_to([0.2, 0.1, 1e-5, 0.0], (B, 4)).copy()
+    P_st = np.broadcast_to([1e-4, 0.0, 0.0, 0.0], (B, 4)).copy()
+    cfg = psa.custom_simulation_config(z_max=3.0, dz=0.01, save_every=30)
+    kw = dict(
+        gamma=0.5, alpha=0.01, g_B=gB, delta_beta=0.2,
+        P_in=P_in, P_stokes_seed=P_st, length_unit="m",
+        tol=1e-11, max_iterations=150,
+    )
+    z1, A1, B1, r1, f1, ok1, n1 = sbs.run_sbs_batch(cfg, **kw)
+    mesh = pm.default_mesh()
+    z2, A2, B2, r2, f2, ok2, n2 = sbs.run_sbs_batch(cfg, mesh=mesh, **kw)
+    np.testing.assert_array_equal(z2, z1)
+    # GSPMD partitioning reassociates a few f64 adds (~1e-17); lane schedules
+    # (per-lane iteration counts) must still match exactly
+    np.testing.assert_allclose(A2, A1, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(B2, B1, rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(n2, n1)
+    np.testing.assert_array_equal(ok2, ok1)
