@@ -411,17 +411,22 @@ def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
         P0 = y0.real * y0.real + y0.imag * y0.imag
 
         def red(acc, y):
+            pmax, _ = acc
             P = y.real * y.real + y.imag * y.imag
-            return jnp.maximum(acc, P)
+            return jnp.maximum(pmax, P), y
 
         res = integrate_reduce(
             rhs, y0, coeffs,
             z0=jnp.zeros((), dz.dtype), dz=dz,
             n_steps=n_steps, save_every=save_every,
-            reduce_init=P0, reduce_fn=red,
+            reduce_init=(P0, y0), reduce_fn=red,
             check_nan=check_nan, unroll=unroll,
         )
-        return res.reduction, res.y_final, res.ok
+        # A_final at the last SAVED grid point (framework-wide saved-grid
+        # convention, matching the 4-wave sweep / df32 / pallas engines);
+        # trailing partial steps are still integrated and reflected in ok.
+        pmax, y_last = res.reduction
+        return pmax, y_last, res.ok
 
     def batch(y0_ri, coeffs_b, dz):
         y0_b = ri_to_complex(y0_ri)
@@ -476,8 +481,11 @@ def solve_comb_batch(
     ``A0`` is ``(B, N)`` complex; ``coeffs`` fields broadcast or carry a
     leading B axis (``beta_lin`` must be ``(B, N)`` or ``(N,)``).  Returns
     host ``(P_max (B, N), A_final (B, N), ok (B,))`` -- per-line running max
-    power over saved samples and the final comb state.  Pass ``mesh`` to
-    shard the batch axis.  ``cfg.integrator`` selects fixed RK4 or adaptive
+    power over saved samples and the comb state at the last saved grid point
+    (row 0 + every ``save_every``-th step; trailing partial steps are
+    integrated -- they can flip ``ok`` under rk4 -- but unobserved, the
+    framework-wide saved-grid convention).  Pass ``mesh`` to shard the batch
+    axis.  ``cfg.integrator`` selects fixed RK4 or adaptive
     RK45 (dense output on the decimated save grid; note the adaptive P_max
     includes the initial state row, like the fixed path).
 
@@ -536,11 +544,13 @@ def solve_comb_batch(
         beta_lin=jnp.asarray(beta, dtype=rdt),
     )
     if mesh is not None:
-        from ..parallel.mesh import batch_sharding
+        from ..parallel.mesh import batch_sharding, put_global, put_global_tree
 
         sh = batch_sharding(mesh)
-        y0_ri = jax.device_put(y0_ri, sh)
-        coeffs_dev = jax.device_put(coeffs_dev, sh)
+        y0_ri = put_global(np.asarray(y0_ri), sh)
+        coeffs_dev = put_global_tree(
+            jax.tree_util.tree_map(np.asarray, coeffs_dev), sh
+        )
 
     if cfg.integrator.lower() == "rk45":
         n_chunks = n_steps // cfg.save_every
@@ -558,6 +568,10 @@ def solve_comb_batch(
         pmax, yf_ri, ok = jax.block_until_ready(
             solver(y0_ri, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))
         )
+    if mesh is not None:
+        from ..parallel.mesh import fetch_global
+
+        pmax, yf_ri, ok = fetch_global(pmax), fetch_global(yf_ri), fetch_global(ok)
     P_max = np.asarray(pmax, dtype=np.float64)[:n_orig]
     A_final = ri_unpack_host(np.asarray(yf_ri))[:n_orig]
     return P_max, A_final, np.asarray(ok)[:n_orig].astype(bool)

@@ -403,7 +403,7 @@ def run_sbs_batch(
             jnp.asarray(a0_ri), jnp.asarray(bl_ri), coeffs
         )
     else:
-        from ..parallel.mesh import batch_sharding, pad_batch, put_global, put_global_tree
+        from ..parallel.mesh import batch_sharding, pad_batch, put_global
 
         ndev = int(np.prod(list(mesh.shape.values())))
         sh = batch_sharding(mesh)

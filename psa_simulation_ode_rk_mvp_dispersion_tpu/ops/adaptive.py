@@ -337,6 +337,15 @@ def run_adaptive_trajectory(
     length_m = model_params.fiber.length_m
     n_steps = int(round(length_m / dz_m))
     n_chunks = n_steps // cfg.save_every
+    if n_chunks == 0:
+        # saved grid is just row 0 (the ICs); nothing observable to integrate
+        from ..utils.units import length_scale_to_m as _scale
+
+        out_unit = length_unit if return_length_unit is None else return_length_unit
+        return (
+            np.asarray([z0_m]) / _scale(out_unit),
+            np.asarray(A0, dtype=np.complex128)[None, :],
+        )
     z_grid = z0_m + np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
 
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous

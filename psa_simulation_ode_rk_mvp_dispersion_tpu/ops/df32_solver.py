@@ -287,14 +287,22 @@ def solve_batch_df32(
     coeffs = make_df32_coeffs(gamma_c, alpha_c, dbeta_c)
     consts = make_step_consts(dz_m)
     if mesh is not None:
+        from ..parallel.mesh import put_global_tree
+
         sh = batch_sharding(mesh)
-        y0 = jax.device_put(y0, sh)
-        coeffs = jax.device_put(coeffs, sh)
+        # host-side leaves first: put_global builds non-addressable (multi-
+        # process) shardings via make_array_from_callback, which device_put
+        # cannot
+        y0 = put_global_tree(jax.tree_util.tree_map(np.asarray, y0), sh)
+        coeffs = put_global_tree(jax.tree_util.tree_map(np.asarray, coeffs), sh)
 
     solver = _df32_solver(int(n_steps), int(save_every), int(unroll))
-    (pmax_hi, pmax_lo, re_hi, re_lo, im_hi, im_lo, ok) = jax.block_until_ready(
-        solver(y0, coeffs, consts)
-    )
+    out = jax.block_until_ready(solver(y0, coeffs, consts))
+    if mesh is not None:
+        from ..parallel.mesh import fetch_global
+
+        out = tuple(fetch_global(x) for x in out)
+    (pmax_hi, pmax_lo, re_hi, re_lo, im_hi, im_lo, ok) = out
 
     P_max = (np.asarray(pmax_hi, np.float64) + np.asarray(pmax_lo, np.float64))[:n_orig]
     A_end_rot = (

@@ -315,16 +315,20 @@ def solve_comb_batch_pallas(
     else:
         from jax.sharding import NamedSharding
 
+        from ..parallel.mesh import put_global
+
         solver, spec = _pallas_comb_solver_sharded(
             int(n_steps), int(save_every), int(n), float(dz_m), bool(interpret),
             int(block), str(mxu_precision), mesh,
         )
         sh = NamedSharding(mesh, spec)
-        args = tuple(
-            jax.device_put(jnp.asarray(x), sh) for x in (bt, g, a, y0)
-        )
+        args = tuple(put_global(x, sh) for x in (bt, g, a, y0))
     with jax.enable_x64(False):
         pmax, y_last, ok = jax.block_until_ready(solver(*args))
+    if mesh is not None:
+        from ..parallel.mesh import fetch_global
+
+        pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
 
     pmax = np.asarray(pmax, np.float64).T[:B]
     yl = np.asarray(y_last, np.float64)

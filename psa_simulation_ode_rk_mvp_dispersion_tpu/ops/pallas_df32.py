@@ -339,14 +339,20 @@ def solve_batch_df32_pallas(
     else:
         from jax.sharding import NamedSharding
 
+        from ..parallel.mesh import put_global
+
         solver, spec = _pallas_df32_solver_sharded(
             int(n_steps), int(save_every), bool(interpret), int(block), mesh
         )
         sh = NamedSharding(mesh, spec)
-        coef_dev = jax.device_put(jnp.asarray(coef), sh)
-        y0_dev = jax.device_put(jnp.asarray(y0), sh)
+        coef_dev = put_global(coef, sh)
+        y0_dev = put_global(y0, sh)
     with jax.enable_x64(False):
         pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
+    if mesh is not None:
+        from ..parallel.mesh import fetch_global
+
+        pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
 
     pmax = np.asarray(pmax, np.float64)
     P_max = (pmax[0:4] + pmax[4:8]).T[:B]
@@ -565,27 +571,16 @@ def _split_rows_f64(x):
 def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
                    interpret, block, mesh, ndev, g):
     from .df32_solver import DF32BatchResult
+    from .lane_groups import grouped_pad_target, pad_rows, plane_state, rows_scalar, unplane
 
     B = A0.shape[0]
-    lane_mult = block if (B // g) >= block else LANES
-    mult = ndev * g * lane_mult
-    Bp = ((B + mult - 1) // mult) * mult
+    Bp = grouped_pad_target(B, g=g, block=block, ndev=ndev)
     pad = Bp - B
 
-    def padded(x):
-        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)]) if pad else x
-
-    A0p, ga, al, db = padded(A0), padded(gamma), padded(alpha), padded(dbeta)
+    A0p = pad_rows(A0, pad)
+    ga, al, db = (pad_rows(x, pad) for x in (gamma, alpha, dbeta))
     Bl = Bp // g
     G = 4 * g
-
-    def plane_state(X):
-        # (Bp, 4) -> (4g, Bl): wave k of member j on row k*g + j
-        return X.reshape(Bl, g, 4).transpose(2, 1, 0).reshape(G, Bl)
-
-    def rows_scalar(v):
-        # (Bp,) -> (4g, Bl): per-member value replicated over the 4 waves
-        return np.tile(v.reshape(Bl, g).T, (4, 1))
 
     det_inst = np.stack(
         [-0.5 * db, -0.5 * db, np.zeros(Bp), np.zeros(Bp)], axis=-1
@@ -593,8 +588,8 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
 
     coef = np.zeros((8 * G + 6, Bl), dtype=np.float32)
     for k, rows in enumerate(
-        (rows_scalar(ga), rows_scalar(2.0 * ga), rows_scalar(-0.5 * al),
-         plane_state(det_inst))
+        (rows_scalar(ga, g), rows_scalar(2.0 * ga, g), rows_scalar(-0.5 * al, g),
+         plane_state(det_inst, g))
     ):
         hi, lo = _split_rows_f64(rows)
         coef[2 * k * G:(2 * k + 1) * G] = hi
@@ -605,8 +600,8 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
         coef[base + 2 * k] = hi
         coef[base + 2 * k + 1] = np.float32(np.float64(cst) - np.float64(hi))
 
-    re_hi, re_lo = _split_rows_f64(plane_state(A0p.real))
-    im_hi, im_lo = _split_rows_f64(plane_state(A0p.imag))
+    re_hi, re_lo = _split_rows_f64(plane_state(A0p.real, g))
+    im_hi, im_lo = _split_rows_f64(plane_state(A0p.imag, g))
     y0 = np.concatenate([re_hi, re_lo, im_hi, im_lo], axis=0)  # (16g, Bl)
 
     if mesh is None:
@@ -617,25 +612,27 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
     else:
         from jax.sharding import NamedSharding
 
+        from ..parallel.mesh import put_global
+
         solver, spec = _pallas_df32_solver_grouped_sharded(
             int(n_steps), int(save_every), bool(interpret), int(block), g, mesh
         )
         sh = NamedSharding(mesh, spec)
-        coef_dev = jax.device_put(jnp.asarray(coef), sh)
-        y0_dev = jax.device_put(jnp.asarray(y0), sh)
+        coef_dev = put_global(coef, sh)
+        y0_dev = put_global(y0, sh)
     with jax.enable_x64(False):
         pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
+    if mesh is not None:
+        from ..parallel.mesh import fetch_global
 
-    def unplane(rows64):
-        # (4g, Bl) f64 -> (Bp, 4)
-        return rows64.reshape(4, g, Bl).transpose(2, 1, 0).reshape(Bp, 4)
+        pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
 
     pmax = np.asarray(pmax, np.float64)
-    P_max = unplane(pmax[0:G] + pmax[G:2 * G])[:B]
+    P_max = unplane(pmax[0:G] + pmax[G:2 * G], g)[:B]
     yl = np.asarray(y_last, np.float64)
     A_end_rot = (
-        unplane(yl[0:G] + yl[G:2 * G])
-        + 1j * unplane(yl[2 * G:3 * G] + yl[3 * G:4 * G])
+        unplane(yl[0:G] + yl[G:2 * G], g)
+        + 1j * unplane(yl[2 * G:3 * G] + yl[3 * G:4 * G], g)
     )[:B]
     ok_arr = (np.asarray(ok, np.float64).T.reshape(Bp) > 0.0)[:B]
 

@@ -461,35 +461,26 @@ def _pallas_solver_grouped_sharded(n_steps: int, save_every: int,
 
 def _solve_grouped_x32(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
                        interpret, block, g, mesh=None):
+    from .lane_groups import grouped_pad_target, pad_rows, plane_state, rows_scalar, unplane as _unplane
+
     B = A0.shape[0]
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
-    lane_mult = block if (B // g) >= ndev * block else LANES
-    mult = ndev * g * lane_mult
-    Bp = ((B + mult - 1) // mult) * mult
+    Bp = grouped_pad_target(B, g=g, block=block, ndev=ndev)
     pad = Bp - B
 
-    def padded(x):
-        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)]) if pad else x
-
-    A0p, ga, al, db = padded(A0), padded(gamma), padded(alpha), padded(dbeta)
+    A0p = pad_rows(A0, pad)
+    ga, al, db = (pad_rows(x, pad) for x in (gamma, alpha, dbeta))
     Bl = Bp // g
     G = 4 * g
 
-    def plane_state(X):
-        # (Bp, 4) -> (4g, Bl): wave k of member j on row k*g + j
-        return X.reshape(Bl, g, 4).transpose(2, 1, 0).reshape(G, Bl)
-
-    def rows_scalar(v, waves=4):
-        return np.tile(v.reshape(Bl, g).T, (waves, 1))
-
     coef = np.concatenate([
-        rows_scalar(ga),                 # gamma      (4g, Bl)
-        rows_scalar(al),                 # alpha      (4g, Bl)
-        rows_scalar(db, waves=2),        # dbeta      (2g, Bl)
-        np.full((1, Bl), float(dz_m)),   # dz         (1, Bl)
+        rows_scalar(ga, g),                # gamma      (4g, Bl)
+        rows_scalar(al, g),                # alpha      (4g, Bl)
+        rows_scalar(db, g, waves=2),       # dbeta      (2g, Bl)
+        np.full((1, Bl), float(dz_m)),     # dz         (1, Bl)
     ], axis=0).astype(np.float32)
     y0 = np.concatenate(
-        [plane_state(A0p.real), plane_state(A0p.imag)], axis=0
+        [plane_state(A0p.real, g), plane_state(A0p.imag, g)], axis=0
     ).astype(np.float32)  # (8g, Bl)
 
     if mesh is None:
@@ -500,21 +491,24 @@ def _solve_grouped_x32(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
     else:
         from jax.sharding import NamedSharding
 
+        from ..parallel.mesh import put_global
+
         solver, spec = _pallas_solver_grouped_sharded(
             int(n_steps), int(save_every), bool(interpret), int(block), g, mesh
         )
         sh = NamedSharding(mesh, spec)
-        coef_dev = jax.device_put(jnp.asarray(coef), sh)
-        y0_dev = jax.device_put(jnp.asarray(y0), sh)
+        coef_dev = put_global(coef, sh)
+        y0_dev = put_global(y0, sh)
     with jax.enable_x64(False):
         pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
+    if mesh is not None:
+        from ..parallel.mesh import fetch_global
 
-    def unplane(rows64):
-        return rows64.reshape(4, g, Bl).transpose(2, 1, 0).reshape(Bp, 4)
+        pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
 
-    pmax = unplane(np.asarray(pmax, np.float64))[:B]
+    pmax = _unplane(np.asarray(pmax, np.float64), g)[:B]
     yl = np.asarray(y_last, np.float64)
-    A_end_rot = (unplane(yl[0:G]) + 1j * unplane(yl[G:2 * G]))[:B]
+    A_end_rot = (_unplane(yl[0:G], g) + 1j * _unplane(yl[G:2 * G], g))[:B]
     ok_arr = (np.asarray(ok, np.float64).T.reshape(Bp) > 0.0)[:B]
 
     n_chunks = int(n_steps) // int(save_every)

@@ -35,11 +35,22 @@ def default_mesh(
     return Mesh(np.asarray(devs[:n]), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, *, axis_name: str = BATCH_AXIS) -> NamedSharding:
-    """Shard the leading (batch) axis over EVERY mesh axis; replicate the
-    rest.  On a 1-D mesh this is the plain batch split; on a multihost
-    (dcn, batch) mesh the lead axis folds over both."""
-    axes = tuple(mesh.axis_names)
+def batch_sharding(mesh: Mesh, *, axis_name=None) -> NamedSharding:
+    """Sharding that splits the leading (batch) axis over the mesh.
+
+    ``axis_name=None`` (default) folds the batch over EVERY mesh axis: the
+    plain split on a 1-D mesh, both axes on a multihost (dcn, batch) mesh.
+    Pass an axis name (or tuple of names) to split over just those axes and
+    leave the others free (e.g. a model-parallel wave axis)."""
+    if axis_name is None:
+        axes = tuple(mesh.axis_names)
+    else:
+        axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+        missing = [a for a in axes if a not in mesh.axis_names]
+        if missing:
+            raise ValueError(
+                f"axis_name {missing} not in mesh axes {tuple(mesh.axis_names)}"
+            )
     spec = PartitionSpec(axes if len(axes) > 1 else axes[0])
     return NamedSharding(mesh, spec)
 
@@ -52,14 +63,19 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    *,
+    auto_detect: bool = True,
     **kwargs,
 ) -> bool:
     """Guarded ``jax.distributed.initialize``: returns True if a multi-process
     runtime is (now) active, False for the single-process case.
 
-    Safe to call unconditionally: no-ops when already initialized or when no
-    coordinator is configured (neither arguments nor the standard cluster
-    env vars JAX_COORDINATOR_ADDRESS / cloud auto-detection).  On CPU
+    Safe to call unconditionally: no-ops when already initialized.  With no
+    explicit coordinator (arguments or JAX_COORDINATOR_ADDRESS /
+    COORDINATOR_ADDRESS env vars) and ``auto_detect=True``, a bare
+    ``jax.distributed.initialize()`` is attempted so cloud cluster
+    auto-detection (TPU pod metadata, GKE, Slurm) still engages; its failure
+    on a plain single-host machine is caught and reported as False.  On CPU
     clusters set ``JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo`` (or pass
     ``cluster_detection_method``) before the first backend query.
     """
@@ -77,7 +93,15 @@ def initialize_distributed(
         or os.environ.get("COORDINATOR_ADDRESS")
     )
     if not have_cfg:
-        return False
+        if not auto_detect:
+            return False
+        try:
+            # engages jax's own cluster auto-detection (TPU pod / GKE /
+            # Slurm / Cloud); raises on a plain single-host machine
+            jax.distributed.initialize(**kwargs)
+        except Exception:  # noqa: BLE001 -- no cluster detected
+            return False
+        return jax.process_count() > 1
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

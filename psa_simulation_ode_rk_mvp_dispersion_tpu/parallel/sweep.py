@@ -93,7 +93,15 @@ class GainMapResult:
 
     @property
     def best_index(self):
-        """(ip, il) of the maximum finite gain."""
+        """(ip, il) of the maximum finite gain.
+
+        Raises a descriptive ``ValueError`` when every cell failed (all-NaN
+        gain) instead of numpy's bare all-NaN-slice error."""
+        if not np.any(np.isfinite(self.gain)):
+            raise ValueError(
+                "best_index undefined: every gain-map cell failed "
+                "(gain is all-NaN; check the ok mask)"
+            )
         flat = int(np.nanargmax(self.gain))
         return np.unravel_index(flat, self.gain.shape)
 
@@ -112,6 +120,11 @@ class SweepResult:
 
     @property
     def best_index(self) -> int:
+        if not np.any(np.isfinite(self.gain)):
+            raise ValueError(
+                "best_index undefined: every sweep point failed "
+                "(gain is all-NaN; check the ok mask)"
+            )
         return int(np.nanargmax(self.gain))
 
 
@@ -462,10 +475,20 @@ def _solve_batch_rk45(
 
     Output contract matches the rk4 reduce path: P_max over the decimated
     save grid (row 0 + every ``save_every``-th step; trailing partial chunk
-    unsaved), A_end at the last saved grid point.
+    unsaved), A_end at the last saved grid point.  Unlike rk4, the adaptive
+    solver does not integrate the unobservable trailing chunk, so ``ok``
+    covers the saved grid only.
     """
     B = A0.shape[0]
-    n_chunks = max(1, n_steps // int(cfg.save_every))
+    n_chunks = n_steps // int(cfg.save_every)
+    if n_chunks == 0:
+        # no saved step beyond row 0: the saved-grid outputs are the ICs
+        P0 = np.abs(np.asarray(A0, dtype=np.complex128)) ** 2
+        return BatchSolveResult(
+            P_max=P0, P_end=P0, A_end=np.asarray(A0, dtype=np.complex128),
+            ok=np.ones(B, dtype=bool), elapsed_s=0.0,
+            instances_per_s=float("inf"),
+        )
     z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
         int(cfg.save_every) * float(cfg.dz)
     )
@@ -626,7 +649,14 @@ def solve_batch_trajectories(
     from .mesh import fetch_global
 
     if adaptive:
-        n_chunks = max(1, n_steps // int(cfg.save_every))
+        n_chunks = n_steps // int(cfg.save_every)
+        if n_chunks == 0:
+            # saved grid is just row 0 (the ICs); nothing to integrate
+            return (
+                np.zeros(1, dtype=np.float64),
+                np.asarray(A0, dtype=np.complex128)[:, None, :],
+                np.ones(B, dtype=bool),
+            )
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * float(cfg.dz)
         )

@@ -13,6 +13,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -81,3 +82,22 @@ def test_put_and_fetch_global_single_process_roundtrip():
     arr = pm.put_global(x, sh)
     assert arr.sharding.is_fully_addressable
     np.testing.assert_array_equal(pm.fetch_global(arr), x)
+
+
+def test_batch_sharding_honors_axis_name():
+    """Round-2 review fix: the axis_name parameter was silently ignored
+    (the sharding always folded over every mesh axis)."""
+    import jax
+    from jax.sharding import PartitionSpec
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel.mesh import (
+        batch_sharding,
+    )
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = jax.sharding.Mesh(devs, ("dcn", "batch"))
+    assert batch_sharding(mesh).spec == PartitionSpec(("dcn", "batch"))
+    assert batch_sharding(mesh, axis_name="batch").spec == PartitionSpec("batch")
+    assert batch_sharding(mesh, axis_name=("dcn",)).spec == PartitionSpec("dcn")
+    with pytest.raises(ValueError, match="not in mesh axes"):
+        batch_sharding(mesh, axis_name="nope")

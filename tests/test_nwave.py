@@ -344,3 +344,32 @@ def test_solve_comb_batch_pallas_engine_validation():
         nw.solve_comb_batch(cfg_x64, coeffs, A0, engine="pallas")
     with pytest.raises(ValueError, match="engine"):
         nw.solve_comb_batch(cfg_x64, coeffs, A0, engine="bogus")
+
+
+def test_solve_comb_batch_engines_agree_on_partial_tail():
+    """Round-2 review fix: the scan engine returned the state AFTER trailing
+    partial steps while the pallas kernel returned the last saved state.
+    Both now follow the framework-wide saved-grid convention (A_final at the
+    last saved grid point), so they agree when save_every does not divide
+    n_steps."""
+    n, B = 8, 3
+    rng = np.random.default_rng(5)
+    A0 = rng.normal(size=(B, n)) * 0.3 + 1j * rng.normal(size=(B, n)) * 0.3
+    coeffs = nw.NWaveCoeffs(
+        gamma=np.linspace(0.5, 1.5, B), alpha=np.full(B, 0.02),
+        beta_lin=np.broadcast_to(np.linspace(-0.3, 0.3, n), (B, n)),
+    )
+    # 105 steps, save_every=10: 5 trailing steps are integrated but unsaved
+    cfg = psa.custom_simulation_config(z_max=1.05, dz=0.01, save_every=10,
+                                       precision="x32")
+    P1, A1, ok1 = nw.solve_comb_batch(cfg, coeffs, A0, coupling="dft")
+    P2, A2, ok2 = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+    assert ok1.all() and ok2.all()
+    np.testing.assert_allclose(A2, A1, rtol=2e-5, atol=1e-7)
+    # and the scan A_final equals the last SAVED row of a trajectory solve
+    c0 = nw.NWaveCoeffs(
+        gamma=float(coeffs.gamma[0]), alpha=float(coeffs.alpha[0]),
+        beta_lin=coeffs.beta_lin[0],
+    )
+    z, Atraj = nw.run_comb_simulation(cfg, c0, A0[0], coupling="dft")
+    np.testing.assert_allclose(A1[0], Atraj[-1], rtol=2e-6, atol=1e-8)

@@ -117,3 +117,57 @@ def test_rk45_trajectories_reject_df32():
     A0 = np.ones((2, 4), dtype=np.complex128)
     with pytest.raises(ValueError, match="rk45"):
         sw.solve_batch_trajectories(cfg, coeffs, A0)
+
+
+def test_rk45_save_every_exceeding_steps_matches_rk4():
+    """Round-2 review fix: ``max(1, n_chunks)`` made the rk45 sweep integrate
+    a whole save_every chunk PAST cfg.z_max when n_steps < save_every.  With
+    no saved step beyond row 0, both integrators' saved-grid outputs are the
+    initial conditions."""
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=0.1, save_every=20)
+    B = 5
+    A0 = np.sqrt(np.array([0.5, 0.5, 1e-4, 0.0]))[None, :] * np.ones((B, 1))
+    A0 = A0.astype(np.complex128)
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, 10.0), alpha=np.zeros(B),
+        delta_beta=np.linspace(-5.0, 5.0, B),
+    )
+    r4 = sw.solve_batch(cfg, coeffs, A0)
+    r45 = sw.solve_batch(_rk45_cfg(cfg), coeffs, A0)
+    P0 = np.abs(A0) ** 2
+    np.testing.assert_allclose(r4.P_max, P0, rtol=0, atol=0)
+    np.testing.assert_allclose(r45.P_max, P0, rtol=0, atol=0)
+    np.testing.assert_allclose(r4.A_end, A0, rtol=0, atol=0)
+    np.testing.assert_allclose(r45.A_end, A0, rtol=0, atol=0)
+    assert np.all(r45.ok)
+
+    # trajectory mode: saved grid is exactly row 0
+    z4, A4t, ok4 = sw.solve_batch_trajectories(cfg, coeffs, A0)
+    z45, A45t, ok45 = sw.solve_batch_trajectories(_rk45_cfg(cfg), coeffs, A0)
+    np.testing.assert_array_equal(z4, [0.0])
+    np.testing.assert_array_equal(z45, [0.0])
+    np.testing.assert_allclose(A45t, A4t, rtol=0, atol=0)
+    assert np.all(ok45)
+
+
+def test_run_single_rk45_save_every_exceeding_steps():
+    """Single-run rk45 with save_every > n_steps: saved grid is row 0 only
+    (was a ValueError from a 1-point z_grid before the round-2 fix)."""
+    omega0 = 2 * np.pi * psa.constants.c / 1.55e-6
+    pm = psa.PhaseMatchingConfig(
+        method=psa.PhaseMatchingMethod.PROVIDED, provided_delta_beta=0.0
+    )
+    common = dict(
+        gamma=10.0, alpha=0.0, omega=np.full(4, omega0),
+        p_in=np.array([0.1, 0.1, 1e-4, 0.0]), phase_matching_cfg=pm,
+        length_unit="km",
+    )
+    cfg45 = psa.custom_simulation_config(
+        z_max=0.01, dz=1e-3, save_every=100, integrator="rk45"
+    )
+    z45, A45 = psa.run_single_simulation(cfg45, **common)
+    cfg4 = psa.custom_simulation_config(z_max=0.01, dz=1e-3, save_every=100)
+    z4, A4 = psa.run_single_simulation(cfg4, **common)
+    np.testing.assert_array_equal(z45, z4)
+    assert A45.shape == A4.shape == (1, 4)
+    np.testing.assert_allclose(A45, A4, rtol=0, atol=0)
