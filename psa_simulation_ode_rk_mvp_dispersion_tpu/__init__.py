@@ -124,8 +124,18 @@ from .ops.integrators import (  # noqa: E402
     integrate_reduce,
     rk4_step,
 )
-from .models import fwm4, nwave, sbs  # noqa: E402
+from .models import fwm4, gnlse, nwave, sbs  # noqa: E402
 from .models.sbs import SBSCoeffs, SBSResult, run_sbs_batch, run_sbs_simulation  # noqa: E402
+from .models.gnlse import (  # noqa: E402
+    GNLSECoeffs,
+    TimeGrid,
+    gaussian_pulse,
+    make_gnlse_coeffs,
+    run_gnlse_simulation,
+    sech_pulse,
+    solve_gnlse_batch,
+    soliton_peak_power,
+)
 from .models.nwave import (  # noqa: E402
     CombGrid,
     NWaveCoeffs,

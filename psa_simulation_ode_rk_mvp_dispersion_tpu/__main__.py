@@ -62,6 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--coupling", default="fft", choices=("fft", "dft", "einsum"),
                    help="cubic-sum evaluation (dft = dense MXU matmuls)")
 
+    s = sub.add_parser("gnlse", help="GNLSE pulse propagation (split-step Fourier)")
+    s.add_argument("--t0", type=float, default=1.0, help="pulse duration T0 [ps]")
+    s.add_argument("--n-soliton", type=float, default=3.0,
+                   help="soliton order N (peak power = N^2 |beta2|/gamma/T0^2)")
+    s.add_argument("--beta2", type=float, default=-20.0, help="beta2 [ps^2/km]")
+    s.add_argument("--periods", type=float, default=1.0,
+                   help="propagation length in soliton periods")
+    s.add_argument("--samples", type=int, default=1024, help="time samples")
+    s.add_argument("--steps", type=int, default=4000, help="split steps")
+
     s = sub.add_parser("sbs", help="coupled FWM + SBS forward/backward solve")
     s.add_argument("--z-max", type=float, default=200.0, help="fiber length [m]")
     s.add_argument("--gb", type=float, default=150.0, help="Brillouin gain [1/(W km)]")
@@ -114,6 +124,12 @@ def main(argv=None) -> int:
         ex.comb(n_lines=args.lines, z_max_m=args.z_max,
                 integrator=args.comb_integrator, coupling=args.coupling,
                 verbose=verbose, **common)
+    elif args.cmd == "gnlse":
+        ex.gnlse_pulse(
+            t0_ps=args.t0, n_soliton=args.n_soliton, beta2_ps2_km=args.beta2,
+            n_periods=args.periods, n_samples=args.samples, n_steps=args.steps,
+            verbose=verbose, **common,
+        )
     elif args.cmd == "sbs":
         ex.fwm_sbs(z_max_m=args.z_max, g_B_km=args.gb, verbose=verbose,
                    tol=args.tol, damping=args.damping,

@@ -22,7 +22,7 @@ from . import plotting
 from .config import custom_simulation_config
 from .io_fwm import make_run_metadata, save_run_bundle, save_sweep_npz
 from .models.fwm4 import run_single_simulation
-from .ops.dispersion import dispersion_params_from_D_S
+from .ops.dispersion import DispersionParams, dispersion_params_from_D_S
 from .ops.frequency_plan import (
     describe_plan,
     infer_symmetry_from_omegas,
@@ -440,6 +440,76 @@ def comb(
     plotting.plot_comb_spectrum(
         [A[0], A[-1]], label=["input", "output"], show=show,
         save_path=None if save_dir is None else f"{save_dir}/comb.png",
+    )
+    return z, A
+
+
+def gnlse_pulse(
+    *,
+    t0_ps: float = 1.0,
+    n_soliton: float = 3.0,
+    beta2_ps2_km: float = -20.0,
+    gamma_km: float = 2.0,
+    alpha_db_per_km: float = 0.0,
+    n_periods: float = 1.0,
+    n_samples: int = 1024,
+    n_steps: int = 4000,
+    lambda_center: float = 1550e-9,
+    precision: str = "x64",
+    show: bool = True,
+    save_dir: Optional[str] = None,
+    verbose: bool = True,
+):
+    """GNLSE pulse propagation (``models/gnlse``): an N-soliton sech pulse
+    over ``n_periods`` soliton periods -- N=1 is shape-invariant, N>=2
+    breathes (periodic temporal compression), the classic split-step demo."""
+    import numpy as _np
+
+    from .models import gnlse as gnl
+    from .ops.frequency_plan import omega_from_lambda
+
+    t0 = t0_ps * 1e-12
+    beta2 = beta2_ps2_km * 1e-24 / 1e3  # ps^2/km -> s^2/m
+    gamma = gamma_km / 1e3
+    omega_c = float(_np.asarray(omega_from_lambda(lambda_center)))
+    disp = DispersionParams.from_betas(omega_c, beta2=beta2)
+    grid = gnl.TimeGrid.for_pulse(t0, n_samples=n_samples)
+    coeffs = gnl.make_gnlse_coeffs(
+        grid, disp, gamma_W_m=gamma,
+        alpha_1_m=alpha_db_per_km_to_1_m(alpha_db_per_km), precision=precision,
+    )
+    P0 = float(n_soliton) ** 2 * gnl.soliton_peak_power(beta2, gamma, t0)
+    z_period = 0.5 * _np.pi * t0**2 / abs(beta2)
+    z_max = float(n_periods) * z_period
+    cfg = custom_simulation_config(
+        z_max=z_max, dz=z_max / n_steps,
+        save_every=max(1, n_steps // 100), precision=precision,
+    )
+    z, A = gnl.run_gnlse_simulation(cfg, coeffs, gnl.sech_pulse(grid, peak_W=P0, t0_s=t0))
+    if verbose:
+        Pk = (_np.abs(A) ** 2).max(axis=-1)
+        print(
+            f"gnlse: N={n_soliton} soliton, P0={P0:.3f} W, period {z_period:.1f} m; "
+            f"peak power {Pk[0]:.2f} -> max {Pk.max():.2f} -> {Pk[-1]:.2f} W"
+        )
+    if save_dir is not None:
+        # no CSV: the per-wave summary table is 4-wave-specific; the envelope
+        # trajectory goes to NPZ with full provenance metadata
+        from pathlib import Path
+
+        from .io_fwm import save_result_npz
+
+        out = Path(save_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        save_result_npz(
+            out / "gnlse.npz", z, A,
+            metadata=make_run_metadata(config=cfg),
+            overwrite=True,
+        )
+    plotting.plot_pulse_evolution(
+        z, grid.t(), A, show=show,
+        title=f"N={n_soliton:g} soliton evolution",
+        save_path=None if save_dir is None else f"{save_dir}/gnlse.png",
     )
     return z, A
 

@@ -1,2 +1,3 @@
-"""Model families: the dual-pump 4-wave FWM/PSA model (fwm4) and the
-N-wave cascaded FWM comb (nwave)."""
+"""Model families: the dual-pump 4-wave FWM/PSA model (fwm4), the N-wave
+cascaded FWM comb (nwave), counter-propagating SBS (sbs), and the GNLSE
+pulse-propagation model (gnlse, split-step Fourier)."""

@@ -1,0 +1,522 @@
+"""Generalized nonlinear Schrödinger (GNLSE) pulse-propagation model.
+
+Extends the framework beyond discrete-wave models (``models/fwm4``,
+``models/nwave``) to full field envelopes ``A(z, t)`` on a periodic time
+window: Taylor dispersion to arbitrary order (reusing
+:class:`~..ops.dispersion.DispersionParams`), Kerr self-phase modulation and
+loss, in the co-moving frame
+
+    dA/dz = -alpha/2 A - sum_{n>=2} beta_n (i^{n-1}/n!) d^n A/dt^n
+            + i gamma |A|^2 A.
+
+The solver is the symmetric (Strang) split-step Fourier method, the standard
+integrator for this equation (Agrawal ch. 2): the linear operator is diagonal
+in the frequency domain,
+
+    L(omega) = -alpha/2 + i sum_{n>=2} beta_n omega^n / n!
+
+(with ``omega = 2 pi fftfreq`` and ``A_tilde = fft(A)``), the Kerr operator
+is diagonal in the time domain (a pure phase rotation
+``exp(i gamma |A|^2 h)``).  TPU-native design notes:
+
+- one ``lax.scan`` chunk per ``save_every`` steps with the framework-wide
+  save-decimation contract (row 0 + every save_every-th step; trailing
+  partial steps integrated but unsaved);
+- within a chunk the adjacent linear half-steps are fused into full steps
+  (half, [NL, full]*(k-1), NL, half) -- one FFT pair per step;
+- batched natively over a leading B axis (the FFT batches over it) and
+  shardable over a device mesh with ``shard_map`` (embarrassingly SPMD --
+  each device transforms its own batch shard, no collectives);
+- every jitted boundary moves f32/i32 only (``utils/packing`` real/imag
+  packs; the axon TPU attachment cannot transfer complex buffers), and
+  complex factors are built with ``lax.complex`` (no weak-c128 constants).
+
+The model has no counterpart in the reference (/root/reference is a 4-wave
+ODE simulator); it realizes the same physics in the continuous-field limit:
+a periodic-window GNLSE with discrete-line initial conditions IS the N-wave
+comb ODE system, and ``tests/test_gnlse.py`` cross-validates the two
+(plus closed-form oracles: dispersion-only Gaussian broadening, SPM-only
+phase, the fundamental soliton, exp(-alpha z) loss).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SimulationConfig, validate_config
+from ..ops.dispersion import DispersionParams
+from ..utils.packing import ri_pack_host, ri_to_complex, ri_unpack_host
+from ..utils.precision import real_dtype, validate_precision
+
+
+# ---------------------------------------------------------------------------
+# Grids and parameters
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TimeGrid:
+    """Uniform periodic time window: ``n_samples`` points spanning
+    ``t_window_s`` seconds (centered on t=0)."""
+
+    n_samples: int
+    t_window_s: float
+
+    def __post_init__(self):
+        if self.n_samples < 2:
+            raise ValueError("n_samples must be >= 2")
+        if not (self.t_window_s > 0.0 and np.isfinite(self.t_window_s)):
+            raise ValueError("t_window_s must be positive and finite")
+
+    @property
+    def dt_s(self) -> float:
+        return float(self.t_window_s) / int(self.n_samples)
+
+    def t(self) -> np.ndarray:
+        """Sample times [s], centered: t_k = (k - n//2) dt."""
+        n = int(self.n_samples)
+        return (np.arange(n) - n // 2) * self.dt_s
+
+    def omega(self) -> np.ndarray:
+        """Angular baseband frequencies [rad/s], fft-ordered."""
+        return 2.0 * np.pi * np.fft.fftfreq(int(self.n_samples), d=self.dt_s)
+
+    @classmethod
+    def for_pulse(cls, t0_s: float, *, n_samples: int = 1024,
+                  window_t0: float = 40.0) -> "TimeGrid":
+        """Window sized to a pulse of duration ``t0_s`` (default 40 T0)."""
+        return cls(n_samples=int(n_samples), t_window_s=float(window_t0) * float(t0_s))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GNLSECoeffs:
+    """Per-instance GNLSE coefficients (broadcastable over a leading B axis).
+
+    ``lin_phase`` is the omega-domain phase rate sum beta_n omega^n / n!
+    [rad/m] on the fft-ordered grid; ``gamma`` [1/(W m)]; ``alpha`` [1/m].
+    """
+
+    gamma: jax.Array      # () or (B,)
+    alpha: jax.Array      # () or (B,)
+    lin_phase: jax.Array  # (T,) or (B, T)
+
+
+def make_gnlse_coeffs(
+    grid: TimeGrid,
+    dispersion: Optional[DispersionParams] = None,
+    *,
+    gamma_W_m: float,
+    alpha_1_m: float = 0.0,
+    max_order: Optional[int] = None,
+    precision: str = "x64",
+) -> GNLSECoeffs:
+    """Build :class:`GNLSECoeffs` from the framework dispersion model.
+
+    Orders 0 and 1 of ``dispersion`` are ignored (the co-moving frame removes
+    the absolute phase and group delay, the same gauge as
+    ``nwave.comb_beta_lin(remove_linear=True)``).
+    """
+    import math
+
+    rdt = real_dtype(validate_precision(precision))
+    om = grid.omega()
+    phase = np.zeros_like(om)
+    if dispersion is not None:
+        cf = np.asarray(dispersion.coeffs, dtype=np.float64)
+        hi = len(cf) if max_order is None else min(len(cf), int(max_order) + 1)
+        for n in range(2, hi):
+            phase = phase + (cf[n] / math.factorial(n)) * om ** n
+    if not np.all(np.isfinite(phase)):
+        raise ValueError("dispersion phase must be finite on the grid")
+    return GNLSECoeffs(
+        gamma=jnp.asarray(float(gamma_W_m), dtype=rdt),
+        alpha=jnp.asarray(float(alpha_1_m), dtype=rdt),
+        lin_phase=jnp.asarray(phase, dtype=rdt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initial conditions
+# ---------------------------------------------------------------------------
+
+def gaussian_pulse(grid: TimeGrid, *, peak_W: float, t0_s: float,
+                   chirp: float = 0.0) -> np.ndarray:
+    """``sqrt(P0) exp(-(1+iC) t^2 / (2 T0^2))`` on the grid."""
+    t = grid.t()
+    u = t / float(t0_s)
+    env = np.sqrt(float(peak_W)) * np.exp(-0.5 * (1.0 + 1j * float(chirp)) * u * u)
+    return env.astype(np.complex128)
+
+
+def sech_pulse(grid: TimeGrid, *, peak_W: float, t0_s: float) -> np.ndarray:
+    """``sqrt(P0) sech(t/T0)`` (the soliton profile for beta2 < 0 when
+    ``P0 = |beta2| / (gamma T0^2)``)."""
+    t = grid.t()
+    return (np.sqrt(float(peak_W)) / np.cosh(t / float(t0_s))).astype(np.complex128)
+
+
+def soliton_peak_power(beta2_s2_m: float, gamma_W_m: float, t0_s: float) -> float:
+    """Fundamental-soliton peak power ``|beta2| / (gamma T0^2)`` [W]."""
+    if beta2_s2_m >= 0:
+        raise ValueError("solitons require anomalous dispersion (beta2 < 0)")
+    return abs(float(beta2_s2_m)) / (float(gamma_W_m) * float(t0_s) ** 2)
+
+
+def comb_to_field(grid: TimeGrid, line_amps: np.ndarray, domega: float) -> np.ndarray:
+    """Place comb lines (centered, spacing ``domega``) onto the time grid.
+
+    Line j of N carries baseband frequency ``(j - N//2) domega``; the window
+    must hold an integer number of beat periods (``domega`` a multiple of
+    ``2 pi / t_window``).  Inverse of :func:`field_to_comb`.
+    """
+    amps = np.asarray(line_amps, dtype=np.complex128)
+    n_lines = amps.shape[-1]
+    spec = np.zeros(amps.shape[:-1] + (int(grid.n_samples),), dtype=np.complex128)
+    idx = _comb_bins(grid, n_lines, domega)
+    spec[..., idx] = amps
+    # fft-convention synthesis: A = ifft(spec) * n (so |line amp| = |A| line)
+    return np.fft.ifft(spec, axis=-1) * int(grid.n_samples)
+
+
+def field_to_comb(grid: TimeGrid, A: np.ndarray, n_lines: int,
+                  domega: float) -> np.ndarray:
+    """Read centered comb-line amplitudes back out of a periodic field."""
+    spec = np.fft.fft(np.asarray(A, dtype=np.complex128), axis=-1) / int(grid.n_samples)
+    return spec[..., _comb_bins(grid, int(n_lines), domega)]
+
+
+def _comb_bins(grid: TimeGrid, n_lines: int, domega: float) -> np.ndarray:
+    step = float(domega) * float(grid.t_window_s) / (2.0 * np.pi)
+    k = int(round(step))
+    if abs(step - k) > 1e-9 or k < 1:
+        raise ValueError(
+            "domega must be a positive integer multiple of 2*pi/t_window "
+            f"(got {step} bins/line)"
+        )
+    offs = (np.arange(n_lines) - n_lines // 2) * k
+    if np.any(np.abs(offs) > grid.n_samples // 2 - 1):
+        raise ValueError("comb does not fit in the grid bandwidth")
+    return offs % int(grid.n_samples)
+
+
+# ---------------------------------------------------------------------------
+# The split-step solver core
+# ---------------------------------------------------------------------------
+
+def _lin_factor(coeffs: GNLSECoeffs, h, rdt):
+    """Frequency-domain one-step linear factor exp((-alpha/2 + i phi) h)."""
+    al = jnp.asarray(coeffs.alpha, dtype=rdt)
+    ph = jnp.asarray(coeffs.lin_phase, dtype=rdt)
+    if ph.ndim > al.ndim:
+        al = al[..., None] if al.ndim else al
+    decay = jnp.exp(-0.5 * al * h)
+    ang = ph * h
+    return lax.complex(decay * jnp.cos(ang), decay * jnp.sin(ang))
+
+
+def _kerr_step(y, gamma, h):
+    """Time-domain Kerr phase rotation exp(i gamma |A|^2 h)."""
+    P = y.real * y.real + y.imag * y.imag
+    ang = gamma * P * h
+    return y * lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def _finite_mask(y):
+    """Per-instance all-finite flag over trailing (time) axis."""
+    m = jnp.isfinite(y.real) & jnp.isfinite(y.imag)
+    return jnp.all(m, axis=-1)
+
+
+@functools.lru_cache(maxsize=64)
+def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
+    """Jitted batched SSFM: (B, T, 2) real pack -> saved trajectory pack.
+
+    Returns ``(y_saved (S+1, B, T, 2), y_final (B, T, 2), ok (B,) i32)``;
+    chunk-fused symmetric split-step, per-instance NaN freeze at chunk
+    boundaries.
+    """
+    rdt = jnp.dtype(rdt_name)
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+
+    def solve(y0_ri, coeffs: GNLSECoeffs, dz):
+        y0 = ri_to_complex(y0_ri)  # (B, T) complex
+        h = jnp.asarray(dz, dtype=rdt)
+        gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
+        if gamma.ndim:
+            gamma = gamma[..., None]
+        Lh = _lin_factor(coeffs, 0.5 * h, rdt)
+        Lf = _lin_factor(coeffs, h, rdt)
+
+        ok0 = _finite_mask(y0)
+        stepper = _chunk_stepper(save_every)
+
+        def chunk(carry, _):
+            y, ok = carry
+            y_new = stepper(y, Lh, Lf, gamma, h)
+            ok_new = ok & _finite_mask(y_new)
+            y_out = jnp.where(ok_new[..., None], y_new, y)
+            return (y_out, ok_new), jnp.stack([y_out.real, y_out.imag], axis=-1)
+
+        if n_chunks > 0:
+            (y, ok), ys = lax.scan(chunk, (y0, ok0), None, length=n_chunks)
+        else:
+            y, ok = y0, ok0
+            ys = jnp.zeros((0,) + y0.shape + (2,), dtype=rdt)
+        y_saved = jnp.concatenate(
+            [jnp.stack([y0.real, y0.imag], axis=-1)[None], ys], axis=0
+        )
+        # trailing partial steps: integrated (they can flip ok) but unsaved
+        if remainder > 0:
+            y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h)
+            ok_new = ok & _finite_mask(y_new)
+            y = jnp.where(ok_new[..., None], y_new, y)
+            ok = ok_new
+        y_final = jnp.stack([y.real, y.imag], axis=-1)
+        return y_saved.astype(rdt), y_final.astype(rdt), ok.astype(jnp.int32)
+
+    return jax.jit(solve)
+
+
+@functools.lru_cache(maxsize=64)
+def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
+    """Reduce-mode SSFM for large sweeps: no trajectory materialization.
+
+    Returns ``(peak_max (B,), y_last (B, T, 2), ok (B,) i32)`` -- the running
+    max over saved samples of the instantaneous peak power max_t |A|^2, and
+    the field at the last saved grid point (framework saved-grid convention).
+    """
+    rdt = jnp.dtype(rdt_name)
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+
+    def peak(y):
+        return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
+
+    def solve(y0_ri, coeffs: GNLSECoeffs, dz):
+        y0 = ri_to_complex(y0_ri)
+        h = jnp.asarray(dz, dtype=rdt)
+        gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
+        if gamma.ndim:
+            gamma = gamma[..., None]
+        Lh = _lin_factor(coeffs, 0.5 * h, rdt)
+        Lf = _lin_factor(coeffs, h, rdt)
+
+        stepper = _chunk_stepper(save_every)
+        ok0 = _finite_mask(y0)
+
+        def chunk(carry, _):
+            y, pk, ok = carry
+            y_new = stepper(y, Lh, Lf, gamma, h)
+            ok_new = ok & _finite_mask(y_new)
+            y_out = jnp.where(ok_new[..., None], y_new, y)
+            pk = jnp.maximum(pk, peak(y_out))
+            return (y_out, pk, ok_new), None
+
+        if n_chunks > 0:
+            (y, pk, ok), _ = lax.scan(
+                chunk, (y0, peak(y0), ok0), None, length=n_chunks
+            )
+        else:
+            y, pk, ok = y0, peak(y0), ok0
+        # trailing partial steps: integrated (they can flip ok) but unsaved;
+        # y stays at the last saved grid point (saved-grid convention)
+        if remainder > 0:
+            y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h)
+            ok = ok & _finite_mask(y_new)
+        y_ri = jnp.stack([y.real, y.imag], axis=-1)
+        return pk.astype(rdt), y_ri.astype(rdt), ok.astype(jnp.int32)
+
+    return jax.jit(solve)
+
+
+def _chunk_stepper(k: int):
+    """k fused symmetric split steps (shared by both solver modes)."""
+
+    def run(y, Lh, Lf, gamma, h):
+        if k == 0:
+            return y
+        y = jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
+
+        def body(carry, _):
+            c = _kerr_step(carry, gamma, h)
+            c = jnp.fft.ifft(Lf * jnp.fft.fft(c, axis=-1), axis=-1)
+            return c, None
+
+        if k > 1:
+            y, _ = lax.scan(body, y, None, length=k - 1)
+        y = _kerr_step(y, gamma, h)
+        return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Public runners
+# ---------------------------------------------------------------------------
+
+def run_gnlse_simulation(
+    cfg: SimulationConfig,
+    coeffs: GNLSECoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Integrate one envelope over [0, z_max]; returns host
+    ``(z_saved, A_saved (S+1, T))`` on the decimated save grid.
+
+    Raises ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan`` (eager
+    single-run parity with the other model families).
+    """
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    scale = length_scale_to_m(length_unit)
+    rdt = real_dtype(validate_precision(cfg.precision))
+
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 1:
+        raise ValueError(f"A0 must be a 1-D envelope (T,), got {A0.shape}")
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+    n_chunks = n_steps // int(cfg.save_every)
+
+    solver = _gnlse_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
+    ys, yf, ok = jax.block_until_ready(
+        solver(ri_pack_host(A0[None], rdt), coeffs, jnp.asarray(dz_m, dtype=rdt))
+    )
+    if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
+        raise FloatingPointError("NaN or Inf detected during GNLSE integration")
+    z = np.arange(n_chunks + 1, dtype=np.float64) * (int(cfg.save_every) * dz_m) / scale
+    A_saved = ri_unpack_host(np.asarray(ys))[:, 0, :]
+    return z, A_saved
+
+
+def solve_gnlse_batch(
+    cfg: SimulationConfig,
+    coeffs: GNLSECoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Solve B independent envelopes in one XLA program (reduce mode).
+
+    ``A0`` is ``(B, T)`` complex; ``coeffs`` fields broadcast or carry a
+    leading B axis.  Returns host ``(peak_max (B,), A_last (B, T), ok (B,))``
+    -- running max over saved samples of the instantaneous peak power, and
+    the field at the last saved grid point.  Pass ``mesh`` to shard the batch
+    axis (``shard_map``; each device runs the FFTs on its own shard).
+    """
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    scale = length_scale_to_m(length_unit)
+    rdt = real_dtype(validate_precision(cfg.precision))
+
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2:
+        raise ValueError(f"A0 must have shape (B, T), got {A0.shape}")
+    B, T = A0.shape
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+
+    gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
+    alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
+    phase = np.broadcast_to(np.asarray(coeffs.lin_phase, dtype=float), (B, T))
+
+    n_orig = B
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, pad_batch, put_global
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        A0, n_orig = pad_batch(A0, ndev)
+        gamma, _ = pad_batch(gamma, ndev)
+        alpha, _ = pad_batch(alpha, ndev)
+        phase, _ = pad_batch(phase, ndev)
+
+    coeffs_b = GNLSECoeffs(
+        gamma=jnp.asarray(gamma, dtype=rdt),
+        alpha=jnp.asarray(alpha, dtype=rdt),
+        lin_phase=jnp.asarray(phase, dtype=rdt),
+    )
+    y0_ri = ri_pack_host(A0, rdt)
+
+    if mesh is None:
+        solver = _gnlse_reduce_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
+        pk, y_ri, ok = jax.block_until_ready(
+            solver(jnp.asarray(y0_ri), coeffs_b, jnp.asarray(dz_m, dtype=rdt))
+        )
+    else:
+        solver = _gnlse_reduce_solver_sharded(
+            n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
+        )
+        sh = batch_sharding(mesh)
+        y0_dev = put_global(y0_ri, sh)
+        cof_dev = GNLSECoeffs(
+            gamma=put_global(np.asarray(gamma, dtype=rdt), sh),
+            alpha=put_global(np.asarray(alpha, dtype=rdt), sh),
+            lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
+        )
+        pk, y_ri, ok = jax.block_until_ready(
+            solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt))
+        )
+        from ..parallel.mesh import fetch_global
+
+        pk, y_ri, ok = fetch_global(pk), fetch_global(y_ri), fetch_global(ok)
+
+    peak = np.asarray(pk, dtype=np.float64)[:n_orig]
+    A_last = ri_unpack_host(np.asarray(y_ri))[:n_orig]
+    return peak, A_last, np.asarray(ok)[:n_orig].astype(bool)
+
+
+@functools.lru_cache(maxsize=16)
+def _gnlse_reduce_solver_sharded(n_steps: int, save_every: int, rdt_name: str,
+                                 mesh):
+    """shard_map-wrapped reduce solver: batch axis split over the mesh; the
+    per-shard FFTs run on local (unsharded) buffers, so the XLA:CPU sharded-
+    FFT limitation does not apply."""
+    from jax.sharding import PartitionSpec
+
+    inner = _gnlse_reduce_solver(n_steps, save_every, rdt_name)
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    b = PartitionSpec(ax)
+    bt = PartitionSpec(ax, None)
+    btr = PartitionSpec(ax, None, None)
+    return jax.jit(
+        jax.shard_map(
+            lambda y0, c, dz: inner(y0, c, dz),
+            mesh=mesh,
+            in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
+                      PartitionSpec()),
+            out_specs=(b, btr, b),
+            check_vma=False,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived quantities
+# ---------------------------------------------------------------------------
+
+def pulse_energy(grid: TimeGrid, A: np.ndarray) -> np.ndarray:
+    """Envelope energy integral |A|^2 dt [J] over the window."""
+    return (np.abs(np.asarray(A)) ** 2).sum(axis=-1) * grid.dt_s
+
+
+def spectrum_dbw(grid: TimeGrid, A: np.ndarray, *, floor_dbw: float = -200.0):
+    """(omega sorted, |A(omega)|^2 in dBW-per-bin): fftshifted power spectrum
+    normalized so a single comb line recovers its line power."""
+    spec = np.fft.fft(np.asarray(A, dtype=np.complex128), axis=-1)
+    P = np.abs(spec / int(grid.n_samples)) ** 2
+    P = np.fft.fftshift(P, axes=-1)
+    om = np.fft.fftshift(grid.omega())
+    return om, 10.0 * np.log10(np.maximum(P, 10 ** (floor_dbw / 10.0)))

@@ -374,3 +374,37 @@ def plot_dbeta_spectrum(x, dbeta, *, gamma=None, p_pump_total=None,
     ax.grid(True, which="both", linestyle="--", alpha=0.5)
     ax.legend()
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_pulse_evolution(z, t, A_saved, *, title="GNLSE pulse evolution",
+                         t_unit="ps", floor_db=-60.0, show=True,
+                         save_path=None):
+    """|A(z, t)|^2 evolution map (dB rel. to the global peak) plus the input
+    and output temporal profiles, for ``models/gnlse`` trajectories.
+
+    ``A_saved`` is (S+1, T) complex on the decimated save grid ``z`` (S+1,),
+    ``t`` the time axis in seconds."""
+    plt = _plt()
+    z = np.asarray(z, dtype=float)
+    t = np.asarray(t, dtype=float)
+    P = np.abs(np.asarray(A_saved)) ** 2
+    if P.ndim != 2 or P.shape[0] != z.shape[0] or P.shape[1] != t.shape[0]:
+        raise ValueError("A_saved must be (len(z), len(t))")
+    t_scale = {"s": 1.0, "ps": 1e12, "fs": 1e15, "ns": 1e9}.get(t_unit)
+    if t_scale is None:
+        raise ValueError(f"Unsupported t_unit={t_unit!r}")
+    P_db = 10.0 * np.log10(np.maximum(P / max(P.max(), 1e-300), 10 ** (floor_db / 10.0)))
+    fig, (ax0, ax1) = plt.subplots(
+        1, 2, figsize=(12, 5), gridspec_kw={"width_ratios": [2, 1]}
+    )
+    im = ax0.pcolormesh(t * t_scale, z, P_db, shading="auto")
+    fig.colorbar(im, ax=ax0, label="|A|$^2$ [dB rel. peak]")
+    ax0.set_xlabel(f"t [{t_unit}]")
+    ax0.set_ylabel("z [m]")
+    ax1.plot(t * t_scale, P[0], label="input")
+    ax1.plot(t * t_scale, P[-1], label="output")
+    ax1.set_xlabel(f"t [{t_unit}]")
+    ax1.set_ylabel("|A|$^2$ [W]")
+    ax1.grid(True, alpha=0.3)
+    ax1.legend()
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

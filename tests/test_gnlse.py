@@ -1,0 +1,245 @@
+"""GNLSE split-step Fourier model (models/gnlse.py).
+
+Every operator is pinned by a closed-form oracle (dispersion-only Gaussian
+broadening, SPM-only phase, loss-only decay — each EXACT for split-step, so
+tolerances are machine-level), their combination by the fundamental soliton,
+and the whole solver by an independent cross-oracle: a periodic-window GNLSE
+with comb-line initial conditions is the N-wave comb ODE system
+(models/nwave.py, fixed-step RK4) — two unrelated integrators on two
+unrelated formulations must agree on every significant line.
+"""
+
+import numpy as np
+import pytest
+
+import psa_tpu as psa
+from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
+from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import mesh as pm
+
+T0 = 1e-12
+BETA2 = -2.0e-26
+OMEGA_REF = 1.2e15
+
+
+def _grid(n=512):
+    return gn.TimeGrid.for_pulse(T0, n_samples=n)
+
+
+def _disp(beta2=BETA2, **kw):
+    return psa.DispersionParams.from_betas(OMEGA_REF, beta2=beta2, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Grids and comb embedding
+# ---------------------------------------------------------------------------
+
+def test_time_grid_validation_and_axes():
+    with pytest.raises(ValueError):
+        gn.TimeGrid(n_samples=1, t_window_s=1.0)
+    with pytest.raises(ValueError):
+        gn.TimeGrid(n_samples=64, t_window_s=-1.0)
+    g = gn.TimeGrid(n_samples=64, t_window_s=6.4e-11)
+    assert g.dt_s == pytest.approx(1e-12)
+    assert g.t().shape == (64,) and g.omega().shape == (64,)
+    assert g.t()[32] == 0.0  # centered
+
+
+def test_comb_field_roundtrip():
+    g = gn.TimeGrid(n_samples=256, t_window_s=1e-10)
+    domega = 2 * np.pi * 8 / 1e-10  # 8 bins per line
+    rng = np.random.default_rng(0)
+    amps = rng.normal(size=9) + 1j * rng.normal(size=9)
+    field = gn.comb_to_field(g, amps, domega)
+    back = gn.field_to_comb(g, field, 9, domega)
+    np.testing.assert_allclose(back, amps, rtol=1e-13, atol=1e-15)
+    # line power == |amp|^2 through the spectrum helper's normalization
+    om, S = gn.spectrum_dbw(g, field)
+    assert S.max() == pytest.approx(10 * np.log10((np.abs(amps) ** 2).max()), abs=1e-9)
+    with pytest.raises(ValueError, match="integer multiple"):
+        gn.comb_to_field(g, amps, domega * 1.01)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form single-operator oracles (exact for split-step)
+# ---------------------------------------------------------------------------
+
+def test_dispersion_only_gaussian_broadening():
+    grid = _grid(1024)
+    co = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=0.0)
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=100)
+    z, A = gn.run_gnlse_simulation(cfg, co, gn.gaussian_pulse(grid, peak_W=1.0, t0_s=T0))
+    L = 100.0
+    T1 = T0 * np.sqrt(1 + (BETA2 * L / T0**2) ** 2)
+    P_ana = (T0 / T1) * np.exp(-((grid.t() / T1) ** 2))
+    np.testing.assert_allclose(np.abs(A[-1]) ** 2, P_ana, rtol=0, atol=1e-13)
+
+
+def test_spm_only_exact_phase():
+    grid = _grid()
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=2e-3)
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=100)
+    A0 = gn.gaussian_pulse(grid, peak_W=5.0, t0_s=T0, chirp=0.5)
+    z, A = gn.run_gnlse_simulation(cfg, co, A0)
+    A_ref = A0 * np.exp(1j * 2e-3 * np.abs(A0) ** 2 * 100.0)
+    np.testing.assert_allclose(A[-1], A_ref, rtol=0, atol=1e-12)
+
+
+def test_loss_only_decay():
+    grid = _grid()
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=0.0, alpha_1_m=0.01)
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=100)
+    A0 = gn.gaussian_pulse(grid, peak_W=2.0, t0_s=T0)
+    z, A = gn.run_gnlse_simulation(cfg, co, A0)
+    np.testing.assert_allclose(A[-1], A0 * np.exp(-0.5 * 0.01 * 100.0),
+                               rtol=0, atol=1e-12)
+    # energy tracks exp(-alpha z) on every saved row
+    E = gn.pulse_energy(grid, A)
+    np.testing.assert_allclose(E / E[0], np.exp(-0.01 * z), rtol=1e-12)
+
+
+def test_fundamental_soliton_shape_invariant():
+    grid = _grid(1024)
+    gam = 2e-3
+    P0 = gn.soliton_peak_power(BETA2, gam, T0)
+    co = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=gam)
+    zper = 0.5 * np.pi * T0**2 / abs(BETA2)  # soliton period
+    cfg = psa.custom_simulation_config(z_max=zper, dz=zper / 1000, save_every=250)
+    Asol = gn.sech_pulse(grid, peak_W=P0, t0_s=T0)
+    z, A = gn.run_gnlse_simulation(cfg, co, Asol)
+    # |A| invariant on EVERY saved row (the defining soliton property)
+    for row in A:
+        np.testing.assert_allclose(np.abs(row), np.abs(Asol),
+                                   rtol=0, atol=3e-7 * np.sqrt(P0))
+    with pytest.raises(ValueError, match="anomalous"):
+        gn.soliton_peak_power(abs(BETA2), gam, T0)
+
+
+# ---------------------------------------------------------------------------
+# Cross-oracle: periodic-window GNLSE == N-wave comb ODE system
+# ---------------------------------------------------------------------------
+
+def test_gnlse_matches_nwave_comb():
+    """Two independent solvers of the same physics: split-step Fourier on the
+    field vs fixed-step RK4 on the (truncated) line ODEs.  With the comb wide
+    enough that truncation is negligible, every significant line must agree.
+    Pins the fft sign convention, beta3's odd-order sign, gamma and alpha."""
+    omega_c = 2 * np.pi * 193.1e12
+    domega = 2 * np.pi * 50e9
+    N = 65
+    cgrid = nw.CombGrid.centered(omega_c, domega, N)
+    gam, al = 10e-3, 5e-5
+    c = N // 2
+    A0 = nw.seed_comb(cgrid, pump_lines={c - 1: 0.3, c + 1: 0.3, c + 4: 1e-5})
+    disp = psa.DispersionParams.from_betas(omega_c, beta2=-1.0e-27, beta3=1.2e-41)
+    coeffs = nw.make_comb_coeffs(cgrid, disp, gamma_W_m=gam, alpha_1_m=al)
+    L = 60.0
+    cfg = psa.custom_simulation_config(z_max=L, dz=0.02, save_every=3000)
+    z, Acomb = nw.run_comb_simulation(cfg, coeffs, A0)
+
+    tgrid = gn.TimeGrid(n_samples=1024, t_window_s=2 * np.pi / domega * 8)
+    field0 = gn.comb_to_field(tgrid, A0, domega)
+    gco = gn.make_gnlse_coeffs(tgrid, disp, gamma_W_m=gam, alpha_1_m=al)
+    zg, Af = gn.run_gnlse_simulation(cfg, gco, field0)
+    lines = gn.field_to_comb(tgrid, Af[-1], N, domega)
+
+    ref = Acomb[-1]
+    sig = np.abs(ref) ** 2 > 1e-9
+    assert sig.sum() >= 5  # a real cascade, not just the pumps
+    np.testing.assert_allclose(lines[sig], ref[sig], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Batch / sharding / failure contracts
+# ---------------------------------------------------------------------------
+
+def _batch_setup(B=6, n=256):
+    grid = _grid(n)
+    gam = 2e-3
+    peaks = np.linspace(0.5, 2.0, B) * gn.soliton_peak_power(BETA2, gam, T0)
+    A0 = np.stack([np.asarray(gn.sech_pulse(grid, peak_W=p, t0_s=T0)) for p in peaks])
+    co = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=gam)
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.05, save_every=50)
+    return grid, co, cfg, A0
+
+
+def test_batch_matches_single():
+    grid, co, cfg, A0 = _batch_setup()
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co, A0)
+    assert ok.all()
+    z, A1 = gn.run_gnlse_simulation(cfg, co, A0[3])
+    np.testing.assert_allclose(A_last[3], A1[-1], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(
+        pk[3], max((np.abs(r) ** 2).max() for r in A1), rtol=1e-12
+    )
+
+
+def test_batch_sharded_matches_unsharded():
+    import jax
+
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    grid, co, cfg, A0 = _batch_setup(B=11)  # not divisible by 8 -> padding
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co, A0)
+    mesh = pm.default_mesh()
+    pk_s, A_s, ok_s = gn.solve_gnlse_batch(cfg, co, A0, mesh=mesh)
+    np.testing.assert_allclose(pk_s, pk, rtol=1e-11)
+    np.testing.assert_allclose(A_s, A_last, rtol=0, atol=1e-11)
+    np.testing.assert_array_equal(ok_s, ok)
+
+
+def test_saved_grid_convention_partial_tail():
+    """A_last sits at the last saved grid point; trailing partial steps are
+    integrated (they can flip ok) but unobserved."""
+    grid, co, _, A0 = _batch_setup(B=2)
+    cfg_full = psa.custom_simulation_config(z_max=10.0, dz=0.05, save_every=50)
+    cfg_tail = psa.custom_simulation_config(z_max=10.5, dz=0.05, save_every=50)
+    _, A_full, _ = gn.solve_gnlse_batch(cfg_full, co, A0)
+    _, A_tail, _ = gn.solve_gnlse_batch(cfg_tail, co, A0)
+    np.testing.assert_allclose(A_tail, A_full, rtol=0, atol=1e-13)
+    # trajectory mode: same saved rows regardless of the tail
+    z1, t1 = gn.run_gnlse_simulation(cfg_full, co, A0[0])
+    z2, t2 = gn.run_gnlse_simulation(cfg_tail, co, A0[0])
+    np.testing.assert_array_equal(z1, z2)
+    np.testing.assert_allclose(t2, t1, rtol=0, atol=1e-13)
+
+
+def test_nan_masking_and_raise():
+    # the Kerr operator is a pure phase rotation and the loss factor only
+    # decays, so the way to blow up an SSFM solve is runaway GAIN
+    # (alpha < 0): the field overflows to inf within a few chunks
+    grid = _grid(128)
+    co_bad = gn.make_gnlse_coeffs(grid, None, gamma_W_m=1e-6, alpha_1_m=-2e4)
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=0.01, save_every=10)
+    A0 = np.stack([
+        np.asarray(gn.gaussian_pulse(grid, peak_W=1.0, t0_s=T0)),
+        np.asarray(gn.gaussian_pulse(grid, peak_W=1.0, t0_s=T0)),
+    ])
+    co = gn.GNLSECoeffs(gamma=np.full(2, 1e-6), alpha=np.array([-2e4, 0.01]),
+                        lin_phase=np.zeros((2, grid.n_samples)))
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co, A0)
+    assert not ok[0] and ok[1]
+    assert np.all(np.isfinite(A_last[1]))
+    assert np.all(np.isfinite(A_last[0]))  # frozen at the last finite state
+    with pytest.raises(FloatingPointError):
+        gn.run_gnlse_simulation(cfg, co_bad, A0[0])
+
+
+def test_x32_precision_path():
+    grid, co, cfg, A0 = _batch_setup(B=3)
+    import dataclasses
+
+    co32 = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=2e-3, precision="x32")
+    cfg32 = dataclasses.replace(cfg, precision="x32")
+    pk64, A64, _ = gn.solve_gnlse_batch(cfg, co, A0)
+    pk32, A32, ok = gn.solve_gnlse_batch(cfg32, co32, A0)
+    assert ok.all()
+    np.testing.assert_allclose(pk32, pk64, rtol=5e-4)
+    assert np.max(np.abs(A32 - A64)) < 5e-4 * np.sqrt(pk64.max())
+
+
+def test_input_validation():
+    grid, co, cfg, A0 = _batch_setup(B=2)
+    with pytest.raises(ValueError, match=r"\(B, T\)"):
+        gn.solve_gnlse_batch(cfg, co, A0[0])
+    with pytest.raises(ValueError, match=r"\(T,\)"):
+        gn.run_gnlse_simulation(cfg, co, A0)

@@ -272,3 +272,39 @@ def test_plot_dbeta_spectrum(tmp_path):
         save_path=str(tmp_path / "db.png"),
     )
     assert (tmp_path / "db.png").stat().st_size > 0
+
+
+def test_experiment_gnlse_pulse(tmp_path):
+    """N=1 soliton round trip through the experiment layer: shape-invariant
+    peak power, NPZ + PNG artifacts."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    z, A = ex.gnlse_pulse(
+        n_soliton=1.0, n_periods=0.25, n_steps=500, n_samples=256,
+        show=False, save_dir=str(tmp_path), verbose=False,
+    )
+    Pk = (np.abs(A) ** 2).max(axis=-1)
+    np.testing.assert_allclose(Pk, Pk[0], rtol=1e-5)
+    assert (tmp_path / "gnlse.npz").exists()
+    assert (tmp_path / "gnlse.png").exists()
+    # NPZ roundtrips through the standard loader
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.io_fwm import load_result_npz
+
+    z2, A2, meta = load_result_npz(tmp_path / "gnlse.npz")
+    np.testing.assert_allclose(A2, A, rtol=0, atol=0)
+    assert meta["config"]["z_max"] > 0
+
+
+def test_plot_pulse_evolution_smoke(tmp_path):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import plotting
+
+    z = np.linspace(0.0, 10.0, 6)
+    t = np.linspace(-5e-12, 5e-12, 64)
+    A = np.exp(-((t / 1e-12) ** 2))[None, :] * np.ones((6, 1))
+    p = tmp_path / "pulse.png"
+    plotting.plot_pulse_evolution(z, t, A, show=False, save_path=str(p))
+    assert p.exists()
+    with pytest.raises(ValueError, match="t_unit"):
+        plotting.plot_pulse_evolution(z, t, A, t_unit="h", show=False)
+    with pytest.raises(ValueError, match="len"):
+        plotting.plot_pulse_evolution(z, t, A[:-1], show=False)
