@@ -52,7 +52,12 @@ from jax import lax
 
 from ..config import SimulationConfig, validate_config
 from ..ops.dispersion import DispersionParams
-from ..utils.packing import ri_pack_host, ri_to_complex, ri_unpack_host
+from ..utils.packing import (
+    complex_to_ri,
+    ri_pack_host,
+    ri_to_complex,
+    ri_unpack_host,
+)
 from ..utils.precision import real_dtype, validate_precision
 
 
@@ -214,8 +219,10 @@ def _lin_factor(coeffs: GNLSECoeffs, h, rdt):
     """Frequency-domain one-step linear factor exp((-alpha/2 + i phi) h)."""
     al = jnp.asarray(coeffs.alpha, dtype=rdt)
     ph = jnp.asarray(coeffs.lin_phase, dtype=rdt)
-    if ph.ndim > al.ndim:
-        al = al[..., None] if al.ndim else al
+    if al.ndim:
+        # batched alpha: add the trailing time axis so (B,) broadcasts
+        # against lin_phase (T,) or (B, T) alike
+        al = al[..., None]
     decay = jnp.exp(-0.5 * al * h)
     ang = ph * h
     return lax.complex(decay * jnp.cos(ang), decay * jnp.sin(ang))
@@ -263,7 +270,7 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
             y_new = stepper(y, Lh, Lf, gamma, h)
             ok_new = ok & _finite_mask(y_new)
             y_out = jnp.where(ok_new[..., None], y_new, y)
-            return (y_out, ok_new), jnp.stack([y_out.real, y_out.imag], axis=-1)
+            return (y_out, ok_new), complex_to_ri(y_out)
 
         if n_chunks > 0:
             (y, ok), ys = lax.scan(chunk, (y0, ok0), None, length=n_chunks)
@@ -271,7 +278,7 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
             y, ok = y0, ok0
             ys = jnp.zeros((0,) + y0.shape + (2,), dtype=rdt)
         y_saved = jnp.concatenate(
-            [jnp.stack([y0.real, y0.imag], axis=-1)[None], ys], axis=0
+            [complex_to_ri(y0)[None], ys], axis=0
         )
         # trailing partial steps: integrated (they can flip ok) but unsaved
         if remainder > 0:
@@ -279,7 +286,7 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
             ok_new = ok & _finite_mask(y_new)
             y = jnp.where(ok_new[..., None], y_new, y)
             ok = ok_new
-        y_final = jnp.stack([y.real, y.imag], axis=-1)
+        y_final = complex_to_ri(y)
         return y_saved.astype(rdt), y_final.astype(rdt), ok.astype(jnp.int32)
 
     return jax.jit(solve)
@@ -331,7 +338,7 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
         if remainder > 0:
             y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h)
             ok = ok & _finite_mask(y_new)
-        y_ri = jnp.stack([y.real, y.imag], axis=-1)
+        y_ri = complex_to_ri(y)
         return pk.astype(rdt), y_ri.astype(rdt), ok.astype(jnp.int32)
 
     return jax.jit(solve)
@@ -384,6 +391,12 @@ def run_gnlse_simulation(
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 1:
         raise ValueError(f"A0 must be a 1-D envelope (T,), got {A0.shape}")
+    if (np.ndim(coeffs.lin_phase) > 1 or np.ndim(coeffs.gamma) > 0
+            or np.ndim(coeffs.alpha) > 0):
+        raise ValueError(
+            "run_gnlse_simulation takes unbatched coeffs (scalar gamma/alpha, "
+            "(T,) lin_phase); use solve_gnlse_batch for batched solves"
+        )
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
     n_chunks = n_steps // int(cfg.save_every)
@@ -442,14 +455,14 @@ def solve_gnlse_batch(
         alpha, _ = pad_batch(alpha, ndev)
         phase, _ = pad_batch(phase, ndev)
 
-    coeffs_b = GNLSECoeffs(
-        gamma=jnp.asarray(gamma, dtype=rdt),
-        alpha=jnp.asarray(alpha, dtype=rdt),
-        lin_phase=jnp.asarray(phase, dtype=rdt),
-    )
     y0_ri = ri_pack_host(A0, rdt)
 
     if mesh is None:
+        coeffs_b = GNLSECoeffs(
+            gamma=jnp.asarray(gamma, dtype=rdt),
+            alpha=jnp.asarray(alpha, dtype=rdt),
+            lin_phase=jnp.asarray(phase, dtype=rdt),
+        )
         solver = _gnlse_reduce_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
         pk, y_ri, ok = jax.block_until_ready(
             solver(jnp.asarray(y0_ri), coeffs_b, jnp.asarray(dz_m, dtype=rdt))

@@ -243,3 +243,28 @@ def test_input_validation():
         gn.solve_gnlse_batch(cfg, co, A0[0])
     with pytest.raises(ValueError, match=r"\(T,\)"):
         gn.run_gnlse_simulation(cfg, co, A0)
+    # batched coeffs into the single-envelope runner: error, not a silent
+    # B-fold solve returning instance 0
+    co_b = gn.GNLSECoeffs(gamma=np.full(2, 1e-3), alpha=np.zeros(2),
+                          lin_phase=np.zeros((2, grid.n_samples)))
+    with pytest.raises(ValueError, match="unbatched"):
+        gn.run_gnlse_simulation(cfg, co_b, A0[0])
+
+
+def test_batched_alpha_shared_phase():
+    """alpha (B,) with a shared (T,) lin_phase — the documented independent
+    shape combo — must broadcast per instance, not pair alpha_k with
+    omega-bin k."""
+    grid = _grid(64)
+    B = 3
+    alphas = np.array([0.0, 0.01, 0.05])
+    co = gn.GNLSECoeffs(gamma=np.zeros(B), alpha=alphas,
+                        lin_phase=np.asarray(
+                            gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=0.0).lin_phase
+                        ))
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.1, save_every=10)
+    A0 = np.stack([np.asarray(gn.gaussian_pulse(grid, peak_W=1.0, t0_s=T0))] * B)
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co, A0)
+    assert ok.all()
+    E = gn.pulse_energy(grid, A_last)
+    np.testing.assert_allclose(E / E[0], np.exp(-alphas * 10.0), rtol=1e-10)
