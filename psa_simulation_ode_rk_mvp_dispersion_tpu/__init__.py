@@ -128,9 +128,13 @@ from .models import fwm4, gnlse, nwave, sbs  # noqa: E402
 from .models.sbs import SBSCoeffs, SBSResult, run_sbs_batch, run_sbs_simulation  # noqa: E402
 from .models.gnlse import (  # noqa: E402
     GNLSECoeffs,
+    NLTerms,
     TimeGrid,
     gaussian_pulse,
     make_gnlse_coeffs,
+    make_nl_terms,
+    raman_response,
+    raman_t_r,
     run_gnlse_simulation,
     sech_pulse,
     solve_gnlse_batch,

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="propagation length in soliton periods")
     s.add_argument("--samples", type=int, default=1024, help="time samples")
     s.add_argument("--steps", type=int, default=4000, help="split steps")
+    s.add_argument("--raman", action="store_true",
+                   help="delayed silica Raman response (f_R=0.18)")
+    s.add_argument("--steepening", action="store_true",
+                   help="self-steepening / optical-shock term at the carrier")
 
     s = sub.add_parser("sbs", help="coupled FWM + SBS forward/backward solve")
     s.add_argument("--z-max", type=float, default=200.0, help="fiber length [m]")
@@ -128,6 +132,7 @@ def main(argv=None) -> int:
         ex.gnlse_pulse(
             t0_ps=args.t0, n_soliton=args.n_soliton, beta2_ps2_km=args.beta2,
             n_periods=args.periods, n_samples=args.samples, n_steps=args.steps,
+            raman=args.raman, steepening=args.steepening,
             verbose=verbose, **common,
         )
     elif args.cmd == "sbs":

@@ -455,6 +455,9 @@ def gnlse_pulse(
     n_samples: int = 1024,
     n_steps: int = 4000,
     lambda_center: float = 1550e-9,
+    raman: bool = False,
+    steepening: bool = False,
+    f_raman: float = 0.18,
     precision: str = "x64",
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -462,7 +465,9 @@ def gnlse_pulse(
 ):
     """GNLSE pulse propagation (``models/gnlse``): an N-soliton sech pulse
     over ``n_periods`` soliton periods -- N=1 is shape-invariant, N>=2
-    breathes (periodic temporal compression), the classic split-step demo."""
+    breathes (periodic temporal compression), the classic split-step demo.
+    ``raman``/``steepening`` switch on the generalized nonlinearity
+    (silica delayed Raman response; optical-shock term at the carrier)."""
     import numpy as _np
 
     from .models import gnlse as gnl
@@ -485,11 +490,22 @@ def gnlse_pulse(
         z_max=z_max, dz=z_max / n_steps,
         save_every=max(1, n_steps // 100), precision=precision,
     )
-    z, A = gnl.run_gnlse_simulation(cfg, coeffs, gnl.sech_pulse(grid, peak_W=P0, t0_s=t0))
+    nl = None
+    if raman or steepening:
+        nl = gnl.make_nl_terms(
+            grid,
+            f_raman=float(f_raman) if raman else 0.0,
+            omega0=omega_c if steepening else None,
+            precision=precision,
+        )
+    z, A = gnl.run_gnlse_simulation(cfg, coeffs,
+                                    gnl.sech_pulse(grid, peak_W=P0, t0_s=t0), nl=nl)
     if verbose:
         Pk = (_np.abs(A) ** 2).max(axis=-1)
+        tags = (" +raman" if raman else "") + (" +steepening" if steepening else "")
         print(
-            f"gnlse: N={n_soliton} soliton, P0={P0:.3f} W, period {z_period:.1f} m; "
+            f"gnlse{tags}: N={n_soliton} soliton, P0={P0:.3f} W, "
+            f"period {z_period:.1f} m; "
             f"peak power {Pk[0]:.2f} -> max {Pk.max():.2f} -> {Pk[-1]:.2f} W"
         )
     if save_dir is not None:

@@ -7,7 +7,13 @@ window: Taylor dispersion to arbitrary order (reusing
 loss, in the co-moving frame
 
     dA/dz = -alpha/2 A - sum_{n>=2} beta_n (i^{n-1}/n!) d^n A/dt^n
-            + i gamma |A|^2 A.
+            + i gamma |A|^2 A,
+
+optionally generalized (:func:`make_nl_terms`) with the delayed Raman
+response and self-steepening / optical-shock terms
+
+    + i gamma (1 + (i/omega_0) d/dt)
+      [ A ((1 - f_R)|A|^2 + f_R (h_R * |A|^2)) ].
 
 The solver is the symmetric (Strang) split-step Fourier method, the standard
 integrator for this equation (Agrawal ch. 2): the linear operator is diagonal
@@ -212,6 +218,141 @@ def _comb_bins(grid: TimeGrid, n_lines: int, domega: float) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Extended nonlinearity: Raman response + self-steepening
+# ---------------------------------------------------------------------------
+
+# standard silica single-damped-oscillator Raman model (Agrawal eq. 2.3.40)
+RAMAN_TAU1_S = 12.2e-15
+RAMAN_TAU2_S = 32.0e-15
+RAMAN_FRACTION_SILICA = 0.18
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NLTerms:
+    """Extended-nonlinearity terms: delayed Raman response and
+    self-steepening.  When passed to a solver, the Kerr phase rotation is
+    replaced by an RK4 substep on the full generalized nonlinear operator
+
+        N(A) = i gamma (1 + (i/omega_0) d/dt)
+               [ A ((1 - f_R)|A|^2 + f_R (h_R * |A|^2)) ].
+
+    ``hr_re/hr_im`` hold H_R(omega) (the fft of the sampled response times
+    dt, normalized so H_R(0) = 1) on the fft-ordered grid; ``inv_w0`` is
+    1/omega_0 (0 disables self-steepening); ``f_r`` the Raman fraction.
+    """
+
+    f_r: jax.Array      # ()
+    inv_w0: jax.Array   # ()
+    omega: jax.Array    # (T,) fft-ordered [rad/s]
+    hr_re: jax.Array    # (T,)
+    hr_im: jax.Array    # (T,)
+
+
+def raman_response(grid: TimeGrid, *, tau1_s: float = RAMAN_TAU1_S,
+                   tau2_s: float = RAMAN_TAU2_S) -> np.ndarray:
+    """Causal silica Raman response h_R(t) sampled on [0, t_window),
+    normalized so the discrete integral (sum * dt) is exactly 1."""
+    t = np.arange(int(grid.n_samples)) * grid.dt_s
+    h = ((tau1_s**2 + tau2_s**2) / (tau1_s * tau2_s**2)
+         * np.exp(-t / tau2_s) * np.sin(t / tau1_s))
+    return h / (h.sum() * grid.dt_s)
+
+
+def make_nl_terms(
+    grid: TimeGrid,
+    *,
+    f_raman: float = RAMAN_FRACTION_SILICA,
+    omega0: Optional[float] = None,
+    tau1_s: float = RAMAN_TAU1_S,
+    tau2_s: float = RAMAN_TAU2_S,
+    precision: str = "x64",
+) -> NLTerms:
+    """Build :class:`NLTerms`.  ``omega0`` (the carrier frequency, e.g. the
+    dispersion ``omega_ref``) enables self-steepening; None disables it.
+    ``f_raman=0`` disables the Raman term (pure Kerr through the RK4 path).
+    """
+    rdt = real_dtype(validate_precision(precision))
+    if not (0.0 <= float(f_raman) < 1.0):
+        raise ValueError("f_raman must be in [0, 1)")
+    if omega0 is not None and not float(omega0) > 0.0:
+        raise ValueError("omega0 must be positive (or None)")
+    if float(f_raman) > 0.0:
+        HR = np.fft.fft(raman_response(grid, tau1_s=tau1_s, tau2_s=tau2_s)) * grid.dt_s
+    else:
+        HR = np.zeros(int(grid.n_samples), dtype=np.complex128)
+    return NLTerms(
+        f_r=jnp.asarray(float(f_raman), dtype=rdt),
+        inv_w0=jnp.asarray(0.0 if omega0 is None else 1.0 / float(omega0), dtype=rdt),
+        omega=jnp.asarray(grid.omega(), dtype=rdt),
+        hr_re=jnp.asarray(HR.real, dtype=rdt),
+        hr_im=jnp.asarray(HR.imag, dtype=rdt),
+    )
+
+
+def raman_t_r(grid: TimeGrid, nl: NLTerms) -> float:
+    """First moment T_R = f_R * integral(t h_R(t) dt) [s] (the slope of
+    Im H_R at omega=0; drives the Gordon soliton self-frequency shift)."""
+    t = np.arange(int(grid.n_samples)) * grid.dt_s
+    hr = np.asarray(
+        np.fft.ifft(np.asarray(nl.hr_re) + 1j * np.asarray(nl.hr_im))
+    ).real / grid.dt_s
+    return float(np.asarray(nl.f_r)) * float((t * hr).sum() * grid.dt_s)
+
+
+def _times_i(z):
+    """i * z for complex z (no weak-c128 literal)."""
+    return lax.complex(-z.imag, z.real)
+
+
+def _nl_rhs(y, gamma, nl: NLTerms):
+    """Generalized nonlinear operator N(A) over (..., T) complex state.
+
+    The module's time axis is the REVERSE of Agrawal's retarded time T
+    (the odd-order dispersion sign is pinned by the nwave-comb
+    cross-oracle, ``test_gnlse_matches_nwave_comb``): under t = -T the
+    causal Raman convolution becomes a correlation (conjugate H_R) and
+    the optical-shock derivative flips sign.  Both signs are pinned by
+    physics tests (Gordon red-shift; shock centroid drift).
+    """
+    P = y.real * y.real + y.imag * y.imag
+    HRc = lax.complex(nl.hr_re, -nl.hr_im).astype(
+        jnp.complex64 if y.dtype == jnp.complex64 else jnp.complex128
+    )
+    # delayed response: (h_R * P)(T) = correlation on the t axis
+    R = jnp.fft.ifft(HRc * jnp.fft.fft(P.astype(y.dtype), axis=-1), axis=-1).real
+    W = y * ((1.0 - nl.f_r) * P + nl.f_r * R)
+    # self-steepening (i/omega_0) dW/dT = -(i/omega_0) dW/dt,
+    # with d/dt == multiply by (i omega) in the fft domain
+    dWdt = jnp.fft.ifft(_times_i(nl.omega * jnp.fft.fft(W, axis=-1)), axis=-1)
+    return _times_i(gamma * (W - nl.inv_w0 * _times_i(dWdt)))
+
+
+def _nl_substep(y, gamma, h, nl):
+    """One nonlinear split substep: exact Kerr rotation when ``nl`` is None,
+    RK4 on the generalized operator otherwise."""
+    if nl is None:
+        return _kerr_step(y, gamma, h)
+    k1 = _nl_rhs(y, gamma, nl)
+    k2 = _nl_rhs(y + (0.5 * h) * k1, gamma, nl)
+    k3 = _nl_rhs(y + (0.5 * h) * k2, gamma, nl)
+    k4 = _nl_rhs(y + h * k3, gamma, nl)
+    return y + (h / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
+
+def _cast_nl(nl: Optional[NLTerms], rdt) -> Optional[NLTerms]:
+    if nl is None:
+        return None
+    return NLTerms(
+        f_r=jnp.asarray(nl.f_r, dtype=rdt),
+        inv_w0=jnp.asarray(nl.inv_w0, dtype=rdt),
+        omega=jnp.asarray(nl.omega, dtype=rdt),
+        hr_re=jnp.asarray(nl.hr_re, dtype=rdt),
+        hr_im=jnp.asarray(nl.hr_im, dtype=rdt),
+    )
+
+
+# ---------------------------------------------------------------------------
 # The split-step solver core
 # ---------------------------------------------------------------------------
 
@@ -253,12 +394,13 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
 
-    def solve(y0_ri, coeffs: GNLSECoeffs, dz):
+    def solve(y0_ri, coeffs: GNLSECoeffs, dz, nl):
         y0 = ri_to_complex(y0_ri)  # (B, T) complex
         h = jnp.asarray(dz, dtype=rdt)
         gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
         if gamma.ndim:
             gamma = gamma[..., None]
+        nl = _cast_nl(nl, rdt)
         Lh = _lin_factor(coeffs, 0.5 * h, rdt)
         Lf = _lin_factor(coeffs, h, rdt)
 
@@ -267,7 +409,7 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
 
         def chunk(carry, _):
             y, ok = carry
-            y_new = stepper(y, Lh, Lf, gamma, h)
+            y_new = stepper(y, Lh, Lf, gamma, h, nl)
             ok_new = ok & _finite_mask(y_new)
             y_out = jnp.where(ok_new[..., None], y_new, y)
             return (y_out, ok_new), complex_to_ri(y_out)
@@ -282,7 +424,7 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
         )
         # trailing partial steps: integrated (they can flip ok) but unsaved
         if remainder > 0:
-            y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h)
+            y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h, nl)
             ok_new = ok & _finite_mask(y_new)
             y = jnp.where(ok_new[..., None], y_new, y)
             ok = ok_new
@@ -307,12 +449,13 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
     def peak(y):
         return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
 
-    def solve(y0_ri, coeffs: GNLSECoeffs, dz):
+    def solve(y0_ri, coeffs: GNLSECoeffs, dz, nl):
         y0 = ri_to_complex(y0_ri)
         h = jnp.asarray(dz, dtype=rdt)
         gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
         if gamma.ndim:
             gamma = gamma[..., None]
+        nl = _cast_nl(nl, rdt)
         Lh = _lin_factor(coeffs, 0.5 * h, rdt)
         Lf = _lin_factor(coeffs, h, rdt)
 
@@ -321,7 +464,7 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
 
         def chunk(carry, _):
             y, pk, ok = carry
-            y_new = stepper(y, Lh, Lf, gamma, h)
+            y_new = stepper(y, Lh, Lf, gamma, h, nl)
             ok_new = ok & _finite_mask(y_new)
             y_out = jnp.where(ok_new[..., None], y_new, y)
             pk = jnp.maximum(pk, peak(y_out))
@@ -336,7 +479,7 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
         # trailing partial steps: integrated (they can flip ok) but unsaved;
         # y stays at the last saved grid point (saved-grid convention)
         if remainder > 0:
-            y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h)
+            y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h, nl)
             ok = ok & _finite_mask(y_new)
         y_ri = complex_to_ri(y)
         return pk.astype(rdt), y_ri.astype(rdt), ok.astype(jnp.int32)
@@ -347,19 +490,19 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
 def _chunk_stepper(k: int):
     """k fused symmetric split steps (shared by both solver modes)."""
 
-    def run(y, Lh, Lf, gamma, h):
+    def run(y, Lh, Lf, gamma, h, nl=None):
         if k == 0:
             return y
         y = jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
 
         def body(carry, _):
-            c = _kerr_step(carry, gamma, h)
+            c = _nl_substep(carry, gamma, h, nl)
             c = jnp.fft.ifft(Lf * jnp.fft.fft(c, axis=-1), axis=-1)
             return c, None
 
         if k > 1:
             y, _ = lax.scan(body, y, None, length=k - 1)
-        y = _kerr_step(y, gamma, h)
+        y = _nl_substep(y, gamma, h, nl)
         return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
 
     return run
@@ -375,9 +518,14 @@ def run_gnlse_simulation(
     A0: np.ndarray,
     *,
     length_unit: str = "m",
+    nl: Optional[NLTerms] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Integrate one envelope over [0, z_max]; returns host
     ``(z_saved, A_saved (S+1, T))`` on the decimated save grid.
+
+    ``nl`` (:func:`make_nl_terms`) switches the nonlinear substep from the
+    exact Kerr rotation to an RK4 substep on the generalized operator with
+    delayed Raman response and self-steepening.
 
     Raises ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan`` (eager
     single-run parity with the other model families).
@@ -403,7 +551,7 @@ def run_gnlse_simulation(
 
     solver = _gnlse_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
     ys, yf, ok = jax.block_until_ready(
-        solver(ri_pack_host(A0[None], rdt), coeffs, jnp.asarray(dz_m, dtype=rdt))
+        solver(ri_pack_host(A0[None], rdt), coeffs, jnp.asarray(dz_m, dtype=rdt), nl)
     )
     if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
         raise FloatingPointError("NaN or Inf detected during GNLSE integration")
@@ -419,6 +567,7 @@ def solve_gnlse_batch(
     *,
     length_unit: str = "m",
     mesh=None,
+    nl: Optional[NLTerms] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Solve B independent envelopes in one XLA program (reduce mode).
 
@@ -427,6 +576,8 @@ def solve_gnlse_batch(
     -- running max over saved samples of the instantaneous peak power, and
     the field at the last saved grid point.  Pass ``mesh`` to shard the batch
     axis (``shard_map``; each device runs the FFTs on its own shard).
+    ``nl`` (:func:`make_nl_terms`) enables Raman + self-steepening (shared
+    across the batch; replicated over the mesh when sharded).
     """
     from ..utils.units import length_scale_to_m
 
@@ -465,7 +616,7 @@ def solve_gnlse_batch(
         )
         solver = _gnlse_reduce_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
         pk, y_ri, ok = jax.block_until_ready(
-            solver(jnp.asarray(y0_ri), coeffs_b, jnp.asarray(dz_m, dtype=rdt))
+            solver(jnp.asarray(y0_ri), coeffs_b, jnp.asarray(dz_m, dtype=rdt), nl)
         )
     else:
         solver = _gnlse_reduce_solver_sharded(
@@ -479,7 +630,7 @@ def solve_gnlse_batch(
             lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
         )
         pk, y_ri, ok = jax.block_until_ready(
-            solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt))
+            solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt), nl)
         )
         from ..parallel.mesh import fetch_global
 
@@ -504,12 +655,14 @@ def _gnlse_reduce_solver_sharded(n_steps: int, save_every: int, rdt_name: str,
     b = PartitionSpec(ax)
     bt = PartitionSpec(ax, None)
     btr = PartitionSpec(ax, None, None)
+    # nl terms are replicated on every device (pytree-prefix spec covers
+    # both the None and the NLTerms structure)
     return jax.jit(
         jax.shard_map(
-            lambda y0, c, dz: inner(y0, c, dz),
+            lambda y0, c, dz, nl: inner(y0, c, dz, nl),
             mesh=mesh,
             in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
-                      PartitionSpec()),
+                      PartitionSpec(), PartitionSpec()),
             out_specs=(b, btr, b),
             check_vma=False,
         )

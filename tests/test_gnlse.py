@@ -251,6 +251,132 @@ def test_input_validation():
         gn.run_gnlse_simulation(cfg, co_b, A0[0])
 
 
+# ---------------------------------------------------------------------------
+# Extended nonlinearity: Raman response + self-steepening
+# ---------------------------------------------------------------------------
+
+def test_nl_pure_kerr_matches_exact_rotation():
+    """f_raman=0, no omega0: the RK4 substep integrates i gamma |A|^2 A and
+    must match the exact Kerr rotation path to RK4's local error."""
+    grid = _grid()
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=2e-3)
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=100)
+    A0 = gn.gaussian_pulse(grid, peak_W=5.0, t0_s=T0)
+    nl0 = gn.make_nl_terms(grid, f_raman=0.0, omega0=None)
+    _, Ak = gn.run_gnlse_simulation(cfg, co, A0)
+    _, Ar = gn.run_gnlse_simulation(cfg, co, A0, nl=nl0)
+    np.testing.assert_allclose(Ar[-1], Ak[-1], rtol=0, atol=1e-8)
+
+
+def test_nl_cw_reduces_to_exact_spm():
+    """For a CW field the delayed response integrates to H_R(0) = 1 and the
+    shock derivative vanishes, so the FULL generalized operator must still
+    produce the exact SPM phase — pins the H_R normalization and the
+    steepening term's null space at once."""
+    grid = _grid()
+    gam = 2e-3
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=gam)
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=100)
+    Acw = np.full(grid.n_samples, np.sqrt(3.0), dtype=np.complex128)
+    nl = gn.make_nl_terms(grid, f_raman=0.18, omega0=OMEGA_REF)
+    _, A = gn.run_gnlse_simulation(cfg, co, Acw, nl=nl)
+    np.testing.assert_allclose(
+        A[-1], Acw * np.exp(1j * gam * 3.0 * 100.0), rtol=0, atol=1e-9
+    )
+
+
+def test_raman_soliton_self_frequency_shift_gordon():
+    """Soliton + Raman: the spectral centroid red-shifts at Gordon's rate
+    d<omega>/dz = -8 |beta2| T_R / (15 T0^4) (leading-order perturbation;
+    10% tolerance).  Pins the SIGN of the Raman correlation on this module's
+    time axis — the shift must be toward lower physical frequency."""
+    t0 = 1e-13
+    grid = gn.TimeGrid.for_pulse(t0, n_samples=1024)
+    gam = 2e-3
+    P0 = gn.soliton_peak_power(BETA2, gam, t0)
+    co = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=gam)
+    nl = gn.make_nl_terms(grid, f_raman=0.18)  # Raman only, no steepening
+    t_r = gn.raman_t_r(grid, nl)
+    assert 1e-15 < t_r < 1e-14  # silica-scale first moment (~1.5 fs)
+    L = 10.0
+    cfg = psa.custom_simulation_config(z_max=L, dz=0.005, save_every=2000)
+    _, A = gn.run_gnlse_simulation(cfg, co, gn.sech_pulse(grid, peak_W=P0, t0_s=t0),
+                                   nl=nl)
+    om = grid.omega()
+
+    def centroid(a):
+        S = np.abs(np.fft.fft(a)) ** 2
+        return (om * S).sum() / S.sum()
+
+    shift = centroid(A[-1]) - centroid(A[0])
+    gordon = -8.0 * abs(BETA2) * t_r / (15.0 * t0**4) * L
+    assert shift < 0  # red shift, always
+    np.testing.assert_allclose(shift, gordon, rtol=0.1)
+
+
+def test_self_steepening_centroid_drift_exact():
+    """Steepening only (no dispersion, no Raman): the intensity obeys a
+    conservation-form shock equation, so the temporal centroid drifts at the
+    EXACT rate d<t>/dz = -(3 gamma / (2 omega0)) * int P^2 / int P (minus on
+    this module's reversed time axis).  Machine-level oracle for the shock
+    term's coefficient and sign."""
+    grid = _grid()
+    gam, w0 = 2e-3, OMEGA_REF
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=gam)
+    nl = gn.make_nl_terms(grid, f_raman=0.0, omega0=w0)
+    A0 = gn.gaussian_pulse(grid, peak_W=50.0, t0_s=T0)
+    L = 20.0
+    cfg = psa.custom_simulation_config(z_max=L, dz=0.01, save_every=2000)
+    _, A = gn.run_gnlse_simulation(cfg, co, A0, nl=nl)
+    t = grid.t()
+
+    def tcent(a):
+        P = np.abs(a) ** 2
+        return (t * P).sum() / P.sum()
+
+    P0 = np.abs(A0) ** 2
+    rate_ana = -(1.5 * gam / w0) * (P0**2).sum() / P0.sum()
+    rate_meas = (tcent(A[-1]) - tcent(A[0])) / L
+    np.testing.assert_allclose(rate_meas, rate_ana, rtol=1e-9)
+
+
+def test_nl_batch_and_sharded_match_single():
+    import jax
+
+    grid = _grid(256)
+    gam = 2e-3
+    co = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=gam)
+    nl = gn.make_nl_terms(grid, f_raman=0.18, omega0=OMEGA_REF)
+    peaks = np.linspace(0.5, 2.0, 5) * gn.soliton_peak_power(BETA2, gam, T0)
+    A0 = np.stack([np.asarray(gn.sech_pulse(grid, peak_W=p, t0_s=T0)) for p in peaks])
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.05, save_every=50)
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co, A0, nl=nl)
+    assert ok.all()
+    _, A1 = gn.run_gnlse_simulation(cfg, co, A0[2], nl=nl)
+    np.testing.assert_allclose(A_last[2], A1[-1], rtol=0, atol=1e-12)
+    # and the nl path actually differs from pure Kerr
+    _, A_kerr = gn.run_gnlse_simulation(cfg, co, A0[2])
+    assert np.max(np.abs(A_kerr[-1] - A1[-1])) > 1e-6
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    pk_s, A_s, ok_s = gn.solve_gnlse_batch(cfg, co, A0, nl=nl, mesh=pm.default_mesh())
+    np.testing.assert_allclose(pk_s, pk, rtol=1e-11)
+    np.testing.assert_allclose(A_s, A_last, rtol=0, atol=1e-11)
+    np.testing.assert_array_equal(ok_s, ok)
+
+
+def test_nl_terms_validation():
+    grid = _grid(64)
+    with pytest.raises(ValueError, match="f_raman"):
+        gn.make_nl_terms(grid, f_raman=1.0)
+    with pytest.raises(ValueError, match="f_raman"):
+        gn.make_nl_terms(grid, f_raman=-0.1)
+    with pytest.raises(ValueError, match="omega0"):
+        gn.make_nl_terms(grid, omega0=0.0)
+    # raman_response normalization: discrete integral is exactly 1
+    h = gn.raman_response(grid)
+    assert h.sum() * grid.dt_s == pytest.approx(1.0, abs=1e-14)
+
+
 def test_batched_alpha_shared_phase():
     """alpha (B,) with a shared (T,) lin_phase — the documented independent
     shape combo — must broadcast per instance, not pair alpha_k with
