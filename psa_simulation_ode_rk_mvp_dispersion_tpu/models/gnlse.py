@@ -356,6 +356,16 @@ def _cast_nl(nl: Optional[NLTerms], rdt) -> Optional[NLTerms]:
 # The split-step solver core
 # ---------------------------------------------------------------------------
 
+def _check_gnlse_integrator(cfg: SimulationConfig) -> None:
+    """The GNLSE solver is the (fixed-step) split-step Fourier method; an
+    unsupported ``cfg.integrator`` must raise rather than be silently run
+    as fixed-step (the framework-wide no-silent-misconfiguration rule)."""
+    if cfg.integrator.lower() != "rk4":
+        raise ValueError(
+            "GNLSE supports integrator='rk4' (fixed-step split-step Fourier); "
+            f"got {cfg.integrator!r}"
+        )
+
 def _lin_factor(coeffs: GNLSECoeffs, h, rdt):
     """Frequency-domain one-step linear factor exp((-alpha/2 + i phi) h)."""
     al = jnp.asarray(coeffs.alpha, dtype=rdt)
@@ -533,6 +543,7 @@ def run_gnlse_simulation(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    _check_gnlse_integrator(cfg)
     scale = length_scale_to_m(length_unit)
     rdt = real_dtype(validate_precision(cfg.precision))
 
@@ -582,6 +593,7 @@ def solve_gnlse_batch(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    _check_gnlse_integrator(cfg)
     scale = length_scale_to_m(length_unit)
     rdt = real_dtype(validate_precision(cfg.precision))
 

@@ -364,6 +364,17 @@ def test_nl_batch_and_sharded_match_single():
     np.testing.assert_array_equal(ok_s, ok)
 
 
+def test_rk45_integrator_rejected_not_silently_ignored():
+    grid, co, cfg, A0 = _batch_setup(B=2)
+    import dataclasses
+
+    cfg45 = dataclasses.replace(cfg, integrator="rk45")
+    with pytest.raises(ValueError, match="integrator='rk4'"):
+        gn.run_gnlse_simulation(cfg45, co, A0[0])
+    with pytest.raises(ValueError, match="integrator='rk4'"):
+        gn.solve_gnlse_batch(cfg45, co, A0)
+
+
 def test_nl_terms_validation():
     grid = _grid(64)
     with pytest.raises(ValueError, match="f_raman"):
