@@ -133,7 +133,7 @@ def main(argv=None) -> int:
             t0_ps=args.t0, n_soliton=args.n_soliton, beta2_ps2_km=args.beta2,
             n_periods=args.periods, n_samples=args.samples, n_steps=args.steps,
             raman=args.raman, steepening=args.steepening,
-            verbose=verbose, **common,
+            integrator=args.integrator, verbose=verbose, **common,
         )
     elif args.cmd == "sbs":
         ex.fwm_sbs(z_max_m=args.z_max, g_B_km=args.gb, verbose=verbose,

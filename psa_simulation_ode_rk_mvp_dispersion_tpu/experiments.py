@@ -458,6 +458,7 @@ def gnlse_pulse(
     raman: bool = False,
     steepening: bool = False,
     f_raman: float = 0.18,
+    integrator: str = "rk4",
     precision: str = "x64",
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -489,6 +490,7 @@ def gnlse_pulse(
     cfg = custom_simulation_config(
         z_max=z_max, dz=z_max / n_steps,
         save_every=max(1, n_steps // 100), precision=precision,
+        integrator=integrator,
     )
     nl = None
     if raman or steepening:

@@ -356,16 +356,6 @@ def _cast_nl(nl: Optional[NLTerms], rdt) -> Optional[NLTerms]:
 # The split-step solver core
 # ---------------------------------------------------------------------------
 
-def _check_gnlse_integrator(cfg: SimulationConfig) -> None:
-    """The GNLSE solver is the (fixed-step) split-step Fourier method; an
-    unsupported ``cfg.integrator`` must raise rather than be silently run
-    as fixed-step (the framework-wide no-silent-misconfiguration rule)."""
-    if cfg.integrator.lower() != "rk4":
-        raise ValueError(
-            "GNLSE supports integrator='rk4' (fixed-step split-step Fourier); "
-            f"got {cfg.integrator!r}"
-        )
-
 def _lin_factor(coeffs: GNLSECoeffs, h, rdt):
     """Frequency-domain one-step linear factor exp((-alpha/2 + i phi) h)."""
     al = jnp.asarray(coeffs.alpha, dtype=rdt)
@@ -519,6 +509,187 @@ def _chunk_stepper(k: int):
 
 
 # ---------------------------------------------------------------------------
+# Adaptive split-step (integrator='rk45'): step-doubling local-error control
+# ---------------------------------------------------------------------------
+#
+# The "local error method" for SSFM (Sinkin et al., J. Lightwave Technol. 21,
+# 2003): each attempt takes one coarse Strang step of size h and two fine
+# steps of size h/2; their weighted-RMS distance estimates the O(h^3) local
+# error of the second-order split, controls acceptance and the next step
+# size (exponent 1/3), and the accepted state is the locally-extrapolated
+# (4 y_fine - y_coarse)/3 (third order).  The controller is a self-masking
+# lax.while_loop over batched lanes -- per-lane (z, dt, ok), finished or
+# failed lanes are no-ops -- inside a lax.scan over save-grid segments, the
+# same structure as ops/adaptive.py's Dormand-Prince controller.
+
+_SSFM_SAFETY = 0.9
+_SSFM_MIN_FACTOR = 0.2
+_SSFM_MAX_FACTOR = 5.0
+
+
+def _strang_step_h(y, coeffs, gamma, h, nl, rdt):
+    """One symmetric split step with a dynamic (possibly per-lane (B, 1))
+    step size: the linear factor is recomputed from ``h`` each call."""
+    Lh = _lin_factor(coeffs, 0.5 * h, rdt)
+    y = jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
+    y = _nl_substep(y, gamma, h, nl)
+    return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
+
+
+def _ssfm_error_norm(yc, yf, y_old, *, rtol, atol):
+    """Per-lane GLOBAL relative error ||yf - yc|| / (atol + rtol ||y||)
+    (RMS over the window; <= 1 means the step meets tolerance).
+
+    Sinkin's norm, not the per-sample stiff-ODE scale: the FFTs mix
+    roundoff across the whole window (absolute floor ~ eps * ||y||_inf),
+    so a per-sample scale lets empty pulse-tail samples dominate and makes
+    f32 solves reject unconditionally regardless of step size."""
+    def rms2(a):
+        return jnp.mean(a.real * a.real + a.imag * a.imag, axis=-1)
+
+    d = jnp.sqrt(rms2(yf - yc))
+    s = jnp.sqrt(jnp.maximum(rms2(yf), rms2(y_old)))
+    return d / (atol + rtol * s)
+
+
+def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, coeffs, gamma, nl,
+                           rdt, *, rtol, atol, max_steps):
+    """Adaptively advance all lanes from z (>= z_start) to the shared
+    ``z_end``; returns (y, z, dt, ok, n_accepted, n_rejected)."""
+    span = z_end - z_start + jnp.asarray(1.0, rdt)
+    dt_min = jnp.asarray(1e-12, rdt) * span
+    n0 = jnp.zeros(z.shape, jnp.int32)
+
+    def cond(state):
+        y_, z_, dt_, ok_, na_, nr_, it = state
+        return jnp.any((z_ < z_end) & ok_) & (it < max_steps)
+
+    def body(state):
+        y_, z_, dt_, ok_, na_, nr_, it = state
+        active = (z_ < z_end) & ok_
+        h = jnp.minimum(dt_, z_end - z_)              # (B,)
+        hb = h[..., None]
+        yc = _strang_step_h(y_, coeffs, gamma, hb, nl, rdt)
+        ym = _strang_step_h(y_, coeffs, gamma, 0.5 * hb, nl, rdt)
+        yf = _strang_step_h(ym, coeffs, gamma, 0.5 * hb, nl, rdt)
+        enorm = _ssfm_error_norm(yc, yf, y_, rtol=rtol, atol=atol)
+        finite = jnp.isfinite(enorm) & _finite_mask(yf) & _finite_mask(yc)
+
+        accept = active & finite & (enorm <= 1.0)
+        y_new = (4.0 * yf - yc) / 3.0                  # local extrapolation
+        # Runaway-gain escape: for a purely linear blowup the split error is
+        # exactly zero at ANY step size, so the controller is blind to it --
+        # a lane whose mean power passes 1e30 W is unrecoverable (refinement
+        # cannot help; overflow is certain) and must fail NOW, not bounce
+        # accept/reject until max_steps.
+        escape = jnp.mean(
+            y_new.real * y_new.real + y_new.imag * y_new.imag, axis=-1
+        ) > jnp.asarray(1e30, rdt)
+        accept = accept & ~escape
+        factor = jnp.where(
+            finite,
+            jnp.clip(
+                _SSFM_SAFETY * jnp.power(jnp.maximum(enorm, 1e-16), -1.0 / 3.0),
+                _SSFM_MIN_FACTOR, _SSFM_MAX_FACTOR,
+            ),
+            jnp.asarray(0.5, rdt),
+        )
+        dt_next = jnp.where(active, jnp.maximum(dt_ * factor, dt_min), dt_)
+        failed = active & (((~accept) & (h <= dt_min)) | escape)
+
+        z_out = jnp.where(accept, z_ + h, z_)
+        y_out = jnp.where(accept[..., None], y_new, y_)
+        ok_out = ok_ & ~failed
+        na = na_ + jnp.where(accept, 1, 0).astype(jnp.int32)
+        nr = nr_ + jnp.where(active & ~accept, 1, 0).astype(jnp.int32)
+        return (y_out, z_out, dt_next, ok_out, na, nr, it + 1)
+
+    y, z, dt, ok, na, nr, _it = lax.while_loop(
+        cond, body, (y, z, dt, ok, n0, n0, jnp.asarray(0, jnp.int32))
+    )
+    # a lane that exhausted max_steps short of z_end failed, not short-ran
+    ok = ok & (z >= z_end)
+    return y, z, dt, ok, na, nr
+
+
+@functools.lru_cache(maxsize=64)
+def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
+                           max_steps: int, reduce_mode: bool):
+    """Jitted adaptive SSFM over a save grid: (B, T, 2) pack + (S+1,) grid ->
+    trajectory pack (reduce_mode=False) or running peak (reduce_mode=True).
+
+    Returns ``(y_saved | peak_max, y_final (B, T, 2), ok (B,) i32,
+    n_accepted (B,) i32, n_rejected (B,) i32)``.
+    """
+    rdt = jnp.dtype(rdt_name)
+
+    def solve(y0_ri, coeffs: GNLSECoeffs, z_grid, dt0, nl):
+        y0 = ri_to_complex(y0_ri)                      # (B, T)
+        gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
+        if gamma.ndim:
+            gamma = gamma[..., None]
+        nl = _cast_nl(nl, rdt)
+        B = y0.shape[0]
+        ok0 = _finite_mask(y0)
+        z0 = jnp.full((B,), z_grid[0], dtype=rdt)
+        dt_init = jnp.full((B,), dt0, dtype=rdt)
+        n0 = jnp.zeros((B,), jnp.int32)
+
+        def peak(y):
+            return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
+
+        def seg(carry, z_pair):
+            y, dt, ok, pk, na, nr = carry
+            z_a, z_b = z_pair
+            z = jnp.full((B,), z_a, dtype=rdt)
+            y, _z, dt, ok, na_s, nr_s = _gnlse_advance_segment(
+                y, z, dt, ok, z_a, z_b, coeffs, gamma, nl, rdt,
+                rtol=rtol, atol=atol, max_steps=max_steps,
+            )
+            pk = jnp.maximum(pk, peak(y))
+            out = None if reduce_mode else complex_to_ri(y)
+            return (y, dt, ok, pk, na + na_s, nr + nr_s), out
+
+        (y, dt, ok, pk, na, nr), ys = lax.scan(
+            seg, (y0, dt_init, ok0, peak(y0), n0, n0),
+            (z_grid[:-1], z_grid[1:]),
+        )
+        y_final = complex_to_ri(y)
+        if reduce_mode:
+            first = pk.astype(rdt)
+        else:
+            first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
+        return first, y_final, ok.astype(jnp.int32), na, nr
+
+    return jax.jit(solve)
+
+
+@functools.lru_cache(maxsize=16)
+def _gnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
+                                          atol: float, max_steps: int, mesh):
+    """shard_map wrapper of the adaptive reduce solver (batch axis over the
+    mesh; grid/dt0/nl replicated)."""
+    from jax.sharding import PartitionSpec
+
+    inner = _gnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    b = PartitionSpec(ax)
+    bt = PartitionSpec(ax, None)
+    btr = PartitionSpec(ax, None, None)
+    return jax.jit(
+        jax.shard_map(
+            lambda y0, c, zg, dt0, nl: inner(y0, c, zg, dt0, nl),
+            mesh=mesh,
+            in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
+                      PartitionSpec(), PartitionSpec(), PartitionSpec()),
+            out_specs=(b, btr, b, b, b),
+            check_vma=False,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public runners
 # ---------------------------------------------------------------------------
 
@@ -537,13 +708,17 @@ def run_gnlse_simulation(
     exact Kerr rotation to an RK4 substep on the generalized operator with
     delayed Raman response and self-steepening.
 
+    ``cfg.integrator`` dispatch: ``'rk4'`` is the fixed-step split-step
+    Fourier method; ``'rk45'`` the adaptive split-step (step-doubling
+    local-error control at ``cfg.rtol``/``cfg.atol``), landing on the SAME
+    decimated save grid.
+
     Raises ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan`` (eager
     single-run parity with the other model families).
     """
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
-    _check_gnlse_integrator(cfg)
     scale = length_scale_to_m(length_unit)
     rdt = real_dtype(validate_precision(cfg.precision))
 
@@ -559,6 +734,30 @@ def run_gnlse_simulation(
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
     n_chunks = n_steps // int(cfg.save_every)
+
+    if cfg.integrator.lower() == "rk45":
+        # adaptive split-step on the same decimated save grid (rk4-path
+        # output contract, mirroring ops/adaptive.run_adaptive_trajectory)
+        if n_chunks == 0:
+            return np.zeros(1), A0[None, :].copy()
+        z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
+            int(cfg.save_every) * dz_m
+        )
+        solver = _gnlse_adaptive_solver(
+            np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+            int(cfg.max_steps), False,
+        )
+        ys, yf, ok, _na, _nr = jax.block_until_ready(
+            solver(ri_pack_host(A0[None], rdt), coeffs,
+                   jnp.asarray(z_grid, dtype=rdt),
+                   jnp.asarray(dz_m, dtype=rdt), nl)
+        )
+        if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
+            raise FloatingPointError(
+                "NaN/Inf or step-size underflow during adaptive (rk45) "
+                "GNLSE integration"
+            )
+        return z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0, :]
 
     solver = _gnlse_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
     ys, yf, ok = jax.block_until_ready(
@@ -589,11 +788,15 @@ def solve_gnlse_batch(
     axis (``shard_map``; each device runs the FFTs on its own shard).
     ``nl`` (:func:`make_nl_terms`) enables Raman + self-steepening (shared
     across the batch; replicated over the mesh when sharded).
+
+    ``cfg.integrator='rk45'`` runs the adaptive split-step (lockstep batched
+    lanes, per-lane step size, frozen failed lanes); the peak reduction is
+    over the same saved grid, and integration stops at the last saved grid
+    point (adaptive-path parity with ``ops/adaptive``).
     """
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
-    _check_gnlse_integrator(cfg)
     scale = length_scale_to_m(length_unit)
     rdt = real_dtype(validate_precision(cfg.precision))
 
@@ -620,20 +823,43 @@ def solve_gnlse_batch(
 
     y0_ri = ri_pack_host(A0, rdt)
 
+    use_rk45 = cfg.integrator.lower() == "rk45"
+    if use_rk45:
+        n_chunks = n_steps // int(cfg.save_every)
+        if n_chunks == 0:
+            # saved grid is row 0 only: nothing observable to integrate
+            pk0 = (np.abs(A0[:n_orig]) ** 2).max(axis=-1)
+            ok0 = np.isfinite(A0[:n_orig]).all(axis=-1)
+            return pk0, A0[:n_orig].copy(), ok0
+        z_grid = jnp.asarray(
+            np.arange(n_chunks + 1, dtype=np.float64)
+            * (int(cfg.save_every) * dz_m),
+            dtype=rdt,
+        )
+        dt0 = jnp.asarray(dz_m, dtype=rdt)
+
     if mesh is None:
         coeffs_b = GNLSECoeffs(
             gamma=jnp.asarray(gamma, dtype=rdt),
             alpha=jnp.asarray(alpha, dtype=rdt),
             lin_phase=jnp.asarray(phase, dtype=rdt),
         )
-        solver = _gnlse_reduce_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
-        pk, y_ri, ok = jax.block_until_ready(
-            solver(jnp.asarray(y0_ri), coeffs_b, jnp.asarray(dz_m, dtype=rdt), nl)
-        )
+        if use_rk45:
+            solver = _gnlse_adaptive_solver(
+                np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+                int(cfg.max_steps), True,
+            )
+            pk, y_ri, ok, _na, _nr = jax.block_until_ready(
+                solver(jnp.asarray(y0_ri), coeffs_b, z_grid, dt0, nl)
+            )
+        else:
+            solver = _gnlse_reduce_solver(
+                n_steps, int(cfg.save_every), np.dtype(rdt).name
+            )
+            pk, y_ri, ok = jax.block_until_ready(
+                solver(jnp.asarray(y0_ri), coeffs_b, jnp.asarray(dz_m, dtype=rdt), nl)
+            )
     else:
-        solver = _gnlse_reduce_solver_sharded(
-            n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
-        )
         sh = batch_sharding(mesh)
         y0_dev = put_global(y0_ri, sh)
         cof_dev = GNLSECoeffs(
@@ -641,9 +867,21 @@ def solve_gnlse_batch(
             alpha=put_global(np.asarray(alpha, dtype=rdt), sh),
             lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
         )
-        pk, y_ri, ok = jax.block_until_ready(
-            solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt), nl)
-        )
+        if use_rk45:
+            solver = _gnlse_adaptive_reduce_solver_sharded(
+                np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+                int(cfg.max_steps), mesh,
+            )
+            pk, y_ri, ok, _na, _nr = jax.block_until_ready(
+                solver(y0_dev, cof_dev, z_grid, dt0, nl)
+            )
+        else:
+            solver = _gnlse_reduce_solver_sharded(
+                n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
+            )
+            pk, y_ri, ok = jax.block_until_ready(
+                solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt), nl)
+            )
         from ..parallel.mesh import fetch_global
 
         pk, y_ri, ok = fetch_global(pk), fetch_global(y_ri), fetch_global(ok)

@@ -364,15 +364,100 @@ def test_nl_batch_and_sharded_match_single():
     np.testing.assert_array_equal(ok_s, ok)
 
 
-def test_rk45_integrator_rejected_not_silently_ignored():
-    grid, co, cfg, A0 = _batch_setup(B=2)
+# ---------------------------------------------------------------------------
+# Adaptive split-step (integrator='rk45')
+# ---------------------------------------------------------------------------
+
+def test_rk45_matches_fine_fixed_step():
+    """Adaptive split-step vs a 5x-finer fixed-step reference on an N=1.5
+    (breathing, non-integrable-profile) pulse with Raman: same save grid,
+    agreement at the requested tolerance."""
+    grid = _grid()
+    gam = 2e-3
+    co = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=gam)
+    nl = gn.make_nl_terms(grid, f_raman=0.18)
+    A0 = gn.sech_pulse(grid, peak_W=2.25 * gn.soliton_peak_power(BETA2, gam, T0),
+                       t0_s=T0)
+    zper = 0.5 * np.pi * T0**2 / abs(BETA2)
+    cfg_f = psa.custom_simulation_config(z_max=zper, dz=zper / 10000, save_every=2500)
+    z_f, A_f = gn.run_gnlse_simulation(cfg_f, co, A0, nl=nl)
+    cfg_a = psa.custom_simulation_config(z_max=zper, dz=zper / 10000, save_every=2500,
+                                         integrator="rk45", rtol=1e-8, atol=1e-10)
+    z_a, A_a = gn.run_gnlse_simulation(cfg_a, co, A0, nl=nl)
+    np.testing.assert_array_equal(z_a, z_f)
+    scale = np.abs(A0).max()
+    np.testing.assert_allclose(A_a[-1], A_f[-1], rtol=0, atol=1e-6 * scale)
+
+
+def test_rk45_actually_adapts():
+    """The controller must open the step up when the dynamics are easy: a
+    dispersion-only solve (the split is exact) needs orders of magnitude
+    fewer accepted steps than a soliton at the same tolerance."""
+    import jax.numpy as jnp
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.utils.packing import ri_pack_host
+
+    grid = _grid()
+    gam = 2e-3
+    A0 = gn.sech_pulse(grid, peak_W=2.25 * gn.soliton_peak_power(BETA2, gam, T0),
+                       t0_s=T0)
+    solver = gn._gnlse_adaptive_solver("float64", 1e-8, 1e-10, 100_000, True)
+    zg = jnp.asarray(np.linspace(0.0, 100.0, 5))
+    y0 = ri_pack_host(A0[None], np.float64)
+    co_lin = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=0.0)
+    _, _, ok_l, na_l, nr_l = solver(y0, co_lin, zg, jnp.asarray(0.1), None)
+    co_sol = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=gam)
+    _, _, ok_s, na_s, _ = solver(y0, co_sol, zg, jnp.asarray(0.1), None)
+    assert int(np.asarray(ok_l)[0]) == 1 and int(np.asarray(ok_s)[0]) == 1
+    assert int(np.asarray(na_l)[0]) * 20 < int(np.asarray(na_s)[0])
+    assert int(np.asarray(nr_l)[0]) == 0  # exact split: nothing to reject
+
+
+def test_rk45_batch_and_sharded_match_single():
     import dataclasses
 
-    cfg45 = dataclasses.replace(cfg, integrator="rk45")
-    with pytest.raises(ValueError, match="integrator='rk4'"):
-        gn.run_gnlse_simulation(cfg45, co, A0[0])
-    with pytest.raises(ValueError, match="integrator='rk4'"):
-        gn.solve_gnlse_batch(cfg45, co, A0)
+    import jax
+
+    grid, co, cfg, A0 = _batch_setup(B=5)
+    cfg45 = dataclasses.replace(cfg, integrator="rk45", rtol=1e-8, atol=1e-10)
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg45, co, A0)
+    assert ok.all()
+    z1, A1 = gn.run_gnlse_simulation(cfg45, co, A0[2])
+    np.testing.assert_allclose(A_last[2], A1[-1], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(
+        pk[2], max((np.abs(r) ** 2).max() for r in A1), rtol=1e-12
+    )
+    # and against the rk4 fixed-step result at tolerance
+    pk4, A4, _ = gn.solve_gnlse_batch(cfg, co, A0)
+    np.testing.assert_allclose(pk, pk4, rtol=1e-5)
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    pk_s, A_s, ok_s = gn.solve_gnlse_batch(cfg45, co, A0, mesh=pm.default_mesh())
+    np.testing.assert_allclose(pk_s, pk, rtol=1e-11)
+    np.testing.assert_allclose(A_s, A_last, rtol=0, atol=1e-11)
+    np.testing.assert_array_equal(ok_s, ok)
+
+
+def test_rk45_failure_masking_and_raise():
+    """Runaway gain: adaptive lanes fail by step-size underflow / non-finite
+    states; the batch masks them per-lane, the single-run raises."""
+    import dataclasses
+
+    grid = _grid(128)
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=0.01, save_every=10,
+                                       integrator="rk45", rtol=1e-6, atol=1e-9)
+    co = gn.GNLSECoeffs(gamma=np.full(2, 1e-6), alpha=np.array([-2e4, 0.01]),
+                        lin_phase=np.zeros((2, grid.n_samples)))
+    A0 = np.stack([np.asarray(gn.gaussian_pulse(grid, peak_W=1.0, t0_s=T0))] * 2)
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co, A0)
+    assert not ok[0] and ok[1]
+    assert np.all(np.isfinite(A_last[1]))
+    co_bad = gn.make_gnlse_coeffs(grid, None, gamma_W_m=1e-6, alpha_1_m=-2e4)
+    with pytest.raises(FloatingPointError):
+        gn.run_gnlse_simulation(cfg, co_bad, A0[0])
+    # check_nan=False: masked, not raised
+    cfg_nc = dataclasses.replace(cfg, check_nan=False)
+    z, A = gn.run_gnlse_simulation(cfg_nc, co_bad, A0[0])
+    assert A.shape[0] == z.shape[0]
 
 
 def test_nl_terms_validation():
