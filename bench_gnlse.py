@@ -1,0 +1,178 @@
+"""GNLSE benchmark: batched split-step Fourier pulse propagation.
+
+Third workload profile after ``bench.py`` (4-wave, tiny-state/VPU-bound) and
+``bench_comb.py`` (N-wave dense coupling, MXU-bound): B independent field
+envelopes of T samples advancing through the symmetric split-step method in
+one XLA program (``models/gnlse.py``) -- an FFT-throughput-bound workload.
+Lanes: fixed-step Kerr-only, fixed-step generalized nonlinearity (silica
+Raman response + self-steepening; 4 extra FFT pairs per step inside the RK4
+substep), and the adaptive (rk45) solver; plus an accuracy cross-check of a
+subset against the x64 CPU solver.
+
+Prints ONE JSON line:
+
+    {"metric": "gnlse_ssfm_instance_steps_per_s", "value": ..., "unit": ...,
+     "vs_baseline": ...}
+
+vs_baseline divides by the single-core NumPy 4-wave reference's step rate
+(~8,600 RK4 steps/s, BASELINE.md) -- very conservative, since one SSFM step
+here transforms a T=1024-sample field, not a 4-vector (the reference has no
+field-propagation model at all).
+
+Run on TPU: PYTHONPATH=/root/repo:/root/.axon_site python bench_gnlse.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_S = 8_600.0
+
+T_SAMPLES = 1024
+BATCH = 2048
+N_STEPS = 1000
+SAVE_EVERY = 100
+T0_S = 1e-12
+BETA2 = -2.0e-26
+GAMMA = 2e-3
+OMEGA0 = 1.2e15
+
+
+def _flops_per_step(t: int, nl: bool) -> float:
+    """Algorithmic real-FLOP estimate per instance per fused split step.
+
+    One complex length-t FFT ~ 5 t log2 t real flops.  Kerr-only fused step:
+    1 FFT pair + phase rotation (~20 t).  Generalized nonlinearity: the RK4
+    substep evaluates N(A) 4 times, each costing 3 FFTs (Raman convolution
+    pair + one for the shock derivative... implemented as 2 pairs) plus
+    ~40 t elementwise.
+    """
+    fft = 5.0 * t * math.log2(t)
+    if not nl:
+        return 2.0 * fft + 20.0 * t
+    rhs = 4.0 * fft + 40.0 * t
+    return 2.0 * fft + 4.0 * rhs + 30.0 * t
+
+
+def main() -> None:
+    import jax
+
+    import psa_tpu as psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
+
+    backend = jax.default_backend()
+    precision = "x32" if backend == "tpu" else "x64"
+
+    grid = gn.TimeGrid.for_pulse(T0_S, n_samples=T_SAMPLES)
+    disp = psa.DispersionParams.from_betas(OMEGA0, beta2=BETA2)
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA, alpha_1_m=5e-5,
+                              precision=precision)
+    nl = gn.make_nl_terms(grid, f_raman=0.18, omega0=OMEGA0,
+                          precision=precision)
+    P0 = gn.soliton_peak_power(BETA2, GAMMA, T0_S)
+    scales = np.linspace(0.5, 1.5, BATCH)
+    A0 = (np.sqrt(scales * P0)[:, None]
+          / np.cosh(grid.t()[None, :] / T0_S)).astype(np.complex128)
+
+    cfg = psa.custom_simulation_config(
+        z_max=10.0, dz=10.0 / N_STEPS, save_every=SAVE_EVERY,
+        precision=precision,
+    )
+
+    def timed(nl_terms):
+        gn.solve_gnlse_batch(cfg, co, A0, nl=nl_terms)  # warm-up compile
+        t0 = time.perf_counter()
+        pk, Af, ok = gn.solve_gnlse_batch(cfg, co, A0, nl=nl_terms)
+        el = time.perf_counter() - t0
+        return el, ok
+
+    results = {}
+    for name, nl_terms in (("kerr", None), ("raman_steepening", nl)):
+        el, ok = timed(nl_terms)
+        inst_steps = BATCH * N_STEPS / el
+        results[name] = {
+            "elapsed_s": round(el, 4),
+            "instance_steps_per_s": round(inst_steps),
+            "est_tflops_per_s": round(
+                inst_steps * _flops_per_step(T_SAMPLES, nl_terms is not None)
+                / 1e12, 3,
+            ),
+            "ok_fraction": float(np.mean(ok)),
+        }
+
+    # --- adaptive (rk45) lane: envelopes/s at matched physics ---------------
+    cfg45 = psa.custom_simulation_config(
+        z_max=10.0, dz=10.0 / N_STEPS, save_every=SAVE_EVERY,
+        precision=precision, integrator="rk45",
+        rtol=1e-5 if precision == "x32" else 1e-9,
+        atol=1e-9 if precision == "x32" else 1e-12,
+    )
+    B45 = min(512, BATCH)
+    gn.solve_gnlse_batch(cfg45, co, A0[:B45])
+    t0 = time.perf_counter()
+    _, _, ok45 = gn.solve_gnlse_batch(cfg45, co, A0[:B45])
+    el45 = time.perf_counter() - t0
+
+    # --- accuracy: subset vs x64 CPU (fixed-step, Kerr) ---------------------
+    # two thresholds: the pulse core (>= 1% of peak power) and the deep
+    # tails (>= 1e-6 of peak, where f32 absolute roundoff dominates)
+    max_rel_err = core_rel_err = None
+    try:
+        cpu = jax.devices("cpu")
+        sub = 8
+        _, A_fast, _ = gn.solve_gnlse_batch(cfg, co, A0[:sub])
+        if precision != "x64" and cpu:
+            with jax.default_device(cpu[0]):
+                cfg64 = psa.custom_simulation_config(
+                    z_max=10.0, dz=10.0 / N_STEPS, save_every=SAVE_EVERY,
+                    precision="x64",
+                )
+                co64 = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA,
+                                            alpha_1_m=5e-5, precision="x64")
+                _, A_ref, _ = gn.solve_gnlse_batch(cfg64, co64, A0[:sub])
+            P_fast = np.abs(A_fast) ** 2
+            P_ref = np.abs(A_ref) ** 2
+            rel = np.abs(P_fast / np.maximum(P_ref, 1e-300) - 1.0)
+            max_rel_err = float(rel[P_ref > 1e-6 * P_ref.max()].max())
+            core_rel_err = float(rel[P_ref > 1e-2 * P_ref.max()].max())
+    except Exception as e:  # noqa: BLE001
+        print(f"# gnlse accuracy cross-check skipped: {e}", file=sys.stderr)
+
+    best = max(results, key=lambda k: results[k]["instance_steps_per_s"])
+    best_rate = results[best]["instance_steps_per_s"]
+    meta = {
+        "backend": backend,
+        "precision": precision,
+        "t_samples": T_SAMPLES,
+        "batch": BATCH,
+        "split_steps": N_STEPS,
+        "paths": results,
+        "rk45_envelopes_per_s": round(B45 / el45, 1),
+        "rk45_ok_fraction": float(np.mean(ok45)),
+        "subset_max_rel_power_err_vs_x64": max_rel_err,
+        "subset_core_rel_power_err_vs_x64": core_rel_err,
+        "flops_note": "algorithmic real-FLOPs (5 t log2 t per complex FFT)",
+    }
+    print(f"# {json.dumps(meta)}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "gnlse_ssfm_instance_steps_per_s",
+                "value": results["kerr"]["instance_steps_per_s"],
+                "unit": f"instance-steps/s (T={T_SAMPLES} samples)",
+                "vs_baseline": round(
+                    results["kerr"]["instance_steps_per_s"]
+                    / BASELINE_STEPS_PER_S, 1,
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
