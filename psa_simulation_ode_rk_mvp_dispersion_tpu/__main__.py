@@ -76,6 +76,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--steepening", action="store_true",
                    help="self-steepening / optical-shock term at the carrier")
 
+    s = sub.add_parser("supercontinuum",
+                       help="PCF supercontinuum by soliton fission (GNLSE "
+                            "with Raman + shock + beta2..7, adaptive rk45)")
+    s.add_argument("--t0", type=float, default=28.4, help="pulse T0 [fs]")
+    s.add_argument("--peak", type=float, default=10.0, help="peak power [kW]")
+    s.add_argument("--length", type=float, default=0.15, help="fiber [m]")
+    s.add_argument("--samples", type=int, default=8192, help="time samples")
+    s.add_argument("--rtol", type=float, default=1e-6,
+                   help="adaptive relative tolerance")
+
     s = sub.add_parser("sbs", help="coupled FWM + SBS forward/backward solve")
     s.add_argument("--z-max", type=float, default=200.0, help="fiber length [m]")
     s.add_argument("--gb", type=float, default=150.0, help="Brillouin gain [1/(W km)]")
@@ -134,6 +144,12 @@ def main(argv=None) -> int:
             n_periods=args.periods, n_samples=args.samples, n_steps=args.steps,
             raman=args.raman, steepening=args.steepening,
             integrator=args.integrator, verbose=verbose, **common,
+        )
+    elif args.cmd == "supercontinuum":
+        ex.supercontinuum(
+            t0_fs=args.t0, peak_kW=args.peak, length_m=args.length,
+            n_samples=args.samples, rtol=args.rtol,
+            verbose=verbose, **common,
         )
     elif args.cmd == "sbs":
         ex.fwm_sbs(z_max_m=args.z_max, g_B_km=args.gb, verbose=verbose,

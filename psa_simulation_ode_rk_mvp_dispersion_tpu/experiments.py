@@ -532,6 +532,104 @@ def gnlse_pulse(
     return z, A
 
 
+# classic PCF supercontinuum parameters (Dudley, Genty & Coen, Rev. Mod.
+# Phys. 78, 1135 (2006), Fig. 3): 835 nm pump, betas in ps^n/km
+_SC_BETAS_PS_KM = {
+    2: -11.830, 3: 8.1038e-2, 4: -9.5205e-5, 5: 2.0737e-7,
+    6: -5.3943e-10, 7: 1.3486e-12,
+}
+
+
+def supercontinuum(
+    *,
+    t0_fs: float = 28.4,
+    peak_kW: float = 10.0,
+    lambda_pump: float = 835e-9,
+    gamma_W_m: float = 0.11,
+    length_m: float = 0.15,
+    f_raman: float = 0.18,
+    n_samples: int = 8192,
+    window_ps: float = 10.0,
+    rtol: float = 1e-6,
+    n_saved: int = 100,
+    precision: str = "x64",
+    show: bool = True,
+    save_dir: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Supercontinuum generation by soliton fission in a photonic-crystal
+    fiber: the classic GNLSE showcase (Dudley et al., RMP 2006, Fig. 3) --
+    a femtosecond pump in the anomalous regime splits into fundamental
+    solitons that red-shift by the Raman effect while shedding blue
+    dispersive waves, spanning more than an octave in 15 cm.  Exercises
+    every generalized-nonlinearity ingredient at once: dispersion orders
+    2-7, delayed Raman response, self-steepening, adaptive stepping."""
+    import numpy as _np
+
+    from .models import gnlse as gnl
+    from .ops.frequency_plan import omega_from_lambda
+
+    t0 = float(t0_fs) * 1e-15
+    omega_c = float(_np.asarray(omega_from_lambda(lambda_pump)))
+    # ps^n/km -> s^n/m
+    betas = {n: b * (1e-12 ** n) * 1e-3 for n, b in _SC_BETAS_PS_KM.items()}
+    disp = DispersionParams.from_betas(omega_c, extra=betas)
+    grid = gnl.TimeGrid(n_samples=int(n_samples),
+                        t_window_s=float(window_ps) * 1e-12)
+    coeffs = gnl.make_gnlse_coeffs(grid, disp, gamma_W_m=float(gamma_W_m),
+                                   precision=precision)
+    nl = gnl.make_nl_terms(grid, f_raman=float(f_raman), omega0=omega_c,
+                           precision=precision)
+    P0 = float(peak_kW) * 1e3
+    n_sol = _np.sqrt(
+        float(gamma_W_m) * P0 * t0**2 / abs(betas[2])
+    )
+    n_steps = int(n_saved) * 100
+    cfg = custom_simulation_config(
+        z_max=float(length_m), dz=float(length_m) / n_steps,
+        save_every=n_steps // int(n_saved), precision=precision,
+        integrator="rk45", rtol=float(rtol), atol=1e-12,
+    )
+    z, A = gnl.run_gnlse_simulation(cfg, coeffs,
+                                    gnl.sech_pulse(grid, peak_W=P0, t0_s=t0),
+                                    nl=nl)
+    if verbose:
+        S0 = _np.abs(_np.fft.fft(A[0])) ** 2
+        S1 = _np.abs(_np.fft.fft(A[-1])) ** 2
+
+        def bw30(S):
+            keep = S > S.max() * 1e-3
+            om = _np.fft.fftshift(grid.omega())
+            sh = _np.fft.fftshift(keep)
+            idx = _np.nonzero(sh)[0]
+            return (om[idx[-1]] - om[idx[0]]) / (2 * _np.pi) * 1e-12
+        print(
+            f"supercontinuum: N={n_sol:.1f} soliton input, "
+            f"-30 dB bandwidth {bw30(S0):.1f} -> {bw30(S1):.1f} THz "
+            f"over {length_m*100:.0f} cm"
+        )
+    if save_dir is not None:
+        from pathlib import Path
+
+        from .io_fwm import save_result_npz
+
+        out = Path(save_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        save_result_npz(out / "supercontinuum.npz", z, A,
+                        metadata=make_run_metadata(config=cfg), overwrite=True)
+    plotting.plot_spectral_evolution(
+        z, grid.omega(), A, lambda0_m=lambda_pump,
+        title="Supercontinuum generation (soliton fission)", show=show,
+        save_path=None if save_dir is None else f"{save_dir}/supercontinuum.png",
+    )
+    plotting.plot_pulse_evolution(
+        z, grid.t(), A, t_unit="ps", show=show,
+        title="Supercontinuum temporal evolution",
+        save_path=None if save_dir is None else f"{save_dir}/supercontinuum_t.png",
+    )
+    return z, A
+
+
 def fwm_sbs(
     *,
     z_max_m: float = 200.0,

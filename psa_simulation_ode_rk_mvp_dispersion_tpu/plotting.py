@@ -408,3 +408,56 @@ def plot_pulse_evolution(z, t, A_saved, *, title="GNLSE pulse evolution",
     ax1.grid(True, alpha=0.3)
     ax1.legend()
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_spectral_evolution(z, omega, A_saved, *,
+                            lambda0_m=None,
+                            title="GNLSE spectral evolution",
+                            floor_db=-60.0, show=True, save_path=None):
+    """|A(z, omega)|^2 evolution map (dB rel. to the global peak) plus the
+    input and output spectra, for ``models/gnlse`` trajectories (the standard
+    supercontinuum figure).
+
+    ``A_saved`` is (S+1, T) complex on the save grid ``z``; ``omega`` the
+    fft-ordered baseband axis (``TimeGrid.omega()``).  With ``lambda0_m``
+    the x axis is absolute wavelength [nm] (points beyond the baseband's
+    physical range are clipped); otherwise detuning [THz].
+    """
+    plt = _plt()
+    z = np.asarray(z, dtype=float)
+    om = np.fft.fftshift(np.asarray(omega, dtype=float))
+    A = np.asarray(A_saved)
+    if A.ndim != 2 or A.shape[0] != z.shape[0] or A.shape[1] != om.shape[0]:
+        raise ValueError("A_saved must be (len(z), len(omega))")
+    S = np.abs(np.fft.fftshift(np.fft.fft(A, axis=-1), axes=-1)) ** 2
+    S_db = 10.0 * np.log10(
+        np.maximum(S / max(S.max(), 1e-300), 10 ** (floor_db / 10.0))
+    )
+    if lambda0_m is not None:
+        from .constants import c as _c
+
+        w0 = 2.0 * np.pi * _c / float(lambda0_m)
+        keep = om > -0.8 * w0  # clip unphysical negative absolute frequencies
+        x = 2.0 * np.pi * _c / (w0 + om[keep]) * 1e9
+        xlabel = "wavelength [nm]"
+        S_db = S_db[:, keep]
+        S_in, S_out = S[0][keep], S[-1][keep]
+    else:
+        x = om / (2.0 * np.pi) * 1e-12
+        xlabel = "detuning [THz]"
+        S_in, S_out = S[0], S[-1]
+    fig, (ax0, ax1) = plt.subplots(
+        1, 2, figsize=(12, 5), gridspec_kw={"width_ratios": [2, 1]}
+    )
+    im = ax0.pcolormesh(x, z, S_db, shading="auto")
+    fig.colorbar(im, ax=ax0, label="spectral density [dB rel. peak]")
+    ax0.set_xlabel(xlabel)
+    ax0.set_ylabel("z [m]")
+    floor = 10 ** (floor_db / 10.0) * max(S.max(), 1e-300)
+    ax1.plot(x, 10 * np.log10(np.maximum(S_in, floor)), label="input")
+    ax1.plot(x, 10 * np.log10(np.maximum(S_out, floor)), label="output")
+    ax1.set_xlabel(xlabel)
+    ax1.set_ylabel("spectral density [dB]")
+    ax1.grid(True, alpha=0.3)
+    ax1.legend()
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

@@ -473,6 +473,31 @@ def test_nl_terms_validation():
     assert h.sum() * grid.dt_s == pytest.approx(1.0, abs=1e-14)
 
 
+def test_supercontinuum_soliton_fission():
+    """Scaled-down Dudley PCF run (experiments.supercontinuum): an N~9
+    soliton with beta2..7 + Raman + shock must undergo fission -- output
+    -30 dB bandwidth at least 5x the input -- with bounded energy loss
+    (Raman transfer only; no linear loss) and finite fields throughout.
+    The full-size config reproduces the octave-spanning 507-1285 nm
+    spectrum of Dudley et al. RMP 2006 Fig. 3 (run 2026-08-16, 122 s CPU)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    z, A = ex.supercontinuum(n_samples=1024, window_ps=3.0, length_m=0.03,
+                             rtol=1e-5, n_saved=20, show=False, verbose=False)
+    assert np.all(np.isfinite(A))
+    grid_dt = 3.0e-12 / 1024
+
+    def bw(a):
+        S = np.abs(np.fft.fft(a)) ** 2
+        keep = np.fft.fftshift(S > S.max() * 1e-3)
+        idx = np.nonzero(keep)[0]
+        return idx[-1] - idx[0]
+
+    assert bw(A[-1]) > 5 * bw(A[0])
+    E = (np.abs(A) ** 2).sum(axis=-1) * grid_dt
+    assert 0.7 < E[-1] / E[0] <= 1.0 + 1e-9  # Raman drain only, bounded
+
+
 def test_batched_alpha_shared_phase():
     """alpha (B,) with a shared (T,) lin_phase — the documented independent
     shape combo — must broadcast per instance, not pair alpha_k with
