@@ -124,7 +124,7 @@ from .ops.integrators import (  # noqa: E402
     integrate_reduce,
     rk4_step,
 )
-from .models import fwm4, gnlse, nwave, sbs  # noqa: E402
+from .models import fwm4, gnlse, nwave, sbs, vgnlse  # noqa: E402
 from .models.sbs import SBSCoeffs, SBSResult, run_sbs_batch, run_sbs_simulation  # noqa: E402
 from .models.gnlse import (  # noqa: E402
     GNLSECoeffs,
@@ -139,6 +139,16 @@ from .models.gnlse import (  # noqa: E402
     sech_pulse,
     solve_gnlse_batch,
     soliton_peak_power,
+)
+from .models.vgnlse import (  # noqa: E402
+    VGNLSECoeffs,
+    degree_of_polarization,
+    make_vgnlse_coeffs,
+    manakov_soliton_peak_power,
+    polarized_pulse,
+    run_vgnlse_simulation,
+    solve_vgnlse_batch,
+    stokes_parameters,
 )
 from .models.nwave import (  # noqa: E402
     CombGrid,

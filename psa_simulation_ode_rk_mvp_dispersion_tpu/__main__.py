@@ -76,6 +76,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--steepening", action="store_true",
                    help="self-steepening / optical-shock term at the carrier")
 
+    s = sub.add_parser("vgnlse", help="vector (two-polarization) pulse "
+                                      "propagation (Manakov / coupled NLSE)")
+    s.add_argument("--t0", type=float, default=1.0, help="pulse T0 [ps]")
+    s.add_argument("--n-soliton", type=float, default=1.0, help="soliton order")
+    s.add_argument("--theta", type=float, default=30.0,
+                   help="polarization angle [deg]")
+    s.add_argument("--coupling", default="manakov",
+                   choices=("manakov", "cnlse"))
+    s.add_argument("--dbeta1", type=float, default=0.0,
+                   help="group birefringence [ps/km]")
+    s.add_argument("--periods", type=float, default=1.0,
+                   help="propagation length in soliton periods")
+
     s = sub.add_parser("supercontinuum",
                        help="PCF supercontinuum by soliton fission (GNLSE "
                             "with Raman + shock + beta2..7, adaptive rk45)")
@@ -144,6 +157,12 @@ def main(argv=None) -> int:
             n_periods=args.periods, n_samples=args.samples, n_steps=args.steps,
             raman=args.raman, steepening=args.steepening,
             integrator=args.integrator, verbose=verbose, **common,
+        )
+    elif args.cmd == "vgnlse":
+        ex.vector_pulse(
+            t0_ps=args.t0, n_soliton=args.n_soliton, theta_deg=args.theta,
+            coupling=args.coupling, dbeta1_ps_km=args.dbeta1,
+            n_periods=args.periods, verbose=verbose, **common,
         )
     elif args.cmd == "supercontinuum":
         ex.supercontinuum(

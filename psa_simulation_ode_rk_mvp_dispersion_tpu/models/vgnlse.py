@@ -1,0 +1,453 @@
+"""Vector (two-polarization) GNLSE: coupled NLSE and the Manakov limit.
+
+Extends ``models/gnlse`` to a two-component field ``A(z, t) = (A_x, A_y)``
+on the same periodic time window, realizing the polarization physics the
+reference only gestures at (its stale test encodes polarization-averaged
+Kerr factors, /root/reference/tests.py:256-269; the 4-wave model already
+offers that averaging as a Kerr variant -- this model family propagates the
+actual vector field).  In the co-moving frame:
+
+    dA_x/dz = -alpha/2 A_x
+              + i [ +dbeta0/2 + (dbeta1/2) omega + sum_{n>=2} beta_n omega^n/n! ] A_x
+              + i gamma (|A_x|^2 + b |A_y|^2) A_x
+    dA_y/dz =  (same with dbeta0, dbeta1 negated and x <-> y)
+
+- ``b = 2/3``: the incoherent coupled NLSE of a linearly birefringent fiber
+  (Agrawal ch. 6; the coherent four-wave term is averaged out by the
+  birefringent phase mismatch).
+- ``b = 1`` with ``gamma -> (8/9) gamma``: the Manakov equation (random
+  birefringence averaged over the Poincare sphere) -- the integrable vector
+  soliton limit.
+
+Both nonlinearities leave |A_x|^2, |A_y|^2 invariant, so the nonlinear split
+substep is an EXACT pair of phase rotations -- the vector solver runs in the
+same cost class as the scalar Kerr path (the FFTs batch over the trailing
+polarization x time axes).  Solver structure, save-decimation contract,
+NaN-masking, (B, ...) batching, shard_map sharding, and f32/i32 jit
+boundaries all mirror ``models/gnlse`` (which see for the TPU design notes).
+
+Oracles (tests/test_vgnlse.py): exact XPM phases on CW, reduction to the
+scalar solver when one polarization is empty, the Manakov vector soliton
+(shape-invariant at any polarization angle), exact group-velocity walk-off
+by circular shift, and birefringent phase rotation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SimulationConfig, validate_config
+from ..ops.dispersion import DispersionParams
+from ..utils.packing import (
+    complex_to_ri,
+    ri_pack_host,
+    ri_to_complex,
+    ri_unpack_host,
+)
+from ..utils.precision import real_dtype, validate_precision
+from .gnlse import TimeGrid
+
+XPM_LINEAR_BIREFRINGENT = 2.0 / 3.0
+MANAKOV_GAMMA_FACTOR = 8.0 / 9.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VGNLSECoeffs:
+    """Per-instance vector-GNLSE coefficients.
+
+    ``lin_phase`` is the omega-domain phase rate per polarization
+    [(2, T) or (B, 2, T), rad/m] INCLUDING the birefringent +-dbeta0/2 and
+    +-(dbeta1/2) omega terms; ``gamma`` [1/(W m)] is the effective Kerr
+    coefficient (already scaled by 8/9 for Manakov); ``b_xpm`` the
+    cross-phase coupling ratio; ``alpha`` [1/m].
+    """
+
+    gamma: jax.Array      # () or (B,)
+    alpha: jax.Array      # () or (B,)
+    b_xpm: jax.Array      # ()
+    lin_phase: jax.Array  # (2, T) or (B, 2, T)
+
+
+def make_vgnlse_coeffs(
+    grid: TimeGrid,
+    dispersion: Optional[DispersionParams] = None,
+    *,
+    gamma_W_m: float,
+    alpha_1_m: float = 0.0,
+    dbeta0_1_m: float = 0.0,
+    dbeta1_s_m: float = 0.0,
+    coupling: str = "cnlse",
+    max_order: Optional[int] = None,
+    precision: str = "x64",
+) -> VGNLSECoeffs:
+    """Build :class:`VGNLSECoeffs`.
+
+    ``coupling='cnlse'`` is the linearly birefringent incoherent model
+    (b = 2/3, gamma as given); ``'manakov'`` the randomly birefringent limit
+    (b = 1, gamma scaled by 8/9).  ``dbeta0_1_m``/``dbeta1_s_m`` are the
+    full phase- and group-birefringence splittings (x gets +half, y -half).
+    Orders 0 and 1 of ``dispersion`` are ignored (co-moving gauge, as in
+    :func:`~.gnlse.make_gnlse_coeffs`).
+    """
+    rdt = real_dtype(validate_precision(precision))
+    if coupling == "cnlse":
+        b, g_eff = XPM_LINEAR_BIREFRINGENT, float(gamma_W_m)
+    elif coupling == "manakov":
+        b, g_eff = 1.0, MANAKOV_GAMMA_FACTOR * float(gamma_W_m)
+    else:
+        raise ValueError(
+            f"coupling must be 'cnlse' or 'manakov', got {coupling!r}"
+        )
+    om = grid.omega()
+    common = np.zeros_like(om)
+    if dispersion is not None:
+        cf = np.asarray(dispersion.coeffs, dtype=np.float64)
+        hi = len(cf) if max_order is None else min(len(cf), int(max_order) + 1)
+        for n in range(2, hi):
+            common = common + (cf[n] / math.factorial(n)) * om ** n
+    bire = 0.5 * float(dbeta0_1_m) + 0.5 * float(dbeta1_s_m) * om
+    phase = np.stack([common + bire, common - bire])
+    if not np.all(np.isfinite(phase)):
+        raise ValueError("dispersion phase must be finite on the grid")
+    return VGNLSECoeffs(
+        gamma=jnp.asarray(g_eff, dtype=rdt),
+        alpha=jnp.asarray(float(alpha_1_m), dtype=rdt),
+        b_xpm=jnp.asarray(b, dtype=rdt),
+        lin_phase=jnp.asarray(phase, dtype=rdt),
+    )
+
+
+def polarized_pulse(A: np.ndarray, theta_rad: float,
+                    phi_rad: float = 0.0) -> np.ndarray:
+    """Split a scalar envelope (T,) onto the two polarization axes:
+    ``(cos theta, sin theta e^{i phi}) A`` -> (2, T)."""
+    A = np.asarray(A, dtype=np.complex128)
+    jones = np.array(
+        [np.cos(float(theta_rad)),
+         np.sin(float(theta_rad)) * np.exp(1j * float(phi_rad))]
+    )
+    return jones[:, None] * A[None, :]
+
+
+def manakov_soliton_peak_power(beta2_s2_m: float, gamma_W_m: float,
+                               t0_s: float) -> float:
+    """TOTAL peak power of the Manakov vector soliton:
+    ``|beta2| / ((8/9) gamma T0^2)`` [W] (any polarization split)."""
+    if beta2_s2_m >= 0:
+        raise ValueError("solitons require anomalous dispersion (beta2 < 0)")
+    return abs(float(beta2_s2_m)) / (
+        MANAKOV_GAMMA_FACTOR * float(gamma_W_m) * float(t0_s) ** 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Solver core (state (B, 2, T) complex; FFTs batch over (B, 2))
+# ---------------------------------------------------------------------------
+
+def _lin_factor_v(coeffs: VGNLSECoeffs, h, rdt):
+    al = jnp.asarray(coeffs.alpha, dtype=rdt)
+    ph = jnp.asarray(coeffs.lin_phase, dtype=rdt)
+    if al.ndim:
+        al = al[..., None, None]  # (B,) -> broadcast over (B, 2, T)
+    decay = jnp.exp(-0.5 * al * h)
+    ang = ph * h
+    return lax.complex(decay * jnp.cos(ang), decay * jnp.sin(ang))
+
+
+def _xpm_kerr_step(y, gamma, b, h):
+    """Exact coupled rotation exp(i gamma (P_self + b P_other) h) per pol
+    (both powers are invariants of the nonlinear flow)."""
+    P = y.real * y.real + y.imag * y.imag            # (..., 2, T)
+    P_other = jnp.flip(P, axis=-2)
+    ang = gamma * (P + b * P_other) * h
+    return y * lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def _finite_mask_v(y):
+    m = jnp.isfinite(y.real) & jnp.isfinite(y.imag)
+    return jnp.all(m, axis=(-2, -1))                 # (B,)
+
+
+def _chunk_stepper_v(k: int):
+    """k fused symmetric split steps over (B, 2, T) state."""
+
+    def run(y, Lh, Lf, gamma, b, h):
+        if k == 0:
+            return y
+        y = jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
+
+        def body(carry, _):
+            c = _xpm_kerr_step(carry, gamma, b, h)
+            c = jnp.fft.ifft(Lf * jnp.fft.fft(c, axis=-1), axis=-1)
+            return c, None
+
+        if k > 1:
+            y, _ = lax.scan(body, y, None, length=k - 1)
+        y = _xpm_kerr_step(y, gamma, b, h)
+        return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
+                   reduce_mode: bool):
+    """Jitted batched vector SSFM: (B, 2, T, 2) pack -> trajectory pack
+    (reduce_mode=False) or per-pol peak-power running max (reduce_mode=True).
+
+    Returns ``(y_saved (S+1, B, 2, T, 2) | peak_max (B, 2), y_final
+    (B, 2, T, 2), ok (B,) i32)``.
+    """
+    rdt = jnp.dtype(rdt_name)
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+
+    def peak(y):
+        return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)  # (B, 2)
+
+    def solve(y0_ri, coeffs: VGNLSECoeffs, dz):
+        y0 = ri_to_complex(y0_ri)                    # (B, 2, T)
+        h = jnp.asarray(dz, dtype=rdt)
+        gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
+        if gamma.ndim:
+            gamma = gamma[..., None, None]
+        b = jnp.asarray(coeffs.b_xpm, dtype=rdt)
+        Lh = _lin_factor_v(coeffs, 0.5 * h, rdt)
+        Lf = _lin_factor_v(coeffs, h, rdt)
+        ok0 = _finite_mask_v(y0)
+        stepper = _chunk_stepper_v(save_every)
+
+        def chunk(carry, _):
+            y, pk, ok = carry
+            y_new = stepper(y, Lh, Lf, gamma, b, h)
+            ok_new = ok & _finite_mask_v(y_new)
+            y_out = jnp.where(ok_new[..., None, None], y_new, y)
+            pk = jnp.maximum(pk, peak(y_out))
+            out = None if reduce_mode else complex_to_ri(y_out)
+            return (y_out, pk, ok_new), out
+
+        if n_chunks > 0:
+            (y, pk, ok), ys = lax.scan(
+                chunk, (y0, peak(y0), ok0), None, length=n_chunks
+            )
+        else:
+            y, pk, ok = y0, peak(y0), ok0
+            ys = None if reduce_mode else jnp.zeros(
+                (0,) + y0.shape + (2,), dtype=rdt
+            )
+        # trailing partial steps: integrated (they can flip ok) but unsaved
+        if remainder > 0:
+            y_new = _chunk_stepper_v(remainder)(y, Lh, Lf, gamma, b, h)
+            ok_new = ok & _finite_mask_v(y_new)
+            if reduce_mode:
+                ok = ok_new            # y stays at the last saved point
+            else:
+                y = jnp.where(ok_new[..., None, None], y_new, y)
+                ok = ok_new
+        y_final = complex_to_ri(y)
+        if reduce_mode:
+            first = pk.astype(rdt)
+        else:
+            first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
+        return first, y_final.astype(rdt), ok.astype(jnp.int32)
+
+    return jax.jit(solve)
+
+
+@functools.lru_cache(maxsize=16)
+def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
+                                  rdt_name: str, mesh):
+    from jax.sharding import PartitionSpec
+
+    inner = _vgnlse_solver(n_steps, save_every, rdt_name, True)
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    b = PartitionSpec(ax)
+    return jax.jit(
+        jax.shard_map(
+            lambda y0, c, dz: inner(y0, c, dz),
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(ax, None, None, None),
+                VGNLSECoeffs(gamma=b, alpha=b, b_xpm=PartitionSpec(),
+                             lin_phase=PartitionSpec(ax, None, None)),
+                PartitionSpec(),
+            ),
+            out_specs=(PartitionSpec(ax, None),
+                       PartitionSpec(ax, None, None, None), b),
+            check_vma=False,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public runners (contracts mirror models/gnlse)
+# ---------------------------------------------------------------------------
+
+def _check_v_integrator(cfg: SimulationConfig) -> None:
+    if cfg.integrator.lower() != "rk4":
+        raise ValueError(
+            "vector GNLSE supports integrator='rk4' (fixed-step split-step "
+            f"Fourier); got {cfg.integrator!r}"
+        )
+
+
+def run_vgnlse_simulation(
+    cfg: SimulationConfig,
+    coeffs: VGNLSECoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Integrate one vector envelope (2, T) over [0, z_max]; returns host
+    ``(z_saved, A_saved (S+1, 2, T))`` on the decimated save grid.  Raises
+    ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan``."""
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    _check_v_integrator(cfg)
+    scale = length_scale_to_m(length_unit)
+    rdt = real_dtype(validate_precision(cfg.precision))
+
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.shape[:1] != (2,) or A0.ndim != 2:
+        raise ValueError(f"A0 must be a (2, T) vector envelope, got {A0.shape}")
+    if (np.ndim(coeffs.lin_phase) > 2 or np.ndim(coeffs.gamma) > 0
+            or np.ndim(coeffs.alpha) > 0):
+        raise ValueError(
+            "run_vgnlse_simulation takes unbatched coeffs (scalar gamma/"
+            "alpha, (2, T) lin_phase); use solve_vgnlse_batch for batches"
+        )
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+    n_chunks = n_steps // int(cfg.save_every)
+
+    solver = _vgnlse_solver(n_steps, int(cfg.save_every),
+                            np.dtype(rdt).name, False)
+    ys, yf, ok = jax.block_until_ready(
+        solver(ri_pack_host(A0[None], rdt), coeffs,
+               jnp.asarray(dz_m, dtype=rdt))
+    )
+    if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
+        raise FloatingPointError(
+            "NaN or Inf detected during vector-GNLSE integration"
+        )
+    z = np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dz_m
+    ) / scale
+    return z, ri_unpack_host(np.asarray(ys))[:, 0]
+
+
+def solve_vgnlse_batch(
+    cfg: SimulationConfig,
+    coeffs: VGNLSECoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Solve B independent vector envelopes (B, 2, T) in one XLA program
+    (reduce mode).  Returns host ``(peak_max (B, 2), A_last (B, 2, T),
+    ok (B,))`` -- per-polarization running peak power over saved samples and
+    the field at the last saved grid point.  ``mesh`` shards the batch axis
+    via ``shard_map`` (per-shard local FFTs)."""
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    _check_v_integrator(cfg)
+    scale = length_scale_to_m(length_unit)
+    rdt = real_dtype(validate_precision(cfg.precision))
+
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 3 or A0.shape[1] != 2:
+        raise ValueError(f"A0 must have shape (B, 2, T), got {A0.shape}")
+    B, _, T = A0.shape
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+
+    gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
+    alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
+    phase = np.broadcast_to(
+        np.asarray(coeffs.lin_phase, dtype=float), (B, 2, T)
+    )
+
+    n_orig = B
+    if mesh is not None:
+        from ..parallel.mesh import pad_batch
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        A0, n_orig = pad_batch(A0, ndev)
+        gamma, _ = pad_batch(gamma, ndev)
+        alpha, _ = pad_batch(alpha, ndev)
+        phase, _ = pad_batch(phase, ndev)
+
+    y0_ri = ri_pack_host(A0, rdt)
+
+    if mesh is None:
+        cof = VGNLSECoeffs(
+            gamma=jnp.asarray(gamma, dtype=rdt),
+            alpha=jnp.asarray(alpha, dtype=rdt),
+            b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
+            lin_phase=jnp.asarray(phase, dtype=rdt),
+        )
+        solver = _vgnlse_solver(n_steps, int(cfg.save_every),
+                                np.dtype(rdt).name, True)
+        pk, y_ri, ok = jax.block_until_ready(
+            solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt))
+        )
+    else:
+        from ..parallel.mesh import batch_sharding, fetch_global, put_global
+
+        solver = _vgnlse_reduce_solver_sharded(
+            n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
+        )
+        sh = batch_sharding(mesh)
+        pk, y_ri, ok = jax.block_until_ready(
+            solver(
+                put_global(y0_ri, sh),
+                VGNLSECoeffs(
+                    gamma=put_global(np.asarray(gamma, dtype=rdt), sh),
+                    alpha=put_global(np.asarray(alpha, dtype=rdt), sh),
+                    b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
+                    lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
+                ),
+                jnp.asarray(dz_m, dtype=rdt),
+            )
+        )
+        pk, y_ri, ok = fetch_global(pk), fetch_global(y_ri), fetch_global(ok)
+
+    peak = np.asarray(pk, dtype=np.float64)[:n_orig]
+    A_last = ri_unpack_host(np.asarray(y_ri))[:n_orig]
+    return peak, A_last, np.asarray(ok)[:n_orig].astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Derived quantities
+# ---------------------------------------------------------------------------
+
+def stokes_parameters(A: np.ndarray) -> np.ndarray:
+    """Time-resolved Stokes vector (S0, S1, S2, S3) of a (..., 2, T) field."""
+    A = np.asarray(A)
+    ax, ay = A[..., 0, :], A[..., 1, :]
+    s0 = np.abs(ax) ** 2 + np.abs(ay) ** 2
+    s1 = np.abs(ax) ** 2 - np.abs(ay) ** 2
+    cross = ax * np.conj(ay)
+    return np.stack([s0, s1, 2.0 * cross.real, -2.0 * cross.imag], axis=-2)
+
+
+def degree_of_polarization(grid: TimeGrid, A: np.ndarray) -> np.ndarray:
+    """Energy-weighted DOP of a (..., 2, T) field: |<(S1,S2,S3)>| / <S0>."""
+    s = stokes_parameters(A)
+    tot = s.sum(axis=-1) * grid.dt_s       # (..., 4)
+    s0 = tot[..., 0]
+    vec = np.sqrt((tot[..., 1:] ** 2).sum(axis=-1))
+    return vec / np.maximum(s0, 1e-300)
