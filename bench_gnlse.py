@@ -143,8 +143,6 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"# gnlse accuracy cross-check skipped: {e}", file=sys.stderr)
 
-    best = max(results, key=lambda k: results[k]["instance_steps_per_s"])
-    best_rate = results[best]["instance_steps_per_s"]
     meta = {
         "backend": backend,
         "precision": precision,

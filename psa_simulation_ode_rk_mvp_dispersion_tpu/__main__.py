@@ -24,8 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--precision", default="x64", choices=("x64", "x32", "df32"),
                    help="dtype tier (x64 = reference parity; x32/df32 = TPU)")
-    p.add_argument("--integrator", default="rk4", choices=("rk4", "rk45"),
-                   help="ODE stepper for sweep/single commands")
+    p.add_argument("--integrator", default=None, choices=("rk4", "rk45"),
+                   help="ODE stepper (default: rk4, except supercontinuum "
+                        "which defaults to rk45; commands that cannot honor "
+                        "an explicit choice raise)")
     p.add_argument("--shard", action="store_true",
                    help="shard the batch over all local devices (default_mesh)")
     p.add_argument("--save-dir", default=None, help="write result bundles here")
@@ -126,13 +128,13 @@ def main(argv=None) -> int:
         show=not args.no_show,
         save_dir=args.save_dir,
     )
-    sweep_common = dict(common, integrator=args.integrator, mesh=mesh)
+    sweep_common = dict(common, integrator=args.integrator or "rk4", mesh=mesh)
     verbose = not args.quiet
 
     if args.cmd == "single":
         ex.single_simulation(
             z_max_m=args.z_max, dz_m=args.dz, lambda_signal=args.lambda_signal,
-            verbose=verbose, integrator=args.integrator, **common,
+            verbose=verbose, integrator=args.integrator or "rk4", **common,
         )
     elif args.cmd == "spectrum":
         ex.gain_spectrum(n_points=args.points, verbose=verbose, **sweep_common)
@@ -156,18 +158,20 @@ def main(argv=None) -> int:
             t0_ps=args.t0, n_soliton=args.n_soliton, beta2_ps2_km=args.beta2,
             n_periods=args.periods, n_samples=args.samples, n_steps=args.steps,
             raman=args.raman, steepening=args.steepening,
-            integrator=args.integrator, verbose=verbose, **common,
+            integrator=args.integrator or "rk4", verbose=verbose, **common,
         )
     elif args.cmd == "vgnlse":
         ex.vector_pulse(
             t0_ps=args.t0, n_soliton=args.n_soliton, theta_deg=args.theta,
             coupling=args.coupling, dbeta1_ps_km=args.dbeta1,
-            n_periods=args.periods, verbose=verbose, **common,
+            n_periods=args.periods, integrator=args.integrator or "rk4",
+            verbose=verbose, **common,
         )
     elif args.cmd == "supercontinuum":
         ex.supercontinuum(
             t0_fs=args.t0, peak_kW=args.peak, length_m=args.length,
             n_samples=args.samples, rtol=args.rtol,
+            integrator=args.integrator or "rk45",
             verbose=verbose, **common,
         )
     elif args.cmd == "sbs":

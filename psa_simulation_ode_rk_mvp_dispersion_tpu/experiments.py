@@ -457,7 +457,7 @@ def gnlse_pulse(
     lambda_center: float = 1550e-9,
     raman: bool = False,
     steepening: bool = False,
-    f_raman: float = 0.18,
+    f_raman: Optional[float] = None,  # default: gnlse.RAMAN_FRACTION_SILICA
     integrator: str = "rk4",
     precision: str = "x64",
     show: bool = True,
@@ -494,6 +494,8 @@ def gnlse_pulse(
     )
     nl = None
     if raman or steepening:
+        if f_raman is None:
+            f_raman = gnl.RAMAN_FRACTION_SILICA
         nl = gnl.make_nl_terms(
             grid,
             f_raman=float(f_raman) if raman else 0.0,
@@ -544,6 +546,7 @@ def vector_pulse(
     n_periods: float = 1.0,
     n_samples: int = 1024,
     n_steps: int = 4000,
+    integrator: str = "rk4",
     precision: str = "x64",
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -576,6 +579,7 @@ def vector_pulse(
     cfg = custom_simulation_config(
         z_max=z_max, dz=z_max / n_steps,
         save_every=max(1, n_steps // 100), precision=precision,
+        integrator=integrator,
     )
     A0 = vgl.polarized_pulse(
         gnl.sech_pulse(grid, peak_W=P0, t0_s=t0), _np.deg2rad(theta_deg)
@@ -621,11 +625,12 @@ def supercontinuum(
     lambda_pump: float = 835e-9,
     gamma_W_m: float = 0.11,
     length_m: float = 0.15,
-    f_raman: float = 0.18,
+    f_raman: Optional[float] = None,  # default: gnlse.RAMAN_FRACTION_SILICA
     n_samples: int = 8192,
     window_ps: float = 10.0,
     rtol: float = 1e-6,
     n_saved: int = 100,
+    integrator: str = "rk45",
     precision: str = "x64",
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -652,6 +657,8 @@ def supercontinuum(
                         t_window_s=float(window_ps) * 1e-12)
     coeffs = gnl.make_gnlse_coeffs(grid, disp, gamma_W_m=float(gamma_W_m),
                                    precision=precision)
+    if f_raman is None:
+        f_raman = gnl.RAMAN_FRACTION_SILICA
     nl = gnl.make_nl_terms(grid, f_raman=float(f_raman), omega0=omega_c,
                            precision=precision)
     P0 = float(peak_kW) * 1e3
@@ -662,7 +669,7 @@ def supercontinuum(
     cfg = custom_simulation_config(
         z_max=float(length_m), dz=float(length_m) / n_steps,
         save_every=n_steps // int(n_saved), precision=precision,
-        integrator="rk45", rtol=float(rtol), atol=1e-12,
+        integrator=integrator, rtol=float(rtol), atol=1e-12,
     )
     z, A = gnl.run_gnlse_simulation(cfg, coeffs,
                                     gnl.sech_pulse(grid, peak_W=P0, t0_s=t0),

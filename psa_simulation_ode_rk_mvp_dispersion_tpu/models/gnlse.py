@@ -536,6 +536,25 @@ def _strang_step_h(y, coeffs, gamma, h, nl, rdt):
     return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
 
 
+def _doubling_attempt(y, coeffs, gamma, hb, nl, rdt):
+    """One step-doubling attempt: (coarse h step, two fused fine h/2 steps).
+
+    The fine pair shares its middle full factor with the coarse half factor
+    (both exp(L h/2)), and the ifft/fft round trip between the two fine
+    half-steps fuses -- 5 FFT pairs and 2 linear-factor builds per attempt
+    instead of 6 and 3."""
+    def lfft(L, a):
+        return jnp.fft.ifft(L * jnp.fft.fft(a, axis=-1), axis=-1)
+
+    Lc = _lin_factor(coeffs, 0.5 * hb, rdt)    # exp(L h/2)
+    Lf = _lin_factor(coeffs, 0.25 * hb, rdt)   # exp(L h/4)
+    yc = lfft(Lc, _nl_substep(lfft(Lc, y), gamma, hb, nl))
+    yf = _nl_substep(lfft(Lf, y), gamma, 0.5 * hb, nl)
+    yf = _nl_substep(lfft(Lc, yf), gamma, 0.5 * hb, nl)
+    yf = lfft(Lf, yf)
+    return yc, yf
+
+
 def _ssfm_error_norm(yc, yf, y_old, *, rtol, atol):
     """Per-lane GLOBAL relative error ||yf - yc|| / (atol + rtol ||y||)
     (RMS over the window; <= 1 means the step meets tolerance).
@@ -549,7 +568,10 @@ def _ssfm_error_norm(yc, yf, y_old, *, rtol, atol):
 
     d = jnp.sqrt(rms2(yf - yc))
     s = jnp.sqrt(jnp.maximum(rms2(yf), rms2(y_old)))
-    return d / (atol + rtol * s)
+    # floor the denominator so an all-zero lane (d=0, s=0) under atol=0 --
+    # which validate_config allows -- yields enorm 0 (exact step), not 0/0
+    denom = jnp.maximum(atol + rtol * s, jnp.finfo(d.dtype).tiny)
+    return d / denom
 
 
 def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, coeffs, gamma, nl,
@@ -567,11 +589,10 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, coeffs, gamma, nl,
     def body(state):
         y_, z_, dt_, ok_, na_, nr_, it = state
         active = (z_ < z_end) & ok_
+        clipped = (z_end - z_) < dt_                   # boundary-limited step
         h = jnp.minimum(dt_, z_end - z_)              # (B,)
         hb = h[..., None]
-        yc = _strang_step_h(y_, coeffs, gamma, hb, nl, rdt)
-        ym = _strang_step_h(y_, coeffs, gamma, 0.5 * hb, nl, rdt)
-        yf = _strang_step_h(ym, coeffs, gamma, 0.5 * hb, nl, rdt)
+        yc, yf = _doubling_attempt(y_, coeffs, gamma, hb, nl, rdt)
         enorm = _ssfm_error_norm(yc, yf, y_, rtol=rtol, atol=atol)
         finite = jnp.isfinite(enorm) & _finite_mask(yf) & _finite_mask(yc)
 
@@ -594,7 +615,12 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, coeffs, gamma, nl,
             ),
             jnp.asarray(0.5, rdt),
         )
-        dt_next = jnp.where(active, jnp.maximum(dt_ * factor, dt_min), dt_)
+        # Step-size update from the EXECUTED step h, except that an accepted
+        # boundary-clipped step keeps the converged dt: its near-zero error
+        # would otherwise grow dt by MAX_FACTOR off a tiny h and cause a
+        # systematic rejection at the start of every save-grid segment.
+        base = jnp.where(clipped & accept, dt_, h * factor)
+        dt_next = jnp.where(active, jnp.maximum(base, dt_min), dt_)
         failed = active & (((~accept) & (h <= dt_min)) | escape)
 
         z_out = jnp.where(accept, z_ + h, z_)
@@ -631,7 +657,6 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
         nl = _cast_nl(nl, rdt)
         B = y0.shape[0]
         ok0 = _finite_mask(y0)
-        z0 = jnp.full((B,), z_grid[0], dtype=rdt)
         dt_init = jnp.full((B,), dt0, dtype=rdt)
         n0 = jnp.zeros((B,), jnp.int32)
 
@@ -739,6 +764,12 @@ def run_gnlse_simulation(
         # adaptive split-step on the same decimated save grid (rk4-path
         # output contract, mirroring ops/adaptive.run_adaptive_trajectory)
         if n_chunks == 0:
+            # saved grid is row 0 only -- but the check_nan contract must
+            # still hold for non-finite input, as on the rk4 path
+            if cfg.check_nan and not np.all(np.isfinite(A0.view(np.float64))):
+                raise FloatingPointError(
+                    "NaN or Inf detected during GNLSE integration"
+                )
             return np.zeros(1), A0[None, :].copy()
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * dz_m
