@@ -527,15 +527,6 @@ _SSFM_MIN_FACTOR = 0.2
 _SSFM_MAX_FACTOR = 5.0
 
 
-def _strang_step_h(y, coeffs, gamma, h, nl, rdt):
-    """One symmetric split step with a dynamic (possibly per-lane (B, 1))
-    step size: the linear factor is recomputed from ``h`` each call."""
-    Lh = _lin_factor(coeffs, 0.5 * h, rdt)
-    y = jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
-    y = _nl_substep(y, gamma, h, nl)
-    return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
-
-
 def _doubling_attempt(y, coeffs, gamma, hb, nl, rdt):
     """One step-doubling attempt: (coarse h step, two fused fine h/2 steps).
 
@@ -555,6 +546,18 @@ def _doubling_attempt(y, coeffs, gamma, hb, nl, rdt):
     return yc, yf
 
 
+def _lane_rms2(a):
+    """Per-lane mean |a|^2 over every non-batch axis of a (B, ...) state."""
+    return jnp.mean(a.real * a.real + a.imag * a.imag,
+                    axis=tuple(range(1, a.ndim)))
+
+
+def _lane_finite(a):
+    """Per-lane all-finite flag over every non-batch axis."""
+    return jnp.all(jnp.isfinite(a.real) & jnp.isfinite(a.imag),
+                   axis=tuple(range(1, a.ndim)))
+
+
 def _ssfm_error_norm(yc, yf, y_old, *, rtol, atol):
     """Per-lane GLOBAL relative error ||yf - yc|| / (atol + rtol ||y||)
     (RMS over the window; <= 1 means the step meets tolerance).
@@ -563,21 +566,23 @@ def _ssfm_error_norm(yc, yf, y_old, *, rtol, atol):
     roundoff across the whole window (absolute floor ~ eps * ||y||_inf),
     so a per-sample scale lets empty pulse-tail samples dominate and makes
     f32 solves reject unconditionally regardless of step size."""
-    def rms2(a):
-        return jnp.mean(a.real * a.real + a.imag * a.imag, axis=-1)
-
-    d = jnp.sqrt(rms2(yf - yc))
-    s = jnp.sqrt(jnp.maximum(rms2(yf), rms2(y_old)))
+    d = jnp.sqrt(_lane_rms2(yf - yc))
+    s = jnp.sqrt(jnp.maximum(_lane_rms2(yf), _lane_rms2(y_old)))
     # floor the denominator so an all-zero lane (d=0, s=0) under atol=0 --
     # which validate_config allows -- yields enorm 0 (exact step), not 0/0
     denom = jnp.maximum(atol + rtol * s, jnp.finfo(d.dtype).tiny)
     return d / denom
 
 
-def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, coeffs, gamma, nl,
+def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, attempt,
                            rdt, *, rtol, atol, max_steps):
     """Adaptively advance all lanes from z (>= z_start) to the shared
-    ``z_end``; returns (y, z, dt, ok, n_accepted, n_rejected)."""
+    ``z_end``; returns (y, z, dt, ok, n_accepted, n_rejected).
+
+    State-rank-generic (any (B, ...) complex state): ``attempt(y, hb)``
+    returns the (coarse, fine-doubled) pair for per-lane steps ``hb``
+    already broadcast to the state rank.  Shared by the scalar GNLSE and
+    the vector (two-polarization) solver."""
     span = z_end - z_start + jnp.asarray(1.0, rdt)
     dt_min = jnp.asarray(1e-12, rdt) * span
     n0 = jnp.zeros(z.shape, jnp.int32)
@@ -591,10 +596,10 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, coeffs, gamma, nl,
         active = (z_ < z_end) & ok_
         clipped = (z_end - z_) < dt_                   # boundary-limited step
         h = jnp.minimum(dt_, z_end - z_)              # (B,)
-        hb = h[..., None]
-        yc, yf = _doubling_attempt(y_, coeffs, gamma, hb, nl, rdt)
+        hb = h.reshape(h.shape + (1,) * (y_.ndim - 1))
+        yc, yf = attempt(y_, hb)
         enorm = _ssfm_error_norm(yc, yf, y_, rtol=rtol, atol=atol)
-        finite = jnp.isfinite(enorm) & _finite_mask(yf) & _finite_mask(yc)
+        finite = jnp.isfinite(enorm) & _lane_finite(yf) & _lane_finite(yc)
 
         accept = active & finite & (enorm <= 1.0)
         y_new = (4.0 * yf - yc) / 3.0                  # local extrapolation
@@ -603,9 +608,7 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, coeffs, gamma, nl,
         # a lane whose mean power passes 1e30 W is unrecoverable (refinement
         # cannot help; overflow is certain) and must fail NOW, not bounce
         # accept/reject until max_steps.
-        escape = jnp.mean(
-            y_new.real * y_new.real + y_new.imag * y_new.imag, axis=-1
-        ) > jnp.asarray(1e30, rdt)
+        escape = _lane_rms2(y_new) > jnp.asarray(1e30, rdt)
         accept = accept & ~escape
         factor = jnp.where(
             finite,
@@ -624,7 +627,8 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, coeffs, gamma, nl,
         failed = active & (((~accept) & (h <= dt_min)) | escape)
 
         z_out = jnp.where(accept, z_ + h, z_)
-        y_out = jnp.where(accept[..., None], y_new, y_)
+        amask = accept.reshape(accept.shape + (1,) * (y_.ndim - 1))
+        y_out = jnp.where(amask, y_new, y_)
         ok_out = ok_ & ~failed
         na = na_ + jnp.where(accept, 1, 0).astype(jnp.int32)
         nr = nr_ + jnp.where(active & ~accept, 1, 0).astype(jnp.int32)
@@ -660,6 +664,9 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
         dt_init = jnp.full((B,), dt0, dtype=rdt)
         n0 = jnp.zeros((B,), jnp.int32)
 
+        def attempt(y, hb):
+            return _doubling_attempt(y, coeffs, gamma, hb, nl, rdt)
+
         def peak(y):
             return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
 
@@ -668,7 +675,7 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             z_a, z_b = z_pair
             z = jnp.full((B,), z_a, dtype=rdt)
             y, _z, dt, ok, na_s, nr_s = _gnlse_advance_segment(
-                y, z, dt, ok, z_a, z_b, coeffs, gamma, nl, rdt,
+                y, z, dt, ok, z_a, z_b, attempt, rdt,
                 rtol=rtol, atol=atol, max_steps=max_steps,
             )
             pk = jnp.maximum(pk, peak(y))

@@ -263,6 +263,105 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
     return jax.jit(solve)
 
 
+# ---------------------------------------------------------------------------
+# Adaptive split-step (integrator='rk45'): shares the scalar GNLSE's
+# rank-generic step-doubling controller (models/gnlse._gnlse_advance_segment)
+# ---------------------------------------------------------------------------
+
+def _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt):
+    """(coarse h step, fused fine h/2 pair) for the vector state -- the same
+    5-FFT-pair structure as gnlse._doubling_attempt."""
+    def lfft(L, a):
+        return jnp.fft.ifft(L * jnp.fft.fft(a, axis=-1), axis=-1)
+
+    Lc = _lin_factor_v(coeffs, 0.5 * hb, rdt)
+    Lf = _lin_factor_v(coeffs, 0.25 * hb, rdt)
+    yc = lfft(Lc, _xpm_kerr_step(lfft(Lc, y), gamma, b, hb))
+    yf = _xpm_kerr_step(lfft(Lf, y), gamma, b, 0.5 * hb)
+    yf = _xpm_kerr_step(lfft(Lc, yf), gamma, b, 0.5 * hb)
+    return yc, lfft(Lf, yf)
+
+
+@functools.lru_cache(maxsize=64)
+def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
+                            max_steps: int, reduce_mode: bool):
+    """Adaptive vector SSFM over a save grid: (B, 2, T, 2) pack + (S+1,)
+    grid -> trajectory pack or per-pol peak running max.  Returns
+    ``(y_saved | peak_max (B, 2), y_final, ok (B,) i32, n_accepted,
+    n_rejected)``."""
+    from .gnlse import _gnlse_advance_segment
+
+    rdt = jnp.dtype(rdt_name)
+
+    def solve(y0_ri, coeffs: VGNLSECoeffs, z_grid, dt0):
+        y0 = ri_to_complex(y0_ri)                    # (B, 2, T)
+        gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
+        if gamma.ndim:
+            gamma = gamma[..., None, None]
+        b = jnp.asarray(coeffs.b_xpm, dtype=rdt)
+        B = y0.shape[0]
+        ok0 = _finite_mask_v(y0)
+        dt_init = jnp.full((B,), dt0, dtype=rdt)
+        n0 = jnp.zeros((B,), jnp.int32)
+
+        def attempt(y, hb):
+            return _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt)
+
+        def peak(y):
+            return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
+
+        def seg(carry, z_pair):
+            y, dt, ok, pk, na, nr = carry
+            z_a, z_b = z_pair
+            z = jnp.full((B,), z_a, dtype=rdt)
+            y, _z, dt, ok, na_s, nr_s = _gnlse_advance_segment(
+                y, z, dt, ok, z_a, z_b, attempt, rdt,
+                rtol=rtol, atol=atol, max_steps=max_steps,
+            )
+            pk = jnp.maximum(pk, peak(y))
+            out = None if reduce_mode else complex_to_ri(y)
+            return (y, dt, ok, pk, na + na_s, nr + nr_s), out
+
+        (y, dt, ok, pk, na, nr), ys = lax.scan(
+            seg, (y0, dt_init, ok0, peak(y0), n0, n0),
+            (z_grid[:-1], z_grid[1:]),
+        )
+        y_final = complex_to_ri(y)
+        if reduce_mode:
+            first = pk.astype(rdt)
+        else:
+            first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
+        return first, y_final, ok.astype(jnp.int32), na, nr
+
+    return jax.jit(solve)
+
+
+@functools.lru_cache(maxsize=16)
+def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
+                                           atol: float, max_steps: int, mesh):
+    from jax.sharding import PartitionSpec
+
+    inner = _vgnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    b = PartitionSpec(ax)
+    return jax.jit(
+        jax.shard_map(
+            lambda y0, c, zg, dt0: inner(y0, c, zg, dt0),
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(ax, None, None, None),
+                VGNLSECoeffs(gamma=b, alpha=b, b_xpm=PartitionSpec(),
+                             lin_phase=PartitionSpec(ax, None, None)),
+                PartitionSpec(), PartitionSpec(),
+            ),
+            out_specs=(PartitionSpec(ax, None),
+                       PartitionSpec(ax, None, None, None), b, b, b),
+            check_vma=False,
+        )
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
                                   rdt_name: str, mesh):
@@ -293,14 +392,6 @@ def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
 # Public runners (contracts mirror models/gnlse)
 # ---------------------------------------------------------------------------
 
-def _check_v_integrator(cfg: SimulationConfig) -> None:
-    if cfg.integrator.lower() != "rk4":
-        raise ValueError(
-            "vector GNLSE supports integrator='rk4' (fixed-step split-step "
-            f"Fourier); got {cfg.integrator!r}"
-        )
-
-
 def run_vgnlse_simulation(
     cfg: SimulationConfig,
     coeffs: VGNLSECoeffs,
@@ -310,11 +401,12 @@ def run_vgnlse_simulation(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Integrate one vector envelope (2, T) over [0, z_max]; returns host
     ``(z_saved, A_saved (S+1, 2, T))`` on the decimated save grid.  Raises
-    ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan``."""
+    ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan``.
+    ``cfg.integrator='rk45'`` dispatches to the adaptive split-step (the
+    scalar GNLSE's step-doubling controller) on the same save grid."""
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
-    _check_v_integrator(cfg)
     scale = length_scale_to_m(length_unit)
     rdt = real_dtype(validate_precision(cfg.precision))
 
@@ -330,6 +422,32 @@ def run_vgnlse_simulation(
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
     n_chunks = n_steps // int(cfg.save_every)
+
+    if cfg.integrator.lower() == "rk45":
+        if n_chunks == 0:
+            if cfg.check_nan and not np.all(np.isfinite(A0.view(np.float64))):
+                raise FloatingPointError(
+                    "NaN or Inf detected during vector-GNLSE integration"
+                )
+            return np.zeros(1), A0[None].copy()
+        z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
+            int(cfg.save_every) * dz_m
+        )
+        solver = _vgnlse_adaptive_solver(
+            np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+            int(cfg.max_steps), False,
+        )
+        ys, yf, ok, _na, _nr = jax.block_until_ready(
+            solver(ri_pack_host(A0[None], rdt), coeffs,
+                   jnp.asarray(z_grid, dtype=rdt),
+                   jnp.asarray(dz_m, dtype=rdt))
+        )
+        if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
+            raise FloatingPointError(
+                "NaN/Inf or step-size underflow during adaptive (rk45) "
+                "vector-GNLSE integration"
+            )
+        return z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0]
 
     solver = _vgnlse_solver(n_steps, int(cfg.save_every),
                             np.dtype(rdt).name, False)
@@ -359,11 +477,13 @@ def solve_vgnlse_batch(
     (reduce mode).  Returns host ``(peak_max (B, 2), A_last (B, 2, T),
     ok (B,))`` -- per-polarization running peak power over saved samples and
     the field at the last saved grid point.  ``mesh`` shards the batch axis
-    via ``shard_map`` (per-shard local FFTs)."""
+    via ``shard_map`` (per-shard local FFTs).  ``cfg.integrator='rk45'``
+    dispatches to the adaptive split-step (lockstep batched lanes; the
+    reduction covers the same saved grid, integration stops at the last
+    saved grid point)."""
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
-    _check_v_integrator(cfg)
     scale = length_scale_to_m(length_unit)
     rdt = real_dtype(validate_precision(cfg.precision))
 
@@ -392,6 +512,20 @@ def solve_vgnlse_batch(
 
     y0_ri = ri_pack_host(A0, rdt)
 
+    use_rk45 = cfg.integrator.lower() == "rk45"
+    if use_rk45:
+        n_chunks = n_steps // int(cfg.save_every)
+        if n_chunks == 0:
+            pk0 = (np.abs(A0[:n_orig]) ** 2).max(axis=-1)
+            ok0 = np.isfinite(A0[:n_orig]).all(axis=(-2, -1))
+            return pk0, A0[:n_orig].copy(), ok0
+        z_grid = jnp.asarray(
+            np.arange(n_chunks + 1, dtype=np.float64)
+            * (int(cfg.save_every) * dz_m),
+            dtype=rdt,
+        )
+        dt0 = jnp.asarray(dz_m, dtype=rdt)
+
     if mesh is None:
         cof = VGNLSECoeffs(
             gamma=jnp.asarray(gamma, dtype=rdt),
@@ -399,30 +533,46 @@ def solve_vgnlse_batch(
             b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
             lin_phase=jnp.asarray(phase, dtype=rdt),
         )
-        solver = _vgnlse_solver(n_steps, int(cfg.save_every),
-                                np.dtype(rdt).name, True)
-        pk, y_ri, ok = jax.block_until_ready(
-            solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt))
-        )
+        if use_rk45:
+            solver = _vgnlse_adaptive_solver(
+                np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+                int(cfg.max_steps), True,
+            )
+            pk, y_ri, ok, _na, _nr = jax.block_until_ready(
+                solver(jnp.asarray(y0_ri), cof, z_grid, dt0)
+            )
+        else:
+            solver = _vgnlse_solver(n_steps, int(cfg.save_every),
+                                    np.dtype(rdt).name, True)
+            pk, y_ri, ok = jax.block_until_ready(
+                solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt))
+            )
     else:
         from ..parallel.mesh import batch_sharding, fetch_global, put_global
 
-        solver = _vgnlse_reduce_solver_sharded(
-            n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
-        )
         sh = batch_sharding(mesh)
-        pk, y_ri, ok = jax.block_until_ready(
-            solver(
-                put_global(y0_ri, sh),
-                VGNLSECoeffs(
-                    gamma=put_global(np.asarray(gamma, dtype=rdt), sh),
-                    alpha=put_global(np.asarray(alpha, dtype=rdt), sh),
-                    b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
-                    lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
-                ),
-                jnp.asarray(dz_m, dtype=rdt),
-            )
+        cof_dev = VGNLSECoeffs(
+            gamma=put_global(np.asarray(gamma, dtype=rdt), sh),
+            alpha=put_global(np.asarray(alpha, dtype=rdt), sh),
+            b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
+            lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
         )
+        y0_dev = put_global(y0_ri, sh)
+        if use_rk45:
+            solver = _vgnlse_adaptive_reduce_solver_sharded(
+                np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+                int(cfg.max_steps), mesh,
+            )
+            pk, y_ri, ok, _na, _nr = jax.block_until_ready(
+                solver(y0_dev, cof_dev, z_grid, dt0)
+            )
+        else:
+            solver = _vgnlse_reduce_solver_sharded(
+                n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
+            )
+            pk, y_ri, ok = jax.block_until_ready(
+                solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt))
+            )
         pk, y_ri, ok = fetch_global(pk), fetch_global(y_ri), fetch_global(ok)
 
     peak = np.asarray(pk, dtype=np.float64)[:n_orig]

@@ -8,8 +8,6 @@ the Manakov vector soliton (shape-invariant for any polarization angle —
 the defining property of the integrable limit).
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 
@@ -191,16 +189,42 @@ def test_validation_and_integrator_guard():
         vg.solve_vgnlse_batch(_cfg(), co, np.stack([A, A]))
     with pytest.raises(ValueError, match="coupling"):
         vg.make_vgnlse_coeffs(grid, None, gamma_W_m=GAMMA, coupling="elliptic")
-    cfg45 = dataclasses.replace(_cfg(), integrator="rk45")
-    with pytest.raises(ValueError, match="integrator='rk4'"):
-        vg.run_vgnlse_simulation(cfg45, co, np.stack([A, A]))
-    with pytest.raises(ValueError, match="integrator='rk4'"):
-        vg.solve_vgnlse_batch(cfg45, co, np.stack([A, A])[None])
     co_b = vg.VGNLSECoeffs(gamma=np.full(2, GAMMA), alpha=np.zeros(2),
                            b_xpm=np.asarray(1.0),
                            lin_phase=np.zeros((2, 2, grid.n_samples)))
     with pytest.raises(ValueError, match="unbatched"):
         vg.run_vgnlse_simulation(_cfg(), co_b, np.stack([A, A]))
+
+
+def test_rk45_adaptive_matches_fixed_and_shards():
+    """cfg.integrator='rk45' on the vector solver: agrees with a 5x-finer
+    fixed-step run at tolerance (a breathing cnlse 45-deg split), batch
+    matches single, sharded matches unsharded."""
+    import jax
+
+    grid = _grid(256)
+    co = vg.make_vgnlse_coeffs(grid, _disp(), gamma_W_m=GAMMA)
+    P0 = 2.25 * vg.manakov_soliton_peak_power(BETA2, GAMMA, T0)
+    A0 = vg.polarized_pulse(gn.sech_pulse(grid, peak_W=P0, t0_s=T0),
+                            np.deg2rad(45.0))
+    cfg_f = _cfg(dz=0.01, save_every=250)
+    z_f, A_f = vg.run_vgnlse_simulation(cfg_f, co, A0)
+    cfg_a = _cfg(dz=0.01, save_every=250, integrator="rk45",
+                 rtol=1e-8, atol=1e-10)
+    z_a, A_a = vg.run_vgnlse_simulation(cfg_a, co, A0)
+    np.testing.assert_array_equal(z_a, z_f)
+    np.testing.assert_allclose(A_a[-1], A_f[-1], rtol=0,
+                               atol=1e-6 * np.sqrt(P0))
+    A0b = np.stack([np.asarray(A0), 0.5 * np.asarray(A0), 2.0 * np.asarray(A0)])
+    pk, A_last, ok = vg.solve_vgnlse_batch(cfg_a, co, A0b)
+    assert ok.all()
+    np.testing.assert_allclose(A_last[0], A_a[-1], rtol=0, atol=1e-12)
+    assert len(jax.devices()) == 8
+    pk_s, A_s, ok_s = vg.solve_vgnlse_batch(cfg_a, co, A0b,
+                                            mesh=pm.default_mesh())
+    np.testing.assert_allclose(pk_s, pk, rtol=1e-11)
+    np.testing.assert_allclose(A_s, A_last, rtol=0, atol=1e-11)
+    np.testing.assert_array_equal(ok_s, ok)
 
 
 def test_x32_precision_path():
