@@ -110,6 +110,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="under-relaxation factor (use <1 above SBS threshold)")
     s.add_argument("--max-iterations", type=int, default=200)
 
+    s = sub.add_parser("noise-figure",
+                       help="quantum-limited NF by Wigner Monte Carlo "
+                            "(PIA 3 dB law, PSA 0 dB limit, NF vs phase)")
+    s.add_argument("--samples", type=int, default=8192,
+                   help="Monte-Carlo ensemble size per point")
+    s.add_argument("--z-max", type=float, default=200.0, help="fiber [m]")
+    s.add_argument("--phase-points", type=int, default=17,
+                   help="NF-vs-phase curve resolution (0 disables)")
+
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
 
@@ -179,6 +188,12 @@ def main(argv=None) -> int:
                    tol=args.tol, damping=args.damping,
                    max_iterations=args.max_iterations,
                    **{k: v for k, v in common.items() if k != "precision"})
+    elif args.cmd == "noise-figure":
+        ex.noise_figure(
+            z_max_m=args.z_max, n_samples=args.samples,
+            phase_points=args.phase_points, mesh=mesh,
+            verbose=verbose, **common,
+        )
     elif args.cmd == "bench":
         import runpy
         import pathlib

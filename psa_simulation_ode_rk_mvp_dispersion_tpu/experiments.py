@@ -534,6 +534,99 @@ def gnlse_pulse(
     return z, A
 
 
+def noise_figure(
+    *,
+    z_max_m: float = 200.0,
+    dz_m: float = 0.05,
+    gamma_km: float = 5.0,
+    p_pump_W: float = 0.5,
+    p_signal_W: float = 1e-6,
+    n_samples: int = 8192,
+    t_mode_s: float = 1e-9,
+    phase_points: int = 17,
+    seed: int = 0,
+    mesh=None,
+    precision: str = "x64",
+    show: bool = True,
+    save_dir: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Quantum-limited noise figures by Wigner Monte Carlo
+    (``parallel/noise.py``): the PIA noise figure against the exact
+    2 - 1/G law, the joint-detection PSA noise figure at the max-gain
+    phase (the 0 dB quantum limit), and the NF-vs-input-phase curve --
+    ``n_samples`` independent nonlinear solves per point, one batched XLA
+    program each (the measurement the reference's deterministic solver
+    cannot make)."""
+    import numpy as _np
+
+    from .models.fwm4 import make_initial_amplitudes
+    from .ops.rhs import RHSCoeffs
+    from .parallel import noise as nz
+    from .parallel.sweep import solve_batch
+
+    omega = _np.asarray(plan_from_wavelengths(1550e-9, 1552e-9, 1551.0e-9))
+    cfg = custom_simulation_config(z_max=z_max_m, dz=dz_m, save_every=50,
+                                   precision=precision)
+    gam = gamma_km / 1e3
+    common = dict(gamma=gam, alpha=0.0, omega=omega, delta_beta=0.0,
+                  t_mode_s=t_mode_s, n_samples=n_samples,
+                  noisy_waves=(False, False, True, True), mesh=mesh)
+
+    pia = nz.noise_figure_monte_carlo(
+        cfg, p_in=[p_pump_W, p_pump_W, p_signal_W, 0.0],
+        measure="signal", seed=seed, **common,
+    )
+    G = 10.0 ** (pia.gain_db / 10.0)
+    pia_theory = 10.0 * _np.log10(2.0 - 1.0 / G)
+
+    # max-gain phase from a mean-field scan, then the joint-detection PSA NF
+    phases = _np.linspace(0.0, 2.0 * _np.pi, 65)
+    A0 = _np.stack([
+        _np.asarray(make_initial_amplitudes(
+            [p_pump_W, p_pump_W, p_signal_W / 2, p_signal_W / 2],
+            [0, 0, ph, 0]))
+        for ph in phases
+    ])
+    co = RHSCoeffs(gamma=_np.full(65, gam), alpha=_np.zeros(65),
+                   delta_beta=_np.zeros(65))
+    mf = solve_batch(cfg, co, A0)
+    ph_max = float(phases[_np.argmax(mf.P_end[:, 2] + mf.P_end[:, 3])])
+    psa_r = nz.noise_figure_monte_carlo(
+        cfg, p_in=[p_pump_W, p_pump_W, p_signal_W / 2, p_signal_W / 2],
+        phase_in=[0, 0, ph_max, 0], measure="signal+idler",
+        seed=seed + 1, **common,
+    )
+    if verbose:
+        print(
+            f"PIA:  gain {pia.gain_db:6.2f} dB  NF {pia.nf_db:6.3f} dB  "
+            f"(theory 2-1/G: {pia_theory:.3f} dB)  [{pia.n_samples} samples]"
+        )
+        print(
+            f"PSA:  gain {psa_r.gain_db:6.2f} dB  NF {psa_r.nf_db:6.3f} dB  "
+            f"(quantum limit: 0 dB)  at phase {_np.rad2deg(ph_max):.1f} deg"
+        )
+
+    curve = None
+    if phase_points and phase_points > 0:
+        ph_grid = _np.linspace(0.0, _np.pi, int(phase_points))
+        nf_c, g_c = [], []
+        for k, ph in enumerate(ph_grid):
+            r = nz.noise_figure_monte_carlo(
+                cfg, p_in=[p_pump_W, p_pump_W, p_signal_W / 2, p_signal_W / 2],
+                phase_in=[0, 0, float(ph), 0], measure="signal+idler",
+                seed=seed + 100 + k, **common,
+            )
+            nf_c.append(r.nf_db)
+            g_c.append(r.gain_db)
+        curve = (ph_grid, _np.asarray(nf_c), _np.asarray(g_c))
+        plotting.plot_noise_figure_sweep(
+            ph_grid, curve[1], curve[2], pia_nf_db=pia_theory, show=show,
+            save_path=None if save_dir is None else f"{save_dir}/noise_figure.png",
+        )
+    return pia, psa_r, curve
+
+
 def vector_pulse(
     *,
     t0_ps: float = 1.0,

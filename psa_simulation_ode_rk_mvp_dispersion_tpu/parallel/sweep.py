@@ -447,7 +447,10 @@ def solve_batch(
     a_ri = fetch_global(a_ri)[:n_orig]
     ok = fetch_global(ok)[:n_orig].astype(bool)
     A_end = ri_unpack_host(a_ri)
-    P_end = np.abs(A_end) ** 2
+    # not-ok lanes are frozen at their last finite state, which can be large
+    # enough that |A|^2 overflows to inf -- fine (the ok mask governs use)
+    with np.errstate(over="ignore"):
+        P_end = np.abs(A_end) ** 2
 
     return BatchSolveResult(
         P_max=pmax,

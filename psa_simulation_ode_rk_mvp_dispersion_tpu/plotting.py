@@ -410,6 +410,36 @@ def plot_pulse_evolution(z, t, A_saved, *, title="GNLSE pulse evolution",
     _finish(plt, fig, title=title, save_path=save_path, show=show)
 
 
+def plot_noise_figure_sweep(phases_rad, nf_db, gain_db, *,
+                            pia_nf_db=None,
+                            title="PSA noise figure vs input phase",
+                            show=True, save_path=None):
+    """Noise figure and gain vs input signal phase (the classic PSA
+    figure: NF dips below the 3 dB PIA limit at the max-gain phase)."""
+    plt = _plt()
+    ph = np.rad2deg(np.asarray(phases_rad, dtype=float))
+    nf = np.asarray(nf_db, dtype=float)
+    g = np.asarray(gain_db, dtype=float)
+    if nf.shape != ph.shape or g.shape != ph.shape:
+        raise ValueError("phases, nf_db and gain_db must share a shape")
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(ph, nf, "o-", color="tab:blue", label="NF [dB]")
+    if pia_nf_db is not None:
+        ax.axhline(float(pia_nf_db), color="tab:blue", ls="--", alpha=0.6,
+                   label="PIA limit")
+    ax.axhline(0.0, color="gray", ls=":", alpha=0.6)
+    ax.set_xlabel("input signal phase [deg]")
+    ax.set_ylabel("noise figure [dB]", color="tab:blue")
+    ax.grid(True, alpha=0.3)
+    ax2 = ax.twinx()
+    ax2.plot(ph, g, "s-", color="tab:orange", label="gain [dB]")
+    ax2.set_ylabel("gain [dB]", color="tab:orange")
+    lines, labels = ax.get_legend_handles_labels()
+    l2, la2 = ax2.get_legend_handles_labels()
+    ax.legend(lines + l2, labels + la2, loc="best")
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
 def plot_spectral_evolution(z, omega, A_saved, *,
                             lambda0_m=None,
                             title="GNLSE spectral evolution",

@@ -1,0 +1,124 @@
+"""Wigner quantum-noise Monte Carlo (parallel/noise.py).
+
+Oracles are the textbook quantum limits of parametric amplification:
+an ideal phase-insensitive amplifier (signal in, idler vacuum) has
+NF = 2 - 1/G EXACTLY (3 dB at high gain), and an ideal phase-sensitive
+amplifier (signal + idler seeded at the max-gain phase, joint detection)
+reaches NF = 0 dB.  Monte-Carlo tolerance at n_samples=8192 is ~0.1 dB.
+"""
+
+import numpy as np
+import pytest
+
+import psa_tpu as psa
+from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import noise as nz
+from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import mesh as pm
+
+OMEGA = np.asarray(psa.plan_from_wavelengths(1550e-9, 1552e-9, 1551.0e-9))
+GAMMA, P_PUMP = 5e-3, 0.5
+
+
+def _cfg(z_max=100.0):
+    return psa.custom_simulation_config(z_max=z_max, dz=0.05, save_every=50)
+
+
+def _pia(n_samples=8192, seed=1, **kw):
+    return nz.noise_figure_monte_carlo(
+        _cfg(kw.pop("z_max", 100.0)), gamma=GAMMA, alpha=0.0, omega=OMEGA,
+        p_in=[P_PUMP, P_PUMP, 1e-6, 0.0], delta_beta=0.0,
+        n_samples=n_samples, noisy_waves=(False, False, True, True),
+        measure="signal", seed=seed, **kw,
+    )
+
+
+def test_pia_noise_figure_matches_exact_theory():
+    """Ideal PIA: NF = 2 - 1/G exactly, at whatever gain the solve gives."""
+    r = _pia(z_max=200.0)
+    G = 10 ** (r.gain_db / 10.0)
+    assert G > 1.5  # a real amplifier, not a pass-through
+    nf_theory = 10.0 * np.log10(2.0 - 1.0 / G)
+    assert r.nf_db == pytest.approx(nf_theory, abs=0.15)
+
+
+def test_pia_high_gain_approaches_3db():
+    r = _pia(z_max=400.0, seed=3)
+    assert r.gain_db > 10.0
+    assert 2.6 < r.nf_db < 3.3
+
+
+def test_psa_joint_measurement_quantum_limit():
+    """Signal + idler seeded at the max-gain phase, joint detection: the
+    phase-sensitive amplifier is noiseless (NF -> 0 dB)."""
+    # max-gain total phase found by a mean-field phase scan (cheap):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.fwm4 import (
+        make_initial_amplitudes,
+    )
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.rhs import RHSCoeffs
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel.sweep import solve_batch
+
+    cfg = _cfg()
+    phases = np.linspace(0.0, 2.0 * np.pi, 33)
+    A0 = np.stack([
+        np.asarray(make_initial_amplitudes([P_PUMP, P_PUMP, 5e-7, 5e-7],
+                                           [0, 0, ph, 0]))
+        for ph in phases
+    ])
+    co = RHSCoeffs(gamma=np.full(33, GAMMA), alpha=np.zeros(33),
+                   delta_beta=np.zeros(33))
+    res = solve_batch(cfg, co, A0)
+    ph_max = phases[np.argmax(res.P_end[:, 2] + res.P_end[:, 3])]
+
+    r = nz.noise_figure_monte_carlo(
+        cfg, gamma=GAMMA, alpha=0.0, omega=OMEGA,
+        p_in=[P_PUMP, P_PUMP, 5e-7, 5e-7], phase_in=[0, 0, ph_max, 0],
+        delta_beta=0.0, n_samples=8192,
+        noisy_waves=(False, False, True, True),
+        measure="signal+idler", seed=2,
+    )
+    assert r.gain_db > 3.0
+    assert abs(r.nf_db) < 0.3
+    # and it genuinely beats the PIA limit
+    assert r.nf_db < 1.0
+
+
+def test_t_mode_invariance():
+    """NF must not depend on the arbitrary mode duration (n >> 1)."""
+    r1 = _pia(n_samples=4096, seed=5, t_mode_s=1e-9)
+    r2 = _pia(n_samples=4096, seed=5, t_mode_s=8e-9)
+    assert r1.nf_db == pytest.approx(r2.nf_db, abs=0.3)
+
+
+def test_sharded_matches_unsharded():
+    import jax
+
+    assert len(jax.devices()) == 8
+    r = _pia(n_samples=2047, seed=7)  # B=2048 total, pads over the mesh
+    r_s = _pia(n_samples=2047, seed=7, mesh=pm.default_mesh())
+    # identical host-side draws + deterministic solves -> same statistics
+    assert r_s.nf_db == pytest.approx(r.nf_db, abs=1e-6)
+    assert r_s.gain_db == pytest.approx(r.gain_db, abs=1e-9)
+
+
+def test_validation():
+    cfg = _cfg()
+    kw = dict(gamma=GAMMA, alpha=0.0, omega=OMEGA, delta_beta=0.0)
+    with pytest.raises(ValueError, match="measure"):
+        nz.noise_figure_monte_carlo(cfg, p_in=[0.5, 0.5, 1e-6, 0],
+                                    measure="signal+junk", **kw)
+    with pytest.raises(ValueError, match="n_samples"):
+        nz.noise_figure_monte_carlo(cfg, p_in=[0.5, 0.5, 1e-6, 0],
+                                    n_samples=1, **kw)
+    with pytest.raises(ValueError, match="t_mode_s"):
+        nz.noise_figure_monte_carlo(cfg, p_in=[0.5, 0.5, 1e-6, 0],
+                                    t_mode_s=0.0, **kw)
+    with pytest.raises(ValueError, match="no input power"):
+        nz.noise_figure_monte_carlo(cfg, p_in=[0.5, 0.5, 0.0, 0.0],
+                                    measure="signal", n_samples=16, **kw)
+
+
+def test_mean_field_divergence_raises():
+    with pytest.raises(FloatingPointError, match="mean-field"):
+        nz.noise_figure_monte_carlo(
+            _cfg(), gamma=1e6, alpha=-100.0, omega=OMEGA,
+            p_in=[10.0, 10.0, 1.0, 0.0], delta_beta=0.0, n_samples=16,
+        )
