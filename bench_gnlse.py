@@ -125,8 +125,8 @@ def main() -> None:
     try:
         cpu = jax.devices("cpu")
         sub = 8
-        _, A_fast, _ = gn.solve_gnlse_batch(cfg, co, A0[:sub])
         if precision != "x64" and cpu:
+            _, A_fast, _ = gn.solve_gnlse_batch(cfg, co, A0[:sub])
             with jax.default_device(cpu[0]):
                 cfg64 = psa.custom_simulation_config(
                     z_max=10.0, dz=10.0 / N_STEPS, save_every=SAVE_EVERY,

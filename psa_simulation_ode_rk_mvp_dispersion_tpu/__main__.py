@@ -124,7 +124,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.integrator is not None and args.cmd in ("sbs", "bench",
+                                                    "noise-figure", "comb"):
+        parser.error(
+            f"--integrator is not honored by '{args.cmd}'"
+            + (" (use --comb-integrator)" if args.cmd == "comb" else "")
+        )
     from . import experiments as ex
 
     mesh = None

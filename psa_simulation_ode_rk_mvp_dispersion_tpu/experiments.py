@@ -607,6 +607,10 @@ def noise_figure(
             f"(quantum limit: 0 dB)  at phase {_np.rad2deg(ph_max):.1f} deg"
         )
 
+    if save_dir is not None:
+        from pathlib import Path
+
+        Path(save_dir).mkdir(parents=True, exist_ok=True)
     curve = None
     if phase_points and phase_points > 0:
         ph_grid = _np.linspace(0.0, _np.pi, int(phase_points))
@@ -620,6 +624,15 @@ def noise_figure(
             nf_c.append(r.nf_db)
             g_c.append(r.gain_db)
         curve = (ph_grid, _np.asarray(nf_c), _np.asarray(g_c))
+        if save_dir is not None:
+            _np.savez(
+                f"{save_dir}/noise_figure.npz",
+                phase_rad=ph_grid, nf_db=curve[1], gain_db=curve[2],
+                pia_nf_db=pia.nf_db, pia_gain_db=pia.gain_db,
+                pia_nf_theory_db=pia_theory,
+                psa_nf_db=psa_r.nf_db, psa_gain_db=psa_r.gain_db,
+                n_samples=n_samples,
+            )
         plotting.plot_noise_figure_sweep(
             ph_grid, curve[1], curve[2], pia_nf_db=pia_theory, show=show,
             save_path=None if save_dir is None else f"{save_dir}/noise_figure.png",

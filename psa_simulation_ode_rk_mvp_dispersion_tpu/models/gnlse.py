@@ -773,7 +773,7 @@ def run_gnlse_simulation(
         if n_chunks == 0:
             # saved grid is row 0 only -- but the check_nan contract must
             # still hold for non-finite input, as on the rk4 path
-            if cfg.check_nan and not np.all(np.isfinite(A0.view(np.float64))):
+            if cfg.check_nan and not np.all(np.isfinite(A0)):
                 raise FloatingPointError(
                     "NaN or Inf detected during GNLSE integration"
                 )

@@ -53,7 +53,7 @@ from ..utils.packing import (
     ri_unpack_host,
 )
 from ..utils.precision import real_dtype, validate_precision
-from .gnlse import TimeGrid
+from .gnlse import TimeGrid, _lane_finite
 
 XPM_LINEAR_BIREFRINGENT = 2.0 / 3.0
 MANAKOV_GAMMA_FACTOR = 8.0 / 9.0
@@ -172,11 +172,6 @@ def _xpm_kerr_step(y, gamma, b, h):
     return y * lax.complex(jnp.cos(ang), jnp.sin(ang))
 
 
-def _finite_mask_v(y):
-    m = jnp.isfinite(y.real) & jnp.isfinite(y.imag)
-    return jnp.all(m, axis=(-2, -1))                 # (B,)
-
-
 def _chunk_stepper_v(k: int):
     """k fused symmetric split steps over (B, 2, T) state."""
 
@@ -223,13 +218,13 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
         b = jnp.asarray(coeffs.b_xpm, dtype=rdt)
         Lh = _lin_factor_v(coeffs, 0.5 * h, rdt)
         Lf = _lin_factor_v(coeffs, h, rdt)
-        ok0 = _finite_mask_v(y0)
+        ok0 = _lane_finite(y0)
         stepper = _chunk_stepper_v(save_every)
 
         def chunk(carry, _):
             y, pk, ok = carry
             y_new = stepper(y, Lh, Lf, gamma, b, h)
-            ok_new = ok & _finite_mask_v(y_new)
+            ok_new = ok & _lane_finite(y_new)
             y_out = jnp.where(ok_new[..., None, None], y_new, y)
             pk = jnp.maximum(pk, peak(y_out))
             out = None if reduce_mode else complex_to_ri(y_out)
@@ -247,7 +242,7 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
         # trailing partial steps: integrated (they can flip ok) but unsaved
         if remainder > 0:
             y_new = _chunk_stepper_v(remainder)(y, Lh, Lf, gamma, b, h)
-            ok_new = ok & _finite_mask_v(y_new)
+            ok_new = ok & _lane_finite(y_new)
             if reduce_mode:
                 ok = ok_new            # y stays at the last saved point
             else:
@@ -300,7 +295,7 @@ def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             gamma = gamma[..., None, None]
         b = jnp.asarray(coeffs.b_xpm, dtype=rdt)
         B = y0.shape[0]
-        ok0 = _finite_mask_v(y0)
+        ok0 = _lane_finite(y0)
         dt_init = jnp.full((B,), dt0, dtype=rdt)
         n0 = jnp.zeros((B,), jnp.int32)
 
@@ -425,7 +420,7 @@ def run_vgnlse_simulation(
 
     if cfg.integrator.lower() == "rk45":
         if n_chunks == 0:
-            if cfg.check_nan and not np.all(np.isfinite(A0.view(np.float64))):
+            if cfg.check_nan and not np.all(np.isfinite(A0)):
                 raise FloatingPointError(
                     "NaN or Inf detected during vector-GNLSE integration"
                 )

@@ -125,6 +125,13 @@ def noise_figure_monte_carlo(
         )
     idx = [_WAVE_INDEX[m] for m in names]
     noisy = np.asarray(noisy_waves, dtype=bool).reshape(4)
+    quiet = [m for m in names if not noisy[_WAVE_INDEX[m]]]
+    if quiet:
+        raise ValueError(
+            f"measured wave(s) {quiet} receive no vacuum noise "
+            "(noisy_waves masks them out), so the input ensemble variance "
+            "is zero and SNR_in is undefined"
+        )
     if int(n_samples) < 2:
         raise ValueError("n_samples must be >= 2")
     if not float(t_mode_s) > 0.0:
