@@ -436,7 +436,15 @@ def _make_call_grouped(n_steps: int, save_every: int, interpret: bool,
 @functools.lru_cache(maxsize=64)
 def _pallas_solver_grouped(n_steps: int, save_every: int, interpret: bool,
                            block: int, g: int):
-    return jax.jit(_make_call_grouped(n_steps, save_every, interpret, block, g))
+    call = _make_call_grouped(n_steps, save_every, interpret, block, g)
+
+    def fused(coef, y0):
+        # one stacked output: every separate device->host fetch costs a full
+        # tunnel round trip (~30 ms) regardless of size (docs/PERF.md)
+        pmax, y_last, ok = call(coef, y0)
+        return jnp.concatenate([pmax, y_last, ok], axis=0)
+
+    return jax.jit(fused)
 
 
 @functools.lru_cache(maxsize=16)
@@ -488,6 +496,10 @@ def _solve_grouped_x32(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
             int(n_steps), int(save_every), bool(interpret), int(block), g
         )
         coef_dev, y0_dev = jnp.asarray(coef), jnp.asarray(y0)
+        with jax.enable_x64(False):
+            out = jax.block_until_ready(solver(coef_dev, y0_dev))
+        out = np.asarray(out)                # ONE fetch of (3G + g, Bl)
+        pmax, y_last, ok = out[:G], out[G:3 * G], out[3 * G:]
     else:
         from jax.sharding import NamedSharding
 
@@ -499,9 +511,8 @@ def _solve_grouped_x32(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
         sh = NamedSharding(mesh, spec)
         coef_dev = put_global(coef, sh)
         y0_dev = put_global(y0, sh)
-    with jax.enable_x64(False):
-        pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
-    if mesh is not None:
+        with jax.enable_x64(False):
+            pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
         from ..parallel.mesh import fetch_global
 
         pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
