@@ -170,14 +170,21 @@ def _batch_solver(
 
     def batch(y0_ri, coeffs_b, z0, dz):
         # complex state crosses the jit boundary as (B, 4, 2) real/imag packs
-        # (restricted TPU attachments cannot transfer complex buffers)
+        # (restricted TPU attachments cannot transfer complex buffers), and
+        # the three results leave as ONE stacked (B, 13) buffer -- every
+        # separate device->host fetch costs a full tunnel round trip
+        # (~30 ms regardless of size, docs/PERF.md)
         y0_b = ri_to_complex(y0_ri)
         pmax, y_last, ok = jax.vmap(one, in_axes=(0, 0, None, None))(
             y0_b, coeffs_b, z0, dz
         )
         rdt = y0_ri.dtype
         a_ri = complex_to_ri(y_last).astype(rdt)
-        return pmax.astype(rdt), a_ri, ok.astype(jnp.int32)
+        return jnp.concatenate(
+            [pmax.astype(rdt), a_ri.reshape(a_ri.shape[0], 8),
+             ok.astype(rdt)[:, None]],
+            axis=1,
+        )
 
     return jax.jit(batch)
 
@@ -437,15 +444,15 @@ def solve_batch(
     from .mesh import fetch_global
 
     t0 = time.perf_counter()
-    pmax, a_ri, ok = solver(
+    out = jax.block_until_ready(solver(
         y0_dev, coeffs_dev, jnp.asarray(0.0, dtype=rdt), jnp.asarray(cfg.dz, dtype=rdt)
-    )
-    pmax, a_ri, ok = jax.block_until_ready((pmax, a_ri, ok))
+    ))
     elapsed = time.perf_counter() - t0
 
-    pmax = fetch_global(pmax).astype(np.float64)[:n_orig]
-    a_ri = fetch_global(a_ri)[:n_orig]
-    ok = fetch_global(ok)[:n_orig].astype(bool)
+    out = fetch_global(out)[:n_orig]      # ONE fetch of (B, 13)
+    pmax = out[:, 0:4].astype(np.float64)
+    a_ri = out[:, 4:12].reshape(-1, 4, 2)
+    ok = out[:, 12] > 0.5
     A_end = ri_unpack_host(a_ri)
     # not-ok lanes are frozen at their last finite state, which can be large
     # enough that |A|^2 overflows to inf -- fine (the ok mask governs use)
