@@ -481,8 +481,12 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
         if remainder > 0:
             y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h, nl)
             ok = ok & _finite_mask(y_new)
-        y_ri = complex_to_ri(y)
-        return pk.astype(rdt), y_ri.astype(rdt), ok.astype(jnp.int32)
+        y_ri = complex_to_ri(y).astype(rdt)
+        # ONE stacked output: each device->host fetch costs a ~30 ms tunnel
+        # round trip regardless of size (docs/PERF.md rule 7)
+        return jnp.concatenate(
+            [pk.astype(rdt)[:, None], y_ri.reshape(y_ri.shape[0], -1),
+             ok.astype(rdt)[:, None]], axis=1)
 
     return jax.jit(solve)
 
@@ -686,14 +690,36 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             seg, (y0, dt_init, ok0, peak(y0), n0, n0),
             (z_grid[:-1], z_grid[1:]),
         )
-        y_final = complex_to_ri(y)
+        y_final = complex_to_ri(y).astype(rdt)
         if reduce_mode:
-            first = pk.astype(rdt)
-        else:
-            first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
+            # ONE stacked output (docs/PERF.md rule 7); counters fit rdt
+            # exactly (f32 is integer-exact to 2^24 >> any step count here)
+            return jnp.concatenate(
+                [pk.astype(rdt)[:, None],
+                 y_final.reshape(y_final.shape[0], -1),
+                 ok.astype(rdt)[:, None], na.astype(rdt)[:, None],
+                 nr.astype(rdt)[:, None]], axis=1)
+        first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
         return first, y_final, ok.astype(jnp.int32), na, nr
 
     return jax.jit(solve)
+
+
+def _split_reduce_pack(out, T, *, counters):
+    """Host split of a fused reduce buffer (B, k + 2T [+2]): returns
+    (pk (B, k), y_ri (B, T, 2), ok bool (B,)[, na, nr]) where k is
+    whatever leads the 2T state columns."""
+    out = np.asarray(out)
+    tail = 3 if counters else 1
+    k = out.shape[1] - 2 * int(T) - tail
+    pk = out[:, :k]
+    y_ri = out[:, k:k + 2 * int(T)].reshape(out.shape[0], int(T), 2)
+    ok = out[:, k + 2 * int(T)] > 0.5
+    if not counters:
+        return pk, y_ri, ok
+    na = out[:, -2].astype(np.int64)
+    nr = out[:, -1].astype(np.int64)
+    return pk, y_ri, ok, na, nr
 
 
 @functools.lru_cache(maxsize=16)
@@ -715,7 +741,7 @@ def _gnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
             mesh=mesh,
             in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
                       PartitionSpec(), PartitionSpec(), PartitionSpec()),
-            out_specs=(b, btr, b, b, b),
+            out_specs=bt,
             check_vma=False,
         )
     )
@@ -887,16 +913,19 @@ def solve_gnlse_batch(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), True,
             )
-            pk, y_ri, ok, _na, _nr = jax.block_until_ready(
+            out = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), coeffs_b, z_grid, dt0, nl)
             )
+            pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, T, counters=True)
         else:
             solver = _gnlse_reduce_solver(
                 n_steps, int(cfg.save_every), np.dtype(rdt).name
             )
-            pk, y_ri, ok = jax.block_until_ready(
+            out = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), coeffs_b, jnp.asarray(dz_m, dtype=rdt), nl)
             )
+            pk, y_ri, ok = _split_reduce_pack(out, T, counters=False)
+        pk = pk[:, 0]
     else:
         sh = batch_sharding(mesh)
         y0_dev = put_global(y0_ri, sh)
@@ -905,24 +934,26 @@ def solve_gnlse_batch(
             alpha=put_global(np.asarray(alpha, dtype=rdt), sh),
             lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
         )
+        from ..parallel.mesh import fetch_global
+
         if use_rk45:
             solver = _gnlse_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), mesh,
             )
-            pk, y_ri, ok, _na, _nr = jax.block_until_ready(
+            out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, z_grid, dt0, nl)
-            )
+            ))
+            pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, T, counters=True)
         else:
             solver = _gnlse_reduce_solver_sharded(
                 n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
             )
-            pk, y_ri, ok = jax.block_until_ready(
+            out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt), nl)
-            )
-        from ..parallel.mesh import fetch_global
-
-        pk, y_ri, ok = fetch_global(pk), fetch_global(y_ri), fetch_global(ok)
+            ))
+            pk, y_ri, ok = _split_reduce_pack(out, T, counters=False)
+        pk = pk[:, 0]
 
     peak = np.asarray(pk, dtype=np.float64)[:n_orig]
     A_last = ri_unpack_host(np.asarray(y_ri))[:n_orig]
@@ -951,7 +982,7 @@ def _gnlse_reduce_solver_sharded(n_steps: int, save_every: int, rdt_name: str,
             mesh=mesh,
             in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
                       PartitionSpec(), PartitionSpec()),
-            out_specs=(b, btr, b),
+            out_specs=bt,
             check_vma=False,
         )
     )

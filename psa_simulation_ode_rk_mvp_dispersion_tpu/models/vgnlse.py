@@ -53,7 +53,7 @@ from ..utils.packing import (
     ri_unpack_host,
 )
 from ..utils.precision import real_dtype, validate_precision
-from .gnlse import TimeGrid, _lane_finite
+from .gnlse import TimeGrid, _lane_finite, _split_reduce_pack
 
 XPM_LINEAR_BIREFRINGENT = 2.0 / 3.0
 MANAKOV_GAMMA_FACTOR = 8.0 / 9.0
@@ -248,12 +248,14 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
             else:
                 y = jnp.where(ok_new[..., None, None], y_new, y)
                 ok = ok_new
-        y_final = complex_to_ri(y)
+        y_final = complex_to_ri(y).astype(rdt)
         if reduce_mode:
-            first = pk.astype(rdt)
-        else:
-            first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
-        return first, y_final.astype(rdt), ok.astype(jnp.int32)
+            # ONE stacked output (docs/PERF.md rule 7)
+            return jnp.concatenate(
+                [pk.astype(rdt), y_final.reshape(y_final.shape[0], -1),
+                 ok.astype(rdt)[:, None]], axis=1)
+        first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
+        return first, y_final, ok.astype(jnp.int32)
 
     return jax.jit(solve)
 
@@ -321,11 +323,14 @@ def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             seg, (y0, dt_init, ok0, peak(y0), n0, n0),
             (z_grid[:-1], z_grid[1:]),
         )
-        y_final = complex_to_ri(y)
+        y_final = complex_to_ri(y).astype(rdt)
         if reduce_mode:
-            first = pk.astype(rdt)
-        else:
-            first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
+            # ONE stacked output (docs/PERF.md rule 7)
+            return jnp.concatenate(
+                [pk.astype(rdt), y_final.reshape(y_final.shape[0], -1),
+                 ok.astype(rdt)[:, None], na.astype(rdt)[:, None],
+                 nr.astype(rdt)[:, None]], axis=1)
+        first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
         return first, y_final, ok.astype(jnp.int32), na, nr
 
     return jax.jit(solve)
@@ -350,8 +355,7 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                              lin_phase=PartitionSpec(ax, None, None)),
                 PartitionSpec(), PartitionSpec(),
             ),
-            out_specs=(PartitionSpec(ax, None),
-                       PartitionSpec(ax, None, None, None), b, b, b),
+            out_specs=PartitionSpec(ax, None),
             check_vma=False,
         )
     )
@@ -376,8 +380,7 @@ def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
                              lin_phase=PartitionSpec(ax, None, None)),
                 PartitionSpec(),
             ),
-            out_specs=(PartitionSpec(ax, None),
-                       PartitionSpec(ax, None, None, None), b),
+            out_specs=PartitionSpec(ax, None),
             check_vma=False,
         )
     )
@@ -533,15 +536,19 @@ def solve_vgnlse_batch(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), True,
             )
-            pk, y_ri, ok, _na, _nr = jax.block_until_ready(
+            out = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), cof, z_grid, dt0)
             )
+            pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, 2 * T,
+                                                        counters=True)
         else:
             solver = _vgnlse_solver(n_steps, int(cfg.save_every),
                                     np.dtype(rdt).name, True)
-            pk, y_ri, ok = jax.block_until_ready(
+            out = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt))
             )
+            pk, y_ri, ok = _split_reduce_pack(out, 2 * T, counters=False)
+        y_ri = y_ri.reshape(-1, 2, T, 2)
     else:
         from ..parallel.mesh import batch_sharding, fetch_global, put_global
 
@@ -558,17 +565,20 @@ def solve_vgnlse_batch(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), mesh,
             )
-            pk, y_ri, ok, _na, _nr = jax.block_until_ready(
+            out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, z_grid, dt0)
-            )
+            ))
+            pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, 2 * T,
+                                                        counters=True)
         else:
             solver = _vgnlse_reduce_solver_sharded(
                 n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
             )
-            pk, y_ri, ok = jax.block_until_ready(
+            out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt))
-            )
-        pk, y_ri, ok = fetch_global(pk), fetch_global(y_ri), fetch_global(ok)
+            ))
+            pk, y_ri, ok = _split_reduce_pack(out, 2 * T, counters=False)
+        y_ri = y_ri.reshape(-1, 2, T, 2)
 
     peak = np.asarray(pk, dtype=np.float64)[:n_orig]
     A_last = ri_unpack_host(np.asarray(y_ri))[:n_orig]

@@ -404,10 +404,13 @@ def test_rk45_actually_adapts():
     solver = gn._gnlse_adaptive_solver("float64", 1e-8, 1e-10, 100_000, True)
     zg = jnp.asarray(np.linspace(0.0, 100.0, 5))
     y0 = ri_pack_host(A0[None], np.float64)
+    T = grid.n_samples
     co_lin = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=0.0)
-    _, _, ok_l, na_l, nr_l = solver(y0, co_lin, zg, jnp.asarray(0.1), None)
+    _, _, ok_l, na_l, nr_l = gn._split_reduce_pack(
+        solver(y0, co_lin, zg, jnp.asarray(0.1), None), T, counters=True)
     co_sol = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=gam)
-    _, _, ok_s, na_s, _ = solver(y0, co_sol, zg, jnp.asarray(0.1), None)
+    _, _, ok_s, na_s, _ = gn._split_reduce_pack(
+        solver(y0, co_sol, zg, jnp.asarray(0.1), None), T, counters=True)
     assert int(np.asarray(ok_l)[0]) == 1 and int(np.asarray(ok_s)[0]) == 1
     assert int(np.asarray(na_l)[0]) * 20 < int(np.asarray(na_s)[0])
     assert int(np.asarray(nr_l)[0]) == 0  # exact split: nothing to reject
