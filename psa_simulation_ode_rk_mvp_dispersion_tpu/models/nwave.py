@@ -431,11 +431,13 @@ def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
     def batch(y0_ri, coeffs_b, dz):
         y0_b = ri_to_complex(y0_ri)
         pmax, yf, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, dz)
-        return (
-            pmax.astype(y0_ri.dtype),
-            complex_to_ri(yf).astype(y0_ri.dtype),
-            ok.astype(jnp.int32),
-        )
+        # ONE stacked (B, 3N+1) output: every device->host fetch costs a
+        # ~30 ms tunnel round trip regardless of size (docs/PERF.md rule 7)
+        rdt = y0_ri.dtype
+        yf_ri = complex_to_ri(yf).astype(rdt)
+        return jnp.concatenate(
+            [pmax.astype(rdt), yf_ri.reshape(yf_ri.shape[0], -1),
+             ok.astype(rdt)[:, None]], axis=1)
 
     return jax.jit(batch)
 
@@ -456,11 +458,13 @@ def _comb_batch_adaptive_solver(rtol: float, atol: float, max_steps: int,
     def batch(y0_ri, coeffs_b, z_grid):
         y0_b = ri_to_complex(y0_ri)
         pmax, yf, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, z_grid)
-        return (
-            pmax.astype(y0_ri.dtype),
-            complex_to_ri(yf).astype(y0_ri.dtype),
-            ok.astype(jnp.int32),
-        )
+        # ONE stacked (B, 3N+1) output: every device->host fetch costs a
+        # ~30 ms tunnel round trip regardless of size (docs/PERF.md rule 7)
+        rdt = y0_ri.dtype
+        yf_ri = complex_to_ri(yf).astype(rdt)
+        return jnp.concatenate(
+            [pmax.astype(rdt), yf_ri.reshape(yf_ri.shape[0], -1),
+             ok.astype(rdt)[:, None]], axis=1)
 
     return jax.jit(batch)
 
@@ -558,20 +562,22 @@ def solve_comb_batch(
         solver = _comb_batch_adaptive_solver(
             float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling
         )
-        pmax, yf_ri, ok = jax.block_until_ready(
+        out = jax.block_until_ready(
             solver(y0_ri, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
         )
     else:
         solver = _comb_batch_solver(
             n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll, coupling
         )
-        pmax, yf_ri, ok = jax.block_until_ready(
+        out = jax.block_until_ready(
             solver(y0_ri, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))
         )
     if mesh is not None:
         from ..parallel.mesh import fetch_global
 
-        pmax, yf_ri, ok = fetch_global(pmax), fetch_global(yf_ri), fetch_global(ok)
-    P_max = np.asarray(pmax, dtype=np.float64)[:n_orig]
-    A_final = ri_unpack_host(np.asarray(yf_ri))[:n_orig]
-    return P_max, A_final, np.asarray(ok)[:n_orig].astype(bool)
+        out = fetch_global(out)
+    out = np.asarray(out)[:n_orig]        # ONE fetch of (B, 3N+1)
+    Np = out.shape[1] // 3
+    P_max = out[:, :Np].astype(np.float64)
+    A_final = ri_unpack_host(out[:, Np:3 * Np].reshape(-1, Np, 2))
+    return P_max, A_final, out[:, -1] > 0.5

@@ -217,9 +217,17 @@ def _pallas_comb_solver(
     n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
     mxu_precision: str = "highest",
 ):
-    return jax.jit(_make_comb_call(
+    call = _make_comb_call(
         n_steps, save_every, n, dz, interpret, block, mxu_precision
-    ))
+    )
+
+    def fused(bt, g, a, y0):
+        # one stacked output: each device->host fetch costs a ~30 ms tunnel
+        # round trip regardless of size (docs/PERF.md rule 7)
+        pmax, y_last, ok = call(bt, g, a, y0)
+        return jnp.concatenate([pmax, y_last, ok], axis=0)
+
+    return jax.jit(fused)
 
 
 @functools.lru_cache(maxsize=16)
@@ -312,6 +320,10 @@ def solve_comb_batch_pallas(
             int(block), str(mxu_precision),
         )
         args = (jnp.asarray(bt), jnp.asarray(g), jnp.asarray(a), jnp.asarray(y0))
+        with jax.enable_x64(False):
+            out = jax.block_until_ready(solver(*args))
+        out = np.asarray(out, np.float64)     # ONE fetch of (3N+1, Bp)
+        pmax, y_last, ok = out[:n], out[n:3 * n], out[3 * n:]
     else:
         from jax.sharding import NamedSharding
 
@@ -323,9 +335,8 @@ def solve_comb_batch_pallas(
         )
         sh = NamedSharding(mesh, spec)
         args = tuple(put_global(x, sh) for x in (bt, g, a, y0))
-    with jax.enable_x64(False):
-        pmax, y_last, ok = jax.block_until_ready(solver(*args))
-    if mesh is not None:
+        with jax.enable_x64(False):
+            pmax, y_last, ok = jax.block_until_ready(solver(*args))
         from ..parallel.mesh import fetch_global
 
         pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
