@@ -95,7 +95,12 @@ from .io_fwm import (  # noqa: E402
 from .parallel import mesh as mesh_utils  # noqa: E402
 from .parallel import sweep as sweeps  # noqa: E402
 from .parallel import noise as noise  # noqa: E402
-from .parallel.noise import NoiseFigureResult, noise_figure_monte_carlo  # noqa: E402
+from .parallel.noise import (  # noqa: E402
+    NoiseFigureResult,
+    NoiseFigureSpectrumResult,
+    noise_figure_monte_carlo,
+    noise_figure_spectrum,
+)
 from .parallel.mesh import (  # noqa: E402
     default_mesh,
     fetch_global,

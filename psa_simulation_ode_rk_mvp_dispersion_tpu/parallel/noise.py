@@ -81,6 +81,176 @@ def _photon_stats(A: np.ndarray, omega: np.ndarray, idx: Sequence[int],
     return n, float(n.mean()), float(n.var(ddof=1) if n.size > 1 else 0.0)
 
 
+@dataclasses.dataclass(frozen=True)
+class NoiseFigureSpectrumResult:
+    """NF(lambda) across the gain band (host numpy arrays, one row per
+    signal wavelength; NaN rows where the frequency plan is invalid or the
+    mean-field lane diverged)."""
+
+    wavelength: np.ndarray     # (n,) x axis [return_wavelength_unit]
+    nf_db: np.ndarray          # (n,)
+    gain_db: np.ndarray        # (n,) mean-field gain of the measured wave(s)
+    dbeta_1_m: np.ndarray      # (n,) phase mismatch used per point
+    ok: np.ndarray             # (n,) bool
+    n_samples: int
+    measure: Tuple[str, ...]
+    elapsed_s: float
+    points_per_s: float
+
+
+def noise_figure_spectrum(
+    cfg: SimulationConfig,
+    *,
+    lambda_p1_m: float,
+    lambda_p2_m: float,
+    lambda_signal_m,
+    gamma: float,
+    alpha: float,
+    p_in: np.ndarray,
+    phase_in: Optional[np.ndarray] = None,
+    dispersion=None,
+    phase_matching_cfg=None,
+    length_unit: str = "m",
+    t_mode_s: float = 1e-9,
+    n_samples: int = 1024,
+    noisy_waves: Sequence[bool] = (False, False, True, True),
+    measure: str = "signal",
+    seed: int = 0,
+    mesh=None,
+    engine: str = "auto",
+    return_wavelength_unit: str = "nm",
+) -> NoiseFigureSpectrumResult:
+    """Noise figure vs signal wavelength across the FWM gain band.
+
+    Every wavelength gets its own vacuum-seeded Monte-Carlo ensemble
+    (``n_samples`` noisy lanes + one noise-free mean-field lane), its own
+    dispersion-aware ``delta_beta`` (same plan/phase-matching machinery as
+    the gain sweeps), and all ``n_lambda * (n_samples + 1)`` nonlinear
+    solves run as ONE batched XLA program -- an NF spectrum at 10^5+ total
+    solves is a single chip-seconds call.  Physics units follow the sweep
+    APIs (``length_unit`` boundary); defaults keep the pumps noiseless.
+    """
+    from ..ops.phase_matching import (
+        PhaseMatchingConfig,
+        PhaseMatchingMethod,
+    )
+    from ..utils.units import length_scale_to_m
+    from .sweep import (
+        _batched_delta_beta,
+        _batched_plan_from_wavelengths,
+        _x_wavelength,
+    )
+
+    lam3 = np.asarray(list(lambda_signal_m), dtype=float)
+    n_l = lam3.shape[0]
+    scale_to_m = length_scale_to_m(length_unit)
+    gamma_m = float(gamma) / scale_to_m
+    alpha_m = float(alpha) / scale_to_m
+    import dataclasses as _dc
+
+    cfg_m = _dc.replace(cfg, z_max=float(cfg.z_max) * scale_to_m,
+                        dz=float(cfg.dz) * scale_to_m)
+
+    p_in = np.asarray(p_in, dtype=np.float64).reshape(4)
+    if phase_in is None:
+        phase_in = np.zeros(4)
+    names = tuple(str(measure).split("+"))
+    bad = [m for m in names if m not in _WAVE_INDEX]
+    if bad:
+        raise ValueError(f"measure must combine {WAVE_ORDER} with '+', got {bad}")
+    idx = [_WAVE_INDEX[m] for m in names]
+    noisy = np.asarray(noisy_waves, dtype=bool).reshape(4)
+    quiet = [m for m in names if not noisy[_WAVE_INDEX[m]]]
+    if quiet:
+        raise ValueError(
+            f"measured wave(s) {quiet} receive no vacuum noise "
+            "(noisy_waves masks them out)"
+        )
+    if not all(p_in[j] > 0.0 for j in idx):
+        raise ValueError("every measured wave needs nonzero input power")
+    if int(n_samples) < 2:
+        raise ValueError("n_samples must be >= 2")
+    if not float(t_mode_s) > 0.0:
+        raise ValueError("t_mode_s must be positive")
+
+    # per-wavelength plan + phase mismatch (internal meters)
+    if dispersion is not None:
+        disp_m = dispersion.scaled(scale_to_m)
+        pm_cfg = (phase_matching_cfg or PhaseMatchingConfig(
+            method=PhaseMatchingMethod.SYMMETRIC_EVEN, even_orders=(2, 4),
+            max_order=4,
+        )).scaled(scale_to_m)
+        omegas, valid = _batched_plan_from_wavelengths(
+            float(lambda_p1_m), float(lambda_p2_m), lam3
+        )
+        dbeta_m = np.where(
+            valid, _batched_delta_beta(omegas, disp_m, pm_cfg), 0.0
+        )
+    else:
+        omegas, valid = _batched_plan_from_wavelengths(
+            float(lambda_p1_m), float(lambda_p2_m), lam3
+        )
+        dbeta_m = np.zeros(n_l)
+
+    A_mean = np.asarray(make_initial_amplitudes(p_in, phase_in),
+                        dtype=np.complex128)
+    S1 = int(n_samples) + 1                       # lane 0 per block: no noise
+    rng = np.random.default_rng(seed)
+    sigma2 = 0.5 * hbar * np.asarray(omegas) / float(t_mode_s)   # (n, 4)
+    xi = (rng.standard_normal((n_l, S1, 4))
+          + 1j * rng.standard_normal((n_l, S1, 4)))
+    xi *= np.sqrt(sigma2 / 2.0)[:, None, :]
+    xi[:, 0, :] = 0.0
+    xi[:, :, ~noisy] = 0.0
+    A0 = (A_mean[None, None, :] + xi).reshape(n_l * S1, 4)
+
+    coeffs = RHSCoeffs(
+        gamma=np.full(n_l * S1, gamma_m),
+        alpha=np.full(n_l * S1, alpha_m),
+        delta_beta=np.repeat(dbeta_m, S1),
+    )
+    t0 = time.perf_counter()
+    res = solve_batch(cfg_m, coeffs, A0, mesh=mesh, engine=engine)
+    elapsed = time.perf_counter() - t0
+
+    A_in = A0.reshape(n_l, S1, 4)
+    A_out = np.asarray(res.A_end).reshape(n_l, S1, 4)
+    ok_l = np.asarray(res.ok, dtype=bool).reshape(n_l, S1)
+
+    nf = np.full(n_l, np.nan)
+    gdb = np.full(n_l, np.nan)
+    point_ok = np.zeros(n_l, dtype=bool)
+    for k in range(n_l):
+        if not (valid[k] and ok_l[k, 0]):
+            continue
+        keep = ok_l[k].copy()
+        keep[0] = False
+        if keep.sum() < 2:
+            continue
+        om_k = np.asarray(omegas[k], dtype=np.float64)
+        _, ni_m, ni_v = _photon_stats(A_in[k][keep], om_k, idx, t_mode_s)
+        _, no_m, no_v = _photon_stats(A_out[k][keep], om_k, idx, t_mode_s)
+        _, ni_mf, _ = _photon_stats(A_in[k][:1], om_k, idx, t_mode_s)
+        _, no_mf, _ = _photon_stats(A_out[k][:1], om_k, idx, t_mode_s)
+        if ni_v <= 0.0 or no_v <= 0.0 or ni_mf <= 0.0:
+            continue
+        nf[k] = 10.0 * np.log10((ni_m**2 / ni_v) / (no_m**2 / no_v))
+        gdb[k] = 10.0 * np.log10(no_mf / ni_mf)
+        point_ok[k] = True
+
+    return NoiseFigureSpectrumResult(
+        wavelength=_x_wavelength(lam3, return_wavelength_unit),
+        nf_db=nf,
+        gain_db=gdb,
+        dbeta_1_m=np.where(valid, dbeta_m, np.nan),
+        ok=point_ok,
+        n_samples=int(n_samples),
+        measure=names,
+        elapsed_s=elapsed,
+        points_per_s=n_l / elapsed if elapsed > 0 else float("inf"),
+    )
+
+
 def noise_figure_monte_carlo(
     cfg: SimulationConfig,
     *,

@@ -99,6 +99,40 @@ def test_sharded_matches_unsharded():
     assert r_s.gain_db == pytest.approx(r.gain_db, abs=1e-9)
 
 
+def test_nf_spectrum_tracks_gain_dependent_theory():
+    """NF(lambda) across a dispersion-shaped gain band: every point must sit
+    on the exact PIA law 2 - 1/G(lambda) — ~3 dB in the high-gain region,
+    falling to ~0 dB where the amplifier goes transparent."""
+    disp = psa.dispersion_params_from_D_S(
+        lambda_ref_m=1552.5e-9, D=0.2, S=0.02, dSdlmbd=0,
+        D_units="ps/nm/km", S_units="ps/nm^2/km", dSdlmbd_units="ps/nm^3/km")
+    cfg = psa.custom_simulation_config(z_max=500.0, dz=0.2, save_every=10)
+    lam3 = np.array([1545e-9, 1570e-9, 1600e-9, 1635e-9])
+    r = nz.noise_figure_spectrum(
+        cfg, lambda_p1_m=1550e-9, lambda_p2_m=1555e-9, lambda_signal_m=lam3,
+        gamma=0.0115, alpha=0.0, p_in=[0.5, 0.5, 1e-7, 0.0], dispersion=disp,
+        length_unit="m", n_samples=2048, measure="signal", seed=3,
+    )
+    assert r.ok.all()
+    G = 10 ** (r.gain_db / 10.0)
+    assert G[0] > 100 and G[-1] < 1.2  # band actually spans gain->transparent
+    nf_theory = 10 * np.log10(2.0 - 1.0 / np.maximum(G, 1.0 + 1e-12))
+    np.testing.assert_allclose(r.nf_db, nf_theory, atol=0.25)
+    assert np.all(np.isfinite(r.dbeta_1_m))
+
+
+def test_nf_spectrum_validation():
+    cfg = _cfg()
+    kw = dict(lambda_p1_m=1550e-9, lambda_p2_m=1555e-9,
+              lambda_signal_m=[1552e-9], gamma=0.0115, alpha=0.0)
+    with pytest.raises(ValueError, match="nonzero input power"):
+        nz.noise_figure_spectrum(cfg, p_in=[0.5, 0.5, 0.0, 0.0],
+                                 measure="signal", **kw)
+    with pytest.raises(ValueError, match="vacuum noise"):
+        nz.noise_figure_spectrum(cfg, p_in=[0.5, 0.5, 1e-7, 0.0],
+                                 measure="pump1", **kw)
+
+
 def test_validation():
     cfg = _cfg()
     kw = dict(gamma=GAMMA, alpha=0.0, omega=OMEGA, delta_beta=0.0)
