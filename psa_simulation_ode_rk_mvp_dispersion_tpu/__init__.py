@@ -98,8 +98,11 @@ from .parallel import noise as noise  # noqa: E402
 from .parallel.noise import (  # noqa: E402
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
+    QuadratureStats,
     noise_figure_monte_carlo,
     noise_figure_spectrum,
+    psa_squeezing_monte_carlo,
+    quadrature_stats,
 )
 from .parallel.mesh import (  # noqa: E402
     default_mesh,

@@ -82,6 +82,123 @@ def _photon_stats(A: np.ndarray, omega: np.ndarray, idx: Sequence[int],
 
 
 @dataclasses.dataclass(frozen=True)
+class QuadratureStats:
+    """Ensemble quadrature statistics of one measured mode combination, in
+    PHOTON-NUMBER units (vacuum variance = 1/4 per quadrature).
+
+    ``theta_min`` is the squeezing angle; ``v_min``/``v_max`` the variances
+    of the minor/major quadratures of the noise ellipse; ``squeezing_db`` =
+    10 log10(v_min / 0.25) is negative when the state is squeezed below
+    vacuum; ``uncertainty_product`` = v_min * v_max (1/16 at minimum
+    uncertainty -- preserved by ideal lossless PSA)."""
+
+    v_min: float
+    v_max: float
+    theta_min: float
+    squeezing_db: float
+    antisqueezing_db: float
+    uncertainty_product: float
+    mean_re: float
+    mean_im: float
+
+
+def quadrature_stats(A: np.ndarray, omega_rad_s: float,
+                     t_mode_s: float) -> QuadratureStats:
+    """Noise-ellipse analysis of an ensemble of complex amplitudes (B,)
+    for a single mode: convert to photon-number amplitude units, remove the
+    mean, and diagonalize the 2x2 quadrature covariance.
+
+    The Wigner samples give symmetric-ordering variances, directly
+    comparable to the vacuum 1/4."""
+    u = np.asarray(A, dtype=np.complex128) * np.sqrt(
+        float(t_mode_s) / (hbar * float(omega_rad_s))
+    )
+    if u.ndim != 1 or u.size < 2:
+        raise ValueError("need a 1-D ensemble of >= 2 samples")
+    du = u - u.mean()
+    x, y = du.real, du.imag
+    cxx = float((x * x).mean())
+    cyy = float((y * y).mean())
+    cxy = float((x * y).mean())
+    tr, det = cxx + cyy, cxx * cyy - cxy * cxy
+    disc = np.sqrt(max((cxx - cyy) ** 2 / 4.0 + cxy * cxy, 0.0))
+    v_max = tr / 2.0 + disc
+    v_min = max(tr / 2.0 - disc, 0.0)
+    theta = 0.5 * np.arctan2(2.0 * cxy, cxx - cyy)  # major axis angle
+    return QuadratureStats(
+        v_min=v_min, v_max=v_max,
+        theta_min=float(theta + np.pi / 2.0),       # minor = major + 90 deg
+        squeezing_db=10.0 * np.log10(max(v_min, 1e-300) / 0.25),
+        antisqueezing_db=10.0 * np.log10(max(v_max, 1e-300) / 0.25),
+        uncertainty_product=float(v_min * v_max),
+        mean_re=float(u.real.mean()), mean_im=float(u.imag.mean()),
+    )
+
+
+def psa_squeezing_monte_carlo(
+    cfg: SimulationConfig,
+    *,
+    gamma: float,
+    alpha: float,
+    omega: np.ndarray,
+    p_pump_W: float,
+    delta_beta: float = 0.0,
+    t_mode_s: float = 1e-9,
+    n_samples: int = 8192,
+    seed: int = 0,
+    mesh=None,
+    engine: str = "auto",
+) -> Tuple[QuadratureStats, QuadratureStats]:
+    """Vacuum squeezing of a dual-pump PSA: propagate a VACUUM signal/idler
+    (zero mean field, half-photon Wigner noise, pumps noiseless) and return
+    the noise-ellipse statistics of the signal mode and of the +45-degree
+    signal/idler superposition mode (a_+ = (a_s + a_i)/sqrt(2) -- the
+    two-mode-squeezed quadrature that drops below vacuum).
+
+    Oracle (tests/test_noise.py): the superposition mode squeezes below the
+    vacuum by the parametric gain while v_min * v_max stays at the minimum
+    uncertainty 1/16 (lossless PSA is a pure squeezer); the single signal
+    mode alone shows a thermal (unsqueezed) ellipse.
+    """
+    omega = np.asarray(omega, dtype=np.float64).reshape(4)
+    rng = np.random.default_rng(seed)
+    sigma2 = 0.5 * hbar * omega / float(t_mode_s)
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    xi = (rng.standard_normal((B, 4)) + 1j * rng.standard_normal((B, 4)))
+    xi *= np.sqrt(sigma2 / 2.0)[None, :]
+    xi[:, 0] = 0.0
+    xi[:, 1] = 0.0
+    A_mean = np.asarray(
+        make_initial_amplitudes([p_pump_W, p_pump_W, 0.0, 0.0], np.zeros(4)),
+        dtype=np.complex128,
+    )
+    A0 = A_mean[None, :] + xi
+
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, float(gamma)),
+        alpha=np.full(B, float(alpha)),
+        delta_beta=np.full(B, float(delta_beta)),
+    )
+    res = solve_batch(cfg, coeffs, A0, mesh=mesh, engine=engine)
+    ok = np.asarray(res.ok, dtype=bool)
+    if ok.sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+    A_end = np.asarray(res.A_end)[ok]
+    sig = quadrature_stats(A_end[:, 2], float(omega[2]), t_mode_s)
+    # +45-deg superposition: photon-unit amplitudes combined, converted back
+    # to a common-frequency W^1/2 scale for quadrature_stats
+    om_c = 0.5 * (float(omega[2]) + float(omega[3]))
+    us = A_end[:, 2] * np.sqrt(t_mode_s / (hbar * float(omega[2])))
+    ui = A_end[:, 3] * np.sqrt(t_mode_s / (hbar * float(omega[3])))
+    u_plus = (us + ui) / np.sqrt(2.0)
+    A_plus = u_plus * np.sqrt(hbar * om_c / t_mode_s)
+    joint = quadrature_stats(A_plus, om_c, t_mode_s)
+    return sig, joint
+
+
+@dataclasses.dataclass(frozen=True)
 class NoiseFigureSpectrumResult:
     """NF(lambda) across the gain band (host numpy arrays, one row per
     signal wavelength; NaN rows where the frequency plan is invalid or the

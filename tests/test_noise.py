@@ -99,6 +99,33 @@ def test_sharded_matches_unsharded():
     assert r_s.gain_db == pytest.approx(r.gain_db, abs=1e-9)
 
 
+def test_psa_vacuum_squeezing_minimum_uncertainty():
+    """Vacuum through a lossless dual-pump PSA is a pure two-mode squeezer:
+    the +45-deg signal/idler superposition squeezes below the vacuum while
+    v_min*v_max stays at the minimum-uncertainty 1/16, with symmetric
+    squeezing/antisqueezing; a single arm alone is thermal (round, above
+    vacuum)."""
+    cfg = psa.custom_simulation_config(z_max=200.0, dz=0.05, save_every=50)
+    sig, joint = nz.psa_squeezing_monte_carlo(
+        cfg, gamma=GAMMA, alpha=0.0, omega=OMEGA, p_pump_W=P_PUMP,
+        n_samples=16384, seed=4,
+    )
+    # joint mode: genuinely squeezed, pure (symmetric), minimum uncertainty
+    assert joint.squeezing_db < -3.0
+    assert abs(joint.squeezing_db + joint.antisqueezing_db) < 0.3
+    assert joint.uncertainty_product == pytest.approx(1.0 / 16.0, rel=0.05)
+    # single arm: thermal -- round and above vacuum, no squeezing
+    assert sig.v_min > 0.25 and sig.v_max / sig.v_min < 1.1
+    # vacuum input sanity through the analyzer itself
+    rng = np.random.default_rng(0)
+    # each quadrature gets the vacuum variance 1/4 (std 0.5) in photon units
+    vac = (rng.standard_normal(50_000) + 1j * rng.standard_normal(50_000))
+    vac *= 0.5 * np.sqrt(nz.hbar * OMEGA[2] / 1e-9)
+    q = nz.quadrature_stats(vac, OMEGA[2], 1e-9)
+    assert q.squeezing_db == pytest.approx(0.0, abs=0.1)
+    assert q.uncertainty_product == pytest.approx(1.0 / 16.0, rel=0.03)
+
+
 def test_nf_spectrum_tracks_gain_dependent_theory():
     """NF(lambda) across a dispersion-shaped gain band: every point must sit
     on the exact PIA law 2 - 1/G(lambda) — ~3 dB in the high-gain region,
