@@ -438,9 +438,11 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
 def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
     """Reduce-mode SSFM for large sweeps: no trajectory materialization.
 
-    Returns ``(peak_max (B,), y_last (B, T, 2), ok (B,) i32)`` -- the running
-    max over saved samples of the instantaneous peak power max_t |A|^2, and
-    the field at the last saved grid point (framework saved-grid convention).
+    Returns ONE stacked ``(B, 1 + 2T + 1)`` rdt buffer
+    ``[peak_max | y_last flat | ok]`` (split with ``_split_reduce_pack``;
+    single device->host fetch, docs/PERF.md rule 7): the running max over
+    saved samples of the instantaneous peak power max_t |A|^2, and the
+    field at the last saved grid point (framework saved-grid convention).
     """
     rdt = jnp.dtype(rdt_name)
     n_chunks = n_steps // save_every
@@ -649,11 +651,12 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, attempt,
 @functools.lru_cache(maxsize=64)
 def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
                            max_steps: int, reduce_mode: bool):
-    """Jitted adaptive SSFM over a save grid: (B, T, 2) pack + (S+1,) grid ->
-    trajectory pack (reduce_mode=False) or running peak (reduce_mode=True).
+    """Jitted adaptive SSFM over a save grid: (B, T, 2) pack + (S+1,) grid.
 
-    Returns ``(y_saved | peak_max, y_final (B, T, 2), ok (B,) i32,
-    n_accepted (B,) i32, n_rejected (B,) i32)``.
+    reduce_mode=True returns ONE stacked ``(B, 1 + 2T + 3)`` rdt buffer
+    ``[peak_max | y_final flat | ok | n_accepted | n_rejected]`` (split with
+    ``_split_reduce_pack(counters=True)``); reduce_mode=False returns the
+    trajectory tuple ``(y_saved (S+1, B, T, 2), y_final, ok, na, nr)``.
     """
     rdt = jnp.dtype(rdt_name)
 
@@ -692,8 +695,9 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
         )
         y_final = complex_to_ri(y).astype(rdt)
         if reduce_mode:
-            # ONE stacked output (docs/PERF.md rule 7); counters fit rdt
-            # exactly (f32 is integer-exact to 2^24 >> any step count here)
+            # ONE stacked output (docs/PERF.md rule 7); counters ride the
+            # rdt buffer (f32 is integer-exact to 2^24; beyond that na/nr
+            # round -- they are diagnostics, not part of the solve)
             return jnp.concatenate(
                 [pk.astype(rdt)[:, None],
                  y_final.reshape(y_final.shape[0], -1),

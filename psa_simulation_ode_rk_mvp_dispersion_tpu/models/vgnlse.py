@@ -196,11 +196,13 @@ def _chunk_stepper_v(k: int):
 @functools.lru_cache(maxsize=64)
 def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
                    reduce_mode: bool):
-    """Jitted batched vector SSFM: (B, 2, T, 2) pack -> trajectory pack
-    (reduce_mode=False) or per-pol peak-power running max (reduce_mode=True).
+    """Jitted batched vector SSFM over (B, 2, T, 2) packs.
 
-    Returns ``(y_saved (S+1, B, 2, T, 2) | peak_max (B, 2), y_final
-    (B, 2, T, 2), ok (B,) i32)``.
+    reduce_mode=True returns ONE stacked ``(B, 2 + 4T + 1)`` rdt buffer
+    ``[peak_max (2 cols) | y_final flat | ok]`` (split with
+    ``gnlse._split_reduce_pack(T'=2T)`` then reshaped); reduce_mode=False
+    returns the trajectory tuple ``(y_saved (S+1, B, 2, T, 2), y_final,
+    ok)``.
     """
     rdt = jnp.dtype(rdt_name)
     n_chunks = n_steps // save_every
@@ -283,9 +285,9 @@ def _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt):
 def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
                             max_steps: int, reduce_mode: bool):
     """Adaptive vector SSFM over a save grid: (B, 2, T, 2) pack + (S+1,)
-    grid -> trajectory pack or per-pol peak running max.  Returns
-    ``(y_saved | peak_max (B, 2), y_final, ok (B,) i32, n_accepted,
-    n_rejected)``."""
+    grid.  reduce_mode=True returns ONE stacked ``(B, 2 + 4T + 3)`` buffer
+    ``[peak_max | y_final flat | ok | n_accepted | n_rejected]``;
+    reduce_mode=False the trajectory tuple."""
     from .gnlse import _gnlse_advance_segment
 
     rdt = jnp.dtype(rdt_name)

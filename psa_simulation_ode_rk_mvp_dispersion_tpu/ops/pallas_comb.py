@@ -241,13 +241,18 @@ def _pallas_comb_solver_sharded(
 
     call = _make_comb_call(n_steps, save_every, n, dz, interpret, block,
                            mxu_precision)
+
+    def fused(bt, g, a, y0):
+        pmax, y_last, ok = call(bt, g, a, y0)
+        return jnp.concatenate([pmax, y_last, ok], axis=0)
+
     axes = tuple(mesh.axis_names)
     spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
     return jax.jit(
         jax.shard_map(
-            call, mesh=mesh,
+            fused, mesh=mesh,
             in_specs=(spec, spec, spec, spec),
-            out_specs=(spec, spec, spec),
+            out_specs=spec,
             check_vma=False,
         )
     ), spec
@@ -336,10 +341,11 @@ def solve_comb_batch_pallas(
         sh = NamedSharding(mesh, spec)
         args = tuple(put_global(x, sh) for x in (bt, g, a, y0))
         with jax.enable_x64(False):
-            pmax, y_last, ok = jax.block_until_ready(solver(*args))
+            fused_out = jax.block_until_ready(solver(*args))
         from ..parallel.mesh import fetch_global
 
-        pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
+        out = np.asarray(fetch_global(fused_out), np.float64)
+        pmax, y_last, ok = out[:n], out[n:3 * n], out[3 * n:]
 
     pmax = np.asarray(pmax, np.float64).T[:B]
     yl = np.asarray(y_last, np.float64)

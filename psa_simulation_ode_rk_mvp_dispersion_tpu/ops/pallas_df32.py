@@ -15,7 +15,8 @@ I/O packing (all float32), ungrouped layout:
     y0   (16, B): [re_hi(4); re_lo(4); im_hi(4); im_lo(4)]
     coef (20, B): [g, 2g, -a/2]x(hi,lo) rows 0..5, detune(4)x(hi,lo) rows
                   6..13, [dz/2, dz, dz/6]x(hi,lo) rows 14..19
-    out: pmax (8, B) [hi;lo], y_last (16, B), ok (1, B)
+    out: ONE stacked (25, B) buffer [pmax hi;lo (8); y_last (16); ok (1)]
+         (a single device->host fetch; docs/PERF.md rule 7)
 
 The DEFAULT is the grouped-lane layout (``group=8``): 8 instances share each
 lane column with their waves on wave-major row groups, filling the f32
@@ -224,7 +225,13 @@ def _make_call(n_steps: int, save_every: int, interpret: bool, block: int):
 
 @functools.lru_cache(maxsize=64)
 def _pallas_df32_solver(n_steps: int, save_every: int, interpret: bool, block: int):
-    return jax.jit(_make_call(n_steps, save_every, interpret, block))
+    call = _make_call(n_steps, save_every, interpret, block)
+
+    def fused(coef, y0):
+        pmax, y_last, ok = call(coef, y0)
+        return jnp.concatenate([pmax, y_last, ok], axis=0)  # (25, B)
+
+    return jax.jit(fused)
 
 
 @functools.lru_cache(maxsize=16)
@@ -237,13 +244,18 @@ def _pallas_df32_solver_sharded(
     from jax.sharding import PartitionSpec
 
     call = _make_call(n_steps, save_every, interpret, block)
+
+    def fused(coef, y0):
+        pmax, y_last, ok = call(coef, y0)
+        return jnp.concatenate([pmax, y_last, ok], axis=0)  # (25, B)
+
     axes = tuple(mesh.axis_names)
     spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
     return jax.jit(
         jax.shard_map(
-            call, mesh=mesh,
+            fused, mesh=mesh,
             in_specs=(spec, spec),
-            out_specs=(spec, spec, spec),
+            out_specs=spec,
             # pallas_call's ShapeDtypeStruct outputs carry no varying-mesh-axes
             # annotation; the kernel is per-shard pure so the check is moot
             check_vma=False,
@@ -348,11 +360,13 @@ def solve_batch_df32_pallas(
         coef_dev = put_global(coef, sh)
         y0_dev = put_global(y0, sh)
     with jax.enable_x64(False):
-        pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
+        fused_out = jax.block_until_ready(solver(coef_dev, y0_dev))
     if mesh is not None:
         from ..parallel.mesh import fetch_global
 
-        pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
+        fused_out = fetch_global(fused_out)
+    out = np.asarray(fused_out)           # ONE fetch of (25, Bp)
+    pmax, y_last, ok = out[:8], out[8:24], out[24:]
 
     pmax = np.asarray(pmax, np.float64)
     P_max = (pmax[0:4] + pmax[4:8]).T[:B]
@@ -559,13 +573,18 @@ def _pallas_df32_solver_grouped_sharded(n_steps: int, save_every: int,
     from jax.sharding import PartitionSpec
 
     call = _make_call_grouped(n_steps, save_every, interpret, block, g)
+
+    def fused(coef, y0):
+        pmax, y_last, ok = call(coef, y0)
+        return jnp.concatenate([pmax, y_last, ok], axis=0)
+
     axes = tuple(mesh.axis_names)
     spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
     return jax.jit(
         jax.shard_map(
-            call, mesh=mesh,
+            fused, mesh=mesh,
             in_specs=(spec, spec),
-            out_specs=(spec, spec, spec),
+            out_specs=spec,
             check_vma=False,
         )
     ), spec
@@ -634,10 +653,11 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
         coef_dev = put_global(coef, sh)
         y0_dev = put_global(y0, sh)
         with jax.enable_x64(False):
-            pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
+            fused_out = jax.block_until_ready(solver(coef_dev, y0_dev))
         from ..parallel.mesh import fetch_global
 
-        pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
+        out = np.asarray(fetch_global(fused_out))
+        pmax, y_last, ok = out[:2 * G], out[2 * G:6 * G], out[6 * G:]
 
     pmax = np.asarray(pmax, np.float64)
     P_max = unplane(pmax[0:G] + pmax[G:2 * G], g)[:B]

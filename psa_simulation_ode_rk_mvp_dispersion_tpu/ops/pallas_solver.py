@@ -183,7 +183,11 @@ def _pallas_solver(n_steps: int, save_every: int, interpret: bool):
             interpret=interpret,
         )(coef, y0)
 
-    return jax.jit(call)
+    def fused(coef, y0):
+        pmax, y_last, ok = call(coef, y0)
+        return jnp.concatenate([pmax, y_last, ok], axis=0)  # (13, B)
+
+    return jax.jit(fused)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -251,9 +255,10 @@ def solve_batch_pallas(
     # Pallas' TPU lowering hits a RecursionError under jax_enable_x64 (the
     # kernel is pure f32 anyway); trace/compile/run it with x64 off.
     with jax.enable_x64(False):
-        pmax, y_last, ok = jax.block_until_ready(
+        out = np.asarray(jax.block_until_ready(
             solver(jnp.asarray(coef), jnp.asarray(y0))
-        )
+        ))                                  # ONE fetch of (13, Bp)
+    pmax, y_last, ok = out[:4], out[4:12], out[12:]
 
     pmax = np.asarray(pmax, np.float64).T[:B]          # (B, 4)
     y_last = np.asarray(y_last, np.float64)
@@ -455,13 +460,18 @@ def _pallas_solver_grouped_sharded(n_steps: int, save_every: int,
     from jax.sharding import PartitionSpec
 
     call = _make_call_grouped(n_steps, save_every, interpret, block, g)
+
+    def fused(coef, y0):
+        pmax, y_last, ok = call(coef, y0)
+        return jnp.concatenate([pmax, y_last, ok], axis=0)  # (3G+g, Bl)
+
     axes = tuple(mesh.axis_names)
     spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
     return jax.jit(
         jax.shard_map(
-            call, mesh=mesh,
+            fused, mesh=mesh,
             in_specs=(spec, spec),
-            out_specs=(spec, spec, spec),
+            out_specs=spec,
             check_vma=False,
         )
     ), spec
@@ -512,10 +522,11 @@ def _solve_grouped_x32(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
         coef_dev = put_global(coef, sh)
         y0_dev = put_global(y0, sh)
         with jax.enable_x64(False):
-            pmax, y_last, ok = jax.block_until_ready(solver(coef_dev, y0_dev))
+            fused_out = jax.block_until_ready(solver(coef_dev, y0_dev))
         from ..parallel.mesh import fetch_global
 
-        pmax, y_last, ok = fetch_global(pmax), fetch_global(y_last), fetch_global(ok)
+        out = np.asarray(fetch_global(fused_out))
+        pmax, y_last, ok = out[:G], out[G:3 * G], out[3 * G:]
 
     pmax = _unplane(np.asarray(pmax, np.float64), g)[:B]
     yl = np.asarray(y_last, np.float64)

@@ -120,7 +120,7 @@ def quadrature_stats(A: np.ndarray, omega_rad_s: float,
     cxx = float((x * x).mean())
     cyy = float((y * y).mean())
     cxy = float((x * y).mean())
-    tr, det = cxx + cyy, cxx * cyy - cxy * cxy
+    tr = cxx + cyy
     disc = np.sqrt(max((cxx - cyy) ** 2 / 4.0 + cxy * cxy, 0.0))
     v_max = tr / 2.0 + disc
     v_min = max(tr / 2.0 - disc, 0.0)
@@ -161,15 +161,11 @@ def psa_squeezing_monte_carlo(
     mode alone shows a thermal (unsqueezed) ellipse.
     """
     omega = np.asarray(omega, dtype=np.float64).reshape(4)
-    rng = np.random.default_rng(seed)
-    sigma2 = 0.5 * hbar * omega / float(t_mode_s)
     B = int(n_samples)
     if B < 16:
         raise ValueError("n_samples must be >= 16")
-    xi = (rng.standard_normal((B, 4)) + 1j * rng.standard_normal((B, 4)))
-    xi *= np.sqrt(sigma2 / 2.0)[None, :]
-    xi[:, 0] = 0.0
-    xi[:, 1] = 0.0
+    xi = _vacuum_draws(np.random.default_rng(seed), (B, 4), omega, t_mode_s,
+                       (False, False, True, True))
     A_mean = np.asarray(
         make_initial_amplitudes([p_pump_W, p_pump_W, 0.0, 0.0], np.zeros(4)),
         dtype=np.complex128,
@@ -263,26 +259,14 @@ def noise_figure_spectrum(
     scale_to_m = length_scale_to_m(length_unit)
     gamma_m = float(gamma) / scale_to_m
     alpha_m = float(alpha) / scale_to_m
-    import dataclasses as _dc
-
-    cfg_m = _dc.replace(cfg, z_max=float(cfg.z_max) * scale_to_m,
-                        dz=float(cfg.dz) * scale_to_m)
+    cfg_m = dataclasses.replace(cfg, z_max=float(cfg.z_max) * scale_to_m,
+                                dz=float(cfg.dz) * scale_to_m)
 
     p_in = np.asarray(p_in, dtype=np.float64).reshape(4)
     if phase_in is None:
         phase_in = np.zeros(4)
-    names = tuple(str(measure).split("+"))
-    bad = [m for m in names if m not in _WAVE_INDEX]
-    if bad:
-        raise ValueError(f"measure must combine {WAVE_ORDER} with '+', got {bad}")
-    idx = [_WAVE_INDEX[m] for m in names]
     noisy = np.asarray(noisy_waves, dtype=bool).reshape(4)
-    quiet = [m for m in names if not noisy[_WAVE_INDEX[m]]]
-    if quiet:
-        raise ValueError(
-            f"measured wave(s) {quiet} receive no vacuum noise "
-            "(noisy_waves masks them out)"
-        )
+    names, idx = _parse_measure(measure, noisy)
     if not all(p_in[j] > 0.0 for j in idx):
         raise ValueError("every measured wave needs nonzero input power")
     if int(n_samples) < 2:
@@ -291,34 +275,28 @@ def noise_figure_spectrum(
         raise ValueError("t_mode_s must be positive")
 
     # per-wavelength plan + phase mismatch (internal meters)
+    omegas, valid = _batched_plan_from_wavelengths(
+        float(lambda_p1_m), float(lambda_p2_m), lam3
+    )
     if dispersion is not None:
         disp_m = dispersion.scaled(scale_to_m)
         pm_cfg = (phase_matching_cfg or PhaseMatchingConfig(
             method=PhaseMatchingMethod.SYMMETRIC_EVEN, even_orders=(2, 4),
             max_order=4,
         )).scaled(scale_to_m)
-        omegas, valid = _batched_plan_from_wavelengths(
-            float(lambda_p1_m), float(lambda_p2_m), lam3
-        )
         dbeta_m = np.where(
             valid, _batched_delta_beta(omegas, disp_m, pm_cfg), 0.0
         )
     else:
-        omegas, valid = _batched_plan_from_wavelengths(
-            float(lambda_p1_m), float(lambda_p2_m), lam3
-        )
         dbeta_m = np.zeros(n_l)
 
     A_mean = np.asarray(make_initial_amplitudes(p_in, phase_in),
                         dtype=np.complex128)
     S1 = int(n_samples) + 1                       # lane 0 per block: no noise
-    rng = np.random.default_rng(seed)
-    sigma2 = 0.5 * hbar * np.asarray(omegas) / float(t_mode_s)   # (n, 4)
-    xi = (rng.standard_normal((n_l, S1, 4))
-          + 1j * rng.standard_normal((n_l, S1, 4)))
-    xi *= np.sqrt(sigma2 / 2.0)[:, None, :]
+    # per-wavelength omega quartets -> per-block vacuum scales
+    xi = _vacuum_draws(np.random.default_rng(seed), (n_l, S1, 4),
+                       np.asarray(omegas)[:, None, :], t_mode_s, noisy)
     xi[:, 0, :] = 0.0
-    xi[:, :, ~noisy] = 0.0
     A0 = (A_mean[None, None, :] + xi).reshape(n_l * S1, 4)
 
     coeffs = RHSCoeffs(
@@ -368,6 +346,35 @@ def noise_figure_spectrum(
     )
 
 
+def _parse_measure(measure, noisy):
+    """Validate a '+'-joined measure spec against WAVE_ORDER and the
+    noisy-wave mask; returns (names tuple, index list)."""
+    names = tuple(str(measure).split("+"))
+    bad = [m for m in names if m not in _WAVE_INDEX]
+    if bad:
+        raise ValueError(
+            f"measure must combine {WAVE_ORDER} with '+', got {bad}"
+        )
+    quiet = [m for m in names if not noisy[_WAVE_INDEX[m]]]
+    if quiet:
+        raise ValueError(
+            f"measured wave(s) {quiet} receive no vacuum noise "
+            "(noisy_waves masks them out), so the input ensemble variance "
+            "is zero and SNR_in is undefined"
+        )
+    return names, [_WAVE_INDEX[m] for m in names]
+
+
+def _vacuum_draws(rng, shape, omega, t_mode_s, noisy):
+    """Wigner vacuum draws for a (..., 4) block: complex Gaussian with
+    <|dA|^2> = (1/2) hbar omega / T_mode per wave; masked waves get 0."""
+    sigma2 = 0.5 * hbar * np.asarray(omega) / float(t_mode_s)
+    xi = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    xi *= np.sqrt(sigma2 / 2.0)
+    xi[..., ~np.asarray(noisy, dtype=bool)] = 0.0
+    return xi
+
+
 def noise_figure_monte_carlo(
     cfg: SimulationConfig,
     *,
@@ -404,21 +411,8 @@ def noise_figure_monte_carlo(
     p_in = np.asarray(p_in, dtype=np.float64).reshape(4)
     if phase_in is None:
         phase_in = np.zeros(4)
-    names = tuple(str(measure).split("+"))
-    bad = [m for m in names if m not in _WAVE_INDEX]
-    if bad:
-        raise ValueError(
-            f"measure must combine {WAVE_ORDER} with '+', got {bad}"
-        )
-    idx = [_WAVE_INDEX[m] for m in names]
     noisy = np.asarray(noisy_waves, dtype=bool).reshape(4)
-    quiet = [m for m in names if not noisy[_WAVE_INDEX[m]]]
-    if quiet:
-        raise ValueError(
-            f"measured wave(s) {quiet} receive no vacuum noise "
-            "(noisy_waves masks them out), so the input ensemble variance "
-            "is zero and SNR_in is undefined"
-        )
+    names, idx = _parse_measure(measure, noisy)
     if int(n_samples) < 2:
         raise ValueError("n_samples must be >= 2")
     if not float(t_mode_s) > 0.0:
@@ -428,13 +422,10 @@ def noise_figure_monte_carlo(
                         dtype=np.complex128)
 
     # vacuum (Wigner) seeding: half a photon per mode, quarter per quadrature
-    rng = np.random.default_rng(seed)
-    sigma2 = 0.5 * hbar * omega / float(t_mode_s)          # <|dA|^2> [W]
     B = int(n_samples) + 1                                  # lane 0 noise-free
-    xi = (rng.standard_normal((B, 4)) + 1j * rng.standard_normal((B, 4)))
-    xi *= np.sqrt(sigma2 / 2.0)[None, :]
+    xi = _vacuum_draws(np.random.default_rng(seed), (B, 4), omega,
+                       t_mode_s, noisy)
     xi[0] = 0.0
-    xi[:, ~noisy] = 0.0
     A0 = A_mean[None, :] + xi
 
     coeffs = RHSCoeffs(

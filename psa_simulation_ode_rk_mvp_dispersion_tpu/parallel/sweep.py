@@ -142,8 +142,9 @@ def _batch_solver(
 ):
     """Jitted vmapped reduce-mode solver.
 
-    Returns arrays safe to fetch on restricted TPU attachments:
-    (P_max (B,4) real, A_end real/imag (B,4,2) real, ok (B,) int32).
+    Returns ONE stacked (B, 13) rdt buffer [P_max (4) | A_end ri (8) | ok]
+    -- f32/i32-safe for restricted TPU attachments and a single
+    device->host fetch (docs/PERF.md rule 7).
     """
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 
@@ -222,10 +223,12 @@ def _batch_adaptive_solver(frame: str, rtol: float, atol: float, max_steps: int)
         y0_b = ri_to_complex(y0_ri)
         pmax, y_last, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, z_grid)
         rdt = y0_ri.dtype
-        return (
-            pmax.astype(rdt),
-            complex_to_ri(y_last).astype(rdt),
-            ok.astype(jnp.int32),
+        a_ri = complex_to_ri(y_last).astype(rdt)
+        # ONE stacked (B, 13) output (docs/PERF.md rule 7)
+        return jnp.concatenate(
+            [pmax.astype(rdt), a_ri.reshape(a_ri.shape[0], 8),
+             ok.astype(rdt)[:, None]],
+            axis=1,
         )
 
     return jax.jit(batch)
@@ -533,17 +536,20 @@ def _solve_batch_rk45(
     from .mesh import fetch_global
 
     t0 = time.perf_counter()
-    pmax, a_ri, ok = solver(y0_dev, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
-    pmax, a_ri, ok = jax.block_until_ready((pmax, a_ri, ok))
+    out = jax.block_until_ready(
+        solver(y0_dev, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
+    )
     elapsed = time.perf_counter() - t0
 
-    pmax = fetch_global(pmax).astype(np.float64)[:n_orig]
-    a_ri = fetch_global(a_ri)[:n_orig]
-    ok = fetch_global(ok)[:n_orig].astype(bool)
-    A_end = ri_unpack_host(a_ri)
+    out = fetch_global(out)[:n_orig]      # ONE fetch of (B, 13)
+    pmax = out[:, 0:4].astype(np.float64)
+    A_end = ri_unpack_host(out[:, 4:12].reshape(-1, 4, 2))
+    ok = out[:, 12] > 0.5
+    with np.errstate(over="ignore"):
+        P_end = np.abs(A_end) ** 2
     return BatchSolveResult(
         P_max=pmax,
-        P_end=np.abs(A_end) ** 2,
+        P_end=P_end,
         A_end=A_end,
         ok=ok,
         elapsed_s=elapsed,
