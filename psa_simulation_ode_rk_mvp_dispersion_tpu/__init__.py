@@ -95,6 +95,8 @@ from .io_fwm import (  # noqa: E402
 from .parallel import mesh as mesh_utils  # noqa: E402
 from .parallel import sweep as sweeps  # noqa: E402
 from .parallel import noise as noise  # noqa: E402
+from .parallel import fluctuations as fluctuations  # noqa: E402
+from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # noqa: E402
 from .parallel.noise import (  # noqa: E402
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
