@@ -1,0 +1,125 @@
+"""On-chip (PSA_TEST_TPU=1) smoke lane for the round-2 model families.
+
+Compact x32 end-to-end checks of every family added after the 4-wave
+engines -- run on the real TPU via
+
+    PSA_TEST_TPU=1 PYTHONPATH=/root/repo:/root/.axon_site \
+        python -m pytest tests/test_tpu_families.py -v
+
+and recorded in TPU_TESTRUN.md.  Each test asserts physics, not just
+"it ran": soliton invariance, adaptive-vs-fixed agreement, comb engine
+consistency, the PIA quantum limit.  Skipped on CPU (the CPU suite covers
+these paths at x64 with tight oracles; this lane is chip evidence).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import psa_tpu as psa
+
+if os.environ.get("PSA_TEST_TPU", "0") != "1":
+    pytest.skip("on-chip lane (set PSA_TEST_TPU=1 on a TPU host)",
+                allow_module_level=True)
+
+T0, BETA2, GAM = 1e-12, -2.0e-26, 2e-3
+
+
+def _cfg(**kw):
+    base = dict(z_max=10.0, dz=0.05, save_every=50, precision="x32")
+    base.update(kw)
+    return psa.custom_simulation_config(**base)
+
+
+def test_gnlse_soliton_and_raman_on_chip():
+    grid = psa.TimeGrid.for_pulse(T0, n_samples=512)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=BETA2)
+    co = psa.make_gnlse_coeffs(grid, disp, gamma_W_m=GAM, precision="x32")
+    P0 = psa.soliton_peak_power(BETA2, GAM, T0)
+    A0 = np.stack([np.asarray(psa.sech_pulse(grid, peak_W=s * P0, t0_s=T0))
+                   for s in np.linspace(0.8, 1.2, 16)])
+    pk, Al, ok = psa.solve_gnlse_batch(_cfg(), co, A0)
+    assert ok.all()
+    # fundamental-soliton lane: peak invariant to f32 accumulation error
+    i1 = 8  # scale closest to 1.0 in the linspace grid
+    assert pk[i1] == pytest.approx((np.abs(A0[i1]) ** 2).max(), rel=2e-3)
+    # Raman red shift on chip
+    nl = psa.make_nl_terms(grid, f_raman=0.18, precision="x32")
+    _, Ar, okr = psa.solve_gnlse_batch(_cfg(), co, A0[i1:i1 + 1], nl=nl)
+    assert okr.all()
+    om = grid.omega()
+    S0 = np.abs(np.fft.fft(A0[i1])) ** 2
+    S1 = np.abs(np.fft.fft(Ar[0])) ** 2
+    assert (om * S1).sum() / S1.sum() < (om * S0).sum() / S0.sum()
+
+
+def test_gnlse_adaptive_matches_fixed_on_chip():
+    grid = psa.TimeGrid.for_pulse(T0, n_samples=512)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=BETA2)
+    co = psa.make_gnlse_coeffs(grid, disp, gamma_W_m=GAM, precision="x32")
+    P0 = psa.soliton_peak_power(BETA2, GAM, T0)
+    A0 = np.stack([np.asarray(psa.sech_pulse(grid, peak_W=s * P0, t0_s=T0))
+                   for s in np.linspace(0.7, 1.3, 8)])
+    pk4, _, _ = psa.solve_gnlse_batch(_cfg(), co, A0)
+    pk5, _, ok5 = psa.solve_gnlse_batch(
+        _cfg(integrator="rk45", rtol=1e-5, atol=1e-8), co, A0
+    )
+    assert ok5.all()
+    np.testing.assert_allclose(pk5, pk4, rtol=1e-3)
+
+
+def test_vgnlse_manakov_on_chip():
+    grid = psa.TimeGrid.for_pulse(T0, n_samples=512)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=BETA2)
+    co = psa.make_vgnlse_coeffs(grid, disp, gamma_W_m=GAM,
+                                coupling="manakov", precision="x32")
+    P0 = psa.manakov_soliton_peak_power(BETA2, GAM, T0)
+    sech = psa.sech_pulse(grid, peak_W=P0, t0_s=T0)
+    A0 = np.stack([np.asarray(psa.polarized_pulse(sech, th))
+                   for th in np.linspace(0.0, np.pi / 2, 8)])
+    pk, Al, ok = psa.solve_vgnlse_batch(_cfg(dz=0.01, save_every=100), co, A0)
+    assert ok.all()
+    # Manakov soliton peak invariant at every polarization angle
+    np.testing.assert_allclose(
+        pk, (np.abs(A0) ** 2).max(axis=-1), rtol=2e-3
+    )
+
+
+def test_comb_pallas_vs_scan_on_chip():
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+
+    grid = nw.CombGrid.centered(2 * np.pi * 193.1e12, 2 * np.pi * 50e9, 32)
+    disp = psa.DispersionParams.from_betas(2 * np.pi * 193.1e12,
+                                           beta2=-1e-27)
+    co1 = nw.make_comb_coeffs(grid, disp, gamma_W_m=10e-3, alpha_1_m=0.0,
+                              precision="x32")
+    c = 16
+    A0 = np.stack([nw.seed_comb(grid, pump_lines={c - 2: 0.3, c + 2: 0.3,
+                                                  c: 1e-5})] * 8)
+    co = nw.NWaveCoeffs(
+        gamma=np.linspace(8e-3, 12e-3, 8), alpha=np.zeros(8),
+        beta_lin=np.broadcast_to(np.asarray(co1.beta_lin, float), (8, 32)),
+    )
+    cfg = psa.custom_simulation_config(z_max=50.0, dz=0.05, save_every=100,
+                                       precision="x32")
+    Ps, As, oks = nw.solve_comb_batch(cfg, co, A0, engine="scan")
+    Pp, Ap, okp = nw.solve_comb_batch(cfg, co, A0, engine="pallas")
+    assert oks.all() and okp.all()
+    sig = Ps > 1e-8
+    np.testing.assert_allclose(Pp[sig], Ps[sig], rtol=5e-4)
+
+
+def test_noise_pia_quantum_limit_on_chip():
+    omega = np.asarray(psa.plan_from_wavelengths(1550e-9, 1552e-9, 1551e-9))
+    cfg = psa.custom_simulation_config(z_max=200.0, dz=0.05, save_every=50,
+                                       precision="x32")
+    r = psa.noise_figure_monte_carlo(
+        cfg, gamma=5e-3, alpha=0.0, omega=omega,
+        p_in=[0.5, 0.5, 1e-6, 0.0], delta_beta=0.0, n_samples=8192,
+        noisy_waves=(False, False, True, True), measure="signal", seed=9,
+    )
+    G = 10 ** (r.gain_db / 10.0)
+    assert G > 1.5
+    nf_theory = 10 * np.log10(2.0 - 1.0 / G)
+    assert r.nf_db == pytest.approx(nf_theory, abs=0.2)
