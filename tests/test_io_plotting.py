@@ -308,3 +308,31 @@ def test_plot_pulse_evolution_smoke(tmp_path):
         plotting.plot_pulse_evolution(z, t, A, t_unit="h", show=False)
     with pytest.raises(ValueError, match="len"):
         plotting.plot_pulse_evolution(z, t, A[:-1], show=False)
+
+
+def test_plot_spectral_evolution_and_nf_sweep_smoke(tmp_path):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import plotting
+
+    z = np.linspace(0.0, 10.0, 6)
+    n = 64
+    om = 2 * np.pi * np.fft.fftfreq(n, d=1e-13)
+    A = (np.exp(-np.linspace(-4, 4, n) ** 2)[None, :]
+         * np.ones((6, 1))).astype(complex)
+    p1 = tmp_path / "spec.png"
+    plotting.plot_spectral_evolution(z, om, A, show=False, save_path=str(p1))
+    p2 = tmp_path / "spec_nm.png"
+    plotting.plot_spectral_evolution(z, om, A, lambda0_m=835e-9, show=False,
+                                     save_path=str(p2))
+    assert p1.exists() and p2.exists()
+    with pytest.raises(ValueError, match="len"):
+        plotting.plot_spectral_evolution(z, om, A[:-1], show=False)
+
+    ph = np.linspace(0, np.pi, 9)
+    p3 = tmp_path / "nf.png"
+    plotting.plot_noise_figure_sweep(ph, np.linspace(0, 3, 9),
+                                     np.linspace(0, 10, 9), pia_nf_db=3.0,
+                                     show=False, save_path=str(p3))
+    assert p3.exists()
+    with pytest.raises(ValueError, match="share a shape"):
+        plotting.plot_noise_figure_sweep(ph, np.zeros(3), np.zeros(9),
+                                         show=False)
