@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--theta", type=float, default=30.0,
                    help="polarization angle [deg]")
     s.add_argument("--coupling", default="manakov",
-                   choices=("manakov", "cnlse"))
+                   choices=("manakov", "cnlse", "isotropic"))
     s.add_argument("--dbeta1", type=float, default=0.0,
                    help="group birefringence [ps/km]")
     s.add_argument("--periods", type=float, default=1.0,

@@ -647,7 +647,7 @@ def vector_pulse(
     theta_deg: float = 30.0,
     beta2_ps2_km: float = -20.0,
     gamma_km: float = 2.0,
-    coupling: str = "manakov",
+    coupling: str = "manakov",    # 'manakov' | 'cnlse' | 'isotropic'
     dbeta1_ps_km: float = 0.0,
     n_periods: float = 1.0,
     n_samples: int = 1024,

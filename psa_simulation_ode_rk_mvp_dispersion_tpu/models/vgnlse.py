@@ -59,7 +59,6 @@ XPM_LINEAR_BIREFRINGENT = 2.0 / 3.0
 MANAKOV_GAMMA_FACTOR = 8.0 / 9.0
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class VGNLSECoeffs:
     """Per-instance vector-GNLSE coefficients.
@@ -69,12 +68,26 @@ class VGNLSECoeffs:
     +-(dbeta1/2) omega terms; ``gamma`` [1/(W m)] is the effective Kerr
     coefficient (already scaled by 8/9 for Manakov); ``b_xpm`` the
     cross-phase coupling ratio; ``alpha`` [1/m].
+
+    ``coherent`` (STATIC pytree metadata) is the coherent four-wave
+    polarization-coupling ratio c in ``i gamma c A_self* A_other^2``: 0
+    for the incoherent models (exact-rotation nonlinear substep), 1/3 for
+    the full isotropic Kerr tensor of a low-birefringence fiber (RK4
+    substep; enables polarization instability).
     """
 
     gamma: jax.Array      # () or (B,)
     alpha: jax.Array      # () or (B,)
     b_xpm: jax.Array      # ()
     lin_phase: jax.Array  # (2, T) or (B, 2, T)
+    coherent: float = 0.0  # static: selects the nonlinear substep at trace
+
+
+jax.tree_util.register_dataclass(
+    VGNLSECoeffs,
+    data_fields=["gamma", "alpha", "b_xpm", "lin_phase"],
+    meta_fields=["coherent"],
+)
 
 
 def make_vgnlse_coeffs(
@@ -99,13 +112,20 @@ def make_vgnlse_coeffs(
     :func:`~.gnlse.make_gnlse_coeffs`).
     """
     rdt = real_dtype(validate_precision(precision))
+    coh = 0.0
     if coupling == "cnlse":
         b, g_eff = XPM_LINEAR_BIREFRINGENT, float(gamma_W_m)
+    elif coupling == "isotropic":
+        # full isotropic Kerr tensor (low-birefringence fiber): incoherent
+        # b=2/3 PLUS the coherent four-wave term c=1/3 -- the
+        # rotation-invariant nonlinearity (Agrawal ch. 6.1)
+        b, g_eff, coh = XPM_LINEAR_BIREFRINGENT, float(gamma_W_m), 1.0 / 3.0
     elif coupling == "manakov":
         b, g_eff = 1.0, MANAKOV_GAMMA_FACTOR * float(gamma_W_m)
     else:
         raise ValueError(
-            f"coupling must be 'cnlse' or 'manakov', got {coupling!r}"
+            f"coupling must be 'cnlse', 'isotropic' or 'manakov', "
+            f"got {coupling!r}"
         )
     om = grid.omega()
     common = np.zeros_like(om)
@@ -123,6 +143,7 @@ def make_vgnlse_coeffs(
         alpha=jnp.asarray(float(alpha_1_m), dtype=rdt),
         b_xpm=jnp.asarray(b, dtype=rdt),
         lin_phase=jnp.asarray(phase, dtype=rdt),
+        coherent=coh,
     )
 
 
@@ -165,14 +186,44 @@ def _lin_factor_v(coeffs: VGNLSECoeffs, h, rdt):
 
 def _xpm_kerr_step(y, gamma, b, h):
     """Exact coupled rotation exp(i gamma (P_self + b P_other) h) per pol
-    (both powers are invariants of the nonlinear flow)."""
+    (both powers are invariants of the incoherent nonlinear flow)."""
     P = y.real * y.real + y.imag * y.imag            # (..., 2, T)
     P_other = jnp.flip(P, axis=-2)
     ang = gamma * (P + b * P_other) * h
     return y * lax.complex(jnp.cos(ang), jnp.sin(ang))
 
 
-def _chunk_stepper_v(k: int):
+def _times_i_v(z):
+    return lax.complex(-z.imag, z.real)
+
+
+def _v_nl_rhs(y, gamma, b, c):
+    """Full vector nonlinear operator
+    N(A)_p = i gamma [ (P_p + b P_q) A_p + c A_p* A_q^2 ],  q = other pol
+    (the c-term exchanges power pointwise between polarizations; the total
+    |A_x|^2 + |A_y|^2 is conserved -- tests pin this)."""
+    P = y.real * y.real + y.imag * y.imag
+    P_other = jnp.flip(P, axis=-2)
+    y_other = jnp.flip(y, axis=-2)
+    coh = jnp.conj(y) * y_other * y_other
+    return _times_i_v(gamma * ((P + b * P_other) * y + c * coh))
+
+
+def _v_nl_substep(y, gamma, b, h, coherent):
+    """One nonlinear split substep: exact rotation for the incoherent
+    models (coherent == 0, a trace-time constant), RK4 on the full
+    operator otherwise."""
+    if coherent == 0.0:
+        return _xpm_kerr_step(y, gamma, b, h)
+    c = coherent
+    k1 = _v_nl_rhs(y, gamma, b, c)
+    k2 = _v_nl_rhs(y + (0.5 * h) * k1, gamma, b, c)
+    k3 = _v_nl_rhs(y + (0.5 * h) * k2, gamma, b, c)
+    k4 = _v_nl_rhs(y + h * k3, gamma, b, c)
+    return y + (h / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
+
+def _chunk_stepper_v(k: int, coherent: float = 0.0):
     """k fused symmetric split steps over (B, 2, T) state."""
 
     def run(y, Lh, Lf, gamma, b, h):
@@ -181,13 +232,13 @@ def _chunk_stepper_v(k: int):
         y = jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
 
         def body(carry, _):
-            c = _xpm_kerr_step(carry, gamma, b, h)
+            c = _v_nl_substep(carry, gamma, b, h, coherent)
             c = jnp.fft.ifft(Lf * jnp.fft.fft(c, axis=-1), axis=-1)
             return c, None
 
         if k > 1:
             y, _ = lax.scan(body, y, None, length=k - 1)
-        y = _xpm_kerr_step(y, gamma, b, h)
+        y = _v_nl_substep(y, gamma, b, h, coherent)
         return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
 
     return run
@@ -221,7 +272,7 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
         Lh = _lin_factor_v(coeffs, 0.5 * h, rdt)
         Lf = _lin_factor_v(coeffs, h, rdt)
         ok0 = _lane_finite(y0)
-        stepper = _chunk_stepper_v(save_every)
+        stepper = _chunk_stepper_v(save_every, coeffs.coherent)
 
         def chunk(carry, _):
             y, pk, ok = carry
@@ -243,7 +294,8 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
             )
         # trailing partial steps: integrated (they can flip ok) but unsaved
         if remainder > 0:
-            y_new = _chunk_stepper_v(remainder)(y, Lh, Lf, gamma, b, h)
+            y_new = _chunk_stepper_v(remainder, coeffs.coherent)(
+                y, Lh, Lf, gamma, b, h)
             ok_new = ok & _lane_finite(y_new)
             if reduce_mode:
                 ok = ok_new            # y stays at the last saved point
@@ -273,11 +325,12 @@ def _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt):
     def lfft(L, a):
         return jnp.fft.ifft(L * jnp.fft.fft(a, axis=-1), axis=-1)
 
+    coh = coeffs.coherent
     Lc = _lin_factor_v(coeffs, 0.5 * hb, rdt)
     Lf = _lin_factor_v(coeffs, 0.25 * hb, rdt)
-    yc = lfft(Lc, _xpm_kerr_step(lfft(Lc, y), gamma, b, hb))
-    yf = _xpm_kerr_step(lfft(Lf, y), gamma, b, 0.5 * hb)
-    yf = _xpm_kerr_step(lfft(Lc, yf), gamma, b, 0.5 * hb)
+    yc = lfft(Lc, _v_nl_substep(lfft(Lc, y), gamma, b, hb, coh))
+    yf = _v_nl_substep(lfft(Lf, y), gamma, b, 0.5 * hb, coh)
+    yf = _v_nl_substep(lfft(Lc, yf), gamma, b, 0.5 * hb, coh)
     return yc, lfft(Lf, yf)
 
 
@@ -340,7 +393,8 @@ def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
 
 @functools.lru_cache(maxsize=16)
 def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
-                                           atol: float, max_steps: int, mesh):
+                                           atol: float, max_steps: int, mesh,
+                                           coherent: float = 0.0):
     from jax.sharding import PartitionSpec
 
     inner = _vgnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
@@ -354,7 +408,8 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
             in_specs=(
                 PartitionSpec(ax, None, None, None),
                 VGNLSECoeffs(gamma=b, alpha=b, b_xpm=PartitionSpec(),
-                             lin_phase=PartitionSpec(ax, None, None)),
+                             lin_phase=PartitionSpec(ax, None, None),
+                             coherent=coherent),
                 PartitionSpec(), PartitionSpec(),
             ),
             out_specs=PartitionSpec(ax, None),
@@ -365,7 +420,8 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
 
 @functools.lru_cache(maxsize=16)
 def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
-                                  rdt_name: str, mesh):
+                                  rdt_name: str, mesh,
+                                  coherent: float = 0.0):
     from jax.sharding import PartitionSpec
 
     inner = _vgnlse_solver(n_steps, save_every, rdt_name, True)
@@ -379,7 +435,8 @@ def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
             in_specs=(
                 PartitionSpec(ax, None, None, None),
                 VGNLSECoeffs(gamma=b, alpha=b, b_xpm=PartitionSpec(),
-                             lin_phase=PartitionSpec(ax, None, None)),
+                             lin_phase=PartitionSpec(ax, None, None),
+                             coherent=coherent),
                 PartitionSpec(),
             ),
             out_specs=PartitionSpec(ax, None),
@@ -532,6 +589,7 @@ def solve_vgnlse_batch(
             alpha=jnp.asarray(alpha, dtype=rdt),
             b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
             lin_phase=jnp.asarray(phase, dtype=rdt),
+            coherent=float(coeffs.coherent),
         )
         if use_rk45:
             solver = _vgnlse_adaptive_solver(
@@ -560,12 +618,13 @@ def solve_vgnlse_batch(
             alpha=put_global(np.asarray(alpha, dtype=rdt), sh),
             b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
             lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
+            coherent=float(coeffs.coherent),
         )
         y0_dev = put_global(y0_ri, sh)
         if use_rk45:
             solver = _vgnlse_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), mesh,
+                int(cfg.max_steps), mesh, float(coeffs.coherent),
             )
             out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, z_grid, dt0)
@@ -574,7 +633,8 @@ def solve_vgnlse_batch(
                                                         counters=True)
         else:
             solver = _vgnlse_reduce_solver_sharded(
-                n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
+                n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
+                float(coeffs.coherent),
             )
             out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt))

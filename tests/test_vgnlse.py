@@ -196,6 +196,69 @@ def test_validation_and_integrator_guard():
         vg.run_vgnlse_simulation(_cfg(), co_b, np.stack([A, A]))
 
 
+def test_isotropic_coupling_rotation_invariance():
+    """coupling='isotropic' (b=2/3 + coherent c=1/3) is the full isotropic
+    Kerr tensor: with no birefringence, propagating a rotated input equals
+    rotating the propagated output (machine level) -- and the incoherent
+    cnlse model demonstrably violates this (its b=2/3 XPM alone is
+    anisotropic).  Also pins pointwise total-power conservation and a real
+    polarization power exchange through the coherent term."""
+    grid = _grid(256)
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.01, save_every=100)
+    base = np.asarray(gn.sech_pulse(grid, peak_W=8.0, t0_s=T0))
+    A0 = np.stack([base, 0.6 * base * np.exp(0.4j)])
+    th = 0.7
+
+    def rot(A):
+        c, s = np.cos(th), np.sin(th)
+        return np.stack([c * A[0] - s * A[1], s * A[0] + c * A[1]])
+
+    co_iso = vg.make_vgnlse_coeffs(grid, None, gamma_W_m=GAMMA,
+                                   coupling="isotropic")
+    _, A_f = vg.run_vgnlse_simulation(cfg, co_iso, A0)
+    _, A_r = vg.run_vgnlse_simulation(cfg, co_iso, rot(A0))
+    scale = np.abs(A0).max()
+    np.testing.assert_allclose(A_r[-1], rot(A_f[-1]), rtol=0,
+                               atol=1e-11 * scale)
+    # contrast: the incoherent model is NOT rotation invariant
+    co_inc = vg.make_vgnlse_coeffs(grid, None, gamma_W_m=GAMMA)
+    _, B_f = vg.run_vgnlse_simulation(cfg, co_inc, A0)
+    _, B_r = vg.run_vgnlse_simulation(cfg, co_inc, rot(A0))
+    assert np.abs(B_r[-1] - rot(B_f[-1])).max() > 1e-3 * scale
+    # coherent term: pointwise total power conserved, per-pol power moves
+    Pt0 = (np.abs(A_f[0]) ** 2).sum(axis=0)
+    PtL = (np.abs(A_f[-1]) ** 2).sum(axis=0)
+    np.testing.assert_allclose(PtL, Pt0, rtol=0, atol=1e-11 * Pt0.max())
+    assert np.abs(np.abs(A_f[-1][0]) ** 2
+                  - np.abs(A_f[0][0]) ** 2).max() > 0.05
+
+
+def test_isotropic_batch_shard_and_rk45():
+    import jax
+
+    grid = _grid(128)
+    co = vg.make_vgnlse_coeffs(grid, _disp(), gamma_W_m=GAMMA,
+                               coupling="isotropic")
+    base = np.asarray(gn.sech_pulse(grid, peak_W=5.0, t0_s=T0))
+    A0 = np.stack([np.asarray(vg.polarized_pulse(s * base, 0.5))
+                   for s in np.linspace(0.7, 1.3, 5)])
+    cfg = _cfg(dz=0.02, save_every=100)
+    pk, A_last, ok = vg.solve_vgnlse_batch(cfg, co, A0)
+    assert ok.all()
+    _, A1 = vg.run_vgnlse_simulation(cfg, co, A0[2])
+    np.testing.assert_allclose(A_last[2], A1[-1], rtol=0, atol=1e-12)
+    assert len(jax.devices()) == 8
+    pk_s, A_s, ok_s = vg.solve_vgnlse_batch(cfg, co, A0,
+                                            mesh=pm.default_mesh())
+    np.testing.assert_allclose(A_s, A_last, rtol=0, atol=1e-11)
+    # adaptive path with the coherent substep
+    cfg45 = _cfg(dz=0.02, save_every=100, integrator="rk45",
+                 rtol=1e-8, atol=1e-10)
+    pk5, A5, ok5 = vg.solve_vgnlse_batch(cfg45, co, A0)
+    assert ok5.all()
+    np.testing.assert_allclose(pk5, pk, rtol=1e-5)
+
+
 def test_rk45_adaptive_matches_fixed_and_shards():
     """cfg.integrator='rk45' on the vector solver: agrees with a 5x-finer
     fixed-step run at tolerance (a breathing cnlse 45-deg split), batch
