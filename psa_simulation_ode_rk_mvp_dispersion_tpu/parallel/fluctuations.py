@@ -52,6 +52,61 @@ class GainRippleResult:
     elapsed_s: float
 
 
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex
+from ..utils.precision import real_dtype, validate_precision
+
+
+@functools.lru_cache(maxsize=32)
+def _ripple_solver(steps_seg: int, rdt_name: str):
+    """Fused on-device realization solver: lax.scan over the S segments
+    (with the inter-segment sideband rotation as a device op) inside one
+    vmapped XLA program -- ONE launch and ONE fetch for the whole Monte
+    Carlo instead of S host round trips (docs/PERF.md rule 7).  Lab-frame
+    RK4 per segment; returns a stacked (B, 9) buffer [A_end ri | ok]."""
+    from ..ops.integrators import integrate_reduce
+    from ..ops.rhs import rhs_yaman
+
+    rdt = jnp.dtype(rdt_name)
+
+    def solve(y0_ri, gamma, alpha, dbeta_bs, dz, L_seg):
+        y0 = ri_to_complex(y0_ri)                  # (B, 4)
+
+        def one(y0_l, g, a, db_row):
+            def seg(carry, db):
+                y, db_prev, ok = carry
+                ang = (0.5 * db_prev * L_seg).astype(rdt)
+                rot = lax.complex(jnp.cos(ang), jnp.sin(ang))
+                y = y.at[2].mul(rot).at[3].mul(rot)
+                res = integrate_reduce(
+                    rhs_yaman, y,
+                    RHSCoeffs(gamma=g, alpha=a, delta_beta=db),
+                    z0=jnp.asarray(0.0, rdt), dz=dz,
+                    n_steps=steps_seg, save_every=steps_seg,
+                    reduce_init=jnp.zeros((), rdt),
+                    reduce_fn=lambda acc, _y: acc,
+                )
+                return (res.y_final, db, ok & res.ok), None
+
+            (y, _, ok), _ = lax.scan(
+                seg, (y0_l, jnp.asarray(0.0, rdt), jnp.asarray(True)), db_row
+            )
+            return y, ok
+
+        y, ok = jax.vmap(one)(y0, gamma, alpha, dbeta_bs)
+        a_ri = complex_to_ri(y).astype(rdt)
+        return jnp.concatenate(
+            [a_ri.reshape(a_ri.shape[0], 8), ok.astype(rdt)[:, None]], axis=1
+        )
+
+    return jax.jit(solve)
+
+
 def gain_ripple_monte_carlo(
     cfg: SimulationConfig,
     *,
@@ -77,8 +132,6 @@ def gain_ripple_monte_carlo(
     steps.  Lane 0 is the fluctuation-free fiber.  Returns per-realization
     signal gains (end-of-fiber convention) and their ensemble statistics.
     """
-    import dataclasses as _dc
-
     p_in = np.asarray(p_in, dtype=np.float64).reshape(4)
     if phase_in is None:
         phase_in = np.zeros(4)
@@ -87,9 +140,12 @@ def gain_ripple_monte_carlo(
     S = int(n_segments)
     if S < 1:
         raise ValueError("n_segments must be >= 1")
+    if int(n_realizations) < 2:
+        raise ValueError(
+            "n_realizations must be >= 2 (the spread statistics need at "
+            "least two fluctuating fibers)"
+        )
     B = int(n_realizations) + 1
-    if B < 2:
-        raise ValueError("n_realizations must be >= 1")
     steps_total = int(round(float(cfg.z_max) / float(cfg.dz)))
     if steps_total % S != 0:
         raise ValueError(
@@ -103,7 +159,7 @@ def gain_ripple_monte_carlo(
             "(A_end sits on the saved grid)"
         )
     L_seg = float(cfg.dz) * steps_seg
-    cfg_seg = _dc.replace(cfg, z_max=L_seg)
+    cfg_seg = dataclasses.replace(cfg, z_max=L_seg)
 
     rng = np.random.default_rng(seed)
     dbeta = rng.normal(float(delta_beta_mean), float(sigma_dbeta), (B, S))
@@ -118,36 +174,53 @@ def gain_ripple_monte_carlo(
     alpha_b = np.full(B, float(alpha))
 
     t0 = time.perf_counter()
-    ok = np.ones(B, dtype=bool)
-    for s in range(S):
-        if s > 0:
-            # rotate the sidebands by the mismatch phase the previous
-            # segment accumulated; the product of these incremental
-            # rotations is the total e^{i Phi_s / 2} of the derivation
-            # above (the returned A3/A4 stay in this rotated frame --
-            # powers, hence gains, are unaffected)
-            rot = np.exp(0.5j * dbeta[:, s - 1] * L_seg)
-            A = A.copy()
-            A[:, 2] *= rot
-            A[:, 3] *= rot
-        res = solve_batch(
-            cfg_seg,
-            RHSCoeffs(gamma=gamma_b, alpha=alpha_b, delta_beta=dbeta[:, s]),
-            A, mesh=mesh, engine=engine,
-        )
-        ok &= np.asarray(res.ok, dtype=bool)
-        A = np.asarray(res.A_end)
+    if mesh is None and engine == "auto":
+        # fused path: the whole (B realizations x S segments) Monte Carlo is
+        # ONE XLA program (scan over segments with the on-device rotation)
+        rdt = real_dtype(validate_precision(cfg.precision))
+        solver = _ripple_solver(steps_seg, np.dtype(rdt).name)
+        out = np.asarray(jax.block_until_ready(solver(
+            jnp.asarray(ri_pack_host(A, rdt)),
+            jnp.asarray(gamma_b, dtype=rdt), jnp.asarray(alpha_b, dtype=rdt),
+            jnp.asarray(dbeta, dtype=rdt), jnp.asarray(float(cfg.dz), rdt),
+            jnp.asarray(L_seg, rdt),
+        )))
+        ok = out[:, 8] > 0.5
+        with np.errstate(over="ignore"):
+            P_sig = out[:, 4].astype(np.float64) ** 2 \
+                + out[:, 5].astype(np.float64) ** 2
+    else:
+        # host-composed path (explicit engine choice or sharded mesh):
+        # one batched solve per segment, sidebands rotated between segments
+        # by the mismatch phase the previous segment accumulated (the
+        # product of the incremental rotations is the total e^{i Phi_s/2}
+        # of the derivation above; powers, hence gains, are unaffected)
+        ok = np.ones(B, dtype=bool)
+        for s in range(S):
+            if s > 0:
+                rot = np.exp(0.5j * dbeta[:, s - 1] * L_seg)
+                A[:, 2] *= rot
+                A[:, 3] *= rot
+            res = solve_batch(
+                cfg_seg,
+                RHSCoeffs(gamma=gamma_b, alpha=alpha_b,
+                          delta_beta=dbeta[:, s]),
+                A, mesh=mesh, engine=engine,
+            )
+            ok &= np.asarray(res.ok, dtype=bool)
+            A = np.asarray(res.A_end).copy()  # rotated in place next iter
+        # res.P_end is the overflow-guarded power solve_batch computed
+        P_sig = np.asarray(res.P_end)[:, 2]
     elapsed = time.perf_counter() - t0
-
-    P_sig = np.abs(A[:, 2]) ** 2
-    gain = np.where(ok, 10.0 * np.log10(P_sig / p_in[2]), np.nan)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gain = np.where(ok, 10.0 * np.log10(P_sig / p_in[2]), np.nan)
     good = gain[1:][np.isfinite(gain[1:])]
-    if good.size < 2:
-        raise FloatingPointError("too few realizations survived")
+    if good.size == 0:
+        raise FloatingPointError("no realizations survived")
     return GainRippleResult(
         gain_db=gain[1:],
         gain_mean_db=float(good.mean()),
-        gain_std_db=float(good.std(ddof=1)),
+        gain_std_db=float(good.std(ddof=1) if good.size > 1 else 0.0),
         gain_p5_db=float(np.percentile(good, 5)),
         gain_p95_db=float(np.percentile(good, 95)),
         gain_nominal_db=float(gain[0]),

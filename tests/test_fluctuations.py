@@ -66,6 +66,21 @@ def test_fluctuations_degrade_gain_at_optimum_monotonically():
     assert r.gain_p5_db < r.gain_mean_db < r.gain_p95_db
 
 
+def test_fused_matches_host_composed_path():
+    """The single-program fused path (engine='auto', lax.scan over segments)
+    and the host-composed per-segment path (engine='scan') run the same
+    draws (same seed) and must agree at integration precision."""
+    cfg = _cfg()
+    kw = dict(gamma=GAMMA, alpha=1e-4, p_in=P_IN, delta_beta_mean=DB_OPT,
+              sigma_dbeta=0.02, n_segments=8, n_realizations=64, seed=5)
+    r_fused = fl.gain_ripple_monte_carlo(cfg, engine="auto", **kw)
+    r_host = fl.gain_ripple_monte_carlo(cfg, engine="scan", **kw)
+    np.testing.assert_array_equal(r_fused.ok, r_host.ok)
+    np.testing.assert_allclose(r_fused.gain_db, r_host.gain_db, atol=1e-9)
+    assert r_fused.gain_mean_db == pytest.approx(r_host.gain_mean_db,
+                                                 abs=1e-9)
+
+
 def test_validation():
     cfg = _cfg()
     kw = dict(gamma=GAMMA, alpha=0.0, delta_beta_mean=0.0, sigma_dbeta=0.01)
