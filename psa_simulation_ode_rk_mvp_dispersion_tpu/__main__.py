@@ -118,6 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--z-max", type=float, default=200.0, help="fiber [m]")
     s.add_argument("--phase-points", type=int, default=17,
                    help="NF-vs-phase curve resolution (0 disables)")
+    s.add_argument("--spectrum-points", type=int, default=0,
+                   help="NF-vs-wavelength spectrum resolution (0 disables)")
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
@@ -198,7 +200,8 @@ def main(argv=None) -> int:
     elif args.cmd == "noise-figure":
         ex.noise_figure(
             z_max_m=args.z_max, n_samples=args.samples,
-            phase_points=args.phase_points, mesh=mesh,
+            phase_points=args.phase_points,
+            spectrum_points=args.spectrum_points, mesh=mesh,
             verbose=verbose, **common,
         )
     elif args.cmd == "bench":

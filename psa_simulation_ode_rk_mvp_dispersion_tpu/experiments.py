@@ -544,6 +544,7 @@ def noise_figure(
     n_samples: int = 8192,
     t_mode_s: float = 1e-9,
     phase_points: int = 17,
+    spectrum_points: int = 0,
     seed: int = 0,
     mesh=None,
     precision: str = "x64",
@@ -636,6 +637,43 @@ def noise_figure(
         plotting.plot_noise_figure_sweep(
             ph_grid, curve[1], curve[2], pia_nf_db=pia_theory, show=show,
             save_path=None if save_dir is None else f"{save_dir}/noise_figure.png",
+        )
+
+    if spectrum_points and spectrum_points > 0:
+        # NF(lambda) across a dispersion-shaped gain band (PIA measurement)
+        disp = dispersion_params_from_D_S(
+            lambda_ref_m=1552.5e-9, D=0.2, S=0.02, dSdlmbd=0,
+            D_units="ps/nm/km", S_units="ps/nm^2/km",
+            dSdlmbd_units="ps/nm^3/km",
+        )
+        lam3 = _np.linspace(1545e-9, 1640e-9, int(spectrum_points))
+        spec = nz.noise_figure_spectrum(
+            custom_simulation_config(z_max=z_max_m, dz=dz_m, save_every=50,
+                                     precision=precision),
+            lambda_p1_m=1550e-9, lambda_p2_m=1555e-9, lambda_signal_m=lam3,
+            gamma=gam, alpha=0.0, p_in=[p_pump_W, p_pump_W, p_signal_W, 0.0],
+            dispersion=disp, length_unit="m", t_mode_s=t_mode_s,
+            n_samples=n_samples, measure="signal", seed=seed + 1000,
+            mesh=mesh,
+        )
+        G_l = 10.0 ** (spec.gain_db / 10.0)
+        nf_t = 10.0 * _np.log10(2.0 - 1.0 / _np.maximum(G_l, 1.0 + 1e-12))
+        if verbose:
+            dev = _np.nanmax(_np.abs(spec.nf_db - nf_t))
+            print(
+                f"NF spectrum: {int(spectrum_points)} wavelengths, max "
+                f"|NF - (2-1/G)| = {dev:.3f} dB"
+            )
+        if save_dir is not None:
+            _np.savez(f"{save_dir}/noise_figure_spectrum.npz",
+                      wavelength=spec.wavelength, nf_db=spec.nf_db,
+                      gain_db=spec.gain_db, dbeta_1_m=spec.dbeta_1_m,
+                      nf_theory_db=nf_t, n_samples=n_samples)
+        plotting.plot_noise_figure_spectrum(
+            spec.wavelength, spec.nf_db, spec.gain_db, nf_theory_db=nf_t,
+            show=show,
+            save_path=None if save_dir is None
+            else f"{save_dir}/noise_figure_spectrum.png",
         )
     return pia, psa_r, curve
 

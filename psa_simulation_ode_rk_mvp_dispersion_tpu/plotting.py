@@ -440,6 +440,36 @@ def plot_noise_figure_sweep(phases_rad, nf_db, gain_db, *,
     _finish(plt, fig, title=title, save_path=save_path, show=show)
 
 
+def plot_noise_figure_spectrum(wavelength, nf_db, gain_db, *,
+                               nf_theory_db=None, x_unit="nm",
+                               title="Noise figure across the gain band",
+                               show=True, save_path=None):
+    """NF(lambda) and gain(lambda) for ``parallel/noise.noise_figure_spectrum``
+    results, with an optional theory overlay (e.g. the PIA 2-1/G law)."""
+    plt = _plt()
+    x = np.asarray(wavelength, dtype=float)
+    nf = np.asarray(nf_db, dtype=float)
+    g = np.asarray(gain_db, dtype=float)
+    if nf.shape != x.shape or g.shape != x.shape:
+        raise ValueError("wavelength, nf_db and gain_db must share a shape")
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(x, nf, "o-", color="tab:blue", ms=3, label="NF (Monte Carlo)")
+    if nf_theory_db is not None:
+        ax.plot(x, np.asarray(nf_theory_db, dtype=float), "--",
+                color="tab:blue", alpha=0.6, label="2 - 1/G theory")
+    ax.axhline(0.0, color="gray", ls=":", alpha=0.6)
+    ax.set_xlabel(f"signal wavelength [{x_unit}]")
+    ax.set_ylabel("noise figure [dB]", color="tab:blue")
+    ax.grid(True, alpha=0.3)
+    ax2 = ax.twinx()
+    ax2.plot(x, g, "s-", color="tab:orange", ms=3, label="gain [dB]")
+    ax2.set_ylabel("gain [dB]", color="tab:orange")
+    lines, labels = ax.get_legend_handles_labels()
+    l2, la2 = ax2.get_legend_handles_labels()
+    ax.legend(lines + l2, labels + la2, loc="best")
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
 def plot_spectral_evolution(z, omega, A_saved, *,
                             lambda0_m=None,
                             title="GNLSE spectral evolution",

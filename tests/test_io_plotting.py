@@ -336,3 +336,13 @@ def test_plot_spectral_evolution_and_nf_sweep_smoke(tmp_path):
     with pytest.raises(ValueError, match="share a shape"):
         plotting.plot_noise_figure_sweep(ph, np.zeros(3), np.zeros(9),
                                          show=False)
+
+    lam = np.linspace(1540, 1650, 7)
+    p4 = tmp_path / "nfspec.png"
+    plotting.plot_noise_figure_spectrum(
+        lam, np.linspace(3, 0, 7), np.linspace(20, 0, 7),
+        nf_theory_db=np.linspace(3, 0, 7), show=False, save_path=str(p4))
+    assert p4.exists()
+    with pytest.raises(ValueError, match="share a shape"):
+        plotting.plot_noise_figure_spectrum(lam, np.zeros(3), np.zeros(7),
+                                            show=False)
