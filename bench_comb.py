@@ -59,11 +59,11 @@ def _flops_per_rk4_step(n: int, L: int, coupling: str) -> float:
 def main() -> None:
     import jax
 
-    # persistent compile cache: the axon remote-compile helper can take
-    # minutes when the tunnel is slow; cached executables make reruns
-    # robust (same mechanism as the test conftest)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/psa_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.utils.precision import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()  # axon remote compiles are minutes on slow days
 
     import psa_tpu as psa
     from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw

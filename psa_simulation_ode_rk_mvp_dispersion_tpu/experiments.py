@@ -639,21 +639,22 @@ def noise_figure(
             save_path=None if save_dir is None else f"{save_dir}/noise_figure.png",
         )
 
+    spec = None
     if spectrum_points and spectrum_points > 0:
-        # NF(lambda) across a dispersion-shaped gain band (PIA measurement)
-        disp = dispersion_params_from_D_S(
-            lambda_ref_m=1552.5e-9, D=0.2, S=0.02, dSdlmbd=0,
-            D_units="ps/nm/km", S_units="ps/nm^2/km",
-            dSdlmbd_units="ps/nm^3/km",
-        )
+        # NF(lambda) across a dispersion-shaped gain band (PIA measurement);
+        # dispersion expanded at the pump-center frequency, the expansion
+        # point the symmetric-even delta-beta formula assumes
         lam3 = _np.linspace(1545e-9, 1640e-9, int(spectrum_points))
+        _, _, disp = _dispersion_at_pump_center(
+            1550e-9, 1555e-9, float(lam3[0]), D=0.2, S=0.02
+        )
         spec = nz.noise_figure_spectrum(
-            custom_simulation_config(z_max=z_max_m, dz=dz_m, save_every=50,
-                                     precision=precision),
+            cfg,
             lambda_p1_m=1550e-9, lambda_p2_m=1555e-9, lambda_signal_m=lam3,
             gamma=gam, alpha=0.0, p_in=[p_pump_W, p_pump_W, p_signal_W, 0.0],
             dispersion=disp, length_unit="m", t_mode_s=t_mode_s,
-            n_samples=n_samples, measure="signal", seed=seed + 1000,
+            n_samples=n_samples, measure="signal",
+            seed=seed + 10_000_019,  # disjoint from the phase-curve seeds
             mesh=mesh,
         )
         G_l = 10.0 ** (spec.gain_db / 10.0)
@@ -675,7 +676,7 @@ def noise_figure(
             save_path=None if save_dir is None
             else f"{save_dir}/noise_figure_spectrum.png",
         )
-    return pia, psa_r, curve
+    return pia, psa_r, curve, spec
 
 
 def vector_pulse(

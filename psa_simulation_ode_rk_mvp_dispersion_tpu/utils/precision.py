@@ -68,3 +68,20 @@ def dtypes_for(precision: str) -> Tuple[jnp.dtype, jnp.dtype]:
     """(real_dtype, complex_dtype) pair for a precision tier."""
     p = validate_precision(precision)
     return real_dtype(p), complex_dtype(p)
+
+
+def enable_compile_cache(path: str = "/tmp/psa_tpu_jax_cache",
+                         min_compile_secs: float = 2.0) -> None:
+    """Point JAX at the persistent compilation cache.
+
+    The axon remote-compile helper can take minutes on a slow tunnel; the
+    cache works across processes for that backend too (measured: a full
+    bench.py rerun drops from minutes to ~15 s).  One source of truth for
+    the bench scripts and any long-lived TPU script (the test conftest
+    duplicates the two config lines because it must run before the
+    package imports)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
