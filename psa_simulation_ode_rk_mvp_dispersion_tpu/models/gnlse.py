@@ -64,7 +64,7 @@ from ..utils.packing import (
     ri_to_complex,
     ri_unpack_host,
 )
-from ..utils.precision import real_dtype, validate_precision
+from ..utils.precision import real_dtype, require_non_df32, validate_precision
 
 
 # ---------------------------------------------------------------------------
@@ -422,12 +422,12 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
         y_saved = jnp.concatenate(
             [complex_to_ri(y0)[None], ys], axis=0
         )
-        # trailing partial steps: integrated (they can flip ok) but unsaved
+        # trailing partial steps: integrated (they can flip ok) but unsaved;
+        # y_final stays at the last SAVED grid point (the framework-wide
+        # saved-grid convention, matching _gnlse_reduce_solver)
         if remainder > 0:
             y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h, nl)
-            ok_new = ok & _finite_mask(y_new)
-            y = jnp.where(ok_new[..., None], y_new, y)
-            ok = ok_new
+            ok = ok & _finite_mask(y_new)
         y_final = complex_to_ri(y)
         return y_saved.astype(rdt), y_final.astype(rdt), ok.astype(jnp.int32)
 
@@ -762,8 +762,9 @@ def run_gnlse_simulation(
     *,
     length_unit: str = "m",
     nl: Optional[NLTerms] = None,
+    z0: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Integrate one envelope over [0, z_max]; returns host
+    """Integrate one envelope over [z0, z0 + z_max]; returns host
     ``(z_saved, A_saved (S+1, T))`` on the decimated save grid.
 
     ``nl`` (:func:`make_nl_terms`) switches the nonlinear substep from the
@@ -775,6 +776,15 @@ def run_gnlse_simulation(
     local-error control at ``cfg.rtol``/``cfg.atol``), landing on the SAME
     decimated save grid.
 
+    Checkpoint/resume (reference analog io_fwm.py:297-328 bundles + SURVEY
+    §5): pass the last saved row as ``A0`` and its coordinate as ``z0`` (in
+    ``length_unit``) to continue an integration.  The co-moving GNLSE is
+    autonomous in z (loss, dispersion phase, Kerr/Raman all z-independent),
+    so a resumed fixed-step run reproduces the uninterrupted trajectory
+    BITWISE from any saved grid point (chunks are not fused across save
+    boundaries); rk45 resumes to tolerance (the step-size controller
+    restarts from dz).  ``z0`` only offsets the returned z grid.
+
     Raises ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan`` (eager
     single-run parity with the other model families).
     """
@@ -782,7 +792,10 @@ def run_gnlse_simulation(
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(validate_precision(cfg.precision))
+    rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
+    z0 = float(z0)
+    if not np.isfinite(z0):
+        raise ValueError("z0 must be finite")
 
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 1:
@@ -807,7 +820,7 @@ def run_gnlse_simulation(
                 raise FloatingPointError(
                     "NaN or Inf detected during GNLSE integration"
                 )
-            return np.zeros(1), A0[None, :].copy()
+            return np.full(1, z0), A0[None, :].copy()
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * dz_m
         )
@@ -825,7 +838,7 @@ def run_gnlse_simulation(
                 "NaN/Inf or step-size underflow during adaptive (rk45) "
                 "GNLSE integration"
             )
-        return z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0, :]
+        return z0 + z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0, :]
 
     solver = _gnlse_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
     ys, yf, ok = jax.block_until_ready(
@@ -833,7 +846,9 @@ def run_gnlse_simulation(
     )
     if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
         raise FloatingPointError("NaN or Inf detected during GNLSE integration")
-    z = np.arange(n_chunks + 1, dtype=np.float64) * (int(cfg.save_every) * dz_m) / scale
+    z = z0 + np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dz_m
+    ) / scale
     A_saved = ri_unpack_host(np.asarray(ys))[:, 0, :]
     return z, A_saved
 
@@ -861,12 +876,18 @@ def solve_gnlse_batch(
     lanes, per-lane step size, frozen failed lanes); the peak reduction is
     over the same saved grid, and integration stops at the last saved grid
     point (adaptive-path parity with ``ops/adaptive``).
+
+    Checkpoint/resume: ``A_last`` IS the restart state -- the equation is
+    autonomous in z, so feeding a previous call's ``A_last`` back in as
+    ``A0`` continues every lane bitwise (fixed-step; rk45 to tolerance).
+    Combine segment peaks with ``np.maximum`` (each call's ``peak_max``
+    covers its own saved grid including its row 0).
     """
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(validate_precision(cfg.precision))
+    rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
 
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 2:

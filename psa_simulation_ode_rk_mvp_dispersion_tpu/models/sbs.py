@@ -50,7 +50,7 @@ from jax import lax
 from ..config import SimulationConfig, validate_config
 from ..ops.rhs import RHSCoeffs, rhs_yaman_autonomous
 from ..utils.packing import ri_pack_host, ri_to_complex, complex_to_ri, ri_unpack_host
-from ..utils.precision import real_dtype, validate_precision
+from ..utils.precision import real_dtype, require_non_df32
 from ..utils.units import length_scale_to_m
 
 
@@ -122,7 +122,7 @@ def _make_sbs_run(
     relaxing.
     """
 
-    def run(a0_ri, bL_ri, coeffs: SBSCoeffs, dz):
+    def run(a0_ri, bL_ri, b_init_ri, coeffs: SBSCoeffs, dz):
         cdt = jnp.complex64 if a0_ri.dtype == jnp.float32 else jnp.complex128
         a0 = ri_to_complex(a0_ri).astype(cdt)
         bL = ri_to_complex(bL_ri).astype(cdt)
@@ -187,7 +187,11 @@ def _make_sbs_run(
             # emitting them per-iteration would materialize K copies
             return (B_out, A_out, resid_out, it_out)
 
-        B_init = jnp.zeros((n + 1, 4), dtype=cdt)
+        # warm start: the relaxation state is fully determined by the B
+        # trajectory (A is recomputed by the forward sweep each iteration),
+        # so checkpoint/resume = seeding B_traj; the boundary value B(L)=bL
+        # is re-pinned in case the guess drifted.  A cold start passes zeros.
+        B_init = ri_to_complex(b_init_ri).astype(cdt).at[-1].set(bL)
         A_init_traj = jnp.zeros((n + 1, 4), dtype=cdt)
         B_final, A_final, resid, n_it = lax.while_loop(
             cond,
@@ -217,7 +221,35 @@ def _sbs_solver(n_steps: int, save_every: int, max_iterations: int, damping: flo
 def _sbs_batch_solver(n_steps: int, save_every: int, max_iterations: int,
                       damping: float, tol: float):
     run = _make_sbs_run(n_steps, save_every, max_iterations, damping, tol)
-    return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, None)))
+    return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, None)))
+
+
+def _b_init_on_step_grid(B_init, n_steps: int, save_every: int) -> np.ndarray:
+    """Lift a saved-grid backward trajectory (..., S, 4) onto the full step
+    grid (..., n_steps+1, 4) by linear interpolation (exact when
+    save_every == 1; otherwise the warm start is approximate -- the
+    relaxation converges to the same fixed point either way, just faster
+    than from zero)."""
+    B_init = np.asarray(B_init, dtype=np.complex128)
+    n_saved = n_steps // save_every + 1
+    if B_init.shape[-2:] != (n_saved, 4):
+        raise ValueError(
+            f"B_init must have shape (..., {n_saved}, 4) (the saved grid of "
+            f"this cfg), got {B_init.shape}"
+        )
+    if not np.all(np.isfinite(B_init)):
+        raise ValueError("B_init must be finite")
+    z_saved = np.arange(n_saved, dtype=np.float64) * save_every
+    z_all = np.arange(n_steps + 1, dtype=np.float64)
+    flat = B_init.reshape(-1, n_saved, 4)
+    out = np.empty(flat.shape[:1] + (n_steps + 1, 4), dtype=np.complex128)
+    for b in range(flat.shape[0]):
+        for j in range(4):
+            out[b, :, j] = (
+                np.interp(z_all, z_saved, flat[b, :, j].real)
+                + 1j * np.interp(z_all, z_saved, flat[b, :, j].imag)
+            )
+    return out.reshape(B_init.shape[:-2] + (n_steps + 1, 4))
 
 
 def run_sbs_simulation(
@@ -236,6 +268,7 @@ def run_sbs_simulation(
     damping: float = 1.0,
     tol: float = 0.0,
     max_iterations: Optional[int] = None,
+    B_init: Optional[np.ndarray] = None,
 ) -> SBSResult:
     """Solve the coupled FWM + SBS two-point BVP on [0, z_max].
 
@@ -250,6 +283,14 @@ def run_sbs_simulation(
     (defaults to ``n_iterations``), whichever comes first;
     ``SBSResult.residual`` / ``.n_iterations`` report what actually
     happened.  ``tol=0`` runs exactly the iteration budget.
+
+    Checkpoint/resume: pass a previous :attr:`SBSResult.B` (saved-grid
+    backward trajectory, shape (S+1, 4)) as ``B_init`` to warm-start the
+    relaxation -- the fixed point is unchanged; a converged guess
+    re-converges in one sweep (the forward field A is recomputed from B, so
+    B alone is the full relaxation state).  With ``save_every == 1`` the
+    warm start is exact; otherwise the guess is linearly interpolated onto
+    the step grid.
     """
     if not (0.0 < damping <= 1.0):
         raise ValueError("damping must be in (0, 1]")
@@ -261,7 +302,7 @@ def run_sbs_simulation(
     validate_config(cfg)
     if cfg.integrator.lower() != "rk4":
         raise ValueError("SBS relaxation currently supports integrator='rk4'")
-    precision = validate_precision(cfg.precision)
+    precision = require_non_df32(cfg.precision, family="SBS relaxation")
     rdt = real_dtype(precision)
 
     scale = length_scale_to_m(length_unit)
@@ -282,6 +323,10 @@ def run_sbs_simulation(
         g_B=jnp.asarray(float(g_B) / scale, dtype=rdt),
     )
 
+    if B_init is None:
+        b_init = np.zeros((n_steps + 1, 4), dtype=np.complex128)
+    else:
+        b_init = _b_init_on_step_grid(B_init, n_steps, int(cfg.save_every))
     solver = _sbs_solver(
         n_steps, int(cfg.save_every), max_it, float(damping), float(tol)
     )
@@ -289,6 +334,7 @@ def run_sbs_simulation(
         solver(
             jnp.asarray(ri_pack_host(A0, rdt)),
             jnp.asarray(ri_pack_host(BL, rdt)),
+            jnp.asarray(ri_pack_host(b_init, rdt)),
             coeffs,
             jnp.asarray(dz_m, dtype=rdt),
         )
@@ -336,6 +382,7 @@ def run_sbs_batch(
     tol: float = 0.0,
     max_iterations: Optional[int] = None,
     mesh=None,
+    B_init: Optional[np.ndarray] = None,
 ):
     """Solve B independent FWM+SBS boundary-value problems in one program.
 
@@ -348,7 +395,9 @@ def run_sbs_batch(
     raised.  Per-lane convergence control as in
     :func:`run_sbs_simulation` (``tol`` / ``max_iterations``): converged
     lanes freeze (bit-identical to solving them alone) while slow lanes
-    keep relaxing.
+    keep relaxing.  ``B_init`` (shape (B, S+1, 4)) warm-starts every lane
+    from a previous call's backward trajectories (checkpoint/resume; see
+    :func:`run_sbs_simulation`).
     """
     validate_config(cfg)
     if cfg.integrator.lower() != "rk4":
@@ -360,7 +409,7 @@ def run_sbs_batch(
     max_it = int(n_iterations if max_iterations is None else max_iterations)
     if max_it <= 0:
         raise ValueError("max_iterations must be positive")
-    precision = validate_precision(cfg.precision)
+    precision = require_non_df32(cfg.precision, family="SBS relaxation")
     rdt = real_dtype(precision)
     scale = length_scale_to_m(length_unit)
     dz_m = float(cfg.dz) * scale
@@ -398,9 +447,19 @@ def run_sbs_batch(
     n_orig = B
     a0_ri = ri_pack_host(A0, rdt)
     bl_ri = ri_pack_host(BL, rdt)
+    if B_init is None:
+        b_init = np.zeros((B, n_steps + 1, 4), dtype=np.complex128)
+    else:
+        B_init = np.asarray(B_init, dtype=np.complex128)
+        if B_init.ndim != 3 or B_init.shape[0] != B:
+            raise ValueError(
+                f"B_init must have shape (B={B}, S+1, 4), got {B_init.shape}"
+            )
+        b_init = _b_init_on_step_grid(B_init, n_steps, int(cfg.save_every))
+    bi_ri = ri_pack_host(b_init, rdt)
     if mesh is None:
-        a0_dev, bl_dev, coeffs_dev = (
-            jnp.asarray(a0_ri), jnp.asarray(bl_ri), coeffs
+        a0_dev, bl_dev, bi_dev, coeffs_dev = (
+            jnp.asarray(a0_ri), jnp.asarray(bl_ri), jnp.asarray(bi_ri), coeffs
         )
     else:
         from ..parallel.mesh import batch_sharding, pad_batch, put_global
@@ -410,6 +469,7 @@ def run_sbs_batch(
         a0_p, n_orig = pad_batch(a0_ri, ndev)
         a0_dev = put_global(a0_p, sh)
         bl_dev = put_global(pad_batch(bl_ri, ndev)[0], sh)
+        bi_dev = put_global(pad_batch(bi_ri, ndev)[0], sh)
         coeffs_dev = SBSCoeffs(
             fwm=RHSCoeffs(
                 gamma=put_global(pad_batch(np.asarray(g, dtype=rdt), ndev)[0], sh),
@@ -419,7 +479,7 @@ def run_sbs_batch(
             g_B=put_global(pad_batch(np.asarray(gb, dtype=rdt), ndev)[0], sh),
         )
     a_ri, b_ri, resid, n_it = jax.block_until_ready(
-        solver(a0_dev, bl_dev, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))
+        solver(a0_dev, bl_dev, bi_dev, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))
     )
     from ..parallel.mesh import fetch_global
 

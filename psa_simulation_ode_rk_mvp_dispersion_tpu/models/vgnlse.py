@@ -52,7 +52,7 @@ from ..utils.packing import (
     ri_to_complex,
     ri_unpack_host,
 )
-from ..utils.precision import real_dtype, validate_precision
+from ..utils.precision import real_dtype, require_non_df32, validate_precision
 from .gnlse import TimeGrid, _lane_finite, _split_reduce_pack
 
 XPM_LINEAR_BIREFRINGENT = 2.0 / 3.0
@@ -292,16 +292,13 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
             ys = None if reduce_mode else jnp.zeros(
                 (0,) + y0.shape + (2,), dtype=rdt
             )
-        # trailing partial steps: integrated (they can flip ok) but unsaved
+        # trailing partial steps: integrated (they can flip ok) but unsaved;
+        # y_final stays at the last SAVED grid point in both modes (the
+        # framework-wide saved-grid convention)
         if remainder > 0:
             y_new = _chunk_stepper_v(remainder, coeffs.coherent)(
                 y, Lh, Lf, gamma, b, h)
-            ok_new = ok & _lane_finite(y_new)
-            if reduce_mode:
-                ok = ok_new            # y stays at the last saved point
-            else:
-                y = jnp.where(ok_new[..., None, None], y_new, y)
-                ok = ok_new
+            ok = ok & _lane_finite(y_new)
         y_final = complex_to_ri(y).astype(rdt)
         if reduce_mode:
             # ONE stacked output (docs/PERF.md rule 7)
@@ -455,17 +452,28 @@ def run_vgnlse_simulation(
     A0: np.ndarray,
     *,
     length_unit: str = "m",
+    z0: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Integrate one vector envelope (2, T) over [0, z_max]; returns host
-    ``(z_saved, A_saved (S+1, 2, T))`` on the decimated save grid.  Raises
-    ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan``.
+    """Integrate one vector envelope (2, T) over [z0, z0 + z_max]; returns
+    host ``(z_saved, A_saved (S+1, 2, T))`` on the decimated save grid.
+    Raises ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan``.
     ``cfg.integrator='rk45'`` dispatches to the adaptive split-step (the
-    scalar GNLSE's step-doubling controller) on the same save grid."""
+    scalar GNLSE's step-doubling controller) on the same save grid.
+
+    Checkpoint/resume: pass the last saved row as ``A0`` and its coordinate
+    as ``z0`` (in ``length_unit``); the co-moving vector GNLSE is autonomous
+    in z, so a resumed fixed-step run continues the uninterrupted trajectory
+    bitwise from any saved grid point (rk45: to tolerance).  ``z0`` only
+    offsets the returned z grid (contract mirrors
+    :func:`~.gnlse.run_gnlse_simulation`)."""
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(validate_precision(cfg.precision))
+    rdt = real_dtype(require_non_df32(cfg.precision, family="vector-GNLSE split-step"))
+    z0 = float(z0)
+    if not np.isfinite(z0):
+        raise ValueError("z0 must be finite")
 
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.shape[:1] != (2,) or A0.ndim != 2:
@@ -486,7 +494,7 @@ def run_vgnlse_simulation(
                 raise FloatingPointError(
                     "NaN or Inf detected during vector-GNLSE integration"
                 )
-            return np.zeros(1), A0[None].copy()
+            return np.full(1, z0), A0[None].copy()
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * dz_m
         )
@@ -504,7 +512,7 @@ def run_vgnlse_simulation(
                 "NaN/Inf or step-size underflow during adaptive (rk45) "
                 "vector-GNLSE integration"
             )
-        return z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0]
+        return z0 + z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0]
 
     solver = _vgnlse_solver(n_steps, int(cfg.save_every),
                             np.dtype(rdt).name, False)
@@ -516,7 +524,7 @@ def run_vgnlse_simulation(
         raise FloatingPointError(
             "NaN or Inf detected during vector-GNLSE integration"
         )
-    z = np.arange(n_chunks + 1, dtype=np.float64) * (
+    z = z0 + np.arange(n_chunks + 1, dtype=np.float64) * (
         int(cfg.save_every) * dz_m
     ) / scale
     return z, ri_unpack_host(np.asarray(ys))[:, 0]
@@ -537,12 +545,16 @@ def solve_vgnlse_batch(
     via ``shard_map`` (per-shard local FFTs).  ``cfg.integrator='rk45'``
     dispatches to the adaptive split-step (lockstep batched lanes; the
     reduction covers the same saved grid, integration stops at the last
-    saved grid point)."""
+    saved grid point).
+
+    Checkpoint/resume: ``A_last`` is the restart state (autonomous
+    equation) -- feed it back as ``A0`` to continue bitwise (fixed-step;
+    rk45 to tolerance); combine segment peaks with ``np.maximum``."""
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(validate_precision(cfg.precision))
+    rdt = real_dtype(require_non_df32(cfg.precision, family="vector-GNLSE split-step"))
 
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 3 or A0.shape[1] != 2:

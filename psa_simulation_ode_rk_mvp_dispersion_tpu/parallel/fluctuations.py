@@ -174,10 +174,15 @@ def gain_ripple_monte_carlo(
     alpha_b = np.full(B, float(alpha))
 
     t0 = time.perf_counter()
-    if mesh is None and engine == "auto":
+    precision = validate_precision(cfg.precision)
+    if mesh is None and engine == "auto" and precision != "df32":
         # fused path: the whole (B realizations x S segments) Monte Carlo is
-        # ONE XLA program (scan over segments with the on-device rotation)
-        rdt = real_dtype(validate_precision(cfg.precision))
+        # ONE XLA program (scan over segments with the on-device rotation).
+        # df32 falls through to the host-composed path below, whose
+        # solve_batch dispatches the compensated two-float engine -- the
+        # fused solver runs plain f32 and would silently degrade the
+        # <=1e-9 tier.
+        rdt = real_dtype(precision)
         solver = _ripple_solver(steps_seg, np.dtype(rdt).name)
         out = np.asarray(jax.block_until_ready(solver(
             jnp.asarray(ri_pack_host(A, rdt)),

@@ -64,6 +64,29 @@ def validate_precision(precision: str) -> str:
     return p
 
 
+def require_non_df32(precision: str, *, family: str) -> str:
+    """Validate a precision tier for a solver family with no compensated
+    (two-float) implementation.
+
+    The df32 tier promises <=1e-9-class parity with the f64 reference;
+    silently running such a request at plain f32 (what ``real_dtype('df32')``
+    alone would do) quietly degrades it to ~1e-5.  Families without a
+    two-float engine must refuse instead (ADVICE r2): use 'x32' on TPU or
+    'x64' on CPU; the df32 tier covers the 4-wave ODE family
+    (``parallel/sweep.solve_batch``) and the N-wave comb
+    (``models/nwave.solve_comb_batch``).
+    """
+    p = validate_precision(precision)
+    if p == "df32":
+        raise ValueError(
+            f"precision='df32' is not implemented for the {family} solvers "
+            "(no compensated two-float engine; running it at f32 would "
+            "silently miss the <=1e-9 tier). Use 'x32' (TPU fast path) or "
+            "'x64' (CPU validation)."
+        )
+    return p
+
+
 def dtypes_for(precision: str) -> Tuple[jnp.dtype, jnp.dtype]:
     """(real_dtype, complex_dtype) pair for a precision tier."""
     p = validate_precision(precision)

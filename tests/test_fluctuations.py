@@ -92,3 +92,44 @@ def test_validation():
     with pytest.raises(ValueError, match="save_every"):
         fl.gain_ripple_monte_carlo(_cfg(save_every=300), p_in=P_IN,
                                    n_segments=8, **kw)
+
+
+def test_df32_request_routes_to_compensated_engine(monkeypatch):
+    """A cfg requesting the df32 tier must NOT run the fused f32 ripple
+    solver (ADVICE r2): it falls through to the host-composed path whose
+    solve_batch dispatches the compensated two-float engine.  Verified by
+    stubbing solve_batch and asserting the fused solver is never built."""
+    import dataclasses as dc
+
+    import psa_tpu as psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import fluctuations
+
+    calls = []
+
+    def fake_solve_batch(cfg, coeffs, A, mesh=None, engine="auto"):
+        calls.append((cfg.precision, engine, mesh))
+        B = A.shape[0]
+        return type("R", (), {
+            "ok": np.ones(B, dtype=bool),
+            "A_end": np.asarray(A) * 0.9,
+            "P_end": np.abs(np.asarray(A) * 0.9) ** 2,
+        })()
+
+    def boom(*a, **k):
+        raise AssertionError("fused f32 solver must not run for df32")
+
+    monkeypatch.setattr(fluctuations, "solve_batch", fake_solve_batch)
+    monkeypatch.setattr(fluctuations, "_ripple_solver", boom)
+
+    cfg = dc.replace(
+        psa.custom_simulation_config(z_max=10.0, dz=0.1, save_every=10),
+        precision="df32",
+    )
+    res = fluctuations.gain_ripple_monte_carlo(
+        cfg, gamma=0.01, alpha=0.0, p_in=[0.1, 0.1, 1e-4, 0.0],
+        delta_beta_mean=0.0, sigma_dbeta=0.01, n_segments=2,
+        n_realizations=4, seed=0,
+    )
+    assert len(calls) == 2                       # one solve per segment
+    assert all(c[0] == "df32" for c in calls)
+    assert np.isfinite(res.gain_mean_db)

@@ -518,3 +518,25 @@ def test_batched_alpha_shared_phase():
     assert ok.all()
     E = gn.pulse_energy(grid, A_last)
     np.testing.assert_allclose(E / E[0], np.exp(-alphas * 10.0), rtol=1e-10)
+
+
+def test_df32_rejected_with_clear_error():
+    """The GNLSE family has no two-float engine; a df32 request must raise
+    instead of silently running f32 (ADVICE r2)."""
+    import dataclasses as dc
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
+        TimeGrid, gaussian_pulse, make_gnlse_coeffs, run_gnlse_simulation,
+        solve_gnlse_batch)
+
+    grid = TimeGrid(n_samples=64, t_window_s=10e-12)
+    cf = make_gnlse_coeffs(grid, None, gamma_W_m=1e-3)
+    A0 = gaussian_pulse(grid, peak_W=1.0, t0_s=1e-12)
+    cfg = dc.replace(
+        psa.custom_simulation_config(z_max=1.0, dz=0.1, save_every=1),
+        precision="df32",
+    )
+    with pytest.raises(ValueError, match="df32"):
+        run_gnlse_simulation(cfg, cf, A0)
+    with pytest.raises(ValueError, match="df32"):
+        solve_gnlse_batch(cfg, cf, A0[None])

@@ -136,3 +136,172 @@ def test_checked_rhs_catches_nonfinite():
     err2, out2 = run_checked(solve, jnp.asarray([1.0]), jnp.asarray(0.1))
     err2.throw()
     assert np.isfinite(np.asarray(out2)).all()
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint/resume for the remaining model families (round-3: every family
+# restarts from saved state -- reference analog io_fwm.py:297-328 + SURVEY §5)
+# ---------------------------------------------------------------------------
+
+def _gnlse_setup(n_samples=128):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
+        TimeGrid, gaussian_pulse, make_gnlse_coeffs)
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.dispersion import (
+        DispersionParams)
+
+    grid = TimeGrid(n_samples=n_samples, t_window_s=40e-12)
+    disp = DispersionParams.from_betas(
+        omega_ref=1.2e15, beta2=-2e-26, beta3=1e-40)
+    cf = make_gnlse_coeffs(grid, disp, gamma_W_m=1e-2, alpha_1_m=5e-4)
+    A0 = gaussian_pulse(grid, peak_W=1.0, t0_s=1e-12)
+    return grid, cf, A0
+
+
+def test_gnlse_resume_bitwise_fixed_step():
+    """GNLSE: [0, 10] in one go == [0, 5] + resume [5, 10] BITWISE (the
+    co-moving equation is autonomous in z; chunks are not fused across
+    save boundaries)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
+        make_nl_terms, run_gnlse_simulation)
+
+    grid, cf, A0 = _gnlse_setup()
+    nl = make_nl_terms(grid, omega0=1.2e15)   # raman + steepening too
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.01, save_every=100)
+    cfg_h = psa.custom_simulation_config(z_max=5.0, dz=0.01, save_every=100)
+    for terms in (None, nl):
+        z_f, A_f = run_gnlse_simulation(cfg, cf, A0, nl=terms)
+        z1, A1 = run_gnlse_simulation(cfg_h, cf, A0, nl=terms)
+        z2, A2 = run_gnlse_simulation(cfg_h, cf, A1[-1], z0=float(z1[-1]),
+                                      nl=terms)
+        assert np.array_equal(A_f, np.concatenate([A1, A2[1:]], axis=0))
+        np.testing.assert_allclose(np.concatenate([z1, z2[1:]]), z_f,
+                                   rtol=1e-12)
+
+
+def test_gnlse_resume_rk45_to_tolerance():
+    """Adaptive path: resume lands on the full run within the controller
+    tolerance (the step-size memory restarts, so bitwise is not promised)."""
+    import dataclasses
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
+        run_gnlse_simulation)
+
+    _grid, cf, A0 = _gnlse_setup()
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.05, save_every=20)
+    cfg = dataclasses.replace(cfg, integrator="rk45", rtol=1e-9, atol=1e-12)
+    cfg_h = dataclasses.replace(cfg, z_max=5.0)
+    z_f, A_f = run_gnlse_simulation(cfg, cf, A0)
+    z1, A1 = run_gnlse_simulation(cfg_h, cf, A0)
+    z2, A2 = run_gnlse_simulation(cfg_h, cf, A1[-1], z0=float(z1[-1]))
+    A_res = np.concatenate([A1, A2[1:]], axis=0)
+    np.testing.assert_allclose(np.concatenate([z1, z2[1:]]), z_f, rtol=1e-12)
+    np.testing.assert_allclose(A_res, A_f, rtol=1e-6, atol=1e-9)
+
+
+def test_gnlse_batch_resume_and_npz_roundtrip(tmp_path):
+    """solve_gnlse_batch: A_last is the restart state; segment peaks combine
+    with np.maximum; checkpoint survives an NPZ roundtrip."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import io_fwm
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
+        solve_gnlse_batch)
+
+    _grid, cf, A0 = _gnlse_setup()
+    batch = np.stack([A0, 0.5 * A0, 0.25 * A0])
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.01, save_every=100)
+    cfg_h = psa.custom_simulation_config(z_max=5.0, dz=0.01, save_every=100)
+    pk_f, Al_f, ok_f = solve_gnlse_batch(cfg, cf, batch)
+    pk1, Al1, ok1 = solve_gnlse_batch(cfg_h, cf, batch)
+    # one checkpoint row per batch lane (all at the same z)
+    p = io_fwm.save_result_npz(tmp_path / "gnlse_ckpt",
+                               np.full(len(batch), 5.0), Al1,
+                               metadata={"family": "gnlse"})
+    _z, Al_loaded, _md = io_fwm.load_result_npz(p)
+    pk2, Al2, ok2 = solve_gnlse_batch(cfg_h, cf, Al_loaded)
+    assert np.array_equal(Al_f, Al2)
+    np.testing.assert_allclose(np.maximum(pk1, pk2), pk_f, rtol=1e-12)
+    assert ok_f.all() and ok2.all()
+
+
+def test_vgnlse_resume_bitwise():
+    """Vector GNLSE: split run equals full run bitwise (fixed step)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
+        TimeGrid, gaussian_pulse)
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.vgnlse import (
+        make_vgnlse_coeffs, polarized_pulse, run_vgnlse_simulation,
+        solve_vgnlse_batch)
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.dispersion import (
+        DispersionParams)
+
+    grid = TimeGrid(n_samples=128, t_window_s=40e-12)
+    disp = DispersionParams.from_betas(omega_ref=1.2e15, beta2=-2e-26)
+    cf = make_vgnlse_coeffs(grid, disp, gamma_W_m=1e-2, dbeta0_1_m=0.1,
+                            coupling="cnlse")
+    A0 = polarized_pulse(gaussian_pulse(grid, peak_W=1.0, t0_s=1e-12), 0.4)
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.01, save_every=100)
+    cfg_h = psa.custom_simulation_config(z_max=5.0, dz=0.01, save_every=100)
+    z_f, A_f = run_vgnlse_simulation(cfg, cf, A0)
+    z1, A1 = run_vgnlse_simulation(cfg_h, cf, A0)
+    z2, A2 = run_vgnlse_simulation(cfg_h, cf, A1[-1], z0=float(z1[-1]))
+    assert np.array_equal(A_f, np.concatenate([A1, A2[1:]], axis=0))
+    np.testing.assert_allclose(np.concatenate([z1, z2[1:]]), z_f, rtol=1e-12)
+
+    # batch: A_last restarts
+    pk_f, Al_f, _ = solve_vgnlse_batch(cfg, cf, A0[None])
+    pk1, Al1, _ = solve_vgnlse_batch(cfg_h, cf, A0[None])
+    pk2, Al2, _ = solve_vgnlse_batch(cfg_h, cf, Al1)
+    assert np.array_equal(Al_f, Al2)
+    np.testing.assert_allclose(np.maximum(pk1, pk2), pk_f, rtol=1e-12)
+
+
+def test_sbs_warm_start_resumes_relaxation():
+    """SBS: warm-starting from a converged B trajectory reaches the same
+    fixed point in fewer sweeps (B alone is the full relaxation state)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.sbs import (
+        run_sbs_batch, run_sbs_simulation)
+
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=0.5, save_every=10)
+    kw = dict(gamma=3e-3, alpha=2e-4, g_B=0.1, delta_beta=0.05,
+              p_in=[0.3, 0.3, 1e-3, 0.0], p_stokes_seed=[1e-4] * 4)
+    r1 = run_sbs_simulation(cfg, **kw, tol=1e-12, max_iterations=60,
+                            damping=0.7)
+    r2 = run_sbs_simulation(cfg, **kw, tol=1e-12, max_iterations=60,
+                            damping=0.7, B_init=r1.B)
+    assert r2.n_iterations < r1.n_iterations
+    np.testing.assert_allclose(r2.A, r1.A, atol=1e-10)
+    np.testing.assert_allclose(r2.B, r1.B, atol=1e-10)
+
+    # exact warm start (save_every=1): converged guess re-converges in one
+    # sweep
+    cfg1 = psa.custom_simulation_config(z_max=100.0, dz=0.5, save_every=1)
+    r3 = run_sbs_simulation(cfg1, **kw, tol=1e-12, max_iterations=60,
+                            damping=0.7)
+    r4 = run_sbs_simulation(cfg1, **kw, tol=1e-12, max_iterations=60,
+                            damping=0.7, B_init=r3.B)
+    assert r4.n_iterations <= 2
+    np.testing.assert_allclose(r4.B, r3.B, atol=1e-11)
+
+    # batch warm start
+    P_in = np.tile([0.3, 0.3, 1e-3, 0.0], (3, 1))
+    P_st = np.tile([1e-4] * 4, (3, 1))
+    bkw = dict(gamma=3e-3, alpha=2e-4, g_B=0.1, delta_beta=0.05,
+               P_in=P_in, P_stokes_seed=P_st, tol=1e-12, max_iterations=60,
+               damping=0.7)
+    z, A, Bw, resid, refl, ok, n_it = run_sbs_batch(cfg, **bkw)
+    out2 = run_sbs_batch(cfg, **bkw, B_init=Bw)
+    assert (out2[6] < n_it).all()
+    np.testing.assert_allclose(out2[1], A, atol=1e-10)
+    assert out2[5].all()
+
+
+def test_sbs_b_init_validation():
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.sbs import (
+        run_sbs_simulation)
+
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=0.5, save_every=10)
+    kw = dict(gamma=3e-3, alpha=2e-4, g_B=0.1, delta_beta=0.05,
+              p_in=[0.3, 0.3, 1e-3, 0.0], p_stokes_seed=[1e-4] * 4)
+    with pytest.raises(ValueError, match="B_init"):
+        run_sbs_simulation(cfg, **kw, B_init=np.zeros((7, 4)))
+    bad = np.full((21, 4), np.nan, dtype=complex)
+    with pytest.raises(ValueError, match="finite"):
+        run_sbs_simulation(cfg, **kw, B_init=bad)

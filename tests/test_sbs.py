@@ -245,3 +245,19 @@ def test_run_sbs_batch_sharded_matches_unsharded():
     np.testing.assert_allclose(B2, B1, rtol=1e-12, atol=1e-14)
     np.testing.assert_array_equal(n2, n1)
     np.testing.assert_array_equal(ok2, ok1)
+
+
+def test_df32_rejected_with_clear_error():
+    """SBS relaxation has no two-float engine; df32 must raise, not
+    silently degrade to f32 (round-3 consistency with the GNLSE family)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(
+        psa.custom_simulation_config(z_max=10.0, dz=0.5, save_every=1),
+        precision="df32",
+    )
+    with pytest.raises(ValueError, match="df32"):
+        sbs.run_sbs_simulation(
+            cfg, gamma=1e-3, alpha=0.0, g_B=0.01, delta_beta=0.0,
+            p_in=[0.1, 0.1, 0.0, 0.0], p_stokes_seed=[1e-5] * 4,
+        )
