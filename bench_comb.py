@@ -39,6 +39,11 @@ BATCH = 4096
 N_STEPS = 1000
 SAVE_EVERY = 100
 Z_MAX_M = 500.0
+N_REPS = 3                      # median of k reps (one bad tunnel day must
+                                # not rewrite the record; VERDICT r2 weak #1)
+V5E_BF16_PEAK_FLOPS = 197e12    # one v5e chip, bf16 MXU peak
+HIGHEST_PASSES = 6              # f32 matmul at Precision.HIGHEST = 6 bf16
+                                # MXU passes (3-term bf16 operand splits)
 
 
 def _flops_per_rk4_step(n: int, L: int, coupling: str) -> float:
@@ -99,45 +104,63 @@ def main() -> None:
         precision=precision,
     )
 
-    def timed(coupling: str, n_rep: int = 1):
-        # warm-up compiles the program; then time
-        nw.solve_comb_batch(cfg, coeffs, A0, coupling=coupling)
-        t0 = time.perf_counter()
-        for _ in range(n_rep):
-            P_max, A_fin, ok = nw.solve_comb_batch(cfg, coeffs, A0, coupling=coupling)
-        el = (time.perf_counter() - t0) / n_rep
-        return el, P_max, A_fin, ok
-
-    results = {}
-    for coupling in ("fft", "dft"):
-        el, P_max, A_fin, ok = timed(coupling)
+    def entry_for(el_reps, coupling, ok, matmul_formulation):
+        """Per-engine result row: median wall-clock, algorithmic TFLOP/s and
+        MFU (vs the 197 TFLOPS v5e bf16 peak).  For matmul (dft) engines the
+        hardware pass rate is ~HIGHEST_PASSES x the algorithmic f32 rate
+        (multi-pass bf16), reported separately as mxu_pass_tflops/-pct so
+        both the honest FLOP number and the hardware utilization are
+        visible (VERDICT r2 next #1)."""
+        el = float(np.median(el_reps))
         inst_steps = BATCH * N_STEPS / el
         L = nw._fft_len(N_LINES)
         flops = inst_steps * _flops_per_rk4_step(N_LINES, L, coupling)
-        results[coupling] = {
+        row = {
             "elapsed_s": round(el, 4),
+            "rep_times_s": [round(r, 4) for r in el_reps],
             "instance_steps_per_s": round(inst_steps),
             "est_tflops_per_s": round(flops / 1e12, 3),
+            "mfu_algorithmic_pct": round(
+                100.0 * flops / V5E_BF16_PEAK_FLOPS, 2),
             "ok_fraction": float(np.mean(ok)),
         }
+        if matmul_formulation:
+            # matmul share of the algorithmic flops (16 n L of the RHS)
+            L = nw._fft_len(N_LINES)
+            mm_share = (16.0 * N_LINES * L) / (
+                _flops_per_rk4_step(N_LINES, L, "dft") / 4.0)
+            mm_flops = flops * mm_share
+            row["mxu_pass_tflops_per_s"] = round(
+                HIGHEST_PASSES * mm_flops / 1e12, 2)
+            row["mxu_pass_utilization_pct"] = round(
+                100.0 * HIGHEST_PASSES * mm_flops / V5E_BF16_PEAK_FLOPS, 2)
+        return row
+
+    def timed(coupling: str, n_rep: int = N_REPS):
+        # warm-up compiles the program; then median of n_rep timed calls
+        nw.solve_comb_batch(cfg, coeffs, A0, coupling=coupling)
+        reps = []
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            P_max, A_fin, ok = nw.solve_comb_batch(cfg, coeffs, A0, coupling=coupling)
+            reps.append(time.perf_counter() - t0)
+        return reps, P_max, A_fin, ok
+
+    results = {}
+    for coupling in ("fft", "dft"):
+        reps, P_max, A_fin, ok = timed(coupling)
+        results[coupling] = entry_for(reps, coupling, ok, coupling == "dft")
 
     # fused single-launch VMEM kernel (ops/pallas_comb.py): TPU x32 only
     if backend == "tpu":
         try:
             nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
-            t0 = time.perf_counter()
-            _, _, okk = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
-            elk = time.perf_counter() - t0
-            inst_steps = BATCH * N_STEPS / elk
-            L = nw._fft_len(N_LINES)
-            results["pallas"] = {
-                "elapsed_s": round(elk, 4),
-                "instance_steps_per_s": round(inst_steps),
-                "est_tflops_per_s": round(
-                    inst_steps * _flops_per_rk4_step(N_LINES, L, "dft") / 1e12, 3
-                ),
-                "ok_fraction": float(np.mean(okk)),
-            }
+            reps = []
+            for _ in range(N_REPS):
+                t0 = time.perf_counter()
+                _, _, okk = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+                reps.append(time.perf_counter() - t0)
+            results["pallas"] = entry_for(reps, "dft", okk, True)
         except Exception as e:  # noqa: BLE001
             print(f"# pallas comb kernel skipped: {e}", file=sys.stderr)
 
@@ -214,6 +237,17 @@ def main() -> None:
             "f32 matmuls at Precision.HIGHEST on the MXU"
         ),
     }
+    # regression floor (CLAUDE.md): median best-engine rate on TPU must not
+    # fall below 10M inst-steps/s -- flag loudly, don't hide it in day noise
+    meta["floor_instance_steps_per_s"] = 10_000_000
+    meta["below_floor"] = bool(
+        backend == "tpu" and best_rate < meta["floor_instance_steps_per_s"]
+    )
+    if meta["below_floor"]:
+        print(
+            f"# REGRESSION WARNING: comb {best_rate} inst-steps/s is below "
+            f"the 10M floor (record 17.3M)", file=sys.stderr,
+        )
     print(f"# {json.dumps(meta)}", file=sys.stderr)
     print(
         json.dumps(

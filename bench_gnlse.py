@@ -37,10 +37,26 @@ T_SAMPLES = 1024
 BATCH = 2048
 N_STEPS = 1000
 SAVE_EVERY = 100
+N_REPS = 3                    # median of k reps (VERDICT r2 weak #1)
+V5E_HBM_PEAK_BYTES_S = 819e9  # one v5e chip HBM bandwidth
 T0_S = 1e-12
 BETA2 = -2.0e-26
 GAMMA = 2e-3
 OMEGA0 = 1.2e15
+
+
+def _bytes_per_step(t: int, nl: bool, itemsize: int = 8) -> float:
+    """HBM-traffic estimate per instance per fused split step (complex64 =
+    8 B/sample), assuming each FFT and each fused elementwise chain reads +
+    writes the full (T,) field once (XLA fuses pointwise chains between
+    transforms).  Kerr-only: 1 FFT pair + 1 fused NL block ~= 3 round trips.
+    Raman+steepening adds 4 RK4 substep evals x (1 rfft pair at half cost +
+    1 fft pair + ~2 fused blocks) ~= 4 x 4.5 round trips.  Rough -- used for
+    a bandwidth-utilization signal, not an exact roofline."""
+    rt = 2.0 * t * itemsize            # one read+write round trip of (T,)
+    if not nl:
+        return 3.0 * rt
+    return 3.0 * rt + 4.0 * 4.5 * rt
 
 
 def _flops_per_step(t: int, nl: bool) -> float:
@@ -90,24 +106,32 @@ def main() -> None:
         precision=precision,
     )
 
-    def timed(nl_terms):
+    def timed(nl_terms, n_reps: int = N_REPS):
         gn.solve_gnlse_batch(cfg, co, A0, nl=nl_terms)  # warm-up compile
-        t0 = time.perf_counter()
-        pk, Af, ok = gn.solve_gnlse_batch(cfg, co, A0, nl=nl_terms)
-        el = time.perf_counter() - t0
-        return el, ok
+        reps = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            pk, Af, ok = gn.solve_gnlse_batch(cfg, co, A0, nl=nl_terms)
+            reps.append(time.perf_counter() - t0)
+        return reps, ok
 
     results = {}
     for name, nl_terms in (("kerr", None), ("raman_steepening", nl)):
-        el, ok = timed(nl_terms)
+        reps, ok = timed(nl_terms)
+        el = float(np.median(reps))
         inst_steps = BATCH * N_STEPS / el
+        is_nl = nl_terms is not None
+        bw = inst_steps * _bytes_per_step(T_SAMPLES, is_nl)
         results[name] = {
             "elapsed_s": round(el, 4),
+            "rep_times_s": [round(r, 4) for r in reps],
             "instance_steps_per_s": round(inst_steps),
             "est_tflops_per_s": round(
-                inst_steps * _flops_per_step(T_SAMPLES, nl_terms is not None)
-                / 1e12, 3,
+                inst_steps * _flops_per_step(T_SAMPLES, is_nl) / 1e12, 3,
             ),
+            "est_hbm_gb_per_s": round(bw / 1e9, 1),
+            "hbm_utilization_pct": round(
+                100.0 * bw / V5E_HBM_PEAK_BYTES_S, 1),
             "ok_fraction": float(np.mean(ok)),
         }
 
@@ -162,6 +186,17 @@ def main() -> None:
         "subset_core_rel_power_err_vs_x64": core_rel_err,
         "flops_note": "algorithmic real-FLOPs (5 t log2 t per complex FFT)",
     }
+    # regression floor (CLAUDE.md): median Kerr rate on TPU >= 1.2M
+    kerr_rate = results["kerr"]["instance_steps_per_s"]
+    meta["floor_instance_steps_per_s"] = 1_200_000
+    meta["below_floor"] = bool(
+        backend == "tpu" and kerr_rate < meta["floor_instance_steps_per_s"]
+    )
+    if meta["below_floor"]:
+        print(
+            f"# REGRESSION WARNING: gnlse {kerr_rate} inst-steps/s is below "
+            f"the 1.2M floor (record 1.78M)", file=sys.stderr,
+        )
     print(f"# {json.dumps(meta)}", file=sys.stderr)
     print(
         json.dumps(
