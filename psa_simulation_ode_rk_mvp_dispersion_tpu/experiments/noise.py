@@ -1,0 +1,166 @@
+"""Quantum-noise-figure experiment (Wigner Monte Carlo)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .. import plotting
+from ..config import custom_simulation_config
+from ..io_fwm import make_run_metadata, save_run_bundle, save_sweep_npz
+from ..models.fwm4 import run_single_simulation
+from ..ops.dispersion import DispersionParams, dispersion_params_from_D_S
+from ..ops.frequency_plan import (
+    describe_plan,
+    plan_from_wavelengths,
+)
+from ..ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
+from ..parallel import sweep as sweeps
+from ..utils.units import alpha_db_per_km_to_1_m
+from ._shared import _PM_DEFAULT, _dispersion_at_pump_center
+
+
+def noise_figure(
+    *,
+    z_max_m: float = 200.0,
+    dz_m: float = 0.05,
+    gamma_km: float = 5.0,
+    p_pump_W: float = 0.5,
+    p_signal_W: float = 1e-6,
+    n_samples: int = 8192,
+    t_mode_s: float = 1e-9,
+    phase_points: int = 17,
+    spectrum_points: int = 0,
+    seed: int = 0,
+    mesh=None,
+    precision: str = "x64",
+    show: bool = True,
+    save_dir: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Quantum-limited noise figures by Wigner Monte Carlo
+    (``parallel/noise.py``): the PIA noise figure against the exact
+    2 - 1/G law, the joint-detection PSA noise figure at the max-gain
+    phase (the 0 dB quantum limit), and the NF-vs-input-phase curve --
+    ``n_samples`` independent nonlinear solves per point, one batched XLA
+    program each (the measurement the reference's deterministic solver
+    cannot make)."""
+    import numpy as _np
+
+    from ..models.fwm4 import make_initial_amplitudes
+    from ..ops.rhs import RHSCoeffs
+    from ..parallel import noise as nz
+    from ..parallel.sweep import solve_batch
+
+    omega = _np.asarray(plan_from_wavelengths(1550e-9, 1552e-9, 1551.0e-9))
+    cfg = custom_simulation_config(z_max=z_max_m, dz=dz_m, save_every=50,
+                                   precision=precision)
+    gam = gamma_km / 1e3
+    common = dict(gamma=gam, alpha=0.0, omega=omega, delta_beta=0.0,
+                  t_mode_s=t_mode_s, n_samples=n_samples,
+                  noisy_waves=(False, False, True, True), mesh=mesh)
+
+    pia = nz.noise_figure_monte_carlo(
+        cfg, p_in=[p_pump_W, p_pump_W, p_signal_W, 0.0],
+        measure="signal", seed=seed, **common,
+    )
+    G = 10.0 ** (pia.gain_db / 10.0)
+    pia_theory = 10.0 * _np.log10(2.0 - 1.0 / G)
+
+    # max-gain phase from a mean-field scan, then the joint-detection PSA NF
+    phases = _np.linspace(0.0, 2.0 * _np.pi, 65)
+    A0 = _np.stack([
+        _np.asarray(make_initial_amplitudes(
+            [p_pump_W, p_pump_W, p_signal_W / 2, p_signal_W / 2],
+            [0, 0, ph, 0]))
+        for ph in phases
+    ])
+    co = RHSCoeffs(gamma=_np.full(65, gam), alpha=_np.zeros(65),
+                   delta_beta=_np.zeros(65))
+    mf = solve_batch(cfg, co, A0)
+    ph_max = float(phases[_np.argmax(mf.P_end[:, 2] + mf.P_end[:, 3])])
+    psa_r = nz.noise_figure_monte_carlo(
+        cfg, p_in=[p_pump_W, p_pump_W, p_signal_W / 2, p_signal_W / 2],
+        phase_in=[0, 0, ph_max, 0], measure="signal+idler",
+        seed=seed + 1, **common,
+    )
+    if verbose:
+        print(
+            f"PIA:  gain {pia.gain_db:6.2f} dB  NF {pia.nf_db:6.3f} dB  "
+            f"(theory 2-1/G: {pia_theory:.3f} dB)  [{pia.n_samples} samples]"
+        )
+        print(
+            f"PSA:  gain {psa_r.gain_db:6.2f} dB  NF {psa_r.nf_db:6.3f} dB  "
+            f"(quantum limit: 0 dB)  at phase {_np.rad2deg(ph_max):.1f} deg"
+        )
+
+    if save_dir is not None:
+        from pathlib import Path
+
+        Path(save_dir).mkdir(parents=True, exist_ok=True)
+    curve = None
+    if phase_points and phase_points > 0:
+        ph_grid = _np.linspace(0.0, _np.pi, int(phase_points))
+        nf_c, g_c = [], []
+        for k, ph in enumerate(ph_grid):
+            r = nz.noise_figure_monte_carlo(
+                cfg, p_in=[p_pump_W, p_pump_W, p_signal_W / 2, p_signal_W / 2],
+                phase_in=[0, 0, float(ph), 0], measure="signal+idler",
+                seed=seed + 100 + k, **common,
+            )
+            nf_c.append(r.nf_db)
+            g_c.append(r.gain_db)
+        curve = (ph_grid, _np.asarray(nf_c), _np.asarray(g_c))
+        if save_dir is not None:
+            _np.savez(
+                f"{save_dir}/noise_figure.npz",
+                phase_rad=ph_grid, nf_db=curve[1], gain_db=curve[2],
+                pia_nf_db=pia.nf_db, pia_gain_db=pia.gain_db,
+                pia_nf_theory_db=pia_theory,
+                psa_nf_db=psa_r.nf_db, psa_gain_db=psa_r.gain_db,
+                n_samples=n_samples,
+            )
+        plotting.plot_noise_figure_sweep(
+            ph_grid, curve[1], curve[2], pia_nf_db=pia_theory, show=show,
+            save_path=None if save_dir is None else f"{save_dir}/noise_figure.png",
+        )
+
+    spec = None
+    if spectrum_points and spectrum_points > 0:
+        # NF(lambda) across a dispersion-shaped gain band (PIA measurement);
+        # dispersion expanded at the pump-center frequency, the expansion
+        # point the symmetric-even delta-beta formula assumes
+        lam3 = _np.linspace(1545e-9, 1640e-9, int(spectrum_points))
+        _, _, disp = _dispersion_at_pump_center(
+            1550e-9, 1555e-9, float(lam3[0]), D=0.2, S=0.02
+        )
+        spec = nz.noise_figure_spectrum(
+            cfg,
+            lambda_p1_m=1550e-9, lambda_p2_m=1555e-9, lambda_signal_m=lam3,
+            gamma=gam, alpha=0.0, p_in=[p_pump_W, p_pump_W, p_signal_W, 0.0],
+            dispersion=disp, length_unit="m", t_mode_s=t_mode_s,
+            n_samples=n_samples, measure="signal",
+            seed=seed + 10_000_019,  # disjoint from the phase-curve seeds
+            mesh=mesh,
+        )
+        G_l = 10.0 ** (spec.gain_db / 10.0)
+        nf_t = 10.0 * _np.log10(2.0 - 1.0 / _np.maximum(G_l, 1.0 + 1e-12))
+        if verbose:
+            dev = _np.nanmax(_np.abs(spec.nf_db - nf_t))
+            print(
+                f"NF spectrum: {int(spectrum_points)} wavelengths, max "
+                f"|NF - (2-1/G)| = {dev:.3f} dB"
+            )
+        if save_dir is not None:
+            _np.savez(f"{save_dir}/noise_figure_spectrum.npz",
+                      wavelength=spec.wavelength, nf_db=spec.nf_db,
+                      gain_db=spec.gain_db, dbeta_1_m=spec.dbeta_1_m,
+                      nf_theory_db=nf_t, n_samples=n_samples)
+        plotting.plot_noise_figure_spectrum(
+            spec.wavelength, spec.nf_db, spec.gain_db, nf_theory_db=nf_t,
+            show=show,
+            save_path=None if save_dir is None
+            else f"{save_dir}/noise_figure_spectrum.png",
+        )
+    return pia, psa_r, curve, spec

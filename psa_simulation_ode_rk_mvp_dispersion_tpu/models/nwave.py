@@ -364,6 +364,12 @@ def run_comb_simulation(
     A0 = np.asarray(A0)
     if A0.ndim != 1:
         raise ValueError("A0 must be a 1-D array of N complex line amplitudes")
+    if precision == "df32":
+        raise ValueError(
+            "precision='df32' is reduce-mode only for combs: use "
+            "solve_comb_batch (the two-float engine computes P_max/A_end, "
+            "not trajectories); for trajectories use 'x64' (CPU) or 'x32'"
+        )
 
     if cfg.integrator.lower() == "rk45":
         n_chunks = n_steps // cfg.save_every
@@ -518,6 +524,27 @@ def solve_comb_batch(
 
     if engine not in ("auto", "scan", "pallas"):
         raise ValueError(f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}")
+    if precision == "df32":
+        # matched-tolerance tier: compensated two-float FFT coupling
+        # (ops/df32_comb.py; ~1e-11 vs the f64 reference over 10^3 steps)
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "precision='df32' comb solves are fixed-step rk4 only "
+                "(the compensated engine has no adaptive controller)"
+            )
+        if engine == "pallas":
+            raise ValueError(
+                "engine='pallas' comb kernel is x32 only; precision='df32' "
+                "uses the two-float FFT engine (engine='auto'/'scan')"
+            )
+        from ..ops.df32_comb import solve_comb_batch_df32
+
+        r = solve_comb_batch_df32(
+            A0, gamma, alpha, beta,
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            mesh=mesh,
+        )
+        return r.P_max, r.A_end, r.ok
     if engine == "pallas":
         on_tpu = jax.default_backend() == "tpu"
         if cfg.integrator.lower() != "rk4":

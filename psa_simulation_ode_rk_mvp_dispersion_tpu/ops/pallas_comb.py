@@ -8,18 +8,32 @@ matmuls on the MXU:
 
 - Layout: state (N, B) per real/imag plane (wave rows x instance lanes);
   forward DFT (L, N) @ (N, B) and inverse (N, L) @ (L, B) land on the MXU.
-- Complex matmuls via Karatsuba with host-precomputed summed weights:
-  3 real matmuls per transform instead of 4
-      F = W A:  p1 = Wr Ar, p2 = Wi Ai, p3 = (Wr+Wi)(Ar+Ai)
-                Fr = p1 - p2, Fi = p3 - p1 - p2.
+- Two matmul formulations (``variant``):
+  * ``'karatsuba'``: 3 real matmuls per transform with host-precomputed
+    summed weights (F = W A: p1 = Wr Ar, p2 = Wi Ai, p3 = (Wr+Wi)(Ar+Ai);
+    Fr = p1 - p2, Fi = p3 - p1 - p2) -- minimal MACs (3 N L), but the
+    forward contraction is only N lanes deep (half the 128-wide MXU at
+    N=64).
+  * ``'block'``: the 4-real-matmul complex product arranged as 2 matmuls
+    over the STACKED state u = [Ar; Ai]: Fr = [Wr | -Wi] u, Fi = [Wi | Wr] u
+    -- 4/3 the MACs of Karatsuba but full-width contractions (2N forward,
+    2L inverse) and 2 dispatches per transform instead of 3.  Measured
+    faster on v5e at N=64 (round 3); the numerical result differs only at
+    f32 rounding.
 - The cubic product collapses: F^2 conj(F) = F |F|^2 -- one real magnitude
   map instead of a complex triple product.
+- The step loop is CHUNKED: an inner fori over ``save_every`` steps does
+  only RK4 + per-step NaN freeze (one fused |u| reduction per step); the
+  save-grid P_max / y_last bookkeeping runs once per chunk boundary.
+  Per-step freeze semantics match ``ops/integrators._steps_chunk`` (a lane
+  that blows up mid-chunk keeps its last good step state, which the next
+  save boundary then observes -- identical contract to the scan engine).
 - RK4 + save-grid P_max reduction + per-lane finite masking identical in
   contract to ``solve_comb_batch`` (rk4, x32).
 
-Per-step algorithmic work per instance: 24 N L real MACs (6 matmuls x 4 RHS
-evals) -- at N=64, L=128 a (512-lane) block is ~100 MFLOP/step, dense MXU
-food with zero loop-dispatch overhead.
+Per-step algorithmic work per instance: 24 N L real MACs (karatsuba) or
+32 N L (block) across 4 RHS evals -- at N=64, L=128 a 512-lane block is
+~100-130 MFLOP/step, dense MXU food with zero loop-dispatch overhead.
 """
 
 from __future__ import annotations
@@ -32,7 +46,8 @@ import jax.numpy as jnp
 from jax import lax
 
 LANES = 128
-BLOCK = 512
+BLOCK = 1024     # best measured lane block (round-3 A/B; VMEM-fit capped)
+DEFAULT_VARIANT = "block"
 
 
 def _dft_weight_planes(n: int):
@@ -53,48 +68,85 @@ def _dft_weight_planes(n: int):
     )
 
 
+def _dft_weight_blocks(n: int):
+    """Block-complex weights: forward [Wr|-Wi] / [Wi|Wr] (L, 2N) pairs and
+    inverse (N, 2L) pairs (the 4-real-matmul complex product as 2 wide
+    matmuls; full-width MXU contractions)."""
+    fr, fi, _fs, ir, ii, _is, L = _dft_weight_planes(n)
+    f_re = np.concatenate([fr, -fi], axis=1)     # (L, 2N)
+    f_im = np.concatenate([fi, fr], axis=1)      # (L, 2N)
+    i_re = np.concatenate([ir, -ii], axis=1)     # (N, 2L)
+    i_im = np.concatenate([ii, ir], axis=1)      # (N, 2L)
+    return f_re, f_im, i_re, i_im, L
+
+
 def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
-                 mxu_precision: str = "highest"):
+                 mxu_precision: str = "highest", variant: str = DEFAULT_VARIANT):
     dz = float(dz)
     c_half = np.float32(0.5 * dz)
     c_full = np.float32(dz)
     c_sixth = np.float32(dz / 6.0)
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
 
-    def kernel(fr_ref, fi_ref, fs_ref, ir_ref, ii_ref, is_ref,
-               beta_ref, gamma_ref, alpha_ref, y0_ref,
-               pmax_ref, ylast_ref, ok_ref):
-        fr = fr_ref[:, :]
-        fi = fi_ref[:, :]
-        fs = fs_ref[:, :]
-        ivr = ir_ref[:, :]
-        ivi = ii_ref[:, :]
-        ivs = is_ref[:, :]
+    f32 = jnp.float32
+    # Mosaic supports only DEFAULT and HIGHEST dot precisions
+    prec = {
+        "highest": lax.Precision.HIGHEST,  # multi-pass bf16 = full f32
+        "default": lax.Precision.DEFAULT,  # 1-pass bf16 (fast, lossy)
+    }[mxu_precision]
+
+    def mm(w, x):
+        # HIGHEST keeps the f32 mantissa through the MXU (the default is
+        # single-pass bf16: ~1e-2 relative after 1000 cascaded steps)
+        return lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=prec,
+        )
+
+    def kernel(*refs):
+        if variant == "block":
+            (wfr_ref, wfi_ref, wir_ref, wii_ref,
+             beta_ref, gamma_ref, alpha_ref, y0_ref,
+             pmax_ref, ylast_ref, ok_ref) = refs
+            wfr = wfr_ref[:, :]
+            wfi = wfi_ref[:, :]
+            wir = wir_ref[:, :]
+            wii = wii_ref[:, :]
+        else:
+            (fr_ref, fi_ref, fs_ref, ir_ref, ii_ref, is_ref,
+             beta_ref, gamma_ref, alpha_ref, y0_ref,
+             pmax_ref, ylast_ref, ok_ref) = refs
+            fr = fr_ref[:, :]
+            fi = fi_ref[:, :]
+            fs = fs_ref[:, :]
+            ivr = ir_ref[:, :]
+            ivi = ii_ref[:, :]
+            ivs = is_ref[:, :]
         beta = beta_ref[:, :]          # (N, B)
         gamma = gamma_ref[:, :]        # (1, B)
         neg_half_alpha = alpha_ref[:, :] * np.float32(-0.5)  # (1, B)
 
-        y0_all = y0_ref[:, :]
-        ar0 = y0_all[0:n, :]
-        ai0 = y0_all[n:2 * n, :]
+        u0 = y0_ref[:, :]              # (2N, B) stacked [Ar; Ai]
 
-        f32 = jnp.float32
+        def rhs_block(u):
+            Fr = mm(wfr, u)
+            Fi = mm(wfi, u)
+            mag = Fr * Fr + Fi * Fi
+            g = jnp.concatenate([Fr * mag, Fi * mag], axis=0)  # (2L, B)
+            Tr = mm(wir, g)
+            Ti = mm(wii, g)
+            ar = u[0:n, :]
+            ai = u[n:2 * n, :]
+            # dA = (-alpha/2) A + i beta A + i gamma T
+            dr = neg_half_alpha * ar - beta * ai - gamma * Ti
+            di = neg_half_alpha * ai + beta * ar + gamma * Tr
+            return jnp.concatenate([dr, di], axis=0)
 
-        # Mosaic supports only DEFAULT and HIGHEST dot precisions
-        prec = {
-            "highest": lax.Precision.HIGHEST,  # multi-pass bf16 = full f32
-            "default": lax.Precision.DEFAULT,  # 1-pass bf16 (fast, lossy)
-        }[mxu_precision]
-
-        def mm(w, x):
-            # HIGHEST keeps the f32 mantissa through the MXU (the default is
-            # single-pass bf16: ~1e-2 relative after 1000 cascaded steps)
-            return lax.dot_general(
-                w, x, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=prec,
-            )
-
-        def rhs(ar, ai):
+        def rhs_karatsuba(u):
+            ar = u[0:n, :]
+            ai = u[n:2 * n, :]
             # forward DFT (Karatsuba complex matmul, 3 real matmuls)
             p1 = mm(fr, ar)
             p2 = mm(fi, ai)
@@ -111,51 +163,49 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
             q3 = mm(ivs, Gr + Gi)
             Tr = q1 - q2
             Ti = q3 - q1 - q2
-            # dA = (-alpha/2) A + i beta A + i gamma T
             dr = neg_half_alpha * ar - beta * ai - gamma * Ti
             di = neg_half_alpha * ai + beta * ar + gamma * Tr
-            return dr, di
+            return jnp.concatenate([dr, di], axis=0)
 
-        def rk4(ar, ai):
-            k1r, k1i = rhs(ar, ai)
-            k2r, k2i = rhs(ar + c_half * k1r, ai + c_half * k1i)
-            k3r, k3i = rhs(ar + c_half * k2r, ai + c_half * k2i)
-            k4r, k4i = rhs(ar + c_full * k3r, ai + c_full * k3i)
-            two = np.float32(2.0)
-            return (
-                ar + c_sixth * (k1r + two * (k2r + k3r) + k4r),
-                ai + c_sixth * (k1i + two * (k2i + k3i) + k4i),
-            )
+        rhs = rhs_block if variant == "block" else rhs_karatsuba
 
-        pmax0 = ar0 * ar0 + ai0 * ai0
-        ok0 = jnp.ones_like(ar0[0:1, :])
+        def rk4(u):
+            k1 = rhs(u)
+            k2 = rhs(u + c_half * k1)
+            k3 = rhs(u + c_half * k2)
+            k4 = rhs(u + c_full * k3)
+            return u + c_sixth * (k1 + np.float32(2.0) * (k2 + k3) + k4)
 
-        def step(i, carry):
-            ar, ai, lr, li, pmax, ok = carry
-            ar_n, ai_n = rk4(ar, ai)
-            fin = (
-                jnp.all(ar_n == ar_n, axis=0, keepdims=True)
-                & jnp.all(ai_n == ai_n, axis=0, keepdims=True)
-                & jnp.all(jnp.abs(ar_n) < np.float32(3.4e38), axis=0, keepdims=True)
-                & jnp.all(jnp.abs(ai_n) < np.float32(3.4e38), axis=0, keepdims=True)
-            )
+        def step(_i, carry):
+            u, ok = carry
+            u_new = rk4(u)
+            # one fused reduction: NaN compares false against the f32-max
+            # bound, so this is the same flag as the explicit ==/abs pair
+            fin = jnp.all(jnp.abs(u_new) < np.float32(3.4e38),
+                          axis=0, keepdims=True)
             ok_n = ok * fin.astype(f32)
-            alive = ok_n > np.float32(0.0)
-            ar_o = jnp.where(alive, ar_n, ar)
-            ai_o = jnp.where(alive, ai_n, ai)
-            at_save = ((i + jnp.int32(1)) % jnp.int32(save_every)) == jnp.int32(0)
-            P = ar_o * ar_o + ai_o * ai_o
-            upd = jnp.logical_and(at_save, P > pmax)
-            pmax_o = jnp.where(upd, P, pmax)
-            lr_o = jnp.where(at_save, ar_o, lr)
-            li_o = jnp.where(at_save, ai_o, li)
-            return (ar_o, ai_o, lr_o, li_o, pmax_o, ok_n)
+            u_o = jnp.where(ok_n > np.float32(0.0), u_new, u)
+            return (u_o, ok_n)
 
-        ar, ai, lr, li, pmax, ok = lax.fori_loop(
-            0, n_steps, step, (ar0, ai0, ar0, ai0, pmax0, ok0)
+        pmax0 = u0[0:n, :] * u0[0:n, :] + u0[n:2 * n, :] * u0[n:2 * n, :]
+        ok0 = jnp.ones_like(u0[0:1, :])
+
+        def chunk(_c, carry):
+            u, ok, pmax, last = carry
+            u2, ok2 = lax.fori_loop(0, save_every, step, (u, ok))
+            P = u2[0:n, :] * u2[0:n, :] + u2[n:2 * n, :] * u2[n:2 * n, :]
+            pmax = jnp.where(P > pmax, P, pmax)
+            return (u2, ok2, pmax, u2)
+
+        u, ok, pmax, last = lax.fori_loop(
+            0, n_chunks, chunk, (u0, ok0, pmax0, u0)
         )
+        if remainder > 0:
+            # trailing partial steps: integrated (they can flip ok) but
+            # unobserved (framework saved-grid convention)
+            _u, ok = lax.fori_loop(0, remainder, step, (u, ok))
         pmax_ref[:, :] = pmax
-        ylast_ref[:, :] = jnp.concatenate([lr, li], axis=0)
+        ylast_ref[:, :] = last
         ok_ref[:, :] = ok
 
     return kernel
@@ -163,15 +213,26 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
 
 def _make_comb_call(
     n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
-    mxu_precision: str = "highest",
+    mxu_precision: str = "highest", variant: str = DEFAULT_VARIANT,
 ):
     from jax.experimental import pallas as pl
 
-    fr, fi, fs, ir, ii, is_, L = _dft_weight_planes(n)
-    kernel = _kernel_body(n_steps, save_every, n, L, dz, mxu_precision)
-
-    w_f = [jnp.asarray(fr), jnp.asarray(fi), jnp.asarray(fs)]
-    w_i = [jnp.asarray(ir), jnp.asarray(ii), jnp.asarray(is_)]
+    if variant == "block":
+        f_re, f_im, i_re, i_im, L = _dft_weight_blocks(n)
+        weights = [jnp.asarray(f_re), jnp.asarray(f_im),
+                   jnp.asarray(i_re), jnp.asarray(i_im)]
+        w_shapes = [(L, 2 * n), (L, 2 * n), (n, 2 * L), (n, 2 * L)]
+    elif variant == "karatsuba":
+        fr, fi, fs, ir, ii, is_, L = _dft_weight_planes(n)
+        weights = [jnp.asarray(fr), jnp.asarray(fi), jnp.asarray(fs),
+                   jnp.asarray(ir), jnp.asarray(ii), jnp.asarray(is_)]
+        w_shapes = [(L, n)] * 3 + [(n, L)] * 3
+    else:
+        raise ValueError(
+            f"variant must be 'block' or 'karatsuba', got {variant!r}"
+        )
+    kernel = _kernel_body(n_steps, save_every, n, L, dz, mxu_precision,
+                          variant)
 
     def call(beta, gamma, alpha, y0):
         B = y0.shape[1]
@@ -182,10 +243,10 @@ def _make_comb_call(
             from jax.experimental.pallas import tpu as pltpu
 
             spec_kwargs = {"memory_space": pltpu.VMEM}
-        rep_f = pl.BlockSpec((L, n), lambda i: (0, 0), **spec_kwargs)
-        rep_i = pl.BlockSpec((n, L), lambda i: (0, 0), **spec_kwargs)
         in_specs = [
-            rep_f, rep_f, rep_f, rep_i, rep_i, rep_i,
+            pl.BlockSpec(ws, lambda i: (0, 0), **spec_kwargs)
+            for ws in w_shapes
+        ] + [
             pl.BlockSpec((n, blk), lambda i: (0, i), **spec_kwargs),
             pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),
             pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),
@@ -207,7 +268,7 @@ def _make_comb_call(
                 jax.ShapeDtypeStruct((1, B), jnp.float32),
             ),
             interpret=interpret,
-        )(*w_f, *w_i, beta, gamma, alpha, y0)
+        )(*weights, beta, gamma, alpha, y0)
 
     return call
 
@@ -215,10 +276,10 @@ def _make_comb_call(
 @functools.lru_cache(maxsize=32)
 def _pallas_comb_solver(
     n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
-    mxu_precision: str = "highest",
+    mxu_precision: str = "highest", variant: str = DEFAULT_VARIANT,
 ):
     call = _make_comb_call(
-        n_steps, save_every, n, dz, interpret, block, mxu_precision
+        n_steps, save_every, n, dz, interpret, block, mxu_precision, variant
     )
 
     def fused(bt, g, a, y0):
@@ -233,14 +294,14 @@ def _pallas_comb_solver(
 @functools.lru_cache(maxsize=16)
 def _pallas_comb_solver_sharded(
     n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
-    mxu_precision: str, mesh,
+    mxu_precision: str, mesh, variant: str = DEFAULT_VARIANT,
 ):
     """shard_map-wrapped comb kernel: lane (batch) axis split over the mesh;
     the DFT weight planes are closure constants, replicated to every shard."""
     from jax.sharding import PartitionSpec
 
     call = _make_comb_call(n_steps, save_every, n, dz, interpret, block,
-                           mxu_precision)
+                           mxu_precision, variant)
 
     def fused(bt, g, a, y0):
         pmax, y_last, ok = call(bt, g, a, y0)
@@ -270,6 +331,7 @@ def solve_comb_batch_pallas(
     interpret: bool = False,
     block: int = BLOCK,
     mxu_precision: str = "highest",
+    variant: str = DEFAULT_VARIANT,
     mesh=None,
 ):
     """Fused-kernel comb solve; contract mirrors ``nwave.solve_comb_batch``
@@ -278,6 +340,7 @@ def solve_comb_batch_pallas(
     ``A0`` is ``(B, N)`` complex; ``gamma``/``alpha`` broadcast to ``(B,)``;
     ``beta_lin`` broadcasts to ``(B, N)``.  Pass ``mesh`` to shard the batch
     axis with ``shard_map`` (per-shard kernel launch, no collectives).
+    ``variant`` selects the matmul formulation (see module docstring).
     """
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 2:
@@ -288,12 +351,13 @@ def solve_comb_batch_pallas(
     beta = np.broadcast_to(np.asarray(beta_lin, dtype=np.float64), (B, n))
 
     # VMEM-fit auto block: ~24 (L, blk) f32 planes live through the RK4 body
-    # plus 12 (L, N) weight planes (measured on v5e; 16 MB VMEM, keep 2 MB
+    # plus the weight planes (measured on v5e; 16 MB VMEM, keep 2 MB
     # headroom).  Wider combs must take narrower lane blocks.
     from ..models.nwave import _fft_len
 
     L = _fft_len(n)
-    budget = 14 * 1024 * 1024 - 12 * L * n * 4
+    w_floats = 8 * L * n if variant == "block" else 12 * L * n
+    budget = 14 * 1024 * 1024 - w_floats * 4
     blk_fit = (budget // (24 * L * 4)) // LANES * LANES
     if blk_fit < LANES:
         raise ValueError(
@@ -322,7 +386,7 @@ def solve_comb_batch_pallas(
     if mesh is None:
         solver = _pallas_comb_solver(
             int(n_steps), int(save_every), int(n), float(dz_m), bool(interpret),
-            int(block), str(mxu_precision),
+            int(block), str(mxu_precision), str(variant),
         )
         args = (jnp.asarray(bt), jnp.asarray(g), jnp.asarray(a), jnp.asarray(y0))
         with jax.enable_x64(False):
@@ -336,7 +400,7 @@ def solve_comb_batch_pallas(
 
         solver, spec = _pallas_comb_solver_sharded(
             int(n_steps), int(save_every), int(n), float(dz_m), bool(interpret),
-            int(block), str(mxu_precision), mesh,
+            int(block), str(mxu_precision), mesh, str(variant),
         )
         sh = NamedSharding(mesh, spec)
         args = tuple(put_global(x, sh) for x in (bt, g, a, y0))

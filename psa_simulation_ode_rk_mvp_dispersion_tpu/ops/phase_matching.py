@@ -167,3 +167,32 @@ class PhaseMismatchCalculator:
         return compute_phase_mismatch(
             omegas, self.disp, self.cfg, symmetric_hint=symmetric_hint
         )
+
+
+def dispersion_at_pump_center(lambda_p1, lambda_p2, lambda_signal0, *, D, S):
+    """Build :class:`~.dispersion.DispersionParams` from D/S expanded at the
+    pump-center frequency omega_c -- the expansion point the SYMMETRIC_EVEN
+    delta-beta formula assumes (beta(omega) is evaluated at +-omega_d and
+    +-Omega AROUND omega_c, so D and S must be referenced there; expanding
+    anywhere else silently shifts every computed mismatch).  This is the
+    parity default the experiment entry points share (reference analog:
+    main.py:224-231, where dispersion_params_from_D_S is always called at
+    the inferred omega_c).
+
+    Returns ``(omega (4,), symmetric_plan, dispersion)`` for the plan built
+    from the two pumps and the first signal wavelength.
+    """
+    from .dispersion import dispersion_params_from_D_S
+    from .frequency_plan import lambda_from_omega, plan_from_wavelengths
+
+    omega = np.asarray(
+        plan_from_wavelengths(lambda_p1, lambda_p2, lambda_signal0)
+    )
+    sp = infer_symmetry_from_omegas(omega[0], omega[1], omega[2], omega[3])
+    disp = dispersion_params_from_D_S(
+        lambda_ref_m=float(lambda_from_omega(sp.omega_c)),
+        D=D, S=S, dSdlmbd=0,
+        D_units="ps/nm/km", S_units="ps/nm^2/km", dSdlmbd_units="ps/nm^3/km",
+        omega_ref=float(np.asarray(sp.omega_c)),
+    )
+    return omega, sp, disp

@@ -350,10 +350,22 @@ def solve_batch(
                 "use engine='scan'/'auto' with integrator='rk45'"
             )
         if precision == "df32":
-            raise ValueError(
-                "integrator='rk45' supports precision 'x64'/'x32' only "
-                "(the compensated df32 backend is fixed-step rk4)"
+            # compensated two-float DP45 (ops/df32_adaptive.py): matched
+            # tolerance (<=1e-9-class) adaptive stepping on f64-less TPUs.
+            # Like the fixed-step df32 engine it integrates in the rotating
+            # (autonomous) frame and restores lab-frame pump phases on the
+            # host -- outputs are frame-independent.
+            from ..ops.df32_adaptive import solve_batch_df32_rk45
+
+            t0 = time.perf_counter()
+            r = solve_batch_df32_rk45(
+                A0, gamma, alpha, dbeta,
+                dz_m=float(cfg.dz), n_steps=n_steps,
+                save_every=int(cfg.save_every),
+                rtol=float(cfg.rtol), atol=float(cfg.atol),
+                max_steps=int(cfg.max_steps), mesh=mesh,
             )
+            return _result(r, time.perf_counter() - t0)
         return _solve_batch_rk45(
             cfg, A0, gamma, alpha, dbeta,
             n_steps=n_steps, frame=frame, mesh=mesh, rdt=rdt,

@@ -101,11 +101,35 @@ def test_rk45_rejects_pallas_engine():
         sw.gain_spectrum(**kwargs, engine="pallas")
 
 
-def test_rk45_rejects_df32_precision():
+def test_rk45_df32_dispatches_to_compensated_engine(monkeypatch):
+    """Round 3: integrator='rk45' + precision='df32' no longer raises -- it
+    dispatches to the two-float DP45 engine (ops/df32_adaptive.py).  The
+    dispatch is verified by stubbing the engine (its jitted solver is
+    TPU-lane only: XLA:CPU two-float compiles are pathological)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import (
+        df32_adaptive as da,
+    )
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.df32_solver import (
+        DF32BatchResult,
+    )
+
+    calls = []
+
+    def fake(A0, gamma, alpha, dbeta, **kw):
+        calls.append(kw)
+        B = A0.shape[0]
+        P = np.abs(np.asarray(A0)) ** 2
+        return DF32BatchResult(P_max=P, A_end=np.asarray(A0).copy(),
+                               ok=np.ones(B, dtype=bool))
+
+    monkeypatch.setattr(da, "solve_batch_df32_rk45", fake)
     kwargs, _ = _spectrum_inputs(n=4)
-    kwargs["cfg"] = dataclasses.replace(_rk45_cfg(kwargs["cfg"]), precision="df32")
-    with pytest.raises(ValueError, match="df32|x64"):
-        sw.gain_spectrum(**kwargs)
+    kwargs["cfg"] = dataclasses.replace(_rk45_cfg(kwargs["cfg"]),
+                                        precision="df32")
+    res = sw.gain_spectrum(**kwargs)
+    assert len(calls) == 1
+    assert calls[0]["rtol"] == kwargs["cfg"].rtol
+    assert res.gain.shape == (4,)
 
 
 def test_rk45_trajectories_reject_df32():
