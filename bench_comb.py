@@ -164,7 +164,41 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"# pallas comb kernel skipped: {e}", file=sys.stderr)
 
-    best = max(results, key=lambda k: results[k]["instance_steps_per_s"])
+    # matched-tolerance (df32) lane: the two-float FFT engine -- the tier
+    # that meets the <=1e-9 BASELINE bar on the f64-less v5e (round 3).
+    # Smaller batch: the compensated arithmetic runs on the VPU (~20x the
+    # x32 cost); this row is about existence + honest rate, not the record.
+    if backend == "tpu":
+        try:
+            import dataclasses as _dc
+
+            B_df = 1024
+            cfg_df = _dc.replace(cfg, precision="df32")
+            c_df = nw.NWaveCoeffs(
+                gamma=gammas[:B_df], alpha=np.full(B_df, 5e-5),
+                beta_lin=np.broadcast_to(
+                    np.asarray(coeffs1.beta_lin, float), (B_df, N_LINES)
+                ),
+            )
+            nw.solve_comb_batch(cfg_df, c_df, A0[:B_df])   # warm-up
+            t0 = time.perf_counter()
+            _, _, ok_df = nw.solve_comb_batch(cfg_df, c_df, A0[:B_df])
+            el_df = time.perf_counter() - t0
+            results["df32_twofloat_fft"] = {
+                "elapsed_s": round(el_df, 4),
+                "batch": B_df,
+                "instance_steps_per_s": round(B_df * N_STEPS / el_df),
+                "ok_fraction": float(np.mean(ok_df)),
+                "note": "matched-tolerance tier (<=1e-9 vs f64 reference; "
+                        "TPU parity test in tests/test_df32_comb.py)",
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"# df32 comb lane skipped: {e}", file=sys.stderr)
+
+    best = max(
+        (k for k in results if k != "df32_twofloat_fft"),
+        key=lambda k: results[k]["instance_steps_per_s"],
+    )
     best_rate = results[best]["instance_steps_per_s"]
     # rk45/accuracy lanes need a *coupling* (the pallas entry is an engine)
     best_coupling = max(
