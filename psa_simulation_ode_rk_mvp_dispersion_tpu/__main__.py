@@ -121,6 +121,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--spectrum-points", type=int, default=0,
                    help="NF-vs-wavelength spectrum resolution (0 disables)")
 
+    s = sub.add_parser("gain-ripple",
+                       help="fiber-yield Monte Carlo: gain statistics under "
+                            "longitudinal delta-beta wander")
+    s.add_argument("--realizations", type=int, default=4096)
+    s.add_argument("--segments", type=int, default=20,
+                   help="delta-beta correlation segments along the fiber")
+    s.add_argument("--sigma", type=float, default=0.02,
+                   help="delta-beta standard deviation [1/m]")
+
+    s = sub.add_parser("squeezing",
+                       help="PSA vacuum squeezing: quadrature noise "
+                            "ellipses by Wigner Monte Carlo")
+    s.add_argument("--samples", type=int, default=8192)
+    s.add_argument("--z-max", type=float, default=150.0, help="fiber [m]")
+
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
 
@@ -128,8 +143,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    if args.integrator is not None and args.cmd in ("sbs", "bench",
-                                                    "noise-figure", "comb"):
+    if args.integrator is not None and args.cmd in (
+            "sbs", "bench", "noise-figure", "comb", "gain-ripple",
+            "squeezing"):
         parser.error(
             f"--integrator is not honored by '{args.cmd}'"
             + (" (use --comb-integrator)" if args.cmd == "comb" else "")
@@ -202,6 +218,16 @@ def main(argv=None) -> int:
             z_max_m=args.z_max, n_samples=args.samples,
             phase_points=args.phase_points,
             spectrum_points=args.spectrum_points, mesh=mesh,
+            verbose=verbose, **common,
+        )
+    elif args.cmd == "gain-ripple":
+        ex.gain_ripple(
+            n_realizations=args.realizations, n_segments=args.segments,
+            sigma_dbeta_1_m=args.sigma, mesh=mesh, verbose=verbose, **common,
+        )
+    elif args.cmd == "squeezing":
+        ex.squeezing(
+            n_samples=args.samples, z_max_m=args.z_max, mesh=mesh,
             verbose=verbose, **common,
         )
     elif args.cmd == "bench":

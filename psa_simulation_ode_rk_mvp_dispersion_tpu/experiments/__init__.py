@@ -26,7 +26,8 @@ from .fwm4 import (  # noqa: F401
     psa_phase_sweep,
     single_simulation,
 )
-from .noise import noise_figure  # noqa: F401
+from .fluctuations import gain_ripple  # noqa: F401
+from .noise import noise_figure, squeezing  # noqa: F401
 from .pulses import (  # noqa: F401
     _SC_BETAS_PS_KM,
     gnlse_pulse,
@@ -39,4 +40,5 @@ __all__ = [
     "single_simulation", "gain_spectrum", "gain_spectrum_dbeta",
     "mismatch_scan", "psa_phase_sweep", "gain_map", "comb", "gnlse_pulse",
     "vector_pulse", "supercontinuum", "noise_figure", "fwm_sbs",
+    "gain_ripple", "squeezing",
 ]

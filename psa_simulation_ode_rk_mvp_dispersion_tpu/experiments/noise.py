@@ -87,11 +87,13 @@ def noise_figure(
     )
     if verbose:
         print(
-            f"PIA:  gain {pia.gain_db:6.2f} dB  NF {pia.nf_db:6.3f} dB  "
+            f"PIA:  gain {pia.gain_db:6.2f} dB  NF {pia.nf_db:6.3f} "
+            f"+- {pia.nf_se_db:.3f} dB  "
             f"(theory 2-1/G: {pia_theory:.3f} dB)  [{pia.n_samples} samples]"
         )
         print(
-            f"PSA:  gain {psa_r.gain_db:6.2f} dB  NF {psa_r.nf_db:6.3f} dB  "
+            f"PSA:  gain {psa_r.gain_db:6.2f} dB  NF {psa_r.nf_db:6.3f} "
+            f"+- {psa_r.nf_se_db:.3f} dB  "
             f"(quantum limit: 0 dB)  at phase {_np.rad2deg(ph_max):.1f} deg"
         )
 
@@ -164,3 +166,70 @@ def noise_figure(
             else f"{save_dir}/noise_figure_spectrum.png",
         )
     return pia, psa_r, curve, spec
+
+
+def squeezing(
+    *,
+    z_max_m: float = 150.0,
+    dz_m: float = 0.05,
+    gamma_km: float = 5.0,
+    p_pump_W: float = 0.5,
+    n_samples: int = 8192,
+    t_mode_s: float = 1e-9,
+    seed: int = 0,
+    mesh=None,
+    precision: str = "x64",
+    show: bool = True,
+    save_dir: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Vacuum squeezing of a dual-pump PSA
+    (``parallel/noise.psa_squeezing_monte_carlo``): propagate vacuum
+    signal/idler modes through the amplifier and measure the quadrature
+    noise ellipses -- the joint (+45 deg) superposition squeezes below the
+    vacuum while staying at minimum uncertainty; the single signal mode
+    alone shows a thermal ellipse.  Plots both ellipses against the vacuum
+    circle."""
+    import numpy as _np
+
+    from ..parallel import noise as nz
+
+    omega = _np.asarray(plan_from_wavelengths(1550e-9, 1552e-9, 1551e-9))
+    cfg = custom_simulation_config(z_max=z_max_m, dz=dz_m, save_every=50,
+                                  precision=precision)
+    sig, joint = nz.psa_squeezing_monte_carlo(
+        cfg, gamma=gamma_km / 1e3, alpha=0.0, omega=omega,
+        p_pump_W=p_pump_W, t_mode_s=t_mode_s, n_samples=n_samples,
+        seed=seed, mesh=mesh,
+    )
+    if verbose:
+        print(
+            f"joint (s+i)/sqrt2 mode: squeezing {joint.squeezing_db:+.2f} dB, "
+            f"antisqueezing {joint.antisqueezing_db:+.2f} dB, "
+            f"v_min*v_max = {joint.uncertainty_product:.5f} "
+            f"(min uncertainty 1/16 = {1/16:.5f})"
+        )
+        print(
+            f"signal mode alone:      squeezing {sig.squeezing_db:+.2f} dB "
+            f"(thermal, no single-mode squeezing)"
+        )
+    if save_dir is not None:
+        from pathlib import Path
+
+        out = Path(save_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        _np.savez(
+            out / "squeezing.npz",
+            **{f"sig_{k}": getattr(sig, k) for k in
+               ("v_min", "v_max", "theta_min", "squeezing_db",
+                "antisqueezing_db", "uncertainty_product")},
+            **{f"joint_{k}": getattr(joint, k) for k in
+               ("v_min", "v_max", "theta_min", "squeezing_db",
+                "antisqueezing_db", "uncertainty_product")},
+            n_samples=n_samples,
+        )
+    plotting.plot_squeezing_ellipses(
+        sig, joint, show=show,
+        save_path=None if save_dir is None else f"{save_dir}/squeezing.png",
+    )
+    return sig, joint

@@ -521,3 +521,67 @@ def plot_spectral_evolution(z, omega, A_saved, *,
     ax1.grid(True, alpha=0.3)
     ax1.legend()
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_gain_ripple(result, *, title="Gain distribution under delta-beta "
+                     "fluctuations", show=True, save_path=None):
+    """Histogram of the Monte-Carlo gain ensemble with the nominal gain,
+    ensemble mean +- SE, and the p5/p95 yield band (order-statistic CIs
+    shaded).  ``result`` is a :class:`~.parallel.fluctuations.GainRippleResult`."""
+    import matplotlib.pyplot as plt
+
+    g = np.asarray(result.gain_db)
+    g = g[np.isfinite(g)]
+    if g.size == 0:
+        raise ValueError("no finite gains to plot")
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    ax.hist(g, bins=min(60, max(10, g.size // 20)), color="#4878cf",
+            alpha=0.75, edgecolor="none")
+    ax.axvline(result.gain_nominal_db, color="k", lw=1.5,
+               label=f"nominal {result.gain_nominal_db:.2f} dB")
+    ax.axvline(result.gain_mean_db, color="#d65f5f", lw=1.5,
+               label=(f"mean {result.gain_mean_db:.2f} "
+                      f"$\\pm$ {result.gain_mean_se_db:.3f} dB"))
+    for p, ci, c in ((result.gain_p5_db, result.gain_p5_ci_db, "#6acc65"),
+                     (result.gain_p95_db, result.gain_p95_ci_db, "#6acc65")):
+        ax.axvline(p, color=c, lw=1.2, ls="--")
+        ax.axvspan(ci[0], ci[1], color=c, alpha=0.2)
+    ax.plot([], [], color="#6acc65", ls="--",
+            label=f"p5/p95 [{result.gain_p5_db:.2f}, {result.gain_p95_db:.2f}] dB")
+    ax.set_xlabel("Signal gain [dB]")
+    ax.set_ylabel("Realizations")
+    ax.legend(fontsize=9)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_squeezing_ellipses(sig_stats, joint_stats, *,
+                            title="PSA vacuum squeezing: quadrature noise "
+                            "ellipses", show=True, save_path=None):
+    """Draw the 1-sigma noise ellipses of the single-signal mode and the
+    joint (+45 deg) superposition mode against the vacuum circle (variance
+    1/4 per quadrature).  Inputs are :class:`~.parallel.noise.QuadratureStats`."""
+    import matplotlib.pyplot as plt
+
+    th = np.linspace(0, 2 * np.pi, 200)
+    fig, ax = plt.subplots(figsize=(5.2, 5.2))
+    r_vac = np.sqrt(0.25)
+    ax.plot(r_vac * np.cos(th), r_vac * np.sin(th), "k--", lw=1,
+            label="vacuum (1/4)")
+
+    def ellipse(st, color, label):
+        # minor axis at theta_min with sd sqrt(v_min); major perpendicular
+        a = np.sqrt(st.v_max)
+        b = np.sqrt(st.v_min)
+        ang = st.theta_min + np.pi / 2.0   # major-axis angle
+        x = a * np.cos(th) * np.cos(ang) - b * np.sin(th) * np.sin(ang)
+        y = a * np.cos(th) * np.sin(ang) + b * np.sin(th) * np.cos(ang)
+        ax.plot(x, y, color=color, lw=1.6,
+                label=f"{label}: {st.squeezing_db:+.1f} dB")
+
+    ellipse(sig_stats, "#4878cf", "signal alone")
+    ellipse(joint_stats, "#d65f5f", "joint (s+i)/sqrt(2)")
+    ax.set_xlabel("X quadrature (photon units)")
+    ax.set_ylabel("Y quadrature")
+    ax.set_aspect("equal")
+    ax.legend(fontsize=9)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

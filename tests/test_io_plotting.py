@@ -346,3 +346,36 @@ def test_plot_spectral_evolution_and_nf_sweep_smoke(tmp_path):
     with pytest.raises(ValueError, match="share a shape"):
         plotting.plot_noise_figure_spectrum(lam, np.zeros(3), np.zeros(7),
                                             show=False)
+
+
+def test_gain_ripple_experiment_artifacts(tmp_path):
+    """gain-ripple experiment: runs, prints SE/CI stats, saves NPZ + PNG."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    res = ex.gain_ripple(
+        z_max_m=100.0, dz_m=0.5, n_realizations=64, n_segments=4,
+        sigma_dbeta_1_m=0.02, show=False, save_dir=str(tmp_path),
+        verbose=False,
+    )
+    assert np.isfinite(res.gain_mean_se_db)
+    assert res.gain_p5_ci_db[0] <= res.gain_p5_db <= res.gain_p5_ci_db[1]
+    assert (tmp_path / "gain_ripple.npz").exists()
+    assert (tmp_path / "gain_ripple.png").exists()
+    d = np.load(tmp_path / "gain_ripple.npz")
+    assert d["gain_db"].shape == (64,)
+
+
+def test_squeezing_experiment_artifacts(tmp_path):
+    """squeezing experiment: joint mode squeezes below vacuum at minimum
+    uncertainty; artifacts written."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    sig, joint = ex.squeezing(
+        z_max_m=80.0, dz_m=0.1, n_samples=1024, show=False,
+        save_dir=str(tmp_path), verbose=False,
+    )
+    assert joint.squeezing_db < -1.0
+    assert joint.uncertainty_product == pytest.approx(1.0 / 16.0, rel=0.1)
+    assert sig.v_min > 0.25 * 0.9          # single mode not squeezed
+    assert (tmp_path / "squeezing.npz").exists()
+    assert (tmp_path / "squeezing.png").exists()
