@@ -110,15 +110,18 @@ def main() -> None:
 
         # steady-state lane: the 10^4-point headline pays ~40 ms fixed launch
         # overhead (~28% of the call, docs/PERF.md); the large-B rate is the
-        # honest hardware number (VERDICT r2 #9).  10^6 points, one rep
-        # (the run itself is seconds -- launch overhead amortized away).
+        # honest hardware number (VERDICT r2 #9).  250k points, one rep
+        # (compute ~3 s >> overhead; a 10^6-point variant wedged the tunnel
+        # on 2026-08-17 -- large single H2D transfers are a tunnel hazard,
+        # and 250k already amortizes the 40 ms overhead to ~1%).
         try:
-            lam_ss = np.linspace(1540e-9, 1650e-9, 1_000_000)
+            lam_ss = np.linspace(1540e-9, 1650e-9, 250_000)
             cfg_ss = psa.custom_simulation_config(
                 z_max=500.0, dz=0.2, save_every=10,
                 precision=primary_precision,
             )
             kw_ss = {**common, "cfg": cfg_ss}
+            _ = sw.gain_spectrum(lambda_signal_m=lam_ss, **kw_ss)  # compile
             t0 = time.perf_counter()
             res_ss = sw.gain_spectrum(lambda_signal_m=lam_ss, **kw_ss)
             el_ss = time.perf_counter() - t0

@@ -373,3 +373,26 @@ def test_solve_comb_batch_engines_agree_on_partial_tail():
     )
     z, Atraj = nw.run_comb_simulation(cfg, c0, A0[0], coupling="dft")
     np.testing.assert_allclose(A1[0], Atraj[-1], rtol=2e-6, atol=1e-8)
+
+
+def test_degenerate_single_pump_3wave_analytic():
+    """BASELINE config 1 ("one pump + signal + idler"): the DEGENERATE
+    single-pump parametric amplifier is the N=3 comb (the k+l-m=j sum
+    carries the A_p^2 A_s* product with the correct non-degenerate-vs-
+    degenerate combinatorics the fixed 4-wave RHS cannot express).  At
+    kappa = dbeta + 2 gamma P = 0 the undepleted-pump solution is
+    Gs = cosh^2(gamma P L), Gi = sinh^2(gamma P L)."""
+    gamma, P, L = 0.01, 0.5, 50.0
+    g = gamma * P
+    Ps_in = 1e-8
+    A0 = np.array([[np.sqrt(Ps_in), np.sqrt(P), 0.0]], dtype=complex)
+    beta = np.array([-gamma * P, 0.0, -gamma * P])  # kappa = 0
+    cfg = psa.custom_simulation_config(z_max=L, dz=0.01, save_every=100)
+    co = nw.NWaveCoeffs(gamma=np.array([gamma]), alpha=np.array([0.0]),
+                        beta_lin=beta[None, :])
+    _P_max, A_end, ok = nw.solve_comb_batch(cfg, co, A0, coupling="fft")
+    assert ok.all()
+    Gs = np.abs(A_end[0, 0]) ** 2 / Ps_in
+    Gi = np.abs(A_end[0, 2]) ** 2 / Ps_in
+    assert Gs == pytest.approx(np.cosh(g * L) ** 2, rel=1e-7)
+    assert Gi == pytest.approx(np.sinh(g * L) ** 2, rel=1e-6)
