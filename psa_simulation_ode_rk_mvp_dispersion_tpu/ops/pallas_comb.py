@@ -350,12 +350,21 @@ def solve_comb_batch_pallas(
     alpha = np.broadcast_to(np.asarray(alpha, dtype=np.float64), (B,))
     beta = np.broadcast_to(np.asarray(beta_lin, dtype=np.float64), (B, n))
 
-    # VMEM-fit auto block: ~24 (L, blk) f32 planes live through the RK4 body
-    # plus the weight planes (measured on v5e; 16 MB VMEM, keep 2 MB
-    # headroom).  Wider combs must take narrower lane blocks.
+    # Width/block limits, MEASURED on v5e Mosaic (2026-08-17): the compiler
+    # crashes (remote-compile HTTP 500) beyond these, independent of the
+    # VMEM arithmetic -- L=128 compiles up to 1024 lanes/block, L=256 up to
+    # 256 lanes, L>=512 (N=256 combs) not at all.  Wider combs use the scan
+    # engine (the dft-matmul coupling handles any N under XLA).
     from ..models.nwave import _fft_len
 
     L = _fft_len(n)
+    if L > 256:
+        raise ValueError(
+            f"comb too wide for the fused kernel (N={n}, FFT len {L}): "
+            "Mosaic cannot compile the VMEM-resident body past L=256 "
+            "(measured v5e limit); use the scan engine (coupling='dft')"
+        )
+    cap = 1024 if L <= 128 else 256
     w_floats = 8 * L * n if variant == "block" else 12 * L * n
     budget = 14 * 1024 * 1024 - w_floats * 4
     blk_fit = (budget // (24 * L * 4)) // LANES * LANES
@@ -365,7 +374,7 @@ def solve_comb_batch_pallas(
             f"state planes exceed VMEM even at a {LANES}-lane block; use the "
             "scan engine"
         )
-    block = int(min(block, blk_fit))
+    block = int(min(block, cap, blk_fit))
 
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     mult = ndev * (block if B >= ndev * block else LANES)
