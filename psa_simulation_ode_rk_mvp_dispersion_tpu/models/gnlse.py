@@ -991,6 +991,177 @@ def solve_gnlse_batch(
     return peak, A_last, np.asarray(ok)[:n_orig].astype(bool)
 
 
+def solve_gnlse_batch_trajectories(
+    cfg: SimulationConfig,
+    coeffs: GNLSECoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+    mesh=None,
+    nl: Optional[NLTerms] = None,
+    z0: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched solve returning full decimated trajectories
+    ``(z (S+1,), A (B, S+1, T) complex, ok (B,))`` -- the GNLSE analog of
+    ``sweep.solve_batch_trajectories`` (use :func:`solve_gnlse_batch` for
+    large sweeps; trajectories materialize S+1 copies of the batch state).
+    ``mesh`` shards the batch axis via ``shard_map`` (per-shard local FFTs);
+    ``z0`` offsets the returned grid (resume; the equation is autonomous).
+    """
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    scale = length_scale_to_m(length_unit)
+    rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
+    z0 = float(z0)
+
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2:
+        raise ValueError(f"A0 must have shape (B, T), got {A0.shape}")
+    B, T = A0.shape
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+    n_chunks = n_steps // int(cfg.save_every)
+
+    gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
+    alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
+    phase = np.broadcast_to(np.asarray(coeffs.lin_phase, dtype=float), (B, T))
+    n_orig = B
+    if mesh is not None:
+        from ..parallel.mesh import pad_batch
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        A0, n_orig = pad_batch(A0, ndev)
+        gamma, _ = pad_batch(gamma, ndev)
+        alpha, _ = pad_batch(alpha, ndev)
+        phase, _ = pad_batch(phase, ndev)
+
+    z = z0 + np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dz_m
+    ) / scale
+    use_rk45 = cfg.integrator.lower() == "rk45"
+    if use_rk45 and n_chunks == 0:
+        ok0 = np.isfinite(A0[:n_orig]).all(axis=-1)
+        return z, A0[:n_orig, None, :].copy(), ok0
+
+    y0_ri = ri_pack_host(A0, rdt)
+    if mesh is None:
+        cof = GNLSECoeffs(
+            gamma=jnp.asarray(gamma, dtype=rdt),
+            alpha=jnp.asarray(alpha, dtype=rdt),
+            lin_phase=jnp.asarray(phase, dtype=rdt),
+        )
+        if use_rk45:
+            z_grid = jnp.asarray(
+                np.arange(n_chunks + 1, dtype=np.float64)
+                * (int(cfg.save_every) * dz_m), dtype=rdt)
+            solver = _gnlse_adaptive_solver(
+                np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+                int(cfg.max_steps), False,
+            )
+            ys, _yf, ok, _na, _nr = jax.block_until_ready(
+                solver(jnp.asarray(y0_ri), cof, z_grid,
+                       jnp.asarray(dz_m, dtype=rdt), nl)
+            )
+        else:
+            solver = _gnlse_solver(n_steps, int(cfg.save_every),
+                                   np.dtype(rdt).name)
+            ys, _yf, ok = jax.block_until_ready(
+                solver(jnp.asarray(y0_ri), cof,
+                       jnp.asarray(dz_m, dtype=rdt), nl)
+            )
+    else:
+        from ..parallel.mesh import batch_sharding, fetch_global, put_global
+
+        sh = batch_sharding(mesh)
+        cof = GNLSECoeffs(
+            gamma=put_global(np.asarray(gamma, dtype=rdt), sh),
+            alpha=put_global(np.asarray(alpha, dtype=rdt), sh),
+            lin_phase=put_global(np.asarray(phase, dtype=rdt), sh),
+        )
+        y0_dev = put_global(y0_ri, sh)
+        if use_rk45:
+            z_grid = jnp.asarray(
+                np.arange(n_chunks + 1, dtype=np.float64)
+                * (int(cfg.save_every) * dz_m), dtype=rdt)
+            solver = _gnlse_traj_solver_sharded(
+                np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+                int(cfg.max_steps), mesh, True,
+            )
+            out = jax.block_until_ready(
+                solver(y0_dev, cof, z_grid, jnp.asarray(dz_m, dtype=rdt), nl)
+            )
+            ys, ok = fetch_global(out[0]), fetch_global(out[1])
+        else:
+            solver = _gnlse_traj_solver_sharded_fixed(
+                n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
+            )
+            out = jax.block_until_ready(
+                solver(y0_dev, cof, jnp.asarray(dz_m, dtype=rdt), nl)
+            )
+            ys, ok = fetch_global(out[0]), fetch_global(out[1])
+
+    A = ri_unpack_host(np.asarray(ys)).transpose(1, 0, 2)[:n_orig]
+    return z, A, np.asarray(ok)[:n_orig].astype(bool)
+
+
+@functools.lru_cache(maxsize=16)
+def _gnlse_traj_solver_sharded_fixed(n_steps: int, save_every: int,
+                                     rdt_name: str, mesh):
+    """shard_map wrapper of the fixed-step trajectory solver (batch axis on
+    axis 1 of the stacked output)."""
+    from jax.sharding import PartitionSpec
+
+    inner = _gnlse_solver(n_steps, save_every, rdt_name)
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    b = PartitionSpec(ax)
+    bt = PartitionSpec(ax, None)
+    btr = PartitionSpec(ax, None, None)
+
+    def run(y0, c, dz, nl):
+        ys, yf, ok = inner(y0, c, dz, nl)
+        return ys, ok
+
+    return jax.jit(
+        jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
+                      PartitionSpec(), PartitionSpec()),
+            out_specs=(PartitionSpec(None, ax, None, None), b),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _gnlse_traj_solver_sharded(rdt_name: str, rtol: float, atol: float,
+                               max_steps: int, mesh, _traj: bool):
+    """shard_map wrapper of the adaptive trajectory solver."""
+    from jax.sharding import PartitionSpec
+
+    inner = _gnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, False)
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    b = PartitionSpec(ax)
+    bt = PartitionSpec(ax, None)
+    btr = PartitionSpec(ax, None, None)
+
+    def run(y0, c, zg, dt0, nl):
+        ys, yf, ok, _na, _nr = inner(y0, c, zg, dt0, nl)
+        return ys, ok
+
+    return jax.jit(
+        jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
+                      PartitionSpec(), PartitionSpec(), PartitionSpec()),
+            out_specs=(PartitionSpec(None, ax, None, None), b),
+            check_vma=False,
+        )
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _gnlse_reduce_solver_sharded(n_steps: int, save_every: int, rdt_name: str,
                                  mesh):

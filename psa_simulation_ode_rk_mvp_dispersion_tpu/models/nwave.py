@@ -398,6 +398,117 @@ def run_comb_simulation(
     return np.asarray(z_out, dtype=float), ri_unpack_host(np.asarray(y_ri))
 
 
+@functools.lru_cache(maxsize=64)
+def _comb_batch_traj_solver(n_steps: int, save_every: int, unroll: int,
+                            coupling: str):
+    rhs = make_rhs_nwave(coupling)
+
+    def one(y0, coeffs, dz):
+        res = integrate_fixed_grid(
+            rhs, y0, coeffs, z0=jnp.zeros((), dz.dtype), dz=dz,
+            n_steps=n_steps, save_every=save_every, check_nan=True,
+            unroll=unroll,
+        )
+        return complex_to_ri(res.y_saved), res.ok
+
+    def batch(y0_ri, coeffs_b, dz):
+        ys, ok = jax.vmap(one, in_axes=(0, 0, None))(
+            ri_to_complex(y0_ri), coeffs_b, dz
+        )
+        return ys.astype(y0_ri.dtype), ok.astype(jnp.int32)
+
+    return jax.jit(batch)
+
+
+@functools.lru_cache(maxsize=64)
+def _comb_batch_adaptive_traj_solver(rtol: float, atol: float,
+                                     max_steps: int, coupling: str):
+    rhs = make_rhs_nwave(coupling)
+
+    def one(y0, coeffs, z_grid):
+        res = integrate_adaptive_grid(
+            rhs, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
+            max_steps_per_segment=max_steps,
+        )
+        return complex_to_ri(res.y_saved), res.ok
+
+    def batch(y0_ri, coeffs_b, z_grid):
+        ys, ok = jax.vmap(one, in_axes=(0, 0, None))(
+            ri_to_complex(y0_ri), coeffs_b, z_grid
+        )
+        return ys.astype(y0_ri.dtype), ok.astype(jnp.int32)
+
+    return jax.jit(batch)
+
+
+def solve_comb_batch_trajectories(
+    cfg: SimulationConfig,
+    coeffs: NWaveCoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+    unroll: int = 2,
+    coupling: str = "fft",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched comb solve returning full decimated trajectories
+    ``(z (S+1,), A (B, S+1, N) complex, ok (B,))`` -- the comb analog of
+    ``sweep.solve_batch_trajectories`` (use :func:`solve_comb_batch` for
+    large sweeps; trajectories materialize S+1 copies of the batch state).
+    ``cfg.integrator`` selects fixed RK4 or adaptive RK45 (dense output on
+    the decimated save grid); unsharded by design (moderate B).
+    """
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    scale = length_scale_to_m(length_unit)
+    precision = validate_precision(cfg.precision)
+    if precision == "df32":
+        raise ValueError(
+            "precision='df32' is reduce-mode only for combs "
+            "(solve_comb_batch); trajectories run 'x64' (CPU) or 'x32'"
+        )
+    rdt = real_dtype(precision)
+
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2:
+        raise ValueError(f"A0 must have shape (B, N), got {A0.shape}")
+    B, N = A0.shape
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+    n_chunks = n_steps // int(cfg.save_every)
+
+    coeffs_b = NWaveCoeffs(
+        gamma=jnp.asarray(
+            np.broadcast_to(np.asarray(coeffs.gamma, float), (B,)),
+            dtype=rdt),
+        alpha=jnp.asarray(
+            np.broadcast_to(np.asarray(coeffs.alpha, float), (B,)),
+            dtype=rdt),
+        beta_lin=jnp.asarray(
+            np.broadcast_to(np.asarray(coeffs.beta_lin, float), (B, N)),
+            dtype=rdt),
+    )
+    y0_ri = jnp.asarray(ri_pack_host(A0, rdt))
+    z = np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dz_m
+    ) / scale
+    if cfg.integrator.lower() == "rk45":
+        z_grid = jnp.asarray(z * scale, dtype=rdt)
+        solver = _comb_batch_adaptive_traj_solver(
+            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling
+        )
+        ys, ok = jax.block_until_ready(solver(y0_ri, coeffs_b, z_grid))
+    else:
+        solver = _comb_batch_traj_solver(
+            n_steps, int(cfg.save_every), int(unroll), coupling
+        )
+        ys, ok = jax.block_until_ready(
+            solver(y0_ri, coeffs_b, jnp.asarray(dz_m, dtype=rdt))
+        )
+    A = ri_unpack_host(np.asarray(ys))
+    return z, A, np.asarray(ok).astype(bool)
+
+
 def comb_spectrum_db(A: np.ndarray, *, floor_dbw: float = -200.0) -> np.ndarray:
     """Per-line power spectrum in dBW with a floor (for plotting)."""
     P = np.abs(A) ** 2

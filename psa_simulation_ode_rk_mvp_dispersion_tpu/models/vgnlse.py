@@ -659,6 +659,72 @@ def solve_vgnlse_batch(
     return peak, A_last, np.asarray(ok)[:n_orig].astype(bool)
 
 
+def solve_vgnlse_batch_trajectories(
+    cfg: SimulationConfig,
+    coeffs: VGNLSECoeffs,
+    A0: np.ndarray,
+    *,
+    length_unit: str = "m",
+    z0: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched solve returning full decimated trajectories
+    ``(z (S+1,), A (B, S+1, 2, T) complex, ok (B,))`` (vector analog of
+    ``gnlse.solve_gnlse_batch_trajectories``; unsharded -- trajectories are
+    a moderate-B tool, use :func:`solve_vgnlse_batch` for large sweeps)."""
+    from ..utils.units import length_scale_to_m
+
+    validate_config(cfg)
+    scale = length_scale_to_m(length_unit)
+    rdt = real_dtype(require_non_df32(cfg.precision,
+                                      family="vector-GNLSE split-step"))
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 3 or A0.shape[1] != 2:
+        raise ValueError(f"A0 must have shape (B, 2, T), got {A0.shape}")
+    B, _, T = A0.shape
+    dz_m = float(cfg.dz) * scale
+    n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+    n_chunks = n_steps // int(cfg.save_every)
+
+    cof = VGNLSECoeffs(
+        gamma=jnp.asarray(
+            np.broadcast_to(np.asarray(coeffs.gamma, float), (B,)), dtype=rdt),
+        alpha=jnp.asarray(
+            np.broadcast_to(np.asarray(coeffs.alpha, float), (B,)), dtype=rdt),
+        b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
+        lin_phase=jnp.asarray(
+            np.broadcast_to(np.asarray(coeffs.lin_phase, float), (B, 2, T)),
+            dtype=rdt),
+        coherent=float(coeffs.coherent),
+    )
+    z = float(z0) + np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dz_m
+    ) / scale
+    y0_ri = ri_pack_host(A0, rdt)
+    if cfg.integrator.lower() == "rk45":
+        if n_chunks == 0:
+            ok0 = np.isfinite(A0).all(axis=(-2, -1))
+            return z, A0[:, None].copy(), ok0
+        z_grid = jnp.asarray(
+            np.arange(n_chunks + 1, dtype=np.float64)
+            * (int(cfg.save_every) * dz_m), dtype=rdt)
+        solver = _vgnlse_adaptive_solver(
+            np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+            int(cfg.max_steps), False,
+        )
+        ys, _yf, ok, _na, _nr = jax.block_until_ready(
+            solver(jnp.asarray(y0_ri), cof, z_grid,
+                   jnp.asarray(dz_m, dtype=rdt))
+        )
+    else:
+        solver = _vgnlse_solver(n_steps, int(cfg.save_every),
+                                np.dtype(rdt).name, False)
+        ys, _yf, ok = jax.block_until_ready(
+            solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt))
+        )
+    A = ri_unpack_host(np.asarray(ys)).transpose(1, 0, 2, 3)
+    return z, A, np.asarray(ok).astype(bool)
+
+
 # ---------------------------------------------------------------------------
 # Derived quantities
 # ---------------------------------------------------------------------------

@@ -540,3 +540,49 @@ def test_df32_rejected_with_clear_error():
         run_gnlse_simulation(cfg, cf, A0)
     with pytest.raises(ValueError, match="df32"):
         solve_gnlse_batch(cfg, cf, A0[None])
+
+
+def test_batch_trajectories_match_single_runs():
+    """solve_gnlse_batch_trajectories == stacked run_gnlse_simulation rows
+    (fixed and adaptive), and the last row equals the reduce-mode A_last."""
+    import dataclasses as dcl
+
+    grid = gn.TimeGrid(n_samples=128, t_window_s=40e-12)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=-2e-26)
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=1e-2, alpha_1_m=5e-4)
+    A0 = np.stack([
+        gn.gaussian_pulse(grid, peak_W=p, t0_s=1e-12) for p in (0.5, 1.0)
+    ])
+    cfg = psa.custom_simulation_config(z_max=5.0, dz=0.01, save_every=100)
+
+    z_b, A_b, ok_b = gn.solve_gnlse_batch_trajectories(cfg, co, A0)
+    assert ok_b.all() and A_b.shape == (2, 6, 128)
+    for i in range(2):
+        z_s, A_s = gn.run_gnlse_simulation(cfg, co, A0[i])
+        np.testing.assert_allclose(z_b, z_s, rtol=1e-12)
+        assert np.array_equal(A_b[i], A_s)
+    _pk, A_last, _ok = gn.solve_gnlse_batch(cfg, co, A0)
+    assert np.array_equal(A_b[:, -1, :], A_last)
+
+    # adaptive path agrees with the single-run adaptive trajectories
+    cfg45 = dcl.replace(cfg, integrator="rk45", rtol=1e-8, atol=1e-11)
+    z_b, A_b, ok_b = gn.solve_gnlse_batch_trajectories(cfg45, co, A0)
+    assert ok_b.all()
+    z_s, A_s = gn.run_gnlse_simulation(cfg45, co, A0[0])
+    np.testing.assert_allclose(A_b[0], A_s, rtol=1e-6, atol=1e-10)
+
+
+def test_batch_trajectories_sharded_matches_unsharded():
+    z1, A1, ok1 = None, None, None
+    grid = gn.TimeGrid(n_samples=64, t_window_s=40e-12)
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=1e-3)
+    A0 = np.stack([
+        gn.gaussian_pulse(grid, peak_W=p, t0_s=1e-12)
+        for p in np.linspace(0.3, 1.2, 5)     # pads over the 8-device mesh
+    ])
+    cfg = psa.custom_simulation_config(z_max=2.0, dz=0.01, save_every=50)
+    z1, A1, ok1 = gn.solve_gnlse_batch_trajectories(cfg, co, A0)
+    z2, A2, ok2 = gn.solve_gnlse_batch_trajectories(cfg, co, A0,
+                                                    mesh=pm.default_mesh())
+    assert np.array_equal(ok1, ok2)
+    np.testing.assert_allclose(A2, A1, rtol=0, atol=1e-12)

@@ -396,3 +396,48 @@ def test_degenerate_single_pump_3wave_analytic():
     Gi = np.abs(A_end[0, 2]) ** 2 / Ps_in
     assert Gs == pytest.approx(np.cosh(g * L) ** 2, rel=1e-7)
     assert Gi == pytest.approx(np.sinh(g * L) ** 2, rel=1e-6)
+
+
+def test_comb_batch_trajectories_match_single_runs():
+    import dataclasses as dcl
+
+    grid = nw.CombGrid.centered(1.2e15, 2 * np.pi * 100e9, 16)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=-1e-27)
+    co = nw.make_comb_coeffs(grid, disp, gamma_W_m=5e-3)
+    A0 = np.stack([
+        nw.seed_comb(grid, pump_lines={7: p, 9: p}, noise_floor_W=1e-10,
+                     seed=i)
+        for i, p in enumerate((0.2, 0.4))
+    ])
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.05, save_every=40)
+    z_b, A_b, ok_b = nw.solve_comb_batch_trajectories(cfg, co, A0)
+    assert ok_b.all() and A_b.shape[0] == 2
+    for i in range(2):
+        z_s, A_s = nw.run_comb_simulation(cfg, co_row(co, i), A0[i])
+        np.testing.assert_allclose(z_b, z_s, rtol=1e-12)
+        assert np.array_equal(A_b[i], A_s)
+    # reduce-mode A_final sits at the last saved row
+    _P, A_fin, _ok = nw.solve_comb_batch(cfg, co, A0)
+    assert np.array_equal(A_b[:, -1, :], A_fin)
+
+    # adaptive: batch equals per-instance adaptive runs
+    cfg45 = dcl.replace(cfg, integrator="rk45", rtol=1e-8, atol=1e-12)
+    z_b45, A_b45, ok45 = nw.solve_comb_batch_trajectories(cfg45, co, A0)
+    assert ok45.all()
+    z_s45, A_s45 = nw.run_comb_simulation(cfg45, co_row(co, 0), A0[0])
+    np.testing.assert_allclose(A_b45[0], A_s45, rtol=1e-7, atol=1e-12)
+
+    with pytest.raises(ValueError, match="reduce-mode"):
+        cfg_df = dcl.replace(cfg, precision="df32")
+        nw.solve_comb_batch_trajectories(cfg_df, co, A0)
+
+
+def co_row(co, i):
+    """Row i of broadcastable comb coeffs (single-run view)."""
+    import jax.numpy as jnp
+
+    g = np.broadcast_to(np.asarray(co.gamma, float), (2,))
+    a = np.broadcast_to(np.asarray(co.alpha, float), (2,))
+    b = np.asarray(co.beta_lin, float)
+    return nw.NWaveCoeffs(gamma=jnp.asarray(g[i]), alpha=jnp.asarray(a[i]),
+                          beta_lin=jnp.asarray(b))

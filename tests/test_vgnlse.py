@@ -316,3 +316,25 @@ def test_saved_grid_partial_tail_contract():
     _, A_full, _ = vg.solve_vgnlse_batch(_cfg(z_max=10.0), co, A0)
     _, A_tail, _ = vg.solve_vgnlse_batch(_cfg(z_max=10.5), co, A0)
     np.testing.assert_allclose(A_tail, A_full, rtol=0, atol=1e-13)
+
+
+def test_batch_trajectories_match_single_runs():
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
+        TimeGrid, gaussian_pulse)
+
+    grid = TimeGrid(n_samples=64, t_window_s=40e-12)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=-2e-26)
+    co = vg.make_vgnlse_coeffs(grid, disp, gamma_W_m=1e-2, dbeta0_1_m=0.1)
+    A0 = np.stack([
+        np.asarray(vg.polarized_pulse(
+            gaussian_pulse(grid, peak_W=p, t0_s=1e-12), 0.3))
+        for p in (0.5, 1.0)
+    ])
+    cfg = psa.custom_simulation_config(z_max=2.0, dz=0.01, save_every=50)
+    z_b, A_b, ok_b = vg.solve_vgnlse_batch_trajectories(cfg, co, A0)
+    assert ok_b.all() and A_b.shape == (2, 5, 2, 64)
+    for i in range(2):
+        z_s, A_s = vg.run_vgnlse_simulation(cfg, co, A0[i])
+        assert np.array_equal(A_b[i], A_s)
+    _pk, A_last, _ok = vg.solve_vgnlse_batch(cfg, co, A0)
+    assert np.array_equal(A_b[:, -1], A_last)
