@@ -186,7 +186,7 @@ def main() -> None:
         "subset_core_rel_power_err_vs_x64": core_rel_err,
         "flops_note": "algorithmic real-FLOPs (5 t log2 t per complex FFT)",
     }
-    # regression floor (CLAUDE.md): median Kerr rate on TPU >= 1.2M
+    # regression floor (CLAUDE.md): median Kerr rate on TPU >= 0.9M
     kerr_rate = results["kerr"]["instance_steps_per_s"]
     meta["floor_instance_steps_per_s"] = 900_000
     meta["below_floor"] = bool(

@@ -41,25 +41,20 @@ def gain_ripple(
 
     from ..parallel.fluctuations import gain_ripple_monte_carlo
 
-    cfg = dc.replace(
-        custom_simulation_config(
-            z_max=z_max_m, dz=dz_m,
-            save_every=max(1, int(round(z_max_m / dz_m)) // n_segments // 1),
-        ),
-        precision=precision,
-    )
-    # segment-divisibility: save_every must divide the per-segment steps
     steps_total = int(round(z_max_m / dz_m))
-    steps_seg = steps_total // int(n_segments)
     if steps_total % int(n_segments) != 0:
         raise ValueError(
             f"z_max/dz = {steps_total} steps must divide into "
             f"{n_segments} segments"
         )
-    se = steps_seg
-    while steps_seg % se != 0 and se > 1:
-        se -= 1
-    cfg = dc.replace(cfg, save_every=se)
+    # one saved sample per segment boundary (the MC only observes A_end)
+    cfg = dc.replace(
+        custom_simulation_config(
+            z_max=z_max_m, dz=dz_m,
+            save_every=steps_total // int(n_segments),
+        ),
+        precision=precision,
+    )
 
     res = gain_ripple_monte_carlo(
         cfg, gamma=gamma_km / 1000.0,

@@ -11,11 +11,7 @@ from .. import plotting
 from ..config import custom_simulation_config
 from ..io_fwm import make_run_metadata, save_run_bundle, save_sweep_npz
 from ..models.fwm4 import run_single_simulation
-from ..ops.dispersion import DispersionParams, dispersion_params_from_D_S
-from ..ops.frequency_plan import (
-    describe_plan,
-    plan_from_wavelengths,
-)
+from ..ops.frequency_plan import describe_plan
 from ..ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
 from ..parallel import sweep as sweeps
 from ..utils.units import alpha_db_per_km_to_1_m

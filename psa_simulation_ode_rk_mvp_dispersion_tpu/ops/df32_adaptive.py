@@ -123,6 +123,8 @@ def _enorm(err_re, err_im, y: CTF, y5: CTF, *, atol, rtol):
 
 
 def _finite(y: CTF) -> jax.Array:
+    """Whole-lane all-finite flag (scalar per vmapped lane; reduces EVERY
+    axis, unlike twofloat.ctf_all_finite's trailing-axis reduction)."""
     return jnp.all(jnp.isfinite(y.re.hi)) & jnp.all(jnp.isfinite(y.im.hi))
 
 
@@ -200,9 +202,7 @@ def _advance_segment_df32(carry: _LaneCarry, z_end: TF, coeffs: DF32Coeffs,
     return out._replace(ok=out.ok & out.landed)
 
 
-def _tf_max(a: TF, b: TF) -> TF:
-    take_a = (a.hi + a.lo) > (b.hi + b.lo)
-    return TF(jnp.where(take_a, a.hi, b.hi), jnp.where(take_a, a.lo, b.lo))
+from .twofloat import tf_max as _tf_max  # noqa: E402
 
 
 @functools.lru_cache(maxsize=64)

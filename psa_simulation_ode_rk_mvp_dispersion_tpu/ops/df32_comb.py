@@ -228,24 +228,9 @@ def rk4_step_comb_df32(y: CTF, consts: _StepConsts, c: DF32CombCoeffs) -> CTF:
     return ctf_add(y, ctf_mul_real(incr, consts.dz_over_6))
 
 
-def _finite(y: CTF) -> jax.Array:
-    return (
-        jnp.all(jnp.isfinite(y.re.hi), axis=-1)
-        & jnp.all(jnp.isfinite(y.im.hi), axis=-1)
-    )
-
-
-def _freeze(ok, new: CTF, old: CTF) -> CTF:
-    w = lambda n_, o: jnp.where(ok[..., None], n_, o)  # noqa: E731
-    return CTF(
-        re=TF(w(new.re.hi, old.re.hi), w(new.re.lo, old.re.lo)),
-        im=TF(w(new.im.hi, old.im.hi), w(new.im.lo, old.im.lo)),
-    )
-
-
-def _tf_max(a: TF, b: TF) -> TF:
-    take_a = (a.hi + a.lo) > (b.hi + b.lo)
-    return TF(jnp.where(take_a, a.hi, b.hi), jnp.where(take_a, a.lo, b.lo))
+from .twofloat import ctf_all_finite as _finite  # noqa: E402
+from .twofloat import ctf_freeze as _freeze  # noqa: E402
+from .twofloat import tf_max as _tf_max  # noqa: E402
 
 
 @functools.lru_cache(maxsize=32)

@@ -173,19 +173,8 @@ class _Carry(NamedTuple):
     y_last: CTF       # last saved state
 
 
-def _finite(y: CTF) -> jax.Array:
-    return (
-        jnp.all(jnp.isfinite(y.re.hi), axis=-1)
-        & jnp.all(jnp.isfinite(y.im.hi), axis=-1)
-    )
-
-
-def _freeze(ok, new: CTF, old: CTF) -> CTF:
-    w = lambda n, o: jnp.where(ok[..., None], n, o)  # noqa: E731
-    return CTF(
-        re=TF(w(new.re.hi, old.re.hi), w(new.re.lo, old.re.lo)),
-        im=TF(w(new.im.hi, old.im.hi), w(new.im.lo, old.im.lo)),
-    )
+from .twofloat import ctf_all_finite as _finite  # noqa: E402
+from .twofloat import ctf_freeze as _freeze  # noqa: E402
 
 
 @functools.lru_cache(maxsize=128)

@@ -206,3 +206,34 @@ def ctf_abs2(a: CTF) -> TF:
 
 def ctf_scale_f32(a: CTF, c) -> CTF:
     return CTF(tf_mul_f32(a.re, c), tf_mul_f32(a.im, c))
+
+
+# ---------------------------------------------------------------------------
+# Shared solver helpers (per-step NaN freeze contract + TF comparisons) --
+# one definition for every df32 engine (df32_solver, df32_comb; the adaptive
+# engine's scalar-lane variants live with its controller)
+# ---------------------------------------------------------------------------
+
+def ctf_all_finite(y: CTF) -> jax.Array:
+    """Per-instance all-finite flag over the trailing (state) axis (checking
+    the hi words suffices: lo words are bounded by ulp(hi))."""
+    return (
+        jnp.all(jnp.isfinite(y.re.hi), axis=-1)
+        & jnp.all(jnp.isfinite(y.im.hi), axis=-1)
+    )
+
+
+def ctf_freeze(ok, new: CTF, old: CTF) -> CTF:
+    """Masked per-lane freeze: lanes with ok False keep the old state (the
+    framework-wide per-step NaN-freeze contract)."""
+    w = lambda n_, o: jnp.where(ok[..., None], n_, o)  # noqa: E731
+    return CTF(
+        re=TF(w(new.re.hi, old.re.hi), w(new.re.lo, old.re.lo)),
+        im=TF(w(new.im.hi, old.im.hi), w(new.im.lo, old.im.lo)),
+    )
+
+
+def tf_max(a: TF, b: TF) -> TF:
+    """Elementwise max of two TF values (compared on the collapsed hi+lo)."""
+    take_a = (a.hi + a.lo) > (b.hi + b.lo)
+    return TF(jnp.where(take_a, a.hi, b.hi), jnp.where(take_a, a.lo, b.lo))

@@ -72,13 +72,12 @@ def _percentile_ci(x: np.ndarray, q: float, conf: float = 0.95):
     the normal approximation picks the order-statistic indices
     n q +- z sqrt(n q (1-q)).  Standard nonparametric quantile interval --
     no resampling, deterministic (VERDICT r2 weak #4)."""
+    from statistics import NormalDist
+
     x = np.sort(np.asarray(x, dtype=np.float64))
     n = x.size
     frac = q / 100.0
-    z = 1.959963984540054 if conf == 0.95 else float(
-        __import__("scipy.stats", fromlist=["norm"]).norm.ppf(
-            0.5 + conf / 2.0)
-    )
+    z = NormalDist().inv_cdf(0.5 + conf / 2.0)
     half = z * np.sqrt(n * frac * (1.0 - frac))
     lo = int(np.clip(np.floor(n * frac - half), 0, n - 1))
     hi = int(np.clip(np.ceil(n * frac + half), 0, n - 1))

@@ -205,3 +205,26 @@ def test_jitted_df32_comb_sharded_matches_unsharded():
     assert np.array_equal(r1.ok, r2.ok)
     np.testing.assert_array_equal(r1.P_max, r2.P_max)
     np.testing.assert_array_equal(r1.A_end, r2.A_end)
+
+
+@cpu_lane
+def test_tf_fft_properties():
+    """Structural FFT properties at double-double precision: linearity,
+    Parseval (energy), and the DC bin as the plain sum."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 64)) + 1j * rng.normal(size=(2, 64))
+    y = rng.normal(size=(2, 64)) + 1j * rng.normal(size=(2, 64))
+    a, b = 1.7, -0.4 + 0.9j
+
+    Fxy = ctf_to_c128(dc.tf_fft(ctf_from_c128(a * x + b * y)))
+    Fx = ctf_to_c128(dc.tf_fft(ctf_from_c128(x)))
+    Fy = ctf_to_c128(dc.tf_fft(ctf_from_c128(y)))
+    assert np.abs(Fxy - (a * Fx + b * Fy)).max() < 1e-12 * np.abs(Fxy).max()
+
+    # Parseval: sum |X|^2 = L * sum |x|^2
+    lhs = (np.abs(Fx) ** 2).sum(axis=-1)
+    rhs = 64.0 * (np.abs(x) ** 2).sum(axis=-1)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-13)
+
+    # DC bin
+    np.testing.assert_allclose(Fx[:, 0], x.sum(axis=-1), rtol=1e-13)
