@@ -111,11 +111,17 @@ class GNLSECoeffs:
     """Per-instance GNLSE coefficients (broadcastable over a leading B axis).
 
     ``lin_phase`` is the omega-domain phase rate sum beta_n omega^n / n!
-    [rad/m] on the fft-ordered grid; ``gamma`` [1/(W m)]; ``alpha`` [1/m].
+    [rad/m] on the fft-ordered grid; ``gamma`` [1/(W m)]; ``alpha`` [1/m] --
+    either flat (scalar / per-instance (B,)) or FREQUENCY-RESOLVED on the
+    fft-ordered grid ((T,) single-run / (B, T) batched; applied in the
+    frequency domain alongside the dispersion phase -- confinement-loss
+    profiles, gain spectra, band edges).  Rank disambiguates: the runners
+    normalize spectral alpha to a trailing-T axis, so a 2-D alpha is
+    spectral and a 1-D alpha at the batch boundary is per-instance.
     """
 
     gamma: jax.Array      # () or (B,)
-    alpha: jax.Array      # () or (B,)
+    alpha: jax.Array      # () / (B,) flat, or (T,) / (B, T) spectral
     lin_phase: jax.Array  # (T,) or (B, T)
 
 
@@ -125,6 +131,7 @@ def make_gnlse_coeffs(
     *,
     gamma_W_m: float,
     alpha_1_m: float = 0.0,
+    alpha_spec_1_m=None,
     max_order: Optional[int] = None,
     precision: str = "x64",
 ) -> GNLSECoeffs:
@@ -133,6 +140,10 @@ def make_gnlse_coeffs(
     Orders 0 and 1 of ``dispersion`` are ignored (the co-moving frame removes
     the absolute phase and group delay, the same gauge as
     ``nwave.comb_beta_lin(remove_linear=True)``).
+
+    ``alpha_spec_1_m`` (optional, (T,) on the fft-ordered ``grid.omega()``
+    frequencies) adds a frequency-dependent loss profile on top of the flat
+    ``alpha_1_m`` -- e.g. PCF confinement loss rising at the band edges.
     """
     import math
 
@@ -146,9 +157,21 @@ def make_gnlse_coeffs(
             phase = phase + (cf[n] / math.factorial(n)) * om ** n
     if not np.all(np.isfinite(phase)):
         raise ValueError("dispersion phase must be finite on the grid")
+    if alpha_spec_1_m is None:
+        alpha = jnp.asarray(float(alpha_1_m), dtype=rdt)
+    else:
+        sp = np.asarray(alpha_spec_1_m, dtype=np.float64)
+        if sp.shape != om.shape:
+            raise ValueError(
+                f"alpha_spec_1_m must have shape {om.shape} (the fft-ordered "
+                f"frequency grid), got {sp.shape}"
+            )
+        if not np.all(np.isfinite(sp)):
+            raise ValueError("alpha_spec_1_m must be finite")
+        alpha = jnp.asarray(float(alpha_1_m) + sp, dtype=rdt)
     return GNLSECoeffs(
         gamma=jnp.asarray(float(gamma_W_m), dtype=rdt),
-        alpha=jnp.asarray(float(alpha_1_m), dtype=rdt),
+        alpha=alpha,
         lin_phase=jnp.asarray(phase, dtype=rdt),
     )
 
@@ -363,11 +386,15 @@ def _cast_nl(nl: Optional[NLTerms], rdt) -> Optional[NLTerms]:
 # ---------------------------------------------------------------------------
 
 def _lin_factor(coeffs: GNLSECoeffs, h, rdt):
-    """Frequency-domain one-step linear factor exp((-alpha/2 + i phi) h)."""
+    """Frequency-domain one-step linear factor exp((-alpha/2 + i phi) h).
+
+    ``alpha`` rank rule (normalized by the public runners): rank 2 is a
+    spectral (B, T) loss profile used as-is; rank 1 is per-instance (B,)
+    and gains the trailing time axis; rank 0 is a flat scalar."""
     al = jnp.asarray(coeffs.alpha, dtype=rdt)
     ph = jnp.asarray(coeffs.lin_phase, dtype=rdt)
-    if al.ndim:
-        # batched alpha: add the trailing time axis so (B,) broadcasts
+    if al.ndim == 1:
+        # batched flat alpha: add the trailing time axis so (B,) broadcasts
         # against lin_phase (T,) or (B, T) alike
         al = al[..., None]
     decay = jnp.exp(-0.5 * al * h)
@@ -734,7 +761,8 @@ def _split_reduce_pack(out, T, *, counters):
 
 @functools.lru_cache(maxsize=16)
 def _gnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
-                                          atol: float, max_steps: int, mesh):
+                                          atol: float, max_steps: int, mesh,
+                                          alpha_rank: int = 1):
     """shard_map wrapper of the adaptive reduce solver (batch axis over the
     mesh; grid/dt0/nl replicated)."""
     from jax.sharding import PartitionSpec
@@ -749,7 +777,10 @@ def _gnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
         jax.shard_map(
             lambda y0, c, zg, dt0, nl: inner(y0, c, zg, dt0, nl),
             mesh=mesh,
-            in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
+            in_specs=(btr,
+                      GNLSECoeffs(gamma=b,
+                                  alpha=(bt if alpha_rank == 2 else b),
+                                  lin_phase=bt),
                       PartitionSpec(), PartitionSpec(), PartitionSpec()),
             out_specs=bt,
             check_vma=False,
@@ -806,11 +837,21 @@ def run_gnlse_simulation(
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 1:
         raise ValueError(f"A0 must be a 1-D envelope (T,), got {A0.shape}")
+    al_nd = np.ndim(coeffs.alpha)
+    spectral_alpha = al_nd == 1 and np.shape(coeffs.alpha)[0] == A0.shape[0]
     if (np.ndim(coeffs.lin_phase) > 1 or np.ndim(coeffs.gamma) > 0
-            or np.ndim(coeffs.alpha) > 0):
+            or (al_nd > 0 and not spectral_alpha)):
         raise ValueError(
-            "run_gnlse_simulation takes unbatched coeffs (scalar gamma/alpha, "
-            "(T,) lin_phase); use solve_gnlse_batch for batched solves"
+            "run_gnlse_simulation takes unbatched coeffs (scalar gamma/alpha "
+            "-- or a (T,) spectral alpha -- and (T,) lin_phase); use "
+            "solve_gnlse_batch for batched solves"
+        )
+    if spectral_alpha:
+        # normalize to the batched spectral rank (the internal solve is B=1)
+        coeffs = GNLSECoeffs(
+            gamma=coeffs.gamma,
+            alpha=jnp.asarray(coeffs.alpha)[None, :],
+            lin_phase=coeffs.lin_phase,
         )
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
@@ -903,7 +944,14 @@ def solve_gnlse_batch(
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
 
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
-    alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
+    al = np.asarray(coeffs.alpha, dtype=float)
+    # spectral alpha (trailing-T axis) broadcasts to (B, T); flat to (B,).
+    # A 1-D alpha is per-instance (B,) UNLESS it can only be spectral; with
+    # B == T pass an explicit (B, T) to request the spectral reading.
+    if al.ndim == 2 or (al.ndim == 1 and al.shape[0] == T and T != B):
+        alpha = np.broadcast_to(al, (B, T))
+    else:
+        alpha = np.broadcast_to(al, (B,))
     phase = np.broadcast_to(np.asarray(coeffs.lin_phase, dtype=float), (B, T))
 
     n_orig = B
@@ -970,7 +1018,7 @@ def solve_gnlse_batch(
         if use_rk45:
             solver = _gnlse_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), mesh,
+                int(cfg.max_steps), mesh, alpha.ndim,
             )
             out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, z_grid, dt0, nl)
@@ -978,7 +1026,8 @@ def solve_gnlse_batch(
             pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, T, counters=True)
         else:
             solver = _gnlse_reduce_solver_sharded(
-                n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh
+                n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
+                alpha.ndim,
             )
             out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt), nl)
@@ -1024,7 +1073,14 @@ def solve_gnlse_batch_trajectories(
     n_chunks = n_steps // int(cfg.save_every)
 
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
-    alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
+    al = np.asarray(coeffs.alpha, dtype=float)
+    # spectral alpha (trailing-T axis) broadcasts to (B, T); flat to (B,).
+    # A 1-D alpha is per-instance (B,) UNLESS it can only be spectral; with
+    # B == T pass an explicit (B, T) to request the spectral reading.
+    if al.ndim == 2 or (al.ndim == 1 and al.shape[0] == T and T != B):
+        alpha = np.broadcast_to(al, (B, T))
+    else:
+        alpha = np.broadcast_to(al, (B,))
     phase = np.broadcast_to(np.asarray(coeffs.lin_phase, dtype=float), (B, T))
     n_orig = B
     if mesh is not None:
@@ -1086,7 +1142,7 @@ def solve_gnlse_batch_trajectories(
                 * (int(cfg.save_every) * dz_m), dtype=rdt)
             solver = _gnlse_traj_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), mesh, True,
+                int(cfg.max_steps), mesh, True, alpha.ndim,
             )
             out = jax.block_until_ready(
                 solver(y0_dev, cof, z_grid, jnp.asarray(dz_m, dtype=rdt), nl)
@@ -1095,6 +1151,7 @@ def solve_gnlse_batch_trajectories(
         else:
             solver = _gnlse_traj_solver_sharded_fixed(
                 n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
+                alpha.ndim,
             )
             out = jax.block_until_ready(
                 solver(y0_dev, cof, jnp.asarray(dz_m, dtype=rdt), nl)
@@ -1107,7 +1164,7 @@ def solve_gnlse_batch_trajectories(
 
 @functools.lru_cache(maxsize=16)
 def _gnlse_traj_solver_sharded_fixed(n_steps: int, save_every: int,
-                                     rdt_name: str, mesh):
+                                     rdt_name: str, mesh, alpha_rank: int = 1):
     """shard_map wrapper of the fixed-step trajectory solver (batch axis on
     axis 1 of the stacked output)."""
     from jax.sharding import PartitionSpec
@@ -1126,7 +1183,10 @@ def _gnlse_traj_solver_sharded_fixed(n_steps: int, save_every: int,
     return jax.jit(
         jax.shard_map(
             run, mesh=mesh,
-            in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
+            in_specs=(btr,
+                      GNLSECoeffs(gamma=b,
+                                  alpha=(bt if alpha_rank == 2 else b),
+                                  lin_phase=bt),
                       PartitionSpec(), PartitionSpec()),
             out_specs=(PartitionSpec(None, ax, None, None), b),
             check_vma=False,
@@ -1136,7 +1196,8 @@ def _gnlse_traj_solver_sharded_fixed(n_steps: int, save_every: int,
 
 @functools.lru_cache(maxsize=16)
 def _gnlse_traj_solver_sharded(rdt_name: str, rtol: float, atol: float,
-                               max_steps: int, mesh, _traj: bool):
+                               max_steps: int, mesh, _traj: bool,
+                               alpha_rank: int = 1):
     """shard_map wrapper of the adaptive trajectory solver."""
     from jax.sharding import PartitionSpec
 
@@ -1154,7 +1215,10 @@ def _gnlse_traj_solver_sharded(rdt_name: str, rtol: float, atol: float,
     return jax.jit(
         jax.shard_map(
             run, mesh=mesh,
-            in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
+            in_specs=(btr,
+                      GNLSECoeffs(gamma=b,
+                                  alpha=(bt if alpha_rank == 2 else b),
+                                  lin_phase=bt),
                       PartitionSpec(), PartitionSpec(), PartitionSpec()),
             out_specs=(PartitionSpec(None, ax, None, None), b),
             check_vma=False,
@@ -1164,7 +1228,7 @@ def _gnlse_traj_solver_sharded(rdt_name: str, rtol: float, atol: float,
 
 @functools.lru_cache(maxsize=16)
 def _gnlse_reduce_solver_sharded(n_steps: int, save_every: int, rdt_name: str,
-                                 mesh):
+                                 mesh, alpha_rank: int = 1):
     """shard_map-wrapped reduce solver: batch axis split over the mesh; the
     per-shard FFTs run on local (unsharded) buffers, so the XLA:CPU sharded-
     FFT limitation does not apply."""
@@ -1182,7 +1246,10 @@ def _gnlse_reduce_solver_sharded(n_steps: int, save_every: int, rdt_name: str,
         jax.shard_map(
             lambda y0, c, dz, nl: inner(y0, c, dz, nl),
             mesh=mesh,
-            in_specs=(btr, GNLSECoeffs(gamma=b, alpha=b, lin_phase=bt),
+            in_specs=(btr,
+                      GNLSECoeffs(gamma=b,
+                                  alpha=(bt if alpha_rank == 2 else b),
+                                  lin_phase=bt),
                       PartitionSpec(), PartitionSpec()),
             out_specs=bt,
             check_vma=False,

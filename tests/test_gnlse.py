@@ -586,3 +586,50 @@ def test_batch_trajectories_sharded_matches_unsharded():
                                                     mesh=pm.default_mesh())
     assert np.array_equal(ok1, ok2)
     np.testing.assert_allclose(A2, A1, rtol=0, atol=1e-12)
+
+
+def test_spectral_alpha_exact_frequency_dependent_loss():
+    """Frequency-dependent loss (round 3): with gamma=0 and no dispersion
+    the solve is exactly diagonal in omega -- every spectral bin must decay
+    as exp(-alpha(omega) z), bin by bin."""
+    grid = gn.TimeGrid(n_samples=128, t_window_s=20e-12)
+    om = grid.omega()
+    spec = 5e-3 * (om / np.abs(om).max()) ** 2      # band-edge loss profile
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=0.0, alpha_1_m=2e-3,
+                              alpha_spec_1_m=spec)
+    A0 = gn.gaussian_pulse(grid, peak_W=1.0, t0_s=1e-12)
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=0.5, save_every=40)
+    z, A = gn.run_gnlse_simulation(cfg, co, A0)
+    S0 = np.fft.fft(A[0])
+    S1 = np.fft.fft(A[-1])
+    expected = S0 * np.exp(-0.5 * (2e-3 + spec) * z[-1])
+    # atol floor relative to the spectral peak: empty tail bins carry only
+    # f64 roundoff and have no meaningful relative error
+    np.testing.assert_allclose(S1, expected, rtol=1e-10,
+                               atol=1e-12 * np.abs(S0).max())
+
+    # batch (B, T) spectral alpha: equals per-instance runs; sharded too
+    co_b = gn.GNLSECoeffs(gamma=co.gamma, alpha=np.stack([
+        np.asarray(co.alpha), np.asarray(co.alpha) * 2.0
+    ]), lin_phase=co.lin_phase)
+    A0b = np.stack([A0, A0])
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co_b, A0b)
+    assert ok.all()
+    pk_s, A_last_s, ok_s = gn.solve_gnlse_batch(cfg, co_b, A0b,
+                                                mesh=pm.default_mesh())
+    np.testing.assert_allclose(A_last_s, A_last, rtol=0, atol=1e-12)
+    # lane 1 decays twice as fast in every bin
+    S_l1 = np.fft.fft(A_last[1])
+    exp1 = np.fft.fft(A0) * np.exp(-0.5 * 2.0 * (2e-3 + spec) * z[-1])
+    np.testing.assert_allclose(S_l1, exp1, rtol=1e-9,
+                               atol=1e-12 * np.abs(exp1).max())
+
+
+def test_spectral_alpha_validation():
+    grid = gn.TimeGrid(n_samples=64, t_window_s=20e-12)
+    with pytest.raises(ValueError, match="alpha_spec"):
+        gn.make_gnlse_coeffs(grid, None, gamma_W_m=0.0,
+                             alpha_spec_1_m=np.zeros(32))
+    with pytest.raises(ValueError, match="finite"):
+        gn.make_gnlse_coeffs(grid, None, gamma_W_m=0.0,
+                             alpha_spec_1_m=np.full(64, np.nan))
