@@ -139,15 +139,23 @@ def _kernel_body(n_steps: int, save_every: int):
 
         pmax0 = powers_tf(y0)
         ok0 = jnp.ones_like(y0.re.hi[0:1, :])
+        n_chunks = n_steps // save_every
+        remainder = n_steps - n_chunks * save_every
 
-        def step(i, carry):
-            y, y_last, pmax, ok = carry
+        # CHUNKED loop (round 3, mirroring ops/pallas_comb.py): the inner
+        # fori over save_every steps does only RK4 + the per-step NaN freeze
+        # (one fused |hi| reduction -- NaN compares false against the f32
+        # max, so the flag equals the old ==/abs pair); the save-grid
+        # pmax / y_last bookkeeping runs once per chunk boundary.  Per-step
+        # freeze semantics (and therefore every saved observable) are
+        # unchanged.
+        def step(_i, carry):
+            y, ok = carry
             y_new = rk4(y)
             fin = (
-                jnp.all(y_new.re.hi == y_new.re.hi, axis=0, keepdims=True)
-                & jnp.all(y_new.im.hi == y_new.im.hi, axis=0, keepdims=True)
-                & jnp.all(jnp.abs(y_new.re.hi) < 3.4e38, axis=0, keepdims=True)
-                & jnp.all(jnp.abs(y_new.im.hi) < 3.4e38, axis=0, keepdims=True)
+                jnp.all(jnp.abs(y_new.re.hi) < 3.4e38, axis=0, keepdims=True)
+                & jnp.all(jnp.abs(y_new.im.hi) < 3.4e38, axis=0,
+                          keepdims=True)
             )
             ok_new = ok * fin.astype(jnp.float32)
             alive = ok_new > 0.0
@@ -159,22 +167,26 @@ def _kernel_body(n_steps: int, save_every: int):
                 re=TF(frz(y_new.re.hi, y.re.hi), frz(y_new.re.lo, y.re.lo)),
                 im=TF(frz(y_new.im.hi, y.im.hi), frz(y_new.im.lo, y.im.lo)),
             )
-            at_save = ((i + jnp.int32(1)) % jnp.int32(save_every)) == jnp.int32(0)
-            P = powers_tf(y_out)
-            better = (P.hi + P.lo) > (pmax.hi + pmax.lo)
-            upd = jnp.logical_and(at_save, better)
-            pmax_out = TF(
-                jnp.where(upd, P.hi, pmax.hi), jnp.where(upd, P.lo, pmax.lo)
-            )
-            y_last_out = CTF(
-                re=TF(jnp.where(at_save, y_out.re.hi, y_last.re.hi),
-                      jnp.where(at_save, y_out.re.lo, y_last.re.lo)),
-                im=TF(jnp.where(at_save, y_out.im.hi, y_last.im.hi),
-                      jnp.where(at_save, y_out.im.lo, y_last.im.lo)),
-            )
-            return (y_out, y_last_out, pmax_out, ok_new)
+            return (y_out, ok_new)
 
-        y, y_last, pmax, ok = lax.fori_loop(0, n_steps, step, (y0, y0, pmax0, ok0))
+        def chunk(_c, carry):
+            y, y_last, pmax, ok = carry
+            y, ok = lax.fori_loop(0, save_every, step, (y, ok))
+            P = powers_tf(y)
+            better = (P.hi + P.lo) > (pmax.hi + pmax.lo)
+            pmax = TF(
+                jnp.where(better, P.hi, pmax.hi),
+                jnp.where(better, P.lo, pmax.lo),
+            )
+            return (y, y, pmax, ok)
+
+        y, y_last, pmax, ok = lax.fori_loop(
+            0, n_chunks, chunk, (y0, y0, pmax0, ok0)
+        )
+        if remainder > 0:
+            # trailing partial steps: integrated (they can flip ok) but
+            # unobserved (framework saved-grid convention)
+            _y, ok = lax.fori_loop(0, remainder, step, (y, ok))
         pmax_ref[:, :] = jnp.concatenate([pmax.hi, pmax.lo], axis=0)
         ylast_ref[:, :] = jnp.concatenate(
             [y_last.re.hi, y_last.re.lo, y_last.im.hi, y_last.im.lo], axis=0

@@ -108,29 +108,36 @@ def _kernel_body(n_steps: int, save_every: int):
         pmax0 = powers(y0)
         ok0 = jnp.ones_like(y0[0:1, :])  # 1.0 = healthy lane
 
-        def step(i, carry):
-            y, y_last, pmax, ok = carry
+        n_chunks = n_steps // save_every
+        remainder = n_steps - n_chunks * save_every
+
+        # chunked loop (round 3): inner fori = RK4 + per-step freeze only
+        # (one fused finite reduction; NaN compares false against the f32
+        # max bound); save-grid bookkeeping at chunk boundaries.  Per-step
+        # freeze semantics and every saved observable are unchanged.
+        def step(_i, carry):
+            y, ok = carry
             y_new = rk4(y)
             fin = jnp.all(
                 jnp.abs(y_new) < jnp.asarray(3.4e38, jnp.float32),
                 axis=0, keepdims=True,
-            ) & jnp.all(y_new == y_new, axis=0, keepdims=True)  # no inf, no nan
+            )
             ok_new = ok * fin.astype(jnp.float32)
-            alive = ok_new > 0.0
-            y_out = jnp.where(alive, y_new, y)
-            # explicit i32 arithmetic: under global x64 the literal would be
-            # a weak i64, which Mosaic rejects against the i32 loop index
-            at_save = (
-                (i + jnp.int32(1)) % jnp.int32(save_every)
-            ) == jnp.int32(0)
-            P = powers(y_out)
-            pmax_out = jnp.where(at_save, jnp.maximum(pmax, P), pmax)
-            y_last_out = jnp.where(at_save, y_out, y_last)
-            return (y_out, y_last_out, pmax_out, ok_new)
+            y_out = jnp.where(ok_new > 0.0, y_new, y)
+            return (y_out, ok_new)
+
+        def chunk(_c, carry):
+            y, y_last, pmax, ok = carry
+            y, ok = lax.fori_loop(0, save_every, step, (y, ok))
+            pmax = jnp.maximum(pmax, powers(y))
+            return (y, y, pmax, ok)
 
         y, y_last, pmax, ok = lax.fori_loop(
-            0, n_steps, step, (y0, y0, pmax0, ok0)
+            0, n_chunks, chunk, (y0, y0, pmax0, ok0)
         )
+        if remainder > 0:
+            # trailing partial steps: integrated (can flip ok), unobserved
+            _y, ok = lax.fori_loop(0, remainder, step, (y, ok))
         pmax_ref[:, :] = pmax
         yf_ref[:, :] = y_last
         ok_ref[:, :] = ok
@@ -367,28 +374,31 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
                 out = out & m[k * g:(k + 1) * g]
             return out
 
-        def step(i, carry):
-            y, y_last, pmax, ok = carry
+        n_chunks = n_steps // save_every
+        remainder = n_steps - n_chunks * save_every
+
+        def step(_i, carry):
+            y, ok = carry
             y_new = rk4(y)
-            fin = memall(
-                (jnp.abs(y_new) < jnp.asarray(3.4e38, jnp.float32))
-                & (y_new == y_new)
-            )
+            fin = memall(jnp.abs(y_new) < jnp.asarray(3.4e38, jnp.float32))
             ok_new = ok * fin.astype(jnp.float32)
             # concat the f32 mask, not booleans (Mosaic cannot cast i1 vregs)
             alive = jnp.concatenate([ok_new] * 8, axis=0) > 0.0
             y_out = jnp.where(alive, y_new, y)
-            at_save = (
-                (i + jnp.int32(1)) % jnp.int32(save_every)
-            ) == jnp.int32(0)
-            P = powers(y_out)
-            pmax_out = jnp.where(at_save, jnp.maximum(pmax, P), pmax)
-            y_last_out = jnp.where(at_save, y_out, y_last)
-            return (y_out, y_last_out, pmax_out, ok_new)
+            return (y_out, ok_new)
+
+        def chunk(_c, carry):
+            y, y_last, pmax, ok = carry
+            y, ok = lax.fori_loop(0, save_every, step, (y, ok))
+            pmax = jnp.maximum(pmax, powers(y))
+            return (y, y, pmax, ok)
 
         y, y_last, pmax, ok = lax.fori_loop(
-            0, n_steps, step, (y0, y0, pmax0, ok0)
+            0, n_chunks, chunk, (y0, y0, pmax0, ok0)
         )
+        if remainder > 0:
+            # trailing partial steps: integrated (can flip ok), unobserved
+            _y, ok = lax.fori_loop(0, remainder, step, (y, ok))
         pmax_ref[:, :] = pmax
         yf_ref[:, :] = y_last
         ok_ref[:, :] = ok
