@@ -908,6 +908,7 @@ def solve_gnlse_batch(
     length_unit: str = "m",
     mesh=None,
     nl: Optional[NLTerms] = None,
+    engine: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Solve B independent envelopes in one XLA program (reduce mode).
 
@@ -918,6 +919,12 @@ def solve_gnlse_batch(
     axis (``shard_map``; each device runs the FFTs on its own shard).
     ``nl`` (:func:`make_nl_terms`) enables Raman + self-steepening (shared
     across the batch; replicated over the mesh when sharded).
+
+    ``engine``: 'scan' (XLA loop, any nonlinearity/integrator/precision),
+    'pallas' (fused single-launch VMEM-resident SSFM kernel,
+    ``ops/pallas_gnlse.py``: fixed-step, x32, Kerr-only, T a multiple of
+    128 up to 2048 -- measured ~4x the scan engine on v5e at the bench
+    shape), or 'auto' (scan; the kernel is opt-in).
 
     ``cfg.integrator='rk45'`` runs the adaptive split-step (lockstep batched
     lanes, per-lane step size, frozen failed lanes); the peak reduction is
@@ -942,6 +949,32 @@ def solve_gnlse_batch(
     B, T = A0.shape
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+
+    if engine not in ("auto", "scan", "pallas"):
+        raise ValueError(
+            f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}"
+        )
+    if engine == "pallas":
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "engine='pallas' SSFM kernel is fixed-step only"
+            )
+        if validate_precision(cfg.precision) != "x32":
+            raise ValueError("engine='pallas' SSFM kernel is x32 only")
+        if nl is not None:
+            raise ValueError(
+                "engine='pallas' SSFM kernel is Kerr-only; Raman/"
+                "self-steepening use the scan engine"
+            )
+        from ..ops.pallas_gnlse import solve_gnlse_batch_pallas
+
+        return solve_gnlse_batch_pallas(
+            A0, np.asarray(coeffs.gamma, dtype=float),
+            np.asarray(coeffs.alpha, dtype=float),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            interpret=jax.default_backend() != "tpu", mesh=mesh,
+        )
 
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
     al = np.asarray(coeffs.alpha, dtype=float)

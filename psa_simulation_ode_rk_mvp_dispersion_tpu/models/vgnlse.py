@@ -67,7 +67,12 @@ class VGNLSECoeffs:
     [(2, T) or (B, 2, T), rad/m] INCLUDING the birefringent +-dbeta0/2 and
     +-(dbeta1/2) omega terms; ``gamma`` [1/(W m)] is the effective Kerr
     coefficient (already scaled by 8/9 for Manakov); ``b_xpm`` the
-    cross-phase coupling ratio; ``alpha`` [1/m].
+    cross-phase coupling ratio; ``alpha`` [1/m] -- flat (scalar /
+    per-instance (B,)) or FREQUENCY-RESOLVED on the fft-ordered grid
+    ((2, T) / (B, 2, T); applied in the frequency domain alongside the
+    dispersion phase).  Rank disambiguates: 1-D alpha is always
+    per-instance; spectral alpha is always at least 2-D (a shared (T,)
+    profile is normalized to (2, T) by :func:`make_vgnlse_coeffs`).
 
     ``coherent`` (STATIC pytree metadata) is the coherent four-wave
     polarization-coupling ratio c in ``i gamma c A_self* A_other^2``: 0
@@ -96,6 +101,7 @@ def make_vgnlse_coeffs(
     *,
     gamma_W_m: float,
     alpha_1_m: float = 0.0,
+    alpha_spec_1_m=None,
     dbeta0_1_m: float = 0.0,
     dbeta1_s_m: float = 0.0,
     coupling: str = "cnlse",
@@ -110,6 +116,11 @@ def make_vgnlse_coeffs(
     full phase- and group-birefringence splittings (x gets +half, y -half).
     Orders 0 and 1 of ``dispersion`` are ignored (co-moving gauge, as in
     :func:`~.gnlse.make_gnlse_coeffs`).
+
+    ``alpha_spec_1_m`` (optional) adds a frequency-dependent loss profile on
+    top of the flat ``alpha_1_m``: ``(T,)`` on the fft-ordered
+    ``grid.omega()`` frequencies (shared by both polarizations) or
+    ``(2, T)`` for polarization-dependent loss (e.g. a polarizing fiber).
     """
     rdt = real_dtype(validate_precision(precision))
     coh = 0.0
@@ -138,9 +149,25 @@ def make_vgnlse_coeffs(
     phase = np.stack([common + bire, common - bire])
     if not np.all(np.isfinite(phase)):
         raise ValueError("dispersion phase must be finite on the grid")
+    if alpha_spec_1_m is None:
+        alpha = jnp.asarray(float(alpha_1_m), dtype=rdt)
+    else:
+        sp = np.asarray(alpha_spec_1_m, dtype=np.float64)
+        if sp.shape not in (om.shape, (2,) + om.shape):
+            raise ValueError(
+                f"alpha_spec_1_m must have shape {om.shape} or "
+                f"{(2,) + om.shape} (the fft-ordered frequency grid, "
+                f"optionally per polarization), got {sp.shape}"
+            )
+        if not np.all(np.isfinite(sp)):
+            raise ValueError("alpha_spec_1_m must be finite")
+        alpha = jnp.asarray(
+            float(alpha_1_m) + np.broadcast_to(sp, (2,) + om.shape),
+            dtype=rdt,
+        )
     return VGNLSECoeffs(
         gamma=jnp.asarray(g_eff, dtype=rdt),
-        alpha=jnp.asarray(float(alpha_1_m), dtype=rdt),
+        alpha=alpha,
         b_xpm=jnp.asarray(b, dtype=rdt),
         lin_phase=jnp.asarray(phase, dtype=rdt),
         coherent=coh,
@@ -175,9 +202,12 @@ def manakov_soliton_peak_power(beta2_s2_m: float, gamma_W_m: float,
 # ---------------------------------------------------------------------------
 
 def _lin_factor_v(coeffs: VGNLSECoeffs, h, rdt):
+    """``alpha`` rank rule (normalized by the public runners): rank >= 2 is
+    a spectral (2, T) / (B, 2, T) loss profile used as-is; rank 1 is
+    per-instance (B,) and gains the (pol, time) axes; rank 0 is flat."""
     al = jnp.asarray(coeffs.alpha, dtype=rdt)
     ph = jnp.asarray(coeffs.lin_phase, dtype=rdt)
-    if al.ndim:
+    if al.ndim == 1:
         al = al[..., None, None]  # (B,) -> broadcast over (B, 2, T)
     decay = jnp.exp(-0.5 * al * h)
     ang = ph * h
@@ -397,6 +427,8 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
     inner = _vgnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
+    # a leading-axis spec shards axis 0 and replicates the rest, so it
+    # covers (B,) flat AND (B, 2, T) spectral alpha alike
     b = PartitionSpec(ax)
     return jax.jit(
         jax.shard_map(
@@ -424,6 +456,7 @@ def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
     inner = _vgnlse_solver(n_steps, save_every, rdt_name, True)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
+    # leading-axis spec: covers flat (B,) and spectral (B, 2, T) alpha alike
     b = PartitionSpec(ax)
     return jax.jit(
         jax.shard_map(
@@ -479,10 +512,11 @@ def run_vgnlse_simulation(
     if A0.shape[:1] != (2,) or A0.ndim != 2:
         raise ValueError(f"A0 must be a (2, T) vector envelope, got {A0.shape}")
     if (np.ndim(coeffs.lin_phase) > 2 or np.ndim(coeffs.gamma) > 0
-            or np.ndim(coeffs.alpha) > 0):
+            or np.ndim(coeffs.alpha) not in (0, 2)):
         raise ValueError(
-            "run_vgnlse_simulation takes unbatched coeffs (scalar gamma/"
-            "alpha, (2, T) lin_phase); use solve_vgnlse_batch for batches"
+            "run_vgnlse_simulation takes unbatched coeffs (scalar or (2, T) "
+            "spectral alpha, scalar gamma, (2, T) lin_phase); use "
+            "solve_vgnlse_batch for batches"
         )
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
@@ -564,7 +598,13 @@ def solve_vgnlse_batch(
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
 
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
-    alpha = np.broadcast_to(np.asarray(coeffs.alpha, dtype=float), (B,))
+    al = np.asarray(coeffs.alpha, dtype=float)
+    # spectral alpha is always >= 2-D ((2, T) / (B, 2, T)); 1-D is
+    # per-instance (B,) -- see VGNLSECoeffs
+    if al.ndim >= 2:
+        alpha = np.broadcast_to(al, (B, 2, T))
+    else:
+        alpha = np.broadcast_to(al, (B,))
     phase = np.broadcast_to(
         np.asarray(coeffs.lin_phase, dtype=float), (B, 2, T)
     )
@@ -685,11 +725,14 @@ def solve_vgnlse_batch_trajectories(
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
     n_chunks = n_steps // int(cfg.save_every)
 
+    al = np.asarray(coeffs.alpha, dtype=float)
     cof = VGNLSECoeffs(
         gamma=jnp.asarray(
             np.broadcast_to(np.asarray(coeffs.gamma, float), (B,)), dtype=rdt),
+        # spectral alpha is always >= 2-D; 1-D is per-instance (B,)
         alpha=jnp.asarray(
-            np.broadcast_to(np.asarray(coeffs.alpha, float), (B,)), dtype=rdt),
+            np.broadcast_to(al, (B, 2, T) if al.ndim >= 2 else (B,)),
+            dtype=rdt),
         b_xpm=jnp.asarray(coeffs.b_xpm, dtype=rdt),
         lin_phase=jnp.asarray(
             np.broadcast_to(np.asarray(coeffs.lin_phase, float), (B, 2, T)),

@@ -1,0 +1,547 @@
+"""Pallas TPU kernel: fused single-launch SSFM (GNLSE, Kerr) solver (x32).
+
+The XLA scan SSFM (``models/gnlse.py``) round-trips the whole (B, T) field
+through HBM for every FFT of every split step and dispatches one loop
+iteration per step; measured on v5e it runs at ~6-17% of HBM peak -- the
+program is latency/dispatch-bound, not bandwidth- or FLOP-bound
+(BENCH_GNLSE.md).  This kernel keeps the batched field in VMEM for the
+whole integration and evaluates each length-T DFT as a GROUP-SPLIT matmul
+on the MXU:
+
+- Decimation in time with T = r * m (m = 128): sample n = q*r + g splits
+  the field into r polyphase groups of length m.  Forward transform =
+  one (m, 2m) @ (2m, blk) stacked-complex matmul per group (full 2m=256
+  contraction depth on the MXU), a per-group twiddle multiply
+  W_T^{g d}, and an r-point DFT across groups with SCALAR weights
+  (python-unrolled plane FMAs; +-1 / +-i weights are special-cased).
+  MAC cost per instance per transform pair is 2*T*m complex MACs --
+  T/m = r times cheaper than a dense T x T DFT matmul, with every
+  matmul perfectly MXU-shaped.
+- The spectrum lands in NATURAL k order (k = c*m + d maps to row c*m+d),
+  so the split-step linear factors exp((-alpha/2 + i*phi(omega)) h) are
+  plain precomputed (T, B) planes -- per-instance dispersion, flat OR
+  spectral loss all collapse into them.
+- State layout: (2T, blk) f32 planes, rows grouped as
+  [ar_g (m rows); ai_g (m rows)] per group g -- each group's stacked
+  complex pair is one static slice (the 'block' complex-matmul variant of
+  ``ops/pallas_comb.py``).
+- Step structure mirrors ``models/gnlse._chunk_stepper`` exactly: each
+  save chunk is Lh, (K, Lf)^(k-1), K, Lh with per-chunk NaN freeze and
+  the running max-over-saved-samples peak reduction -- the contract of
+  ``models/gnlse._gnlse_reduce_solver`` (reference save-decimation
+  semantics: /root/reference/integrators.py:137-140).
+
+Kerr-only (the exact-rotation nonlinear substep); the Raman /
+self-steepening generalized nonlinearity stays on the scan engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+import os
+
+LANES = 128
+M_SUB = 128      # polyphase sub-transform length (= MXU contraction / 2)
+BLOCK = int(os.environ.get("PSA_GNLSE_PALLAS_BLOCK", "256"))
+MAX_R = 16       # cap on polyphase groups (T <= 2048)
+# DFT matmul accuracy/speed knob: 'x6' = f32-equivalent (6 bf16 passes),
+# 'x3' = 3-pass compensated bf16 (~1-2 extra bits below f32; 2x the MXU
+# throughput).  Measured accuracy deltas in the module tests / bench meta.
+DOT_ALG = os.environ.get("PSA_GNLSE_PALLAS_DOT", "x3")
+
+
+def _dft_weight_blocks(m: int):
+    """Stacked-complex DFT_m weights: forward [fr | -fi] / [fi | fr] and
+    inverse [ir | -ii] / [ii | ir], each (m, 2m) f32 (G = W @ [ar; ai])."""
+    ang = (-2.0 * np.pi / m) * np.outer(np.arange(m), np.arange(m))
+    fr, fi = np.cos(ang), np.sin(ang)
+    ir, ii = fr / m, -fi / m           # conj(F)/m
+    f32 = np.float32
+    return (
+        np.concatenate([fr, -fi], axis=1).astype(f32),
+        np.concatenate([fi, fr], axis=1).astype(f32),
+        np.concatenate([ir, -ii], axis=1).astype(f32),
+        np.concatenate([ii, ir], axis=1).astype(f32),
+    )
+
+
+def _group_perm(t: int, m: int) -> np.ndarray:
+    """perm[row] = sample index held by state row ``row`` (within a group
+    block of 2m rows, the first m are real, handled by the caller)."""
+    r = t // m
+    # row g*m + q  holds sample n = q*r + g
+    g = np.repeat(np.arange(r), m)
+    q = np.tile(np.arange(m), r)
+    return q * r + g
+
+
+def _scalar_fma(acc_r, acc_i, wr: float, wi: float, xr, xi):
+    """acc += (wr + i wi) * (xr + i xi) with +-1 / +-i fast paths."""
+    f = np.float32
+    if abs(wi) < 1e-12:
+        if abs(wr - 1.0) < 1e-12:
+            return acc_r + xr, acc_i + xi
+        if abs(wr + 1.0) < 1e-12:
+            return acc_r - xr, acc_i - xi
+        return acc_r + f(wr) * xr, acc_i + f(wr) * xi
+    if abs(wr) < 1e-12:
+        if abs(wi - 1.0) < 1e-12:
+            return acc_r - xi, acc_i + xr
+        if abs(wi + 1.0) < 1e-12:
+            return acc_r + xi, acc_i - xr
+        return acc_r - f(wi) * xi, acc_i + f(wi) * xr
+    return (acc_r + f(wr) * xr - f(wi) * xi,
+            acc_i + f(wr) * xi + f(wi) * xr)
+
+
+def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
+                 interpret: bool = False):
+    r = t // m
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+    f32 = jnp.float32
+    gh = np.float32(dz)                      # Kerr angle scale: gamma*h*P
+
+    # r-point cross-group DFT scalar weights
+    wf = [[np.exp(-2j * np.pi * gg * cc / r) for cc in range(r)]
+          for gg in range(r)]
+
+    # Mosaic's dot lowering takes only a (Precision, Precision) pair -- no
+    # DotAlgorithmPreset.  'x6' is plain HIGHEST (6 bf16 passes, f32-class).
+    # 'x3' is a MANUAL compensated split: both operands split into (hi, lo)
+    # bf16 planes and w@x ~= wh@xh + wh@xl + wl@xh -- 3 full-rate bf16 MXU
+    # passes, ~2x the HIGHEST throughput, error ~2^-21 relative for
+    # unit-modulus DFT weights (dropping wl@xl costs ~2^-16*2^-8).
+    # Interpret mode (XLA:CPU) keeps HIGHEST: same f32-class contract
+    # without emulating bf16 arithmetic.
+    x3 = DOT_ALG == "x3" and not interpret
+    bf16 = jnp.bfloat16
+    d3 = functools.partial(
+        lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=lax.Precision.DEFAULT,
+    )
+
+    def _split(x):
+        xh = x.astype(bf16)
+        return xh, (x - xh.astype(f32)).astype(bf16)
+
+    def mm(w, x):
+        return lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    def pair_mm(wr, wi, x):
+        """(wr @ x, wi @ x) sharing x's hi/lo split on the x3 path."""
+        if not x3:
+            return mm(wr, x), mm(wi, x)
+        xh, xl = _split(x)
+        wrh, wrl = _split(wr)
+        wih, wil = _split(wi)
+        return (d3(wrh, xh) + (d3(wrh, xl) + d3(wrl, xh)),
+                d3(wih, xh) + (d3(wih, xl) + d3(wil, xh)))
+
+    def kernel(*refs):
+        (wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref, y0_ref,
+         pk_ref, ylast_ref, ok_ref) = refs[:10]
+        # VMEM scratch: ping-pong state (u, v), the derived full-step
+        # factor, and (r > 1) the lane-width-1 polyphase twiddles --
+        # explicit buffers keep the Mosaic stack allocation bounded (a
+        # value-carried fori version of this body OOMs the 16 MB budget).
+        # The frozen save-state lives directly in the ylast OUTPUT ref.
+        if r > 1:
+            u_ref, v_ref, lf_ref, tw_ref = refs[10:]
+        else:
+            u_ref, v_ref, lf_ref = refs[10:]
+            tw_ref = None
+        s_ref = ylast_ref
+        wfr = wfr_ref[:, :]
+        wfi = wfi_ref[:, :]
+        wir = wir_ref[:, :]
+        wii = wii_ref[:, :]
+        gam = gam_ref[:, :]                  # (1, blk)
+        blk = gam.shape[1]
+
+        u_ref[:, :] = y0_ref[:, :]
+        s_ref[:, :] = y0_ref[:, :]
+        # full-step factor from the half-step one (exp(x h/2)^2 = exp(x h)):
+        # saves a (2T, blk) input block + its pipeline double buffer
+        lhr = lh_ref[0:t, :]
+        lhi = lh_ref[t:2 * t, :]
+        lf_ref[0:t, :] = lhr * lhr - lhi * lhi
+        lf_ref[t:2 * t, :] = (lhr + lhr) * lhi
+        # polyphase twiddles W_T^{g d} in group-plane layout (row g*m + d),
+        # lane-width-1 (they are lane-independent; Mosaic broadcasts the
+        # width-1 operand in the multiplies), from an in-kernel iota
+        if r > 1:
+            rows = lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+            gidx = rows // m
+            didx = rows - gidx * m
+            ang = np.float32(-2.0 * np.pi / t) * (gidx * didx).astype(f32)
+            tw_ref[0:t, :] = jnp.cos(ang)
+            tw_ref[t:2 * t, :] = jnp.sin(ang)
+
+        def lin(src, dst, fac_ref):
+            """One linear substep dst = IDFT( fac * DFT(src) ), group layout.
+
+            ``fac_ref`` holds natural-k-order stacked (2T, blk) factor
+            planes (re rows 0..T, im rows T..2T).  The spectrum is streamed
+            through r (m, blk) accumulators; the inverse writes straight
+            into ``dst`` slices -- no (2T, blk) temporaries."""
+            Sr = [np.float32(0.0)] * r
+            Si = [np.float32(0.0)] * r
+            for g in range(r):
+                ug = src[2 * g * m:2 * (g + 1) * m, :]
+                gr, gi = pair_mm(wfr, wfi, ug)
+                if r > 1:
+                    tr = tw_ref[g * m:(g + 1) * m, :]
+                    ti = tw_ref[t + g * m:t + (g + 1) * m, :]
+                    gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
+                for c in range(r):
+                    Sr[c], Si[c] = _scalar_fma(
+                        Sr[c], Si[c], wf[g][c].real, wf[g][c].imag, gr, gi)
+            # natural-order spectrum: apply the linear factor in place
+            for c in range(r):
+                fr_c = fac_ref[c * m:(c + 1) * m, :]
+                fi_c = fac_ref[t + c * m:t + (c + 1) * m, :]
+                Sr[c], Si[c] = (Sr[c] * fr_c - Si[c] * fi_c,
+                                Sr[c] * fi_c + Si[c] * fr_c)
+            # inverse cross-group DFT (conj weights / r), conj twiddle, IDFT_m
+            inv_r = 1.0 / r
+            for g in range(r):
+                hr = hi = np.float32(0.0)
+                for c in range(r):
+                    hr, hi = _scalar_fma(hr, hi, wf[g][c].real * inv_r,
+                                         -wf[g][c].imag * inv_r, Sr[c], Si[c])
+                if r > 1:
+                    tr = tw_ref[g * m:(g + 1) * m, :]
+                    ti = tw_ref[t + g * m:t + (g + 1) * m, :]
+                    hr, hi = hr * tr + hi * ti, hi * tr - hr * ti
+                vg = jnp.concatenate([hr, hi], axis=0)
+                or_, oi = pair_mm(wir, wii, vg)
+                dst[2 * g * m:(2 * g + 1) * m, :] = or_
+                dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = oi
+
+        def kerr(src, dst):
+            """Exact rotation exp(i gamma h P) per sample (group layout)."""
+            for g in range(r):
+                ar = src[2 * g * m:(2 * g + 1) * m, :]
+                ai = src[(2 * g + 1) * m:2 * (g + 1) * m, :]
+                ang = (gam * gh) * (ar * ar + ai * ai)
+                ca = jnp.cos(ang)
+                sa = jnp.sin(ang)
+                dst[2 * g * m:(2 * g + 1) * m, :] = ar * ca - ai * sa
+                dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = ar * sa + ai * ca
+
+        def peak_of(ref):
+            """(1, blk) max over samples of |A|^2."""
+            pk = None
+            for g in range(r):
+                ar = ref[2 * g * m:(2 * g + 1) * m, :]
+                ai = ref[(2 * g + 1) * m:2 * (g + 1) * m, :]
+                p = jnp.max(ar * ar + ai * ai, axis=0, keepdims=True)
+                pk = p if pk is None else jnp.maximum(pk, p)
+            return pk
+
+        def steps_refs(k):
+            """k fused symmetric split steps (``_chunk_stepper`` mirror):
+            u -> v, ping-ponging through the scratch pair."""
+            lin(u_ref, v_ref, lh_ref)
+
+            def body(_i, c):
+                kerr(v_ref, u_ref)
+                lin(u_ref, v_ref, lf_ref)
+                return c
+
+            if k > 1:
+                lax.fori_loop(0, k - 1, body, jnp.int32(0))
+            kerr(v_ref, u_ref)
+            lin(u_ref, v_ref, lh_ref)
+
+        def v_finite():
+            v = v_ref[:, :]
+            # NaN compares false against the f32-max bound, so this is the
+            # same flag as an explicit isfinite reduction
+            return jnp.all(jnp.abs(v) < np.float32(3.4e38),
+                           axis=0, keepdims=True).astype(f32)
+
+        ok0 = jnp.ones_like(gam[0:1, :])
+        pk0 = peak_of(s_ref)
+
+        def chunk(_c, carry):
+            ok, pk = carry
+            steps_refs(save_every)
+            ok_n = ok * v_finite()
+            # frozen lanes keep their last good chunk state in s (the scan
+            # engine's where-freeze contract); u continues from the raw
+            # chunk result either way (frozen lanes' values are masked)
+            s_ref[:, :] = jnp.where(ok_n > np.float32(0.0),
+                                    v_ref[:, :], s_ref[:, :])
+            u_ref[:, :] = v_ref[:, :]
+            pk = jnp.maximum(pk, peak_of(s_ref))
+            return (ok_n, pk)
+
+        ok, pk = lax.fori_loop(0, n_chunks, chunk, (ok0, pk0))
+        if remainder > 0:
+            # trailing partial steps: integrated (they can flip ok) but
+            # unsaved (framework saved-grid convention)
+            steps_refs(remainder)
+            ok = ok * v_finite()
+        pk_ref[:, :] = pk
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
+def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
+                     interpret: bool, block: int):
+    from jax.experimental import pallas as pl
+
+    m = M_SUB if t >= M_SUB else t
+    wfr, wfi, wir, wii = _dft_weight_blocks(m)
+    kernel = _kernel_body(n_steps, save_every, t, m, dz, interpret)
+    weights = [jnp.asarray(w) for w in (wfr, wfi, wir, wii)]
+
+    def call(lh, gam, y0):
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = y0.shape[1]
+        blk = min(block, B)
+        grid = (B // blk,)
+        spec_kwargs = {}
+        call_kwargs = {}
+        if not interpret:
+            spec_kwargs = {"memory_space": pltpu.VMEM}
+            # the default 16 MB scoped-vmem budget is conservative (v5e has
+            # 128 MB): the kernel's live set (3 state-sized scratch planes +
+            # factor/state blocks + unrolled-DFT temporaries) wants ~24 MB
+            # at T=1024; give Mosaic real headroom
+            call_kwargs = {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)}
+        r = t // m
+        # explicit VMEM scratch: ping-pong state pair, derived full-step
+        # factor, and (r > 1) the lane-width-1 polyphase twiddles (the
+        # frozen save-state reuses the ylast output block)
+        scratch = [pltpu.VMEM((2 * t, blk), jnp.float32) for _ in range(3)]
+        if r > 1:
+            scratch.append(pltpu.VMEM((2 * t, 1), jnp.float32))
+        fixed = [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), **spec_kwargs)
+            for w in weights
+        ]
+        per_b = [
+            pl.BlockSpec((2 * t, blk), lambda i: (0, i), **spec_kwargs),   # lh
+            pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),       # gam
+            pl.BlockSpec((2 * t, blk), lambda i: (0, i), **spec_kwargs),   # y0
+        ]
+        out_specs = (
+            pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((2 * t, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=fixed + per_b,
+            out_specs=out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, B), jnp.float32),
+                jax.ShapeDtypeStruct((2 * t, B), jnp.float32),
+                jax.ShapeDtypeStruct((1, B), jnp.float32),
+            ),
+            # y0's block is the dead initial value of ylast: alias them to
+            # drop one (2T, blk) VMEM buffer
+            input_output_aliases={len(weights) + 2: 1},
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **call_kwargs,
+        )(*weights, lh, gam, y0)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_gnlse_solver(n_steps: int, save_every: int, t: int, dz: float,
+                         interpret: bool, block: int):
+    call = _make_gnlse_call(n_steps, save_every, t, dz, interpret, block)
+
+    def fused(lh, gam, y0):
+        B = y0.shape[1]
+        # factors may arrive lane-shared (2T, 1): broadcast device-side so
+        # the host never ships (2T, B) over the tunnel for shared coeffs
+        lh = jnp.broadcast_to(lh, (lh.shape[0], B))
+        pk, ylast, ok = call(lh, gam, y0)
+        # one stacked output: each device->host fetch costs a ~30 ms tunnel
+        # round trip regardless of size (docs/PERF.md rule 7)
+        return jnp.concatenate([pk, ylast, ok], axis=0)
+
+    return jax.jit(fused)
+
+
+@functools.lru_cache(maxsize=16)
+def _pallas_gnlse_solver_sharded(n_steps: int, save_every: int, t: int,
+                                 dz: float, interpret: bool, block: int, mesh):
+    """shard_map wrapper: batch (lane) axis split over the mesh; weights are
+    closure constants replicated per shard."""
+    from jax.sharding import PartitionSpec
+
+    call = _make_gnlse_call(n_steps, save_every, t, dz, interpret, block)
+
+    def fused(lh, gam, y0):
+        pk, ylast, ok = call(lh, gam, y0)
+        return jnp.concatenate([pk, ylast, ok], axis=0)
+
+    axes = tuple(mesh.axis_names)
+    spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
+    return jax.jit(
+        jax.shard_map(
+            fused, mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+    ), spec
+
+
+def solve_gnlse_batch_pallas(
+    A0: np.ndarray,
+    gamma,
+    alpha,
+    lin_phase,
+    *,
+    dz_m: float,
+    n_steps: int,
+    save_every: int,
+    interpret: bool = False,
+    block: int = BLOCK,
+    mesh=None,
+):
+    """Fused-kernel batched SSFM Kerr solve; contract mirrors
+    ``models/gnlse._gnlse_reduce_solver`` (fixed-step, x32): returns host
+    ``(peak_max (B,), A_last (B, T), ok (B,))``.
+
+    ``A0`` is ``(B, T)`` complex; ``gamma`` broadcasts to ``(B,)``;
+    ``alpha`` is flat (scalar / (B,)) or spectral ((T,) / (B, T),
+    fft-ordered); ``lin_phase`` is ``(T,)`` or ``(B, T)`` [rad/m].  T must
+    be a multiple of 128 and at most ``128 * MAX_R``; wider grids use the
+    scan engine.  Pass ``mesh`` to shard the batch axis (``shard_map``,
+    per-shard kernel launch, no collectives).
+    """
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2:
+        raise ValueError(f"A0 must have shape (B, T), got {A0.shape}")
+    B, T = A0.shape
+    m = M_SUB
+    if T % m != 0 or T < m:
+        raise ValueError(
+            f"T={T} is not a multiple of {m}: the fused SSFM kernel needs "
+            f"polyphase groups of {m}; use the scan engine"
+        )
+    if T // m > MAX_R:
+        raise ValueError(
+            f"T={T} too wide for the fused SSFM kernel (max {m * MAX_R}); "
+            "use the scan engine"
+        )
+
+    gamma = np.broadcast_to(np.asarray(gamma, dtype=np.float64), (B,))
+    al = np.asarray(alpha, dtype=np.float64)
+    if al.ndim == 2 or (al.ndim == 1 and al.shape[0] == T and T != B):
+        al = np.broadcast_to(al, (B, T))
+    else:
+        al = np.broadcast_to(al, (B,))[:, None]
+    phase = np.asarray(lin_phase, dtype=np.float64)
+    shared_fac = phase.ndim == 1 and al.shape == (B, 1) and np.all(
+        al == al[0, 0])
+    phase = np.broadcast_to(phase, (B, T)) if not shared_fac else phase[None, :]
+    al_f = al[0:1] if shared_fac else np.broadcast_to(al, (B, T))
+
+    def factor_planes(h):
+        # exp((-alpha/2 + i phi) h), natural k order, stacked (2T, Bf) f32.
+        # A runaway-gain lane (alpha < 0 large) overflows f32 to inf here by
+        # design: the kernel's finite check then freezes that lane.
+        with np.errstate(over="ignore"):
+            dec = np.exp(-0.5 * al_f * h)
+            ang = phase * h
+            fr = (dec * np.cos(ang)).astype(np.float32)
+            fi = (dec * np.sin(ang)).astype(np.float32)
+        return np.concatenate([fr.T, fi.T], axis=0)   # (2T, Bf)
+
+    # the kernel derives the full-step factor as Lh^2 in VMEM
+    lh = factor_planes(0.5 * dz_m)
+
+    blk = int(min(block, max(B, LANES)))
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    if B < ndev * blk:
+        blk = LANES
+    mult = ndev * blk
+    Bp = ((B + mult - 1) // mult) * mult
+    pad = Bp - B
+
+    def padded(x, axis=0):
+        if not pad:
+            return x
+        rep = np.repeat(np.take(x, [-1], axis=axis), pad, axis=axis)
+        return np.concatenate([x, rep], axis=axis)
+
+    A0p = padded(A0)
+    g = padded(gamma).astype(np.float32)[None, :]
+    if lh.shape[1] != 1:
+        lh = padded(lh, axis=1)
+
+    # pack into the grouped-stacked layout: row 2*g*m + q -> Re A[q*r+g],
+    # row (2*g+1)*m + q -> Im A[q*r+g]
+    perm = _group_perm(T, m)
+    r = T // m
+    ar = A0p.real.T.astype(np.float32)[perm]        # (T, Bp) grouped
+    ai = A0p.imag.T.astype(np.float32)[perm]
+    rows = []
+    for gg in range(r):
+        rows.append(ar[gg * m:(gg + 1) * m])
+        rows.append(ai[gg * m:(gg + 1) * m])
+    y0 = np.concatenate(rows, axis=0)               # (2T, Bp)
+
+    if mesh is None:
+        solver = _pallas_gnlse_solver(
+            int(n_steps), int(save_every), int(T), float(dz_m),
+            bool(interpret), blk,
+        )
+        args = (jnp.asarray(lh), jnp.asarray(g), jnp.asarray(y0))
+        with jax.enable_x64(False):
+            out = jax.block_until_ready(solver(*args))
+        out = np.asarray(out, np.float64)           # ONE fetch
+    else:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import fetch_global, put_global
+
+        solver, spec = _pallas_gnlse_solver_sharded(
+            int(n_steps), int(save_every), int(T), float(dz_m),
+            bool(interpret), blk, mesh,
+        )
+        sh = NamedSharding(mesh, spec)
+        lhb = np.broadcast_to(lh, (2 * T, Bp))
+        args = tuple(put_global(np.ascontiguousarray(x), sh)
+                     for x in (lhb, g, y0))
+        with jax.enable_x64(False):
+            fused_out = jax.block_until_ready(solver(*args))
+        out = np.asarray(fetch_global(fused_out), np.float64)
+
+    pk = out[0, :B]
+    yl = out[1:1 + 2 * T]
+    ok = out[1 + 2 * T, :B] > 0.0
+    # unpack the grouped layout
+    ar = np.concatenate([yl[2 * gg * m:(2 * gg + 1) * m] for gg in range(r)],
+                        axis=0)
+    ai = np.concatenate([yl[(2 * gg + 1) * m:2 * (gg + 1) * m]
+                         for gg in range(r)], axis=0)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(T)
+    A_last = (ar[inv] + 1j * ai[inv]).T[:B]
+    return pk, A_last, ok

@@ -338,3 +338,75 @@ def test_batch_trajectories_match_single_runs():
         assert np.array_equal(A_b[i], A_s)
     _pk, A_last, _ok = vg.solve_vgnlse_batch(cfg, co, A0)
     assert np.array_equal(A_b[:, -1], A_last)
+
+
+def test_spectral_alpha_exact_frequency_dependent_loss_vector():
+    """Frequency-dependent loss (round 3): with gamma=0 and no dispersion
+    the vector solve is exactly diagonal in omega -- each polarization's
+    spectral bins decay as exp(-alpha_pol(omega) z), bin by bin."""
+    grid = _grid(128)
+    om = grid.omega()
+    spec = 5e-3 * (om / np.abs(om).max()) ** 2      # band-edge loss profile
+    # polarization-dependent loss: y sees double the spectral profile
+    spec2 = np.stack([spec, 2.0 * spec])
+    co = vg.make_vgnlse_coeffs(grid, None, gamma_W_m=0.0, alpha_1_m=2e-3,
+                               alpha_spec_1_m=spec2)
+    A0 = np.stack([gn.gaussian_pulse(grid, peak_W=1.0, t0_s=1e-12),
+                   gn.gaussian_pulse(grid, peak_W=0.5, t0_s=2e-12)])
+    cfg = _cfg(z_max=100.0, dz=0.5, save_every=40)
+    z, A = vg.run_vgnlse_simulation(cfg, co, A0)
+    for p in range(2):
+        S0 = np.fft.fft(A0[p])
+        S1 = np.fft.fft(A[-1, p])
+        expected = S0 * np.exp(-0.5 * (2e-3 + spec2[p]) * z[-1])
+        np.testing.assert_allclose(S1, expected, rtol=1e-10,
+                                   atol=1e-12 * np.abs(S0).max())
+
+    # a shared (T,) profile is normalized to (2, T): both pols match pol-0
+    co_sh = vg.make_vgnlse_coeffs(grid, None, gamma_W_m=0.0, alpha_1_m=2e-3,
+                                  alpha_spec_1_m=spec)
+    assert np.asarray(co_sh.alpha).shape == (2, 128)
+    z2, A2 = vg.run_vgnlse_simulation(cfg, co_sh, A0)
+    S1y = np.fft.fft(A2[-1, 1])
+    expy = np.fft.fft(A0[1]) * np.exp(-0.5 * (2e-3 + spec) * z2[-1])
+    np.testing.assert_allclose(S1y, expy, rtol=1e-10,
+                               atol=1e-12 * np.abs(expy).max())
+
+
+def test_spectral_alpha_vector_batch_and_sharded():
+    """(2, T) spectral alpha broadcast over the batch equals single runs;
+    sharded == unsharded; trajectories API carries it too."""
+    grid = _grid(64)
+    om = grid.omega()
+    spec = np.stack([1e-3 * (om / np.abs(om).max()) ** 2,
+                     2e-3 * (om / np.abs(om).max()) ** 2])
+    co = vg.make_vgnlse_coeffs(grid, _disp(), gamma_W_m=GAMMA,
+                               alpha_spec_1_m=spec)
+    A0 = np.stack([
+        np.stack([gn.gaussian_pulse(grid, peak_W=p, t0_s=1e-12),
+                  gn.gaussian_pulse(grid, peak_W=0.5 * p, t0_s=1e-12)])
+        for p in np.linspace(0.4, 1.0, 5)
+    ])
+    cfg = _cfg(z_max=2.0, dz=0.02, save_every=25)
+    pk, Af, ok = vg.solve_vgnlse_batch(cfg, co, A0)
+    assert ok.all()
+    # batch row i equals its single run
+    z1, A1 = vg.run_vgnlse_simulation(cfg, co, A0[2])
+    np.testing.assert_allclose(Af[2], A1[-1], rtol=0, atol=1e-12)
+    pk_s, Af_s, ok_s = vg.solve_vgnlse_batch(cfg, co, A0,
+                                             mesh=pm.default_mesh())
+    np.testing.assert_allclose(Af_s, Af, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(ok_s, ok)
+    # trajectories API: final saved frame matches the reduce-mode result
+    zt, At, okt = vg.solve_vgnlse_batch_trajectories(cfg, co, A0)
+    np.testing.assert_allclose(At[:, -1], Af, rtol=0, atol=1e-12)
+
+
+def test_spectral_alpha_vector_validation():
+    grid = _grid(64)
+    with pytest.raises(ValueError, match="alpha_spec"):
+        vg.make_vgnlse_coeffs(grid, None, gamma_W_m=0.0,
+                              alpha_spec_1_m=np.zeros(32))
+    with pytest.raises(ValueError, match="finite"):
+        vg.make_vgnlse_coeffs(grid, None, gamma_W_m=0.0,
+                              alpha_spec_1_m=np.full((2, 64), np.nan))
