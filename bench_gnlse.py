@@ -135,6 +135,60 @@ def main() -> None:
             "ok_fraction": float(np.mean(ok)),
         }
 
+    # --- fused pallas SSFM kernel (VMEM-resident, MXU group-split DFTs) -----
+    if backend == "tpu":
+        from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import pallas_gnlse
+
+        gn.solve_gnlse_batch(cfg, co, A0, engine="pallas")  # warm-up
+        repsk = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            _, _, okk = gn.solve_gnlse_batch(cfg, co, A0, engine="pallas")
+            repsk.append(time.perf_counter() - t0)
+        elk = float(np.median(repsk))
+        instk = BATCH * N_STEPS / elk
+        # the kernel's DFT cost model: 2 group-split transforms per step,
+        # each 2*T*M_SUB complex MACs = 8*T*M_SUB real FLOPs per instance
+        dft_flops = 2.0 * 8.0 * T_SAMPLES * pallas_gnlse.M_SUB
+        results["kerr_pallas"] = {
+            "elapsed_s": round(elk, 4),
+            "rep_times_s": [round(r, 4) for r in repsk],
+            "instance_steps_per_s": round(instk),
+            "dot_alg": pallas_gnlse.DOT_ALG,
+            "mxu_tflops_per_s": round(instk * dft_flops / 1e12, 2),
+            "ok_fraction": float(np.mean(okk)),
+        }
+
+    # --- matched-tolerance (df32) lane: two-float SSFM ----------------------
+    # The tier that meets the <=1e-9 BASELINE bar on the f64-less v5e
+    # (ops/df32_gnlse.py, round 3).  Smaller batch + fewer steps: the
+    # compensated arithmetic runs on the VPU (~20x the x32 cost); this row
+    # is about existence + honest rate, not the record.
+    if backend == "tpu":
+        try:
+            import dataclasses as _dc
+
+            B_df, S_df = 256, 200
+            cfg_df = _dc.replace(cfg, precision="df32",
+                                 z_max=10.0 * S_df / N_STEPS)
+            co_df = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA,
+                                         alpha_1_m=5e-5, precision="df32")
+            gn.solve_gnlse_batch(cfg_df, co_df, A0[:B_df])   # warm-up
+            t0 = time.perf_counter()
+            _, _, ok_df = gn.solve_gnlse_batch(cfg_df, co_df, A0[:B_df])
+            el_df = time.perf_counter() - t0
+            results["df32_twofloat_ssfm"] = {
+                "elapsed_s": round(el_df, 4),
+                "batch": B_df,
+                "split_steps": S_df,
+                "instance_steps_per_s": round(B_df * S_df / el_df),
+                "ok_fraction": float(np.mean(ok_df)),
+                "note": "matched-tolerance tier (<=1e-9 vs the x64 solver; "
+                        "TPU parity test in tests/test_df32_gnlse.py)",
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"# df32 gnlse lane skipped: {e}", file=sys.stderr)
+
     # --- adaptive (rk45) lane: envelopes/s at matched physics ---------------
     cfg45 = psa.custom_simulation_config(
         z_max=10.0, dz=10.0 / N_STEPS, save_every=SAVE_EVERY,
@@ -157,6 +211,10 @@ def main() -> None:
         sub = 8
         if precision != "x64" and cpu:
             _, A_fast, _ = gn.solve_gnlse_batch(cfg, co, A0[:sub])
+            A_pal = None
+            if "kerr_pallas" in results:
+                _, A_pal, _ = gn.solve_gnlse_batch(cfg, co, A0[:sub],
+                                                   engine="pallas")
             with jax.default_device(cpu[0]):
                 cfg64 = psa.custom_simulation_config(
                     z_max=10.0, dz=10.0 / N_STEPS, save_every=SAVE_EVERY,
@@ -170,6 +228,13 @@ def main() -> None:
             rel = np.abs(P_fast / np.maximum(P_ref, 1e-300) - 1.0)
             max_rel_err = float(rel[P_ref > 1e-6 * P_ref.max()].max())
             core_rel_err = float(rel[P_ref > 1e-2 * P_ref.max()].max())
+            if A_pal is not None:
+                relp = np.abs(np.abs(A_pal) ** 2
+                              / np.maximum(P_ref, 1e-300) - 1.0)
+                results["kerr_pallas"]["subset_max_rel_power_err_vs_x64"] = (
+                    float(relp[P_ref > 1e-6 * P_ref.max()].max()))
+                results["kerr_pallas"]["subset_core_rel_power_err_vs_x64"] = (
+                    float(relp[P_ref > 1e-2 * P_ref.max()].max()))
     except Exception as e:  # noqa: BLE001
         print(f"# gnlse accuracy cross-check skipped: {e}", file=sys.stderr)
 
@@ -186,28 +251,30 @@ def main() -> None:
         "subset_core_rel_power_err_vs_x64": core_rel_err,
         "flops_note": "algorithmic real-FLOPs (5 t log2 t per complex FFT)",
     }
-    # regression floor (CLAUDE.md): median Kerr rate on TPU >= 0.9M
-    kerr_rate = results["kerr"]["instance_steps_per_s"]
+    # headline = best Kerr engine (scan vs fused pallas kernel); regression
+    # floor (CLAUDE.md): median best-engine Kerr rate on TPU >= 0.9M
+    kerr_engines = [k for k in results if k.startswith("kerr")]
+    best = max(kerr_engines,
+               key=lambda k: results[k]["instance_steps_per_s"])
+    best_rate = results[best]["instance_steps_per_s"]
+    meta["best_path"] = best
     meta["floor_instance_steps_per_s"] = 900_000
     meta["below_floor"] = bool(
-        backend == "tpu" and kerr_rate < meta["floor_instance_steps_per_s"]
+        backend == "tpu" and best_rate < meta["floor_instance_steps_per_s"]
     )
     if meta["below_floor"]:
         print(
-            f"# REGRESSION WARNING: gnlse {kerr_rate} inst-steps/s is below "
-            f"the 0.9M floor (record 1.78M)", file=sys.stderr,
+            f"# REGRESSION WARNING: gnlse {best_rate} inst-steps/s is below "
+            f"the 0.9M floor (record 1.78M scan)", file=sys.stderr,
         )
     print(f"# {json.dumps(meta)}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "gnlse_ssfm_instance_steps_per_s",
-                "value": results["kerr"]["instance_steps_per_s"],
+                "value": best_rate,
                 "unit": f"instance-steps/s (T={T_SAMPLES} samples)",
-                "vs_baseline": round(
-                    results["kerr"]["instance_steps_per_s"]
-                    / BASELINE_STEPS_PER_S, 1,
-                ),
+                "vs_baseline": round(best_rate / BASELINE_STEPS_PER_S, 1),
             }
         )
     )

@@ -147,7 +147,8 @@ def make_gnlse_coeffs(
     """
     import math
 
-    rdt = real_dtype(validate_precision(precision))
+    prec = validate_precision(precision)
+    rdt = real_dtype(prec)
     om = grid.omega()
     phase = np.zeros_like(om)
     if dispersion is not None:
@@ -158,7 +159,7 @@ def make_gnlse_coeffs(
     if not np.all(np.isfinite(phase)):
         raise ValueError("dispersion phase must be finite on the grid")
     if alpha_spec_1_m is None:
-        alpha = jnp.asarray(float(alpha_1_m), dtype=rdt)
+        alpha_np = np.float64(alpha_1_m)
     else:
         sp = np.asarray(alpha_spec_1_m, dtype=np.float64)
         if sp.shape != om.shape:
@@ -168,10 +169,21 @@ def make_gnlse_coeffs(
             )
         if not np.all(np.isfinite(sp)):
             raise ValueError("alpha_spec_1_m must be finite")
-        alpha = jnp.asarray(float(alpha_1_m) + sp, dtype=rdt)
+        alpha_np = np.float64(alpha_1_m) + sp
+    if prec == "df32":
+        # matched-tolerance tier: keep HOST f64 leaves -- the two-float
+        # engine (ops/df32_gnlse.py) splits them exactly into (hi, lo) f32
+        # pairs on the host; a cast to device f32 here would truncate the
+        # dispersion phase before the compensated arithmetic ever sees it
+        # (and f64 jnp arrays cannot be created in a TPU-default process)
+        return GNLSECoeffs(
+            gamma=np.float64(gamma_W_m),
+            alpha=alpha_np,
+            lin_phase=phase,
+        )
     return GNLSECoeffs(
         gamma=jnp.asarray(float(gamma_W_m), dtype=rdt),
-        alpha=alpha,
+        alpha=jnp.asarray(alpha_np, dtype=rdt),
         lin_phase=jnp.asarray(phase, dtype=rdt),
     )
 
@@ -829,7 +841,8 @@ def run_gnlse_simulation(
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
+    prec = validate_precision(cfg.precision)
+    rdt = real_dtype(prec)
     z0 = float(z0)
     if not np.isfinite(z0):
         raise ValueError("z0 must be finite")
@@ -847,15 +860,48 @@ def run_gnlse_simulation(
             "solve_gnlse_batch for batched solves"
         )
     if spectral_alpha:
-        # normalize to the batched spectral rank (the internal solve is B=1)
+        # normalize to the batched spectral rank (the internal solve is
+        # B=1); df32 coeffs stay HOST numpy (f64 jnp arrays cannot be
+        # created in a TPU-default process)
+        wrap = np.asarray if prec == "df32" else jnp.asarray
         coeffs = GNLSECoeffs(
             gamma=coeffs.gamma,
-            alpha=jnp.asarray(coeffs.alpha)[None, :],
+            alpha=wrap(coeffs.alpha)[None, :],
             lin_phase=coeffs.lin_phase,
         )
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
     n_chunks = n_steps // int(cfg.save_every)
+
+    if prec == "df32":
+        # matched-tolerance two-float trajectory solve (ops/df32_gnlse.py)
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "precision='df32' GNLSE solves are fixed-step rk4 only "
+                "(use x32 for the adaptive split-step, or x64 on CPU)"
+            )
+        if nl is not None:
+            raise ValueError(
+                "precision='df32' GNLSE solves are Kerr-only: the Raman/"
+                "self-steepening operator has no two-float rendering "
+                "(use x64 on CPU for that tier)"
+            )
+        from ..ops.df32_gnlse import run_gnlse_traj_df32
+
+        A_saved, ok = run_gnlse_traj_df32(
+            A0[None], np.asarray(coeffs.gamma, dtype=float),
+            np.asarray(coeffs.alpha, dtype=float),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+        )
+        if cfg.check_nan and not bool(ok[0]):
+            raise FloatingPointError(
+                "NaN or Inf detected during GNLSE integration"
+            )
+        z = z0 + np.arange(n_chunks + 1, dtype=np.float64) * (
+            int(cfg.save_every) * dz_m
+        ) / scale
+        return z, A_saved[:, 0, :]
 
     if cfg.integrator.lower() == "rk45":
         # adaptive split-step on the same decimated save grid (rk4-path
@@ -941,7 +987,7 @@ def solve_gnlse_batch(
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
+    prec = validate_precision(cfg.precision)
 
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 2:
@@ -954,6 +1000,30 @@ def solve_gnlse_batch(
         raise ValueError(
             f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}"
         )
+    if prec == "df32" and engine != "pallas":
+        # matched-tolerance two-float SSFM (ops/df32_gnlse.py; ~1e-12 vs
+        # the x64 solver over 10^3 steps on the f64-less v5e)
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "precision='df32' GNLSE solves are fixed-step rk4 only "
+                "(use x32 for the adaptive split-step, or x64 on CPU)"
+            )
+        if nl is not None:
+            raise ValueError(
+                "precision='df32' GNLSE solves are Kerr-only: the Raman/"
+                "self-steepening operator has no two-float rendering "
+                "(use x64 on CPU for that tier)"
+            )
+        from ..ops.df32_gnlse import solve_gnlse_batch_df32
+
+        return solve_gnlse_batch_df32(
+            A0, np.asarray(coeffs.gamma, dtype=float),
+            np.asarray(coeffs.alpha, dtype=float),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            mesh=mesh,
+        )
+    rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
     if engine == "pallas":
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
@@ -1094,7 +1164,7 @@ def solve_gnlse_batch_trajectories(
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
+    prec = validate_precision(cfg.precision)
     z0 = float(z0)
 
     A0 = np.asarray(A0, dtype=np.complex128)
@@ -1104,6 +1174,39 @@ def solve_gnlse_batch_trajectories(
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
     n_chunks = n_steps // int(cfg.save_every)
+
+    if prec == "df32":
+        # matched-tolerance two-float trajectory solve (ops/df32_gnlse.py;
+        # unsharded -- trajectory mode is a small-batch inspection API)
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "precision='df32' GNLSE solves are fixed-step rk4 only "
+                "(use x32 for the adaptive split-step, or x64 on CPU)"
+            )
+        if nl is not None:
+            raise ValueError(
+                "precision='df32' GNLSE solves are Kerr-only: the Raman/"
+                "self-steepening operator has no two-float rendering "
+                "(use x64 on CPU for that tier)"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "precision='df32' trajectories are unsharded; shard the "
+                "reduce-mode solve_gnlse_batch instead"
+            )
+        from ..ops.df32_gnlse import run_gnlse_traj_df32
+
+        A_saved, ok = run_gnlse_traj_df32(
+            A0, np.asarray(coeffs.gamma, dtype=float),
+            np.asarray(coeffs.alpha, dtype=float),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+        )
+        z = z0 + np.arange(n_chunks + 1, dtype=np.float64) * (
+            int(cfg.save_every) * dz_m
+        ) / scale
+        return z, np.swapaxes(A_saved, 0, 1), ok
+    rdt = real_dtype(prec)
 
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
     al = np.asarray(coeffs.alpha, dtype=float)

@@ -71,13 +71,22 @@ def _bit_reverse_perm(L: int) -> np.ndarray:
 @functools.lru_cache(maxsize=16)
 def _fft_twiddles(L: int, sign: int):
     """Per-stage twiddle factors w_k = exp(sign * 2i pi k / M) for
-    M = 2, 4, ..., L, split exactly from f64 into TF pairs (host numpy)."""
+    M = 2, 4, ..., L, split exactly from f64 into TF pairs.
+
+    Leaves are HOST numpy f32 (lifted as constants wherever they are
+    used): jnp arrays created inside a jit trace are tracers, and caching
+    a tracer leaks it into every later trace (UnexpectedTracerError when a
+    second solver jit reuses the cache)."""
+    def split(x):
+        hi = x.astype(np.float32)
+        return TF(hi, (x - hi.astype(np.float64)).astype(np.float32))
+
     out = []
     m = 2
     while m <= L:
         k = np.arange(m // 2)
         ang = sign * 2.0 * np.pi * k / m
-        out.append((tf_from_f64(np.cos(ang)), tf_from_f64(np.sin(ang))))
+        out.append((split(np.cos(ang)), split(np.sin(ang))))
         m *= 2
     return tuple(out)
 

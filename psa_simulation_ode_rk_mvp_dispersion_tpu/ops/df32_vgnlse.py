@@ -1,0 +1,284 @@
+"""Matched-tolerance (df32) vector-GNLSE split-step solver.
+
+Two-float rendering of ``models/vgnlse``'s incoherent couplings (CNLSE
+b=2/3 and Manakov b=1): the nonlinear substep is the exact coupled
+rotation exp(i gamma (P_self + b P_other) h) -- both powers are invariants
+of the incoherent flow, so the df32 step needs only ``tf_sin_cos`` on a
+two-float angle, like the scalar engine (``ops/df32_gnlse.py``).  The
+coherent c-term (``coherent != 0``) is NOT a rotation (it exchanges power
+pointwise); that model stays on the x32/x64 engines -- a df32 request with
+``coherent != 0`` raises.
+
+State is a (B, 2, T) CTF; the linear substep reuses the scalar engine's
+``_lin`` (the two-float FFT transforms the trailing axis, batching over
+(B, 2)).  Chunk/freeze/peak semantics mirror ``models/vgnlse._vgnlse_solver``
+(reduce mode): per-instance (not per-polarization) NaN freeze, running
+max-over-saved-samples peak per polarization, ONE stacked f32 output
+buffer.  Same CPU-eager / TPU-jitted test split as every df32 engine
+(CLAUDE.md constraint 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .df32_gnlse import _lin
+from .twofloat import (
+    CTF,
+    TF,
+    ctf_abs2,
+    ctf_freeze,
+    ctf_from_c128,
+    ctf_mul,
+    tf_add,
+    tf_from_f64,
+    tf_max,
+    tf_mul,
+    tf_sin_cos,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DF32VGNLSECoeffs:
+    """Two-float vector split-step operators: CTF half-/full-step linear
+    factors ((1 or B, 2, T)), the TF Kerr angle scale gamma*h ((B, 1, 1))
+    and the TF cross-phase ratio b (scalar)."""
+
+    lin_half: CTF
+    lin_full: CTF
+    gamma_h: TF
+    b_xpm: TF
+
+
+def make_df32_vgnlse_coeffs(gamma, alpha, b_xpm, lin_phase, *, dz_m: float,
+                            B: int, T: int) -> DF32VGNLSECoeffs:
+    """Build the operators from per-meter f64 inputs.  ``gamma`` broadcasts
+    to (B,); ``alpha`` is flat (scalar / (B,)) or spectral ((2, T) /
+    (B, 2, T)); ``lin_phase`` is (2, T) or (B, 2, T) [rad/m] (the
+    birefringent splitting already folded in, as in
+    :func:`~..models.vgnlse.make_vgnlse_coeffs`)."""
+    g = np.broadcast_to(np.asarray(gamma, dtype=np.float64), (B,))
+    al = np.asarray(alpha, dtype=np.float64)
+    if al.ndim >= 2:
+        al = al[None] if al.ndim == 2 else np.broadcast_to(al, (B, 2, T))
+    else:
+        al = np.broadcast_to(al, (B,))[:, None, None]
+    ph = np.asarray(lin_phase, dtype=np.float64)
+    ph = ph[None] if ph.ndim == 2 else np.broadcast_to(ph, (B, 2, T))
+    shared = (al.shape[0] == 1 or np.all(al == al[:1])) and ph.shape[0] == 1
+    if shared:
+        al = al[:1]
+    else:
+        al = np.broadcast_to(al, (B, 2, T))
+        ph = np.broadcast_to(ph, (B, 2, T))
+
+    def factor(h):
+        # runaway-gain overflow to inf is by design (freeze contract)
+        with np.errstate(over="ignore", invalid="ignore"):
+            return ctf_from_c128(np.exp((-0.5 * al + 1j * ph) * h))
+
+    return DF32VGNLSECoeffs(
+        lin_half=factor(0.5 * dz_m),
+        lin_full=factor(dz_m),
+        gamma_h=tf_from_f64((g * dz_m)[:, None, None]),
+        b_xpm=tf_from_f64(np.float64(b_xpm)),
+    )
+
+
+def _tf_flip_pol(P: TF) -> TF:
+    return TF(jnp.flip(P.hi, axis=-2), jnp.flip(P.lo, axis=-2))
+
+
+def xpm_kerr_rotation_df32(y: CTF, gamma_h: TF, b: TF) -> CTF:
+    """Exact coupled rotation exp(i gamma h (P_self + b P_other)) per
+    polarization, all two-float (the df32 rendering of
+    ``models/vgnlse._xpm_kerr_step``)."""
+    P = ctf_abs2(y)                                  # (B, 2, T) TF
+    ang = tf_mul(gamma_h, tf_add(P, tf_mul(b, _tf_flip_pol(P))))
+    s, c = tf_sin_cos(ang)
+    return ctf_mul(y, CTF(c, s))
+
+
+def vssfm_steps_df32(y: CTF, co: DF32VGNLSECoeffs, k: int,
+                     unroll: bool = False) -> CTF:
+    """k fused symmetric split steps (``_chunk_stepper_v`` contract)."""
+    if k == 0:
+        return y
+    y = _lin(y, co.lin_half)
+
+    def body(c, _):
+        return _lin(
+            xpm_kerr_rotation_df32(c, co.gamma_h, co.b_xpm), co.lin_full
+        ), None
+
+    if k > 1:
+        if unroll:
+            for _ in range(k - 1):
+                y, _ = body(y, None)
+        else:
+            y, _ = lax.scan(body, y, None, length=k - 1)
+    return _lin(xpm_kerr_rotation_df32(y, co.gamma_h, co.b_xpm), co.lin_half)
+
+
+def _v_finite(y: CTF) -> jax.Array:
+    """(B,) per-instance all-finite over (pol, time)."""
+    return (
+        jnp.all(jnp.isfinite(y.re.hi), axis=(-2, -1))
+        & jnp.all(jnp.isfinite(y.im.hi), axis=(-2, -1))
+    )
+
+
+def _v_peak(y: CTF) -> TF:
+    """(B, 2) TF per-polarization max over time of |A|^2."""
+    P = ctf_abs2(y)
+    while P.hi.shape[-1] > 1:
+        h = P.hi.shape[-1] // 2
+        P = tf_max(TF(P.hi[..., :h], P.lo[..., :h]),
+                   TF(P.hi[..., h:], P.lo[..., h:]))
+    return TF(P.hi[..., 0], P.lo[..., 0])
+
+
+def run_v_reduce_eager(y0: CTF, co: DF32VGNLSECoeffs, n_steps: int,
+                       save_every: int):
+    """Eager reduce-mode solve for the CPU test lane (python loops)."""
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+    ok = _v_finite(y0)
+    pk = _v_peak(y0)
+    y = y0
+    for _ in range(n_chunks):
+        y_new = vssfm_steps_df32(y, co, save_every, unroll=True)
+        ok = ok & _v_finite(y_new)
+        y = ctf_freeze(ok[..., None], y_new, y)
+        pk = tf_max(pk, _v_peak(y))
+    if remainder > 0:
+        y_new = vssfm_steps_df32(y, co, remainder, unroll=True)
+        ok = ok & _v_finite(y_new)
+    return pk, y, ok
+
+
+@functools.lru_cache(maxsize=16)
+def _df32_vgnlse_solver(n_steps: int, save_every: int):
+    """Jitted batched df32 vector SSFM reduce solve: ONE stacked
+    (B, 4 + 8T + 1) f32 buffer [pk_hi (2) | pk_lo (2) | re_hi | re_lo |
+    im_hi | im_lo (each (2T) flattened pol-major) | ok]."""
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+
+    def run(y0: CTF, co: DF32VGNLSECoeffs):
+        ok0 = _v_finite(y0)
+
+        def chunk(carry, _):
+            y, pk, ok = carry
+            y_new = vssfm_steps_df32(y, co, save_every)
+            ok_new = ok & _v_finite(y_new)
+            y_out = ctf_freeze(ok_new[..., None], y_new, y)
+            pk = tf_max(pk, _v_peak(y_out))
+            return (y_out, pk, ok_new), None
+
+        carry = (y0, _v_peak(y0), ok0)
+        if n_chunks > 0:
+            carry, _ = lax.scan(chunk, carry, None, length=n_chunks)
+        y, pk, ok = carry
+        if remainder > 0:
+            y_new = vssfm_steps_df32(y, co, remainder)
+            ok = ok & _v_finite(y_new)
+        B = y.re.hi.shape[0]
+        flat = lambda a: a.reshape(B, -1)  # noqa: E731
+        return jnp.concatenate(
+            [pk.hi, pk.lo,
+             flat(y.re.hi), flat(y.re.lo), flat(y.im.hi), flat(y.im.lo),
+             ok.astype(jnp.float32)[:, None]], axis=1)
+
+    return jax.jit(run)
+
+
+def solve_vgnlse_batch_df32(
+    A0: np.ndarray,
+    gamma,
+    alpha,
+    b_xpm,
+    lin_phase,
+    *,
+    dz_m: float,
+    n_steps: int,
+    save_every: int,
+    mesh=None,
+):
+    """Batched matched-tolerance vector SSFM solve; per-meter f64 inputs.
+
+    Contract mirrors ``models/vgnlse.solve_vgnlse_batch`` (fixed-step
+    reduce mode): returns host ``(peak_max (B, 2) f64, A_last (B, 2, T)
+    c128, ok (B,) bool)``.  T must be a power of two.  Pass ``mesh`` to
+    shard the batch axis."""
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 3 or A0.shape[1] != 2:
+        raise ValueError(f"A0 must have shape (B, 2, T), got {A0.shape}")
+    B, _, T = A0.shape
+    if T & (T - 1):
+        raise ValueError(
+            f"T={T} must be a power of two for the two-float FFT"
+        )
+
+    n_orig = B
+    if mesh is not None:
+        from ..parallel.mesh import (
+            batch_sharding,
+            fetch_global,
+            pad_batch,
+            put_global_tree,
+            replicated_sharding,
+        )
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        A0, n_orig = pad_batch(A0, ndev)
+        B = A0.shape[0]
+        g = np.asarray(gamma, dtype=np.float64)
+        if g.ndim == 1:
+            g, _ = pad_batch(g, ndev)
+        al = np.asarray(alpha, dtype=np.float64)
+        if al.ndim == 3 or al.ndim == 1:
+            al, _ = pad_batch(np.broadcast_to(
+                al, (n_orig, 2, T) if al.ndim == 3 else (n_orig,)), ndev)
+        ph = np.asarray(lin_phase, dtype=np.float64)
+        if ph.ndim == 3:
+            ph, _ = pad_batch(ph, ndev)
+        gamma, alpha, lin_phase = g, al, ph
+
+    co = make_df32_vgnlse_coeffs(gamma, alpha, b_xpm, lin_phase,
+                                 dz_m=float(dz_m), B=B, T=T)
+    if mesh is not None:
+        sh_b = batch_sharding(mesh)
+        sh_r = replicated_sharding(mesh)
+        y0 = put_global_tree(
+            jax.tree_util.tree_map(np.asarray, ctf_from_c128(A0)), sh_b)
+        co = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                sh_b if x.ndim and x.shape[0] == B else sh_r),
+            co,
+        )
+    else:
+        y0 = ctf_from_c128(A0)
+
+    solver = _df32_vgnlse_solver(int(n_steps), int(save_every))
+    out = jax.block_until_ready(solver(y0, co))
+    if mesh is not None:
+        out = fetch_global(out)
+    out = np.asarray(out, dtype=np.float64)
+
+    pk = out[:, 0:2] + out[:, 2:4]
+    base = 4
+    sz = 2 * T
+    planes = [out[:, base + i * sz:base + (i + 1) * sz].reshape(-1, 2, T)
+              for i in range(4)]
+    ok = out[:, base + 4 * sz] > 0.0
+    A_last = (planes[0] + planes[1]) + 1j * (planes[2] + planes[3])
+    return pk[:n_orig], A_last[:n_orig], ok[:n_orig]

@@ -51,9 +51,13 @@ M_SUB = 128      # polyphase sub-transform length (= MXU contraction / 2)
 BLOCK = int(os.environ.get("PSA_GNLSE_PALLAS_BLOCK", "256"))
 MAX_R = 16       # cap on polyphase groups (T <= 2048)
 # DFT matmul accuracy/speed knob: 'x6' = f32-equivalent (6 bf16 passes),
-# 'x3' = 3-pass compensated bf16 (~1-2 extra bits below f32; 2x the MXU
-# throughput).  Measured accuracy deltas in the module tests / bench meta.
-DOT_ALG = os.environ.get("PSA_GNLSE_PALLAS_DOT", "x3")
+# 'x3' = 3-pass compensated bf16 (2x the MXU pass rate, but the dropped
+# wl@xl cross term costs real accuracy over long integrations).  Measured
+# on v5e at the bench shape (T=1024, B=2048, 1000 steps): power error vs
+# x64 is 2.9e-4 core / 1.9e-2 tails for x6 (BETTER than the c64 scan
+# engine: 4.5e-3 / 2.6e-2) vs 9.1e-3 / 0.43 for x3, at indistinguishable
+# wall clock (the kernel is not MXU-pass-bound).  Default: x6.
+DOT_ALG = os.environ.get("PSA_GNLSE_PALLAS_DOT", "x6")
 
 
 def _dft_weight_blocks(m: int):

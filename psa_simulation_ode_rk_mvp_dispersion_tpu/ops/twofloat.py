@@ -237,3 +237,65 @@ def tf_max(a: TF, b: TF) -> TF:
     """Elementwise max of two TF values (compared on the collapsed hi+lo)."""
     take_a = (a.hi + a.lo) > (b.hi + b.lo)
     return TF(jnp.where(take_a, a.hi, b.hi), jnp.where(take_a, a.lo, b.lo))
+
+
+# ---------------------------------------------------------------------------
+# Two-float circular functions (the GNLSE Kerr rotation exp(i theta) needs a
+# runtime sin/cos of a state-dependent angle at ~49-bit accuracy; f32
+# sin/cos intrinsics stop at 2^-24)
+# ---------------------------------------------------------------------------
+
+# Taylor coefficients 1/(2k)! and 1/(2k+1)! split exactly from f64; with
+# |reduced theta| <= pi/4 the k=8 truncation terms (theta^18/18!,
+# theta^19/19!) are < 2e-18, far below the 2^-49 format.
+_COS_COEFFS = [1.0, -0.5]
+_SIN_COEFFS = [1.0, -1.0 / 6.0]
+_f = 2.0
+for _k in range(2, 9):
+    _f *= (2 * _k - 1) * (2 * _k)
+    _COS_COEFFS.append((-1.0) ** _k / _f)
+    _SIN_COEFFS.append((-1.0) ** _k / (_f * (2 * _k + 1)))
+del _f, _k
+
+_TWO_PI_64 = 2.0 * np.pi
+_HALF_PI_64 = 0.5 * np.pi
+
+
+def _tf_poly(u: TF, coeffs) -> TF:
+    """Horner evaluation sum_k c_k u^k with f64-split TF coefficients."""
+    p = tf_from_f64(np.float64(coeffs[-1]))
+    for c in coeffs[-2::-1]:
+        p = tf_add(tf_mul(u, p), tf_from_f64(np.float64(c)))
+    return p
+
+
+def tf_sin_cos(theta: TF):
+    """(sin theta, cos theta) in two-float arithmetic.
+
+    Payne-Hanek-free range reduction: theta mod 2*pi via an f32 integer
+    multiple of a TF 2*pi (exact for the small per-step Kerr phases this
+    serves -- n = 0 almost always; for |theta| up to ~1e3 the reduction
+    error is ~|n| * 1.4e-14 absolute), then quadrant folding by pi/2 and a
+    k<=8 Taylor pair on |theta| <= pi/4.  Non-finite angles propagate to
+    non-finite outputs (the solver freeze contract detects them)."""
+    two_pi = tf_from_f64(_TWO_PI_64)
+    half_pi = tf_from_f64(_HALF_PI_64)
+    n = jnp.round(theta.hi * np.float32(1.0 / _TWO_PI_64))
+    t1 = tf_sub(theta, tf_mul_f32(two_pi, n))
+    q = jnp.round(t1.hi * np.float32(1.0 / _HALF_PI_64))
+    t2 = tf_sub(t1, tf_mul_f32(half_pi, q))
+    u = tf_mul(t2, t2)
+    c0 = _tf_poly(u, _COS_COEFFS)
+    s0 = tf_mul(t2, _tf_poly(u, _SIN_COEFFS))
+    k = jnp.mod(q, np.float32(4.0))
+    # quadrant rotation: k=0 -> (s, c); 1 -> (c, -s); 2 -> (-s, -c); 3 -> (-c, s)
+    swap = (k == 1.0) | (k == 3.0)
+    neg_s = (k == 2.0) | (k == 3.0)
+    neg_c = (k == 1.0) | (k == 2.0)
+    pick = lambda m, a_, b_: TF(jnp.where(m, a_.hi, b_.hi),  # noqa: E731
+                                jnp.where(m, a_.lo, b_.lo))
+    sgn = lambda m, a_: TF(jnp.where(m, -a_.hi, a_.hi),  # noqa: E731
+                           jnp.where(m, -a_.lo, a_.lo))
+    s = sgn(neg_s, pick(swap, c0, s0))
+    c = sgn(neg_c, pick(swap, s0, c0))
+    return s, c

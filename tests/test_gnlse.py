@@ -520,26 +520,30 @@ def test_batched_alpha_shared_phase():
     np.testing.assert_allclose(E / E[0], np.exp(-alphas * 10.0), rtol=1e-10)
 
 
-def test_df32_rejected_with_clear_error():
-    """The GNLSE family has no two-float engine; a df32 request must raise
-    instead of silently running f32 (ADVICE r2)."""
+def test_df32_dispatches_to_two_float_engine():
+    """Since round 3 the GNLSE family HAS a two-float engine
+    (ops/df32_gnlse.py): a df32 request dispatches instead of raising
+    (combination guards live in tests/test_df32_gnlse.py; the jitted
+    solver itself is TPU-lane -- XLA:CPU two-float compiles are
+    pathological, CLAUDE.md constraint 4)."""
     import dataclasses as dc
 
     from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
-        TimeGrid, gaussian_pulse, make_gnlse_coeffs, run_gnlse_simulation,
-        solve_gnlse_batch)
+        TimeGrid, make_gnlse_coeffs)
 
     grid = TimeGrid(n_samples=64, t_window_s=10e-12)
-    cf = make_gnlse_coeffs(grid, None, gamma_W_m=1e-3)
-    A0 = gaussian_pulse(grid, peak_W=1.0, t0_s=1e-12)
+    cf = make_gnlse_coeffs(grid, None, gamma_W_m=1e-3, precision="df32")
+    # df32 coeffs keep host f64 leaves for the exact two-float split
+    assert isinstance(cf.lin_phase, np.ndarray)
+    assert cf.lin_phase.dtype == np.float64
     cfg = dc.replace(
         psa.custom_simulation_config(z_max=1.0, dz=0.1, save_every=1),
         precision="df32",
     )
-    with pytest.raises(ValueError, match="df32"):
-        run_gnlse_simulation(cfg, cf, A0)
-    with pytest.raises(ValueError, match="df32"):
-        solve_gnlse_batch(cfg, cf, A0[None])
+    # rk45 has no two-float controller in this family: still a clear error
+    with pytest.raises(ValueError, match="rk4"):
+        psa.gnlse.solve_gnlse_batch(
+            dc.replace(cfg, integrator="rk45"), cf, np.ones((1, 64), complex))
 
 
 def test_batch_trajectories_match_single_runs():
