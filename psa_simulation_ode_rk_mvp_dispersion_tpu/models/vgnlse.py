@@ -150,7 +150,7 @@ def make_vgnlse_coeffs(
     if not np.all(np.isfinite(phase)):
         raise ValueError("dispersion phase must be finite on the grid")
     if alpha_spec_1_m is None:
-        alpha = jnp.asarray(float(alpha_1_m), dtype=rdt)
+        alpha_np = np.float64(alpha_1_m)
     else:
         sp = np.asarray(alpha_spec_1_m, dtype=np.float64)
         if sp.shape not in (om.shape, (2,) + om.shape):
@@ -161,13 +161,29 @@ def make_vgnlse_coeffs(
             )
         if not np.all(np.isfinite(sp)):
             raise ValueError("alpha_spec_1_m must be finite")
-        alpha = jnp.asarray(
-            float(alpha_1_m) + np.broadcast_to(sp, (2,) + om.shape),
-            dtype=rdt,
+        alpha_np = np.float64(alpha_1_m) + np.broadcast_to(sp, (2,) + om.shape)
+    if validate_precision(precision) == "df32":
+        # matched-tolerance tier: keep HOST f64 leaves for the exact
+        # two-float split (ops/df32_vgnlse.py) -- and f64 jnp arrays
+        # cannot be created in a TPU-default process.  df32 is the
+        # incoherent couplings only (the coherent c-term is not a
+        # rotation); reject early so the request cannot degrade silently.
+        if coh != 0.0:
+            raise ValueError(
+                "precision='df32' supports the incoherent couplings "
+                "('cnlse'/'manakov') only; coupling='isotropic' has no "
+                "two-float rendering (use x32, or x64 on CPU)"
+            )
+        return VGNLSECoeffs(
+            gamma=np.float64(g_eff),
+            alpha=alpha_np,
+            b_xpm=np.float64(b),
+            lin_phase=phase,
+            coherent=coh,
         )
     return VGNLSECoeffs(
         gamma=jnp.asarray(g_eff, dtype=rdt),
-        alpha=alpha,
+        alpha=jnp.asarray(alpha_np, dtype=rdt),
         b_xpm=jnp.asarray(b, dtype=rdt),
         lin_phase=jnp.asarray(phase, dtype=rdt),
         coherent=coh,
@@ -503,7 +519,8 @@ def run_vgnlse_simulation(
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(require_non_df32(cfg.precision, family="vector-GNLSE split-step"))
+    prec = validate_precision(cfg.precision)
+    rdt = real_dtype(prec)
     z0 = float(z0)
     if not np.isfinite(z0):
         raise ValueError("z0 must be finite")
@@ -521,6 +538,37 @@ def run_vgnlse_simulation(
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
     n_chunks = n_steps // int(cfg.save_every)
+
+    if prec == "df32":
+        # matched-tolerance two-float trajectory solve (ops/df32_vgnlse.py)
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "precision='df32' vector-GNLSE solves are fixed-step rk4 "
+                "only (use x32 for the adaptive split-step, or x64 on CPU)"
+            )
+        if float(coeffs.coherent) != 0.0:
+            raise ValueError(
+                "precision='df32' supports the incoherent couplings only; "
+                "the coherent c-term has no two-float rendering "
+                "(use x32, or x64 on CPU)"
+            )
+        from ..ops.df32_vgnlse import run_vgnlse_traj_df32
+
+        A_saved, ok = run_vgnlse_traj_df32(
+            A0[None], np.asarray(coeffs.gamma, dtype=float),
+            np.asarray(coeffs.alpha, dtype=float),
+            float(np.asarray(coeffs.b_xpm)),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+        )
+        if cfg.check_nan and not bool(ok[0]):
+            raise FloatingPointError(
+                "NaN or Inf detected during vector-GNLSE integration"
+            )
+        z = z0 + np.arange(n_chunks + 1, dtype=np.float64) * (
+            int(cfg.save_every) * dz_m
+        ) / scale
+        return z, A_saved[:, 0]
 
     if cfg.integrator.lower() == "rk45":
         if n_chunks == 0:
@@ -588,7 +636,7 @@ def solve_vgnlse_batch(
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(require_non_df32(cfg.precision, family="vector-GNLSE split-step"))
+    prec = validate_precision(cfg.precision)
 
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 3 or A0.shape[1] != 2:
@@ -596,6 +644,32 @@ def solve_vgnlse_batch(
     B, _, T = A0.shape
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+
+    if prec == "df32":
+        # matched-tolerance two-float SSFM (ops/df32_vgnlse.py) -- the
+        # incoherent couplings only (exact coupled rotation)
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "precision='df32' vector-GNLSE solves are fixed-step rk4 "
+                "only (use x32 for the adaptive split-step, or x64 on CPU)"
+            )
+        if float(coeffs.coherent) != 0.0:
+            raise ValueError(
+                "precision='df32' supports the incoherent couplings only; "
+                "the coherent c-term has no two-float rendering "
+                "(use x32, or x64 on CPU)"
+            )
+        from ..ops.df32_vgnlse import solve_vgnlse_batch_df32
+
+        return solve_vgnlse_batch_df32(
+            A0, np.asarray(coeffs.gamma, dtype=float),
+            np.asarray(coeffs.alpha, dtype=float),
+            float(np.asarray(coeffs.b_xpm)),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            mesh=mesh,
+        )
+    rdt = real_dtype(require_non_df32(cfg.precision, family="vector-GNLSE split-step"))
 
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))
     al = np.asarray(coeffs.alpha, dtype=float)
@@ -715,8 +789,7 @@ def solve_vgnlse_batch_trajectories(
 
     validate_config(cfg)
     scale = length_scale_to_m(length_unit)
-    rdt = real_dtype(require_non_df32(cfg.precision,
-                                      family="vector-GNLSE split-step"))
+    prec = validate_precision(cfg.precision)
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 3 or A0.shape[1] != 2:
         raise ValueError(f"A0 must have shape (B, 2, T), got {A0.shape}")
@@ -724,6 +797,35 @@ def solve_vgnlse_batch_trajectories(
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
     n_chunks = n_steps // int(cfg.save_every)
+
+    if prec == "df32":
+        # matched-tolerance two-float trajectory solve (ops/df32_vgnlse.py)
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "precision='df32' vector-GNLSE solves are fixed-step rk4 "
+                "only (use x32 for the adaptive split-step, or x64 on CPU)"
+            )
+        if float(coeffs.coherent) != 0.0:
+            raise ValueError(
+                "precision='df32' supports the incoherent couplings only; "
+                "the coherent c-term has no two-float rendering "
+                "(use x32, or x64 on CPU)"
+            )
+        from ..ops.df32_vgnlse import run_vgnlse_traj_df32
+
+        A_saved, ok = run_vgnlse_traj_df32(
+            A0, np.asarray(coeffs.gamma, dtype=float),
+            np.asarray(coeffs.alpha, dtype=float),
+            float(np.asarray(coeffs.b_xpm)),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+        )
+        zg = float(z0) + np.arange(n_chunks + 1, dtype=np.float64) * (
+            int(cfg.save_every) * dz_m
+        ) / scale
+        return zg, np.swapaxes(A_saved, 0, 1), ok
+    rdt = real_dtype(require_non_df32(cfg.precision,
+                                      family="vector-GNLSE split-step"))
 
     al = np.asarray(coeffs.alpha, dtype=float)
     cof = VGNLSECoeffs(

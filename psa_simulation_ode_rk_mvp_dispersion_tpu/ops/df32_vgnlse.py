@@ -200,6 +200,74 @@ def _df32_vgnlse_solver(n_steps: int, save_every: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=8)
+def _df32_vgnlse_traj_solver(n_steps: int, save_every: int):
+    """Jitted trajectory-mode df32 vector SSFM: per-chunk saved states
+    ``(ys (S, B, 2, 4T) f32 [re_hi | re_lo | im_hi | im_lo], ok (B,) i32)``
+    -- rows exclude z=0 (the caller holds the input)."""
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+
+    def run(y0: CTF, co: DF32VGNLSECoeffs):
+        ok0 = _v_finite(y0)
+
+        def chunk(carry, _):
+            y, ok = carry
+            y_new = vssfm_steps_df32(y, co, save_every)
+            ok_new = ok & _v_finite(y_new)
+            y_out = ctf_freeze(ok_new[..., None], y_new, y)
+            row = jnp.concatenate(
+                [y_out.re.hi, y_out.re.lo, y_out.im.hi, y_out.im.lo],
+                axis=-1)
+            return (y_out, ok_new), row
+
+        if n_chunks > 0:
+            (y, ok), ys = lax.scan(chunk, (y0, ok0), None, length=n_chunks)
+        else:
+            y, ok = y0, ok0
+            s = y0.re.hi.shape
+            ys = jnp.zeros((0, s[0], 2, 4 * s[-1]), dtype=jnp.float32)
+        if remainder > 0:
+            y_new = vssfm_steps_df32(y, co, remainder)
+            ok = ok & _v_finite(y_new)
+        return ys, ok.astype(jnp.int32)
+
+    return jax.jit(run)
+
+
+def run_vgnlse_traj_df32(
+    A0: np.ndarray,
+    gamma,
+    alpha,
+    b_xpm,
+    lin_phase,
+    *,
+    dz_m: float,
+    n_steps: int,
+    save_every: int,
+):
+    """Matched-tolerance trajectory solve for ``run_vgnlse_simulation``'s
+    df32 tier: ``A0`` is (B, 2, T) c128; returns host ``(A_saved
+    (S+1, B, 2, T) c128 incl. the z=0 row, ok (B,) bool)``."""
+    A0 = np.asarray(A0, dtype=np.complex128)
+    B, _, T = A0.shape
+    if T & (T - 1):
+        raise ValueError(
+            f"T={T} must be a power of two for the two-float FFT"
+        )
+    co = make_df32_vgnlse_coeffs(gamma, alpha, b_xpm, lin_phase,
+                                 dz_m=float(dz_m), B=B, T=T)
+    solver = _df32_vgnlse_traj_solver(int(n_steps), int(save_every))
+    ys, ok = jax.block_until_ready(solver(ctf_from_c128(A0), co))
+    ys = np.asarray(ys, dtype=np.float64)
+    A_saved = np.concatenate([
+        A0[None],
+        (ys[..., :T] + ys[..., T:2 * T])
+        + 1j * (ys[..., 2 * T:3 * T] + ys[..., 3 * T:]),
+    ], axis=0)
+    return A_saved, np.asarray(ok).astype(bool)
+
+
 def solve_vgnlse_batch_df32(
     A0: np.ndarray,
     gamma,
