@@ -4,10 +4,11 @@ Third workload profile after ``bench.py`` (4-wave, tiny-state/VPU-bound) and
 ``bench_comb.py`` (N-wave dense coupling, MXU-bound): B independent field
 envelopes of T samples advancing through the symmetric split-step method in
 one XLA program (``models/gnlse.py``) -- an FFT-throughput-bound workload.
-Lanes: fixed-step Kerr-only, fixed-step generalized nonlinearity (silica
-Raman response + self-steepening; 4 extra FFT pairs per step inside the RK4
-substep), and the adaptive (rk45) solver; plus an accuracy cross-check of a
-subset against the x64 CPU solver.
+Lanes: fixed-step Kerr-only (scan + fused pallas kernel), fixed-step
+generalized nonlinearity (silica Raman response + self-steepening; 4 extra
+FFT pairs per step inside the RK4 substep -- scan + in-kernel RK4), the
+matched-tolerance df32 tier, and the adaptive (rk45) solver; plus an
+accuracy cross-check of a subset against the x64 CPU solver.
 
 Prints ONE JSON line:
 
@@ -157,6 +158,28 @@ def main() -> None:
             "dot_alg": pallas_gnlse.DOT_ALG,
             "mxu_tflops_per_s": round(instk * dft_flops / 1e12, 2),
             "ok_fraction": float(np.mean(okk)),
+        }
+
+        # generalized nonlinearity in-kernel (RK4 on the Raman/steepening
+        # operator, every transform VMEM-resident -- round 3)
+        gn.solve_gnlse_batch(cfg, co, A0, nl=nl, engine="pallas")  # warm-up
+        repsn = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            _, _, okn = gn.solve_gnlse_batch(cfg, co, A0, nl=nl,
+                                             engine="pallas")
+            repsn.append(time.perf_counter() - t0)
+        eln = float(np.median(repsn))
+        instn = BATCH * N_STEPS / eln
+        # per step: 2 linear transforms + 4 RK4 stages x (0.5 real fwd +
+        # 0.5 real-part inv + 1 fwd + 1 inv) = 2 + 12 transform-equivalents
+        results["raman_pallas"] = {
+            "elapsed_s": round(eln, 4),
+            "rep_times_s": [round(r, 4) for r in repsn],
+            "instance_steps_per_s": round(instn),
+            "dot_alg": pallas_gnlse.DOT_ALG,
+            "mxu_tflops_per_s": round(instn * 7.0 * dft_flops / 1e12, 2),
+            "ok_fraction": float(np.mean(okn)),
         }
 
     # --- matched-tolerance (df32) lane: two-float SSFM ----------------------

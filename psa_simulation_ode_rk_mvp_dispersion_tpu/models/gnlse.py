@@ -968,9 +968,10 @@ def solve_gnlse_batch(
 
     ``engine``: 'scan' (XLA loop, any nonlinearity/integrator/precision),
     'pallas' (fused single-launch VMEM-resident SSFM kernel,
-    ``ops/pallas_gnlse.py``: fixed-step, x32, Kerr-only, T a multiple of
-    128 up to 2048 -- measured ~4x the scan engine on v5e at the bench
-    shape), or 'auto' (scan; the kernel is opt-in).
+    ``ops/pallas_gnlse.py``: fixed-step, x32, T a multiple of 128 up to
+    2048; Kerr rotation by default, in-kernel RK4 on the Raman/
+    self-steepening operator with ``nl=``), or 'auto' (scan; the kernel
+    is opt-in).
 
     ``cfg.integrator='rk45'`` runs the adaptive split-step (lockstep batched
     lanes, per-lane step size, frozen failed lanes); the peak reduction is
@@ -1031,11 +1032,6 @@ def solve_gnlse_batch(
             )
         if validate_precision(cfg.precision) != "x32":
             raise ValueError("engine='pallas' SSFM kernel is x32 only")
-        if nl is not None:
-            raise ValueError(
-                "engine='pallas' SSFM kernel is Kerr-only; Raman/"
-                "self-steepening use the scan engine"
-            )
         from ..ops.pallas_gnlse import solve_gnlse_batch_pallas
 
         return solve_gnlse_batch_pallas(
@@ -1043,7 +1039,7 @@ def solve_gnlse_batch(
             np.asarray(coeffs.alpha, dtype=float),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
-            interpret=jax.default_backend() != "tpu", mesh=mesh,
+            interpret=jax.default_backend() != "tpu", mesh=mesh, nl=nl,
         )
 
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, dtype=float), (B,))

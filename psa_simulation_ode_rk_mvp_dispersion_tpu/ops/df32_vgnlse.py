@@ -1,13 +1,16 @@
 """Matched-tolerance (df32) vector-GNLSE split-step solver.
 
-Two-float rendering of ``models/vgnlse``'s incoherent couplings (CNLSE
-b=2/3 and Manakov b=1): the nonlinear substep is the exact coupled
-rotation exp(i gamma (P_self + b P_other) h) -- both powers are invariants
-of the incoherent flow, so the df32 step needs only ``tf_sin_cos`` on a
-two-float angle, like the scalar engine (``ops/df32_gnlse.py``).  The
-coherent c-term (``coherent != 0``) is NOT a rotation (it exchanges power
-pointwise); that model stays on the x32/x64 engines -- a df32 request with
-``coherent != 0`` raises.
+Two-float rendering of ``models/vgnlse``'s couplings.  For the incoherent
+models (CNLSE b=2/3 and Manakov b=1) the nonlinear substep is the exact
+coupled rotation exp(i gamma (P_self + b P_other) h) -- both powers are
+invariants of the incoherent flow, so the df32 step needs only
+``tf_sin_cos`` on a two-float angle, like the scalar engine
+(``ops/df32_gnlse.py``).  The coherent c-term (``coherent != 0``, the full
+isotropic Kerr tensor) is NOT a rotation (it exchanges power pointwise);
+its substep is the same RK4 on the pointwise operator that the x64 engine
+uses (``models/vgnlse._v_nl_substep``), evaluated entirely in two-float
+arithmetic -- matched METHOD, so df32-vs-x64 differs only by rounding,
+not truncation.
 
 State is a (B, 2, T) CTF; the linear substep reuses the scalar engine's
 ``_lin`` (the two-float FFT transforms the trailing axis, batching over
@@ -33,13 +36,18 @@ from .twofloat import (
     CTF,
     TF,
     ctf_abs2,
+    ctf_add,
+    ctf_conj,
     ctf_freeze,
     ctf_from_c128,
     ctf_mul,
+    ctf_mul_real,
+    ctf_scale_f32,
     tf_add,
     tf_from_f64,
     tf_max,
     tf_mul,
+    tf_neg,
     tf_sin_cos,
 )
 
@@ -106,17 +114,56 @@ def xpm_kerr_rotation_df32(y: CTF, gamma_h: TF, b: TF) -> CTF:
     return ctf_mul(y, CTF(c, s))
 
 
+def _ctf_flip_pol(y: CTF) -> CTF:
+    return CTF(_tf_flip_pol(y.re), _tf_flip_pol(y.im))
+
+
+def _v_nl_m_df32(y: CTF, gamma_h: TF, b: TF, c: TF) -> CTF:
+    """h-scaled coherent vector operator, all two-float:
+    M(A)_p = i gamma h [ (P_p + b P_q) A_p + c A_p* A_q^2 ],  q = other pol
+    (``models/vgnlse._v_nl_rhs`` times the step; RK4 below uses the scaled
+    form so only the gamma*h product the coeffs already carry is needed)."""
+    P = ctf_abs2(y)
+    t_inc = ctf_mul_real(y, tf_add(P, tf_mul(b, _tf_flip_pol(P))))
+    y_q = _ctf_flip_pol(y)
+    coh = ctf_mul(ctf_conj(y), ctf_mul(y_q, y_q))
+    s = ctf_mul_real(ctf_add(t_inc, ctf_mul_real(coh, c)), gamma_h)
+    return CTF(tf_neg(s.im), s.re)                       # i * s
+
+
+def v_nl_rk4_df32(y: CTF, gamma_h: TF, b: TF, coherent: float) -> CTF:
+    """RK4 substep on the full (coherent) vector operator, two-float --
+    the df32 rendering of ``models/vgnlse._v_nl_substep`` (coherent != 0).
+    Stage combinations use exact f32 scales (0.5, 2.0) and a two-float
+    1/6, so the only df32-vs-x64 difference is rounding."""
+    c = tf_from_f64(np.float64(coherent))
+    sixth = tf_from_f64(np.float64(1.0) / 6.0)
+    m1 = _v_nl_m_df32(y, gamma_h, b, c)
+    m2 = _v_nl_m_df32(ctf_add(y, ctf_scale_f32(m1, 0.5)), gamma_h, b, c)
+    m3 = _v_nl_m_df32(ctf_add(y, ctf_scale_f32(m2, 0.5)), gamma_h, b, c)
+    m4 = _v_nl_m_df32(ctf_add(y, m3), gamma_h, b, c)
+    acc = ctf_add(ctf_add(m1, m4), ctf_scale_f32(ctf_add(m2, m3), 2.0))
+    return ctf_add(y, ctf_mul_real(acc, sixth))
+
+
 def vssfm_steps_df32(y: CTF, co: DF32VGNLSECoeffs, k: int,
-                     unroll: bool = False) -> CTF:
-    """k fused symmetric split steps (``_chunk_stepper_v`` contract)."""
+                     unroll: bool = False, coherent: float = 0.0) -> CTF:
+    """k fused symmetric split steps (``_chunk_stepper_v`` contract);
+    ``coherent`` (trace-time constant) selects the nonlinear substep."""
     if k == 0:
         return y
+
+    if coherent == 0.0:
+        def sub(c):
+            return xpm_kerr_rotation_df32(c, co.gamma_h, co.b_xpm)
+    else:
+        def sub(c):
+            return v_nl_rk4_df32(c, co.gamma_h, co.b_xpm, coherent)
+
     y = _lin(y, co.lin_half)
 
     def body(c, _):
-        return _lin(
-            xpm_kerr_rotation_df32(c, co.gamma_h, co.b_xpm), co.lin_full
-        ), None
+        return _lin(sub(c), co.lin_full), None
 
     if k > 1:
         if unroll:
@@ -124,7 +171,7 @@ def vssfm_steps_df32(y: CTF, co: DF32VGNLSECoeffs, k: int,
                 y, _ = body(y, None)
         else:
             y, _ = lax.scan(body, y, None, length=k - 1)
-    return _lin(xpm_kerr_rotation_df32(y, co.gamma_h, co.b_xpm), co.lin_half)
+    return _lin(sub(y), co.lin_half)
 
 
 def _v_finite(y: CTF) -> jax.Array:
@@ -146,7 +193,7 @@ def _v_peak(y: CTF) -> TF:
 
 
 def run_v_reduce_eager(y0: CTF, co: DF32VGNLSECoeffs, n_steps: int,
-                       save_every: int):
+                       save_every: int, coherent: float = 0.0):
     """Eager reduce-mode solve for the CPU test lane (python loops)."""
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
@@ -154,18 +201,21 @@ def run_v_reduce_eager(y0: CTF, co: DF32VGNLSECoeffs, n_steps: int,
     pk = _v_peak(y0)
     y = y0
     for _ in range(n_chunks):
-        y_new = vssfm_steps_df32(y, co, save_every, unroll=True)
+        y_new = vssfm_steps_df32(y, co, save_every, unroll=True,
+                                 coherent=coherent)
         ok = ok & _v_finite(y_new)
         y = ctf_freeze(ok[..., None], y_new, y)
         pk = tf_max(pk, _v_peak(y))
     if remainder > 0:
-        y_new = vssfm_steps_df32(y, co, remainder, unroll=True)
+        y_new = vssfm_steps_df32(y, co, remainder, unroll=True,
+                                 coherent=coherent)
         ok = ok & _v_finite(y_new)
     return pk, y, ok
 
 
 @functools.lru_cache(maxsize=16)
-def _df32_vgnlse_solver(n_steps: int, save_every: int):
+def _df32_vgnlse_solver(n_steps: int, save_every: int,
+                        coherent: float = 0.0):
     """Jitted batched df32 vector SSFM reduce solve: ONE stacked
     (B, 4 + 8T + 1) f32 buffer [pk_hi (2) | pk_lo (2) | re_hi | re_lo |
     im_hi | im_lo (each (2T) flattened pol-major) | ok]."""
@@ -177,7 +227,7 @@ def _df32_vgnlse_solver(n_steps: int, save_every: int):
 
         def chunk(carry, _):
             y, pk, ok = carry
-            y_new = vssfm_steps_df32(y, co, save_every)
+            y_new = vssfm_steps_df32(y, co, save_every, coherent=coherent)
             ok_new = ok & _v_finite(y_new)
             y_out = ctf_freeze(ok_new[..., None], y_new, y)
             pk = tf_max(pk, _v_peak(y_out))
@@ -188,7 +238,7 @@ def _df32_vgnlse_solver(n_steps: int, save_every: int):
             carry, _ = lax.scan(chunk, carry, None, length=n_chunks)
         y, pk, ok = carry
         if remainder > 0:
-            y_new = vssfm_steps_df32(y, co, remainder)
+            y_new = vssfm_steps_df32(y, co, remainder, coherent=coherent)
             ok = ok & _v_finite(y_new)
         B = y.re.hi.shape[0]
         flat = lambda a: a.reshape(B, -1)  # noqa: E731
@@ -201,7 +251,8 @@ def _df32_vgnlse_solver(n_steps: int, save_every: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _df32_vgnlse_traj_solver(n_steps: int, save_every: int):
+def _df32_vgnlse_traj_solver(n_steps: int, save_every: int,
+                             coherent: float = 0.0):
     """Jitted trajectory-mode df32 vector SSFM: per-chunk saved states
     ``(ys (S, B, 2, 4T) f32 [re_hi | re_lo | im_hi | im_lo], ok (B,) i32)``
     -- rows exclude z=0 (the caller holds the input)."""
@@ -213,7 +264,7 @@ def _df32_vgnlse_traj_solver(n_steps: int, save_every: int):
 
         def chunk(carry, _):
             y, ok = carry
-            y_new = vssfm_steps_df32(y, co, save_every)
+            y_new = vssfm_steps_df32(y, co, save_every, coherent=coherent)
             ok_new = ok & _v_finite(y_new)
             y_out = ctf_freeze(ok_new[..., None], y_new, y)
             row = jnp.concatenate(
@@ -228,7 +279,7 @@ def _df32_vgnlse_traj_solver(n_steps: int, save_every: int):
             s = y0.re.hi.shape
             ys = jnp.zeros((0, s[0], 2, 4 * s[-1]), dtype=jnp.float32)
         if remainder > 0:
-            y_new = vssfm_steps_df32(y, co, remainder)
+            y_new = vssfm_steps_df32(y, co, remainder, coherent=coherent)
             ok = ok & _v_finite(y_new)
         return ys, ok.astype(jnp.int32)
 
@@ -245,6 +296,7 @@ def run_vgnlse_traj_df32(
     dz_m: float,
     n_steps: int,
     save_every: int,
+    coherent: float = 0.0,
 ):
     """Matched-tolerance trajectory solve for ``run_vgnlse_simulation``'s
     df32 tier: ``A0`` is (B, 2, T) c128; returns host ``(A_saved
@@ -257,7 +309,8 @@ def run_vgnlse_traj_df32(
         )
     co = make_df32_vgnlse_coeffs(gamma, alpha, b_xpm, lin_phase,
                                  dz_m=float(dz_m), B=B, T=T)
-    solver = _df32_vgnlse_traj_solver(int(n_steps), int(save_every))
+    solver = _df32_vgnlse_traj_solver(int(n_steps), int(save_every),
+                                      float(coherent))
     ys, ok = jax.block_until_ready(solver(ctf_from_c128(A0), co))
     ys = np.asarray(ys, dtype=np.float64)
     A_saved = np.concatenate([
@@ -279,6 +332,7 @@ def solve_vgnlse_batch_df32(
     n_steps: int,
     save_every: int,
     mesh=None,
+    coherent: float = 0.0,
 ):
     """Batched matched-tolerance vector SSFM solve; per-meter f64 inputs.
 
@@ -336,7 +390,8 @@ def solve_vgnlse_batch_df32(
     else:
         y0 = ctf_from_c128(A0)
 
-    solver = _df32_vgnlse_solver(int(n_steps), int(save_every))
+    solver = _df32_vgnlse_solver(int(n_steps), int(save_every),
+                                 float(coherent))
     out = jax.block_until_ready(solver(y0, co))
     if mesh is not None:
         out = fetch_global(out)

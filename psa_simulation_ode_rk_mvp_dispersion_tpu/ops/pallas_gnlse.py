@@ -31,8 +31,22 @@ on the MXU:
   ``models/gnlse._gnlse_reduce_solver`` (reference save-decimation
   semantics: /root/reference/integrators.py:137-140).
 
-Kerr-only (the exact-rotation nonlinear substep); the Raman /
-self-steepening generalized nonlinearity stays on the scan engine.
+The nonlinear substep is the exact Kerr rotation by default; with
+``nl=`` (:class:`models.gnlse.NLTerms`) it becomes the same in-kernel RK4
+on the generalized operator N(A) = i gamma (1 + (i/w0) d/dt)
+[A((1-f_R)P + f_R h_R*P)] that the scan engine integrates
+(``models/gnlse._nl_substep``), with every transform staying in VMEM:
+
+- the Raman convolution forward-transforms the REAL power waveform
+  (imag block dropped: 2 (m, m) matmuls per group instead of 2 (m, 2m)),
+  multiplies by conj(H_R) in natural k order, and takes only the REAL
+  part of the inverse (1 matmul per group);
+- the self-steepening derivative is a full complex pair with the
+  i*omega multiply and the final i gamma (W - (i/w0) dW/dt) combine
+  fused into the inverse's per-group write;
+- ``f_r == 0`` / ``inv_w0 == 0`` are STATIC flags: each disabled term's
+  transforms drop out of the kernel at trace time (so nl with both off
+  is the scan engine's RK4-pure-Kerr path, not the rotation).
 """
 
 from __future__ import annotations
@@ -105,12 +119,21 @@ def _scalar_fma(acc_r, acc_i, wr: float, wi: float, xr, xi):
 
 
 def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 nl_static: "tuple[float, float] | None" = None):
     r = t // m
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
     f32 = jnp.float32
     gh = np.float32(dz)                      # Kerr angle scale: gamma*h*P
+    # generalized-nonlinearity static parameters (shared across the batch,
+    # like the scan engine's NLTerms): compile-time floats so disabled
+    # terms drop their transforms at trace time
+    f_r = inv_w0 = 0.0
+    if nl_static is not None:
+        f_r, inv_w0 = (float(nl_static[0]), float(nl_static[1]))
+    has_raman = nl_static is not None and f_r > 0.0
+    has_steep = nl_static is not None and inv_w0 != 0.0
 
     # r-point cross-group DFT scalar weights
     wf = [[np.exp(-2j * np.pi * gg * cc / r) for cc in range(r)]
@@ -152,19 +175,38 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
         return (d3(wrh, xh) + (d3(wrh, xl) + d3(wrl, xh)),
                 d3(wih, xh) + (d3(wih, xl) + d3(wil, xh)))
 
+    def single_mm(w, x):
+        """w @ x on the same accuracy contract as pair_mm."""
+        if not x3:
+            return mm(w, x)
+        xh, xl = _split(x)
+        wh, wl = _split(w)
+        return d3(wh, xh) + (d3(wh, xl) + d3(wl, xh))
+
     def kernel(*refs):
-        (wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref, y0_ref,
-         pk_ref, ylast_ref, ok_ref) = refs[:10]
+        (wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref) = refs[:6]
+        i = 6
+        hrc_ref = om_ref = None
+        if nl_static is not None:
+            hrc_ref, om_ref = refs[i:i + 2]
+            i += 2
+        y0_ref, pk_ref, ylast_ref, ok_ref = refs[i:i + 4]
+        i += 4
         # VMEM scratch: ping-pong state (u, v), the derived full-step
-        # factor, and (r > 1) the lane-width-1 polyphase twiddles --
+        # factor, (r > 1) the lane-width-1 polyphase twiddles, and (nl)
+        # the RK4 planes [P|R], k-current, k-accumulator, stage input --
         # explicit buffers keep the Mosaic stack allocation bounded (a
         # value-carried fori version of this body OOMs the 16 MB budget).
         # The frozen save-state lives directly in the ylast OUTPUT ref.
+        u_ref, v_ref, lf_ref = refs[i:i + 3]
+        i += 3
+        tw_ref = None
         if r > 1:
-            u_ref, v_ref, lf_ref, tw_ref = refs[10:]
-        else:
-            u_ref, v_ref, lf_ref = refs[10:]
-            tw_ref = None
+            tw_ref = refs[i]
+            i += 1
+        pr_ref = kt_ref = ka_ref = st_ref = None
+        if nl_static is not None:
+            pr_ref, kt_ref, ka_ref, st_ref = refs[i:i + 4]
         s_ref = ylast_ref
         wfr = wfr_ref[:, :]
         wfi = wfi_ref[:, :]
@@ -192,6 +234,73 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
             tw_ref[0:t, :] = jnp.cos(ang)
             tw_ref[t:2 * t, :] = jnp.sin(ang)
 
+        def _twiddle(g, gr, gi, conj=False):
+            if r == 1:
+                return gr, gi
+            tr = tw_ref[g * m:(g + 1) * m, :]
+            ti = tw_ref[t + g * m:t + (g + 1) * m, :]
+            if conj:
+                return gr * tr + gi * ti, gi * tr - gr * ti
+            return gr * tr - gi * ti, gr * ti + gi * tr
+
+        def fwd_cplx(read_g):
+            """Forward DFT, group layout -> natural-k-order (Sr, Si) lists
+            of r (m, blk) planes.  ``read_g(g)`` yields group g's stacked
+            (2m, blk) complex block."""
+            Sr = [np.float32(0.0)] * r
+            Si = [np.float32(0.0)] * r
+            for g in range(r):
+                gr, gi = pair_mm(wfr, wfi, read_g(g))
+                gr, gi = _twiddle(g, gr, gi)
+                for c in range(r):
+                    Sr[c], Si[c] = _scalar_fma(
+                        Sr[c], Si[c], wf[g][c].real, wf[g][c].imag, gr, gi)
+            return Sr, Si
+
+        def fwd_real(read_g):
+            """Forward DFT of a REAL grouped signal: the imag input block is
+            dropped, so the sub-transform is 2 (m, m) matmuls per group
+            (the (m, m) halves of the stacked weights)."""
+            frm = wfr[:, 0:m]
+            fim = wfi[:, 0:m]
+            Sr = [np.float32(0.0)] * r
+            Si = [np.float32(0.0)] * r
+            for g in range(r):
+                gr, gi = pair_mm(frm, fim, read_g(g))
+                gr, gi = _twiddle(g, gr, gi)
+                for c in range(r):
+                    Sr[c], Si[c] = _scalar_fma(
+                        Sr[c], Si[c], wf[g][c].real, wf[g][c].imag, gr, gi)
+            return Sr, Si
+
+        def inv_cplx(Sr, Si, write):
+            """Inverse DFT of a natural-k-order spectrum: cross-group DFT
+            with conj weights / r, conj twiddle, IDFT_m; ``write(g, or_, oi)``
+            stores group g's planes (no (2T, blk) temporaries)."""
+            inv_r = 1.0 / r
+            for g in range(r):
+                hr = hi = np.float32(0.0)
+                for c in range(r):
+                    hr, hi = _scalar_fma(hr, hi, wf[g][c].real * inv_r,
+                                         -wf[g][c].imag * inv_r, Sr[c], Si[c])
+                hr, hi = _twiddle(g, hr, hi, conj=True)
+                vg = jnp.concatenate([hr, hi], axis=0)
+                or_, oi = pair_mm(wir, wii, vg)
+                write(g, or_, oi)
+
+        def inv_real(Sr, Si, write):
+            """REAL part of the inverse DFT (Hermitian spectrum): only the
+            wir matmul per group; ``write(g, or_)`` stores the plane."""
+            inv_r = 1.0 / r
+            for g in range(r):
+                hr = hi = np.float32(0.0)
+                for c in range(r):
+                    hr, hi = _scalar_fma(hr, hi, wf[g][c].real * inv_r,
+                                         -wf[g][c].imag * inv_r, Sr[c], Si[c])
+                hr, hi = _twiddle(g, hr, hi, conj=True)
+                vg = jnp.concatenate([hr, hi], axis=0)
+                write(g, single_mm(wir, vg))
+
         def lin(src, dst, fac_ref):
             """One linear substep dst = IDFT( fac * DFT(src) ), group layout.
 
@@ -199,39 +308,19 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
             planes (re rows 0..T, im rows T..2T).  The spectrum is streamed
             through r (m, blk) accumulators; the inverse writes straight
             into ``dst`` slices -- no (2T, blk) temporaries."""
-            Sr = [np.float32(0.0)] * r
-            Si = [np.float32(0.0)] * r
-            for g in range(r):
-                ug = src[2 * g * m:2 * (g + 1) * m, :]
-                gr, gi = pair_mm(wfr, wfi, ug)
-                if r > 1:
-                    tr = tw_ref[g * m:(g + 1) * m, :]
-                    ti = tw_ref[t + g * m:t + (g + 1) * m, :]
-                    gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
-                for c in range(r):
-                    Sr[c], Si[c] = _scalar_fma(
-                        Sr[c], Si[c], wf[g][c].real, wf[g][c].imag, gr, gi)
+            Sr, Si = fwd_cplx(lambda g: src[2 * g * m:2 * (g + 1) * m, :])
             # natural-order spectrum: apply the linear factor in place
             for c in range(r):
                 fr_c = fac_ref[c * m:(c + 1) * m, :]
                 fi_c = fac_ref[t + c * m:t + (c + 1) * m, :]
                 Sr[c], Si[c] = (Sr[c] * fr_c - Si[c] * fi_c,
                                 Sr[c] * fi_c + Si[c] * fr_c)
-            # inverse cross-group DFT (conj weights / r), conj twiddle, IDFT_m
-            inv_r = 1.0 / r
-            for g in range(r):
-                hr = hi = np.float32(0.0)
-                for c in range(r):
-                    hr, hi = _scalar_fma(hr, hi, wf[g][c].real * inv_r,
-                                         -wf[g][c].imag * inv_r, Sr[c], Si[c])
-                if r > 1:
-                    tr = tw_ref[g * m:(g + 1) * m, :]
-                    ti = tw_ref[t + g * m:t + (g + 1) * m, :]
-                    hr, hi = hr * tr + hi * ti, hi * tr - hr * ti
-                vg = jnp.concatenate([hr, hi], axis=0)
-                or_, oi = pair_mm(wir, wii, vg)
+
+            def write(g, or_, oi):
                 dst[2 * g * m:(2 * g + 1) * m, :] = or_
                 dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = oi
+
+            inv_cplx(Sr, Si, write)
 
         def kerr(src, dst):
             """Exact rotation exp(i gamma h P) per sample (group layout)."""
@@ -243,6 +332,84 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                 sa = jnp.sin(ang)
                 dst[2 * g * m:(2 * g + 1) * m, :] = ar * ca - ai * sa
                 dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = ar * sa + ai * ca
+
+        def nl_rhs(src, dst):
+            """dst = N(src): the generalized nonlinear operator, mirroring
+            ``models/gnlse._nl_rhs`` (src and dst are distinct (2T, blk)
+            grouped-complex refs; dst doubles as the W buffer)."""
+            one_m_fr = np.float32(1.0 - f_r)
+            fr_f = np.float32(f_r)
+            # P = |A|^2 into pr rows 0..T (group layout)
+            for g in range(r):
+                ar = src[2 * g * m:(2 * g + 1) * m, :]
+                ai = src[(2 * g + 1) * m:2 * (g + 1) * m, :]
+                pr_ref[g * m:(g + 1) * m, :] = ar * ar + ai * ai
+            if has_raman:
+                # R = Re IDFT( conj(H_R) * DFT(P) ) into pr rows T..2T
+                Sr, Si = fwd_real(lambda g: pr_ref[g * m:(g + 1) * m, :])
+                for c in range(r):
+                    hr_c = hrc_ref[c * m:(c + 1) * m, :]
+                    hi_c = hrc_ref[t + c * m:t + (c + 1) * m, :]
+                    Sr[c], Si[c] = (Sr[c] * hr_c - Si[c] * hi_c,
+                                    Sr[c] * hi_c + Si[c] * hr_c)
+
+                def write_r(g, rr):
+                    pr_ref[t + g * m:t + (g + 1) * m, :] = rr
+
+                inv_real(Sr, Si, write_r)
+            # W = A ((1-f_R) P + f_R R); without steepening the combine
+            # N = i gamma W happens right here (no W transform needed)
+            for g in range(r):
+                fac = one_m_fr * pr_ref[g * m:(g + 1) * m, :]
+                if has_raman:
+                    fac = fac + fr_f * pr_ref[t + g * m:t + (g + 1) * m, :]
+                ar = src[2 * g * m:(2 * g + 1) * m, :]
+                ai = src[(2 * g + 1) * m:2 * (g + 1) * m, :]
+                if has_steep:
+                    dst[2 * g * m:(2 * g + 1) * m, :] = ar * fac
+                    dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = ai * fac
+                else:
+                    dst[2 * g * m:(2 * g + 1) * m, :] = -gam * (ai * fac)
+                    dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = gam * (ar * fac)
+            if has_steep:
+                # dW/dt = IDFT( i omega DFT(W) ); the final combine
+                # N = i gamma (W - (i/w0) dW/dt) fuses into the inverse write
+                iw0 = np.float32(inv_w0)
+                Sr, Si = fwd_cplx(lambda g: dst[2 * g * m:2 * (g + 1) * m, :])
+                for c in range(r):
+                    w_c = om_ref[c * m:(c + 1) * m, :]
+                    Sr[c], Si[c] = -w_c * Si[c], w_c * Sr[c]
+
+                def write_n(g, vr, vi):
+                    wr_ = dst[2 * g * m:(2 * g + 1) * m, :]
+                    wi_ = dst[(2 * g + 1) * m:2 * (g + 1) * m, :]
+                    tr_ = wr_ + iw0 * vi          # W - (i/w0) V, V = dW/dt
+                    ti_ = wi_ - iw0 * vr
+                    dst[2 * g * m:(2 * g + 1) * m, :] = -gam * ti_
+                    dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = gam * tr_
+
+                inv_cplx(Sr, Si, write_n)
+
+        def nlsub(src, dst):
+            """RK4 substep of length h = dz on N (``_nl_substep`` mirror);
+            src must stay intact (it is the base state y)."""
+            half = np.float32(0.5 * dz)
+            full = np.float32(dz)
+            sixth = np.float32(dz / 6.0)
+            two = np.float32(2.0)
+            nl_rhs(src, kt_ref)                                   # k1
+            ka_ref[:, :] = kt_ref[:, :]
+            st_ref[:, :] = src[:, :] + half * kt_ref[:, :]
+            nl_rhs(st_ref, kt_ref)                                # k2
+            ka_ref[:, :] = ka_ref[:, :] + two * kt_ref[:, :]
+            st_ref[:, :] = src[:, :] + half * kt_ref[:, :]
+            nl_rhs(st_ref, kt_ref)                                # k3
+            ka_ref[:, :] = ka_ref[:, :] + two * kt_ref[:, :]
+            st_ref[:, :] = src[:, :] + full * kt_ref[:, :]
+            nl_rhs(st_ref, kt_ref)                                # k4
+            dst[:, :] = src[:, :] + sixth * (ka_ref[:, :] + kt_ref[:, :])
+
+        nl_sub = nlsub if nl_static is not None else kerr
 
         def peak_of(ref):
             """(1, blk) max over samples of |A|^2."""
@@ -260,13 +427,13 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
             lin(u_ref, v_ref, lh_ref)
 
             def body(_i, c):
-                kerr(v_ref, u_ref)
+                nl_sub(v_ref, u_ref)
                 lin(u_ref, v_ref, lf_ref)
                 return c
 
             if k > 1:
                 lax.fori_loop(0, k - 1, body, jnp.int32(0))
-            kerr(v_ref, u_ref)
+            nl_sub(v_ref, u_ref)
             lin(u_ref, v_ref, lh_ref)
 
         def v_finite():
@@ -305,15 +472,17 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
 
 
 def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
-                     interpret: bool, block: int):
+                     interpret: bool, block: int,
+                     nl_static: "tuple[float, float] | None" = None):
     from jax.experimental import pallas as pl
 
     m = M_SUB if t >= M_SUB else t
     wfr, wfi, wir, wii = _dft_weight_blocks(m)
-    kernel = _kernel_body(n_steps, save_every, t, m, dz, interpret)
+    kernel = _kernel_body(n_steps, save_every, t, m, dz, interpret, nl_static)
     weights = [jnp.asarray(w) for w in (wfr, wfi, wir, wii)]
+    has_nl = nl_static is not None
 
-    def call(lh, gam, y0):
+    def call(lh, gam, y0, hrc=None, om=None):
         from jax.experimental.pallas import tpu as pltpu
 
         B = y0.shape[1]
@@ -326,16 +495,20 @@ def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
             # the default 16 MB scoped-vmem budget is conservative (v5e has
             # 128 MB): the kernel's live set (3 state-sized scratch planes +
             # factor/state blocks + unrolled-DFT temporaries) wants ~24 MB
-            # at T=1024; give Mosaic real headroom
+            # at T=1024 (4 more planes with nl); give Mosaic real headroom
             call_kwargs = {"compiler_params": pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)}
         r = t // m
         # explicit VMEM scratch: ping-pong state pair, derived full-step
-        # factor, and (r > 1) the lane-width-1 polyphase twiddles (the
-        # frozen save-state reuses the ylast output block)
+        # factor, (r > 1) the lane-width-1 polyphase twiddles (the frozen
+        # save-state reuses the ylast output block), and (nl) the RK4
+        # planes [P|R], k-current, k-accumulator, stage input
         scratch = [pltpu.VMEM((2 * t, blk), jnp.float32) for _ in range(3)]
         if r > 1:
             scratch.append(pltpu.VMEM((2 * t, 1), jnp.float32))
+        if has_nl:
+            scratch += [pltpu.VMEM((2 * t, blk), jnp.float32)
+                        for _ in range(4)]
         fixed = [
             pl.BlockSpec(w.shape, lambda i: (0, 0), **spec_kwargs)
             for w in weights
@@ -343,8 +516,17 @@ def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
         per_b = [
             pl.BlockSpec((2 * t, blk), lambda i: (0, i), **spec_kwargs),   # lh
             pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),       # gam
-            pl.BlockSpec((2 * t, blk), lambda i: (0, i), **spec_kwargs),   # y0
         ]
+        args = [lh, gam]
+        if has_nl:
+            per_b += [
+                pl.BlockSpec((2 * t, 1), lambda i: (0, 0), **spec_kwargs),  # hrc
+                pl.BlockSpec((t, 1), lambda i: (0, 0), **spec_kwargs),      # om
+            ]
+            args += [hrc, om]
+        per_b.append(
+            pl.BlockSpec((2 * t, blk), lambda i: (0, i), **spec_kwargs))    # y0
+        args.append(y0)
         out_specs = (
             pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),
             pl.BlockSpec((2 * t, blk), lambda i: (0, i), **spec_kwargs),
@@ -362,26 +544,28 @@ def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
             ),
             # y0's block is the dead initial value of ylast: alias them to
             # drop one (2T, blk) VMEM buffer
-            input_output_aliases={len(weights) + 2: 1},
+            input_output_aliases={len(weights) + len(per_b) - 1: 1},
             scratch_shapes=scratch,
             interpret=interpret,
             **call_kwargs,
-        )(*weights, lh, gam, y0)
+        )(*weights, *args)
 
     return call
 
 
 @functools.lru_cache(maxsize=32)
 def _pallas_gnlse_solver(n_steps: int, save_every: int, t: int, dz: float,
-                         interpret: bool, block: int):
-    call = _make_gnlse_call(n_steps, save_every, t, dz, interpret, block)
+                         interpret: bool, block: int,
+                         nl_static=None):
+    call = _make_gnlse_call(n_steps, save_every, t, dz, interpret, block,
+                            nl_static)
 
-    def fused(lh, gam, y0):
+    def fused(lh, gam, y0, *nl_args):
         B = y0.shape[1]
         # factors may arrive lane-shared (2T, 1): broadcast device-side so
         # the host never ships (2T, B) over the tunnel for shared coeffs
         lh = jnp.broadcast_to(lh, (lh.shape[0], B))
-        pk, ylast, ok = call(lh, gam, y0)
+        pk, ylast, ok = call(lh, gam, y0, *nl_args)
         # one stacked output: each device->host fetch costs a ~30 ms tunnel
         # round trip regardless of size (docs/PERF.md rule 7)
         return jnp.concatenate([pk, ylast, ok], axis=0)
@@ -391,23 +575,29 @@ def _pallas_gnlse_solver(n_steps: int, save_every: int, t: int, dz: float,
 
 @functools.lru_cache(maxsize=16)
 def _pallas_gnlse_solver_sharded(n_steps: int, save_every: int, t: int,
-                                 dz: float, interpret: bool, block: int, mesh):
+                                 dz: float, interpret: bool, block: int, mesh,
+                                 nl_static=None):
     """shard_map wrapper: batch (lane) axis split over the mesh; weights are
-    closure constants replicated per shard."""
+    closure constants replicated per shard; nl planes (lane-width-1)
+    replicated."""
     from jax.sharding import PartitionSpec
 
-    call = _make_gnlse_call(n_steps, save_every, t, dz, interpret, block)
+    call = _make_gnlse_call(n_steps, save_every, t, dz, interpret, block,
+                            nl_static)
 
-    def fused(lh, gam, y0):
-        pk, ylast, ok = call(lh, gam, y0)
+    def fused(lh, gam, y0, *nl_args):
+        pk, ylast, ok = call(lh, gam, y0, *nl_args)
         return jnp.concatenate([pk, ylast, ok], axis=0)
 
     axes = tuple(mesh.axis_names)
     spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
+    rep = PartitionSpec(None, None)
+    in_specs = (spec, spec, spec) + ((rep, rep) if nl_static is not None
+                                     else ())
     return jax.jit(
         jax.shard_map(
             fused, mesh=mesh,
-            in_specs=(spec, spec, spec),
+            in_specs=in_specs,
             out_specs=spec,
             check_vma=False,
         )
@@ -426,8 +616,9 @@ def solve_gnlse_batch_pallas(
     interpret: bool = False,
     block: int = BLOCK,
     mesh=None,
+    nl=None,
 ):
-    """Fused-kernel batched SSFM Kerr solve; contract mirrors
+    """Fused-kernel batched SSFM solve; contract mirrors
     ``models/gnlse._gnlse_reduce_solver`` (fixed-step, x32): returns host
     ``(peak_max (B,), A_last (B, T), ok (B,))``.
 
@@ -436,7 +627,10 @@ def solve_gnlse_batch_pallas(
     fft-ordered); ``lin_phase`` is ``(T,)`` or ``(B, T)`` [rad/m].  T must
     be a multiple of 128 and at most ``128 * MAX_R``; wider grids use the
     scan engine.  Pass ``mesh`` to shard the batch axis (``shard_map``,
-    per-shard kernel launch, no collectives).
+    per-shard kernel launch, no collectives).  ``nl``
+    (:class:`models.gnlse.NLTerms`, shared across the batch) switches the
+    nonlinear substep from the exact Kerr rotation to the in-kernel RK4 on
+    the generalized Raman/self-steepening operator.
     """
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 2:
@@ -480,6 +674,21 @@ def solve_gnlse_batch_pallas(
     # the kernel derives the full-step factor as Lh^2 in VMEM
     lh = factor_planes(0.5 * dz_m)
 
+    nl_static = None
+    nl_planes = ()
+    if nl is not None:
+        f_r = float(np.asarray(nl.f_r))
+        inv_w0 = float(np.asarray(nl.inv_w0))
+        nl_static = (f_r, inv_w0)
+        # natural-k-order lane-width-1 planes: conj(H_R) stacked (2T, 1)
+        # and omega (T, 1) -- fft bin order IS the kernel's natural k order
+        hr_re = np.asarray(nl.hr_re, dtype=np.float64).reshape(T)
+        hr_im = np.asarray(nl.hr_im, dtype=np.float64).reshape(T)
+        hrc = np.concatenate([hr_re, -hr_im]).astype(np.float32)[:, None]
+        om = np.asarray(nl.omega, dtype=np.float64).reshape(T).astype(
+            np.float32)[:, None]
+        nl_planes = (jnp.asarray(hrc), jnp.asarray(om))
+
     blk = int(min(block, max(B, LANES)))
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     if B < ndev * blk:
@@ -514,25 +723,29 @@ def solve_gnlse_batch_pallas(
     if mesh is None:
         solver = _pallas_gnlse_solver(
             int(n_steps), int(save_every), int(T), float(dz_m),
-            bool(interpret), blk,
+            bool(interpret), blk, nl_static,
         )
-        args = (jnp.asarray(lh), jnp.asarray(g), jnp.asarray(y0))
+        args = (jnp.asarray(lh), jnp.asarray(g), jnp.asarray(y0)) + nl_planes
         with jax.enable_x64(False):
             out = jax.block_until_ready(solver(*args))
         out = np.asarray(out, np.float64)           # ONE fetch
     else:
-        from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding, PartitionSpec
 
         from ..parallel.mesh import fetch_global, put_global
 
         solver, spec = _pallas_gnlse_solver_sharded(
             int(n_steps), int(save_every), int(T), float(dz_m),
-            bool(interpret), blk, mesh,
+            bool(interpret), blk, mesh, nl_static,
         )
         sh = NamedSharding(mesh, spec)
         lhb = np.broadcast_to(lh, (2 * T, Bp))
         args = tuple(put_global(np.ascontiguousarray(x), sh)
                      for x in (lhb, g, y0))
+        if nl_planes:
+            rep_sh = NamedSharding(mesh, PartitionSpec(None, None))
+            args += tuple(put_global(np.asarray(x), rep_sh)
+                          for x in nl_planes)
         with jax.enable_x64(False):
             fused_out = jax.block_until_ready(solver(*args))
         out = np.asarray(fetch_global(fused_out), np.float64)

@@ -77,11 +77,6 @@ def test_public_engine_dispatch_and_validation():
         gn.solve_gnlse_batch(
             psa.custom_simulation_config(z_max=0.1, dz=0.01, precision="x64"),
             co64, A0, engine="pallas")
-    with pytest.raises(ValueError, match="Kerr-only"):
-        grid = gn.TimeGrid.for_pulse(T0, n_samples=256)
-        nl = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
-                              precision="x32")
-        gn.solve_gnlse_batch(cfg, co, A0, engine="pallas", nl=nl)
     with pytest.raises(ValueError, match="multiple of 128"):
         solve_gnlse_batch_pallas(
             A0[:, :200], GAMMA, ALPHA, np.asarray(co.lin_phase)[:200],
@@ -90,6 +85,51 @@ def test_public_engine_dispatch_and_validation():
         solve_gnlse_batch_pallas(
             np.zeros((2, 4096), complex), GAMMA, ALPHA, np.zeros(4096),
             dz_m=0.01, n_steps=5, save_every=5, interpret=True)
+
+
+@pytest.mark.parametrize("f_raman,omega0", [
+    (0.18, 1.2e15),   # full generalized operator (Raman + steepening)
+    (0.18, None),     # Raman only
+    (0.0, 1.2e15),    # self-steepening only
+    (0.0, None),      # RK4 pure-Kerr (nl given, both terms statically off)
+])
+def test_nl_kernel_matches_scan_engine(f_raman, omega0):
+    """The in-kernel RK4 on the generalized nonlinear operator must match
+    the scan engine's ``_nl_substep`` path; T=256 exercises the r=2
+    cross-group/twiddle machinery for every static term combination."""
+    grid, co, A0 = _setup(B=4)
+    nl = gn.make_nl_terms(grid, f_raman=f_raman, omega0=omega0,
+                          precision="x32")
+    cfg = _cfg()
+    pk_s, Af_s, ok_s = gn.solve_gnlse_batch(cfg, co, A0, nl=nl, engine="scan")
+    pk_p, Af_p, ok_p = gn.solve_gnlse_batch(cfg, co, A0, nl=nl,
+                                            engine="pallas")
+    assert np.array_equal(ok_s, ok_p)
+    np.testing.assert_allclose(pk_p, pk_s, rtol=1e-4)
+    np.testing.assert_allclose(Af_p, Af_s, rtol=0,
+                               atol=1e-4 * np.max(np.abs(Af_s)))
+
+
+def test_nl_sharded_matches_unsharded():
+    """nl planes are replicated over the mesh (lane-width-1).  Unlike the
+    Kerr path, sharded-vs-unsharded is NOT asserted bitwise: shard_map
+    wraps the kernel in a different XLA program whose fusion around the
+    steepening combine reassociates f32 FMAs (measured ~3 ULP at peak
+    scale on XLA:CPU); the contract is per-shard determinism plus
+    ULP-scale agreement."""
+    grid, co, A0 = _setup(B=6)
+    nl = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                          precision="x32")
+    kw = dict(dz_m=0.01, n_steps=4, save_every=2, interpret=True, nl=nl)
+    pk, Af, ok = solve_gnlse_batch_pallas(
+        A0, GAMMA, ALPHA, np.asarray(co.lin_phase), **kw)
+    pk_s, Af_s, ok_s = solve_gnlse_batch_pallas(
+        A0, GAMMA, ALPHA, np.asarray(co.lin_phase),
+        mesh=pm.default_mesh(), **kw)
+    scale = np.max(np.abs(Af))
+    np.testing.assert_allclose(Af_s, Af, rtol=0, atol=1e-5 * scale)
+    np.testing.assert_allclose(pk_s, pk, rtol=1e-6)
+    np.testing.assert_array_equal(ok_s, ok)
 
 
 def test_per_instance_and_spectral_coeffs():
