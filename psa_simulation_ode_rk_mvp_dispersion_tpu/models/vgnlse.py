@@ -164,16 +164,10 @@ def make_vgnlse_coeffs(
         alpha_np = np.float64(alpha_1_m) + np.broadcast_to(sp, (2,) + om.shape)
     if validate_precision(precision) == "df32":
         # matched-tolerance tier: keep HOST f64 leaves for the exact
-        # two-float split (ops/df32_vgnlse.py) -- and f64 jnp arrays
-        # cannot be created in a TPU-default process.  df32 is the
-        # incoherent couplings only (the coherent c-term is not a
-        # rotation); reject early so the request cannot degrade silently.
-        if coh != 0.0:
-            raise ValueError(
-                "precision='df32' supports the incoherent couplings "
-                "('cnlse'/'manakov') only; coupling='isotropic' has no "
-                "two-float rendering (use x32, or x64 on CPU)"
-            )
+        # two-float split (ops/df32_vgnlse.py) -- f64 jnp arrays cannot
+        # be created in a TPU-default process.  All couplings: incoherent
+        # models get the exact two-float rotation, the coherent c-term
+        # the two-float RK4 (ops/df32_vgnlse.v_nl_rk4_df32).
         return VGNLSECoeffs(
             gamma=np.float64(g_eff),
             alpha=alpha_np,
@@ -546,12 +540,6 @@ def run_vgnlse_simulation(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
                 "only (use x32 for the adaptive split-step, or x64 on CPU)"
             )
-        if float(coeffs.coherent) != 0.0:
-            raise ValueError(
-                "precision='df32' supports the incoherent couplings only; "
-                "the coherent c-term has no two-float rendering "
-                "(use x32, or x64 on CPU)"
-            )
         from ..ops.df32_vgnlse import run_vgnlse_traj_df32
 
         A_saved, ok = run_vgnlse_traj_df32(
@@ -560,6 +548,7 @@ def run_vgnlse_simulation(
             float(np.asarray(coeffs.b_xpm)),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            coherent=float(coeffs.coherent),
         )
         if cfg.check_nan and not bool(ok[0]):
             raise FloatingPointError(
@@ -646,18 +635,12 @@ def solve_vgnlse_batch(
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
 
     if prec == "df32":
-        # matched-tolerance two-float SSFM (ops/df32_vgnlse.py) -- the
-        # incoherent couplings only (exact coupled rotation)
+        # matched-tolerance two-float SSFM (ops/df32_vgnlse.py): exact
+        # coupled rotation (incoherent) / two-float RK4 (coherent c-term)
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
                 "only (use x32 for the adaptive split-step, or x64 on CPU)"
-            )
-        if float(coeffs.coherent) != 0.0:
-            raise ValueError(
-                "precision='df32' supports the incoherent couplings only; "
-                "the coherent c-term has no two-float rendering "
-                "(use x32, or x64 on CPU)"
             )
         from ..ops.df32_vgnlse import solve_vgnlse_batch_df32
 
@@ -667,7 +650,7 @@ def solve_vgnlse_batch(
             float(np.asarray(coeffs.b_xpm)),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
-            mesh=mesh,
+            mesh=mesh, coherent=float(coeffs.coherent),
         )
     rdt = real_dtype(require_non_df32(cfg.precision, family="vector-GNLSE split-step"))
 
@@ -805,12 +788,6 @@ def solve_vgnlse_batch_trajectories(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
                 "only (use x32 for the adaptive split-step, or x64 on CPU)"
             )
-        if float(coeffs.coherent) != 0.0:
-            raise ValueError(
-                "precision='df32' supports the incoherent couplings only; "
-                "the coherent c-term has no two-float rendering "
-                "(use x32, or x64 on CPU)"
-            )
         from ..ops.df32_vgnlse import run_vgnlse_traj_df32
 
         A_saved, ok = run_vgnlse_traj_df32(
@@ -819,6 +796,7 @@ def solve_vgnlse_batch_trajectories(
             float(np.asarray(coeffs.b_xpm)),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            coherent=float(coeffs.coherent),
         )
         zg = float(z0) + np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * dz_m

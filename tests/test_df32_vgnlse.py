@@ -83,17 +83,20 @@ def test_xpm_rotation_matches_f64():
 
 
 @cpu_lane
-@pytest.mark.parametrize("coupling", ["cnlse", "manakov"])
+@pytest.mark.parametrize("coupling", ["cnlse", "manakov", "isotropic"])
 def test_eager_vssfm_matches_x64_scan(coupling):
     """Eager df32 vector reduce solve vs the x64 scan engine: identical
-    discrete map, difference is pure roundoff.  Trailing partial chunk +
-    birefringent splitting + polarization-dependent spectral loss."""
+    discrete map (exact rotation for the incoherent couplings, the SAME
+    RK4 on the coherent operator for isotropic), so the difference is
+    pure roundoff.  Trailing partial chunk + birefringent splitting +
+    polarization-dependent spectral loss."""
     _grid, co, A0 = _setup(B=3, coupling=coupling, spec=True)
     cfg = _cfg()
     co_df = dv.make_df32_vgnlse_coeffs(
         co.gamma, co.alpha, float(co.b_xpm), co.lin_phase,
         dz_m=cfg.dz, B=3, T=A0.shape[-1])
-    pk, y, ok = dv.run_v_reduce_eager(ctf_from_c128(A0), co_df, 7, 3)
+    pk, y, ok = dv.run_v_reduce_eager(ctf_from_c128(A0), co_df, 7, 3,
+                                      coherent=float(co.coherent))
     assert bool(np.all(np.asarray(ok)))
 
     _g, co64, _ = _setup(B=3, precision="x64", coupling=coupling, spec=True)
@@ -108,23 +111,21 @@ def test_eager_vssfm_matches_x64_scan(coupling):
 
 @cpu_lane
 def test_df32_dispatch_validation():
-    """isotropic coupling (coherent c-term) is rejected at coeffs build and
-    at solve; rk45 rejected; non-power-of-two T rejected."""
+    """df32 coeffs keep HOST f64 leaves for every coupling (round 3:
+    isotropic included -- the coherent c-term runs the two-float RK4);
+    rk45 rejected; non-power-of-two T rejected."""
     grid = gn.TimeGrid.for_pulse(T0, n_samples=64)
-    with pytest.raises(ValueError, match="incoherent"):
-        vg.make_vgnlse_coeffs(grid, None, gamma_W_m=GAMMA,
-                              coupling="isotropic", precision="df32")
+    co_iso = vg.make_vgnlse_coeffs(grid, None, gamma_W_m=GAMMA,
+                                   coupling="isotropic", precision="df32")
+    assert isinstance(co_iso.lin_phase, np.ndarray)
+    assert co_iso.lin_phase.dtype == np.float64
+    assert float(co_iso.coherent) == pytest.approx(1.0 / 3.0)
     _grid, co, A0 = _setup(B=2)
     assert isinstance(co.lin_phase, np.ndarray)
     assert co.lin_phase.dtype == np.float64
     with pytest.raises(ValueError, match="rk4"):
         vg.solve_vgnlse_batch(
             _cfg(integrator="rk45", rtol=1e-6, atol=1e-10), co, A0)
-    # x32-built isotropic coeffs + a df32 cfg must raise at solve
-    co_iso = vg.make_vgnlse_coeffs(grid, None, gamma_W_m=GAMMA,
-                                   coupling="isotropic", precision="x32")
-    with pytest.raises(ValueError, match="incoherent"):
-        vg.solve_vgnlse_batch(_cfg(), co_iso, A0)
     with pytest.raises(ValueError, match="power of two"):
         dv.solve_vgnlse_batch_df32(
             np.zeros((2, 2, 48), complex), GAMMA, 0.0, 2.0 / 3.0,
@@ -132,20 +133,22 @@ def test_df32_dispatch_validation():
 
 
 @needs_full
-def test_jitted_df32_vgnlse_matches_x64_1e9():
+@pytest.mark.parametrize("coupling", ["cnlse", "isotropic"])
+def test_jitted_df32_vgnlse_matches_x64_1e9(coupling):
     """Matched-tolerance bar for the vector family: jitted df32 within
-    1e-9 of the x64 CPU solver over 200 split steps."""
+    1e-9 of the x64 CPU solver over 200 split steps (rotation AND
+    coherent-RK4 substeps)."""
     import jax
 
     B, T, steps = 3, 128, 200
-    _grid, co, A0 = _setup(B=B, T=T)
+    _grid, co, A0 = _setup(B=B, T=T, coupling=coupling)
     cfg = _cfg(n_steps=steps, save_every=20, zmax=2.0)
     pk, A_last, ok = vg.solve_vgnlse_batch(cfg, co, A0)
     assert ok.all()
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        _g, co64, _ = _setup(B=B, T=T, precision="x64")
+        _g, co64, _ = _setup(B=B, T=T, precision="x64", coupling=coupling)
         cfg64 = _cfg(n_steps=steps, save_every=20, zmax=2.0,
                      precision="x64")
         pk_r, A_r, ok_r = vg.solve_vgnlse_batch(cfg64, co64, A0)
