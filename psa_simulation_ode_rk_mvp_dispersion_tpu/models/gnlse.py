@@ -307,7 +307,7 @@ def make_nl_terms(
     dispersion ``omega_ref``) enables self-steepening; None disables it.
     ``f_raman=0`` disables the Raman term (pure Kerr through the RK4 path).
     """
-    rdt = real_dtype(validate_precision(precision))
+    prec = validate_precision(precision)
     if not (0.0 <= float(f_raman) < 1.0):
         raise ValueError("f_raman must be in [0, 1)")
     if omega0 is not None and not float(omega0) > 0.0:
@@ -316,6 +316,18 @@ def make_nl_terms(
         HR = np.fft.fft(raman_response(grid, tau1_s=tau1_s, tau2_s=tau2_s)) * grid.dt_s
     else:
         HR = np.zeros(int(grid.n_samples), dtype=np.complex128)
+    if prec == "df32":
+        # matched-tolerance tier: keep HOST f64 numpy leaves for the exact
+        # two-float split (the df32 coeffs convention; f64 jnp arrays
+        # cannot be created in a TPU-default process)
+        return NLTerms(
+            f_r=np.float64(f_raman),
+            inv_w0=np.float64(0.0 if omega0 is None else 1.0 / float(omega0)),
+            omega=np.asarray(grid.omega(), dtype=np.float64),
+            hr_re=np.asarray(HR.real, dtype=np.float64),
+            hr_im=np.asarray(HR.imag, dtype=np.float64),
+        )
+    rdt = real_dtype(prec)
     return NLTerms(
         f_r=jnp.asarray(float(f_raman), dtype=rdt),
         inv_w0=jnp.asarray(0.0 if omega0 is None else 1.0 / float(omega0), dtype=rdt),
@@ -880,12 +892,6 @@ def run_gnlse_simulation(
                 "precision='df32' GNLSE solves are fixed-step rk4 only "
                 "(use x32 for the adaptive split-step, or x64 on CPU)"
             )
-        if nl is not None:
-            raise ValueError(
-                "precision='df32' GNLSE solves are Kerr-only: the Raman/"
-                "self-steepening operator has no two-float rendering "
-                "(use x64 on CPU for that tier)"
-            )
         from ..ops.df32_gnlse import run_gnlse_traj_df32
 
         A_saved, ok = run_gnlse_traj_df32(
@@ -893,6 +899,7 @@ def run_gnlse_simulation(
             np.asarray(coeffs.alpha, dtype=float),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            nl=nl,
         )
         if cfg.check_nan and not bool(ok[0]):
             raise FloatingPointError(
@@ -1009,12 +1016,6 @@ def solve_gnlse_batch(
                 "precision='df32' GNLSE solves are fixed-step rk4 only "
                 "(use x32 for the adaptive split-step, or x64 on CPU)"
             )
-        if nl is not None:
-            raise ValueError(
-                "precision='df32' GNLSE solves are Kerr-only: the Raman/"
-                "self-steepening operator has no two-float rendering "
-                "(use x64 on CPU for that tier)"
-            )
         from ..ops.df32_gnlse import solve_gnlse_batch_df32
 
         return solve_gnlse_batch_df32(
@@ -1022,7 +1023,7 @@ def solve_gnlse_batch(
             np.asarray(coeffs.alpha, dtype=float),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
-            mesh=mesh,
+            mesh=mesh, nl=nl,
         )
     rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
     if engine == "pallas":
@@ -1179,12 +1180,6 @@ def solve_gnlse_batch_trajectories(
                 "precision='df32' GNLSE solves are fixed-step rk4 only "
                 "(use x32 for the adaptive split-step, or x64 on CPU)"
             )
-        if nl is not None:
-            raise ValueError(
-                "precision='df32' GNLSE solves are Kerr-only: the Raman/"
-                "self-steepening operator has no two-float rendering "
-                "(use x64 on CPU for that tier)"
-            )
         if mesh is not None:
             raise ValueError(
                 "precision='df32' trajectories are unsharded; shard the "
@@ -1197,6 +1192,7 @@ def solve_gnlse_batch_trajectories(
             np.asarray(coeffs.alpha, dtype=float),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            nl=nl,
         )
         z = z0 + np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * dz_m

@@ -26,9 +26,13 @@ save-decimation semantics: /root/reference/integrators.py:137-140).
 XLA:CPU compiles two-float programs pathologically slowly (CLAUDE.md
 constraint 4), so jitted-solver tests are TPU/opt-in; CPU coverage drives
 the eager component lane (``run_reduce_eager`` below) -- the same split as
-the other df32 engines.  Kerr-only: the Raman/self-steepening generalized
-nonlinearity has no two-float rendering (its convolution would need a
-second tf_fft pair per RK4 substep; use x64 on CPU for that tier).
+the other df32 engines.
+
+The generalized Raman/self-steepening nonlinearity (round 3, session 4)
+runs the same RK4 on the two-float operator that the x64 engine uses
+(``_nl_m_df32`` / ``nl_rk4_df32``): the Raman convolution and the shock
+derivative each cost a tf_fft pair per RK4 stage, so this tier is for
+verification-grade accuracy, not the throughput record.
 """
 
 from __future__ import annotations
@@ -46,14 +50,21 @@ from .twofloat import (
     CTF,
     TF,
     ctf_abs2,
+    ctf_add,
     ctf_all_finite,
     ctf_freeze,
     ctf_from_c128,
     ctf_mul,
+    ctf_mul_i_real,
+    ctf_mul_real,
+    ctf_scale_f32,
+    ctf_sub,
+    tf_add,
     tf_from_f64,
     tf_max,
     tf_mul,
     tf_sin_cos,
+    tf_zeros,
 )
 
 
@@ -117,17 +128,84 @@ def _lin(y: CTF, L: CTF) -> CTF:
     return tf_ifft(ctf_mul(tf_fft(y), L))
 
 
+def make_df32_nl_planes(nl) -> "tuple[CTF, TF]":
+    """Split a host-f64 ``models.gnlse.NLTerms`` (built with
+    precision='df32', which keeps numpy leaves) into the engine's
+    two-float planes: (conj(H_R) CTF (T,), omega TF (T,))."""
+    hr_re = np.asarray(nl.hr_re, dtype=np.float64)
+    hr_im = np.asarray(nl.hr_im, dtype=np.float64)
+    return (
+        ctf_from_c128(hr_re - 1j * hr_im),
+        tf_from_f64(np.asarray(nl.omega, dtype=np.float64)),
+    )
+
+
+def _nl_m_df32(y: CTF, gamma_h: TF, nlp, f_r: float, inv_w0: float) -> CTF:
+    """h-scaled generalized nonlinear operator, all two-float -- the df32
+    rendering of ``models/gnlse._nl_rhs`` times the step:
+
+        M(A) = i gamma h (1 + (i/w0) d/dt)[A((1-f_R)P + f_R h_R*P)].
+
+    ``nlp`` is ``(hrc CTF (T,), omega TF (T,))`` from
+    :func:`make_df32_nl_planes`; ``f_r`` / ``inv_w0`` are STATIC floats
+    (disabled terms drop their transforms at trace time, matching the
+    x64 path's math exactly: the full-complex two-float FFT of the real
+    power waveform computes the identical convolution the scan engine's
+    rfft pair does)."""
+    hrc, omega = nlp
+    P = ctf_abs2(y)
+    if f_r > 0.0:
+        S = ctf_mul(tf_fft(CTF(P, tf_zeros(P.hi.shape))), hrc)
+        R = tf_ifft(S).re
+        fac = tf_add(tf_mul(tf_from_f64(1.0 - np.float64(f_r)), P),
+                     tf_mul(tf_from_f64(np.float64(f_r)), R))
+    else:
+        fac = P
+    W = ctf_mul_real(y, fac)
+    out = W
+    if inv_w0 != 0.0:
+        V = tf_ifft(ctf_mul_i_real(tf_fft(W), omega))    # dW/dt
+        out = ctf_sub(W, ctf_mul_i_real(V, tf_from_f64(np.float64(inv_w0))))
+    return ctf_mul_i_real(out, gamma_h)                  # i gamma h (...)
+
+
+def nl_rk4_df32(y: CTF, gamma_h: TF, nlp, f_r: float, inv_w0: float) -> CTF:
+    """RK4 substep on the generalized operator, two-float -- the df32
+    rendering of ``models/gnlse._nl_substep`` (nl is not None).  Exact
+    f32 stage scales (0.5, 2.0) + a two-float 1/6: matched METHOD, so
+    df32-vs-x64 differs only by rounding."""
+    m1 = _nl_m_df32(y, gamma_h, nlp, f_r, inv_w0)
+    m2 = _nl_m_df32(ctf_add(y, ctf_scale_f32(m1, 0.5)), gamma_h, nlp,
+                    f_r, inv_w0)
+    m3 = _nl_m_df32(ctf_add(y, ctf_scale_f32(m2, 0.5)), gamma_h, nlp,
+                    f_r, inv_w0)
+    m4 = _nl_m_df32(ctf_add(y, m3), gamma_h, nlp, f_r, inv_w0)
+    acc = ctf_add(ctf_add(m1, m4), ctf_scale_f32(ctf_add(m2, m3), 2.0))
+    return ctf_add(y, ctf_mul_real(acc, tf_from_f64(np.float64(1.0) / 6.0)))
+
+
 def ssfm_steps_df32(y: CTF, co: DF32GNLSECoeffs, k: int,
-                    unroll: bool = False) -> CTF:
+                    unroll: bool = False, nlp=None,
+                    f_r: float = 0.0, inv_w0: float = 0.0) -> CTF:
     """k fused symmetric split steps Lh (K Lf)^(k-1) K Lh (the
     ``models/gnlse._chunk_stepper`` contract).  ``unroll=True`` avoids
-    lax.scan for the eager CPU lane."""
+    lax.scan for the eager CPU lane.  ``nlp`` (with static ``f_r`` /
+    ``inv_w0``) switches the nonlinear substep from the exact Kerr
+    rotation to the two-float RK4 on the generalized operator."""
     if k == 0:
         return y
+
+    if nlp is None:
+        def sub(c):
+            return kerr_rotation_df32(c, co.gamma_h)
+    else:
+        def sub(c):
+            return nl_rk4_df32(c, co.gamma_h, nlp, f_r, inv_w0)
+
     y = _lin(y, co.lin_half)
 
     def body(c, _):
-        return _lin(kerr_rotation_df32(c, co.gamma_h), co.lin_full), None
+        return _lin(sub(c), co.lin_full), None
 
     if k > 1:
         if unroll:
@@ -135,7 +213,7 @@ def ssfm_steps_df32(y: CTF, co: DF32GNLSECoeffs, k: int,
                 y, _ = body(y, None)
         else:
             y, _ = lax.scan(body, y, None, length=k - 1)
-    return _lin(kerr_rotation_df32(y, co.gamma_h), co.lin_half)
+    return _lin(sub(y), co.lin_half)
 
 
 def _peak(y: CTF) -> TF:
@@ -150,40 +228,45 @@ def _peak(y: CTF) -> TF:
 
 
 def run_reduce_eager(y0: CTF, co: DF32GNLSECoeffs, n_steps: int,
-                     save_every: int):
+                     save_every: int, nlp=None, f_r: float = 0.0,
+                     inv_w0: float = 0.0):
     """Eager (op-by-op) reduce-mode solve for the CPU test lane: identical
     chunk/freeze/peak semantics to the jitted solver, python loops instead
     of scans.  Returns (pk TF (B,), y CTF, ok bool (B,))."""
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
+    kw = dict(unroll=True, nlp=nlp, f_r=f_r, inv_w0=inv_w0)
     ok = ctf_all_finite(y0)
     pk = _peak(y0)
     y = y0
     for _ in range(n_chunks):
-        y_new = ssfm_steps_df32(y, co, save_every, unroll=True)
+        y_new = ssfm_steps_df32(y, co, save_every, **kw)
         ok = ok & ctf_all_finite(y_new)
         y = ctf_freeze(ok, y_new, y)
         pk = tf_max(pk, _peak(y))
     if remainder > 0:
-        y_new = ssfm_steps_df32(y, co, remainder, unroll=True)
+        y_new = ssfm_steps_df32(y, co, remainder, **kw)
         ok = ok & ctf_all_finite(y_new)
     return pk, y, ok
 
 
 @functools.lru_cache(maxsize=32)
-def _df32_gnlse_solver(n_steps: int, save_every: int):
+def _df32_gnlse_solver(n_steps: int, save_every: int,
+                       f_r: float = 0.0, inv_w0: float = 0.0,
+                       has_nl: bool = False):
     """Jitted batched df32 SSFM reduce solve: (B, T) CTF state -> ONE
     stacked (B, 4T + 3) f32 buffer [pk_hi | pk_lo | re_hi | re_lo | im_hi |
     im_lo | ok] (single fetch-safe f32 output, docs/PERF.md rule 7)."""
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
 
-    def run(y0: CTF, co: DF32GNLSECoeffs):
+    def run(y0: CTF, co: DF32GNLSECoeffs, nlp=None):
+        kw = dict(nlp=nlp, f_r=f_r, inv_w0=inv_w0) if has_nl else {}
         ok0 = ctf_all_finite(y0)
 
         def chunk(carry, _):
             y, pk, ok = carry
-            y_new = ssfm_steps_df32(y, co, save_every)
+            y_new = ssfm_steps_df32(y, co, save_every, **kw)
             ok_new = ok & ctf_all_finite(y_new)
             y_out = ctf_freeze(ok_new, y_new, y)
             pk = tf_max(pk, _peak(y_out))
@@ -194,7 +277,7 @@ def _df32_gnlse_solver(n_steps: int, save_every: int):
             carry, _ = lax.scan(chunk, carry, None, length=n_chunks)
         y, pk, ok = carry
         if remainder > 0:
-            y_new = ssfm_steps_df32(y, co, remainder)
+            y_new = ssfm_steps_df32(y, co, remainder, **kw)
             ok = ok & ctf_all_finite(y_new)
         return jnp.concatenate(
             [pk.hi[:, None], pk.lo[:, None],
@@ -205,7 +288,9 @@ def _df32_gnlse_solver(n_steps: int, save_every: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _df32_gnlse_traj_solver(n_steps: int, save_every: int):
+def _df32_gnlse_traj_solver(n_steps: int, save_every: int,
+                            f_r: float = 0.0, inv_w0: float = 0.0,
+                            has_nl: bool = False):
     """Jitted trajectory-mode df32 SSFM: per-chunk saved states.
 
     Returns ``(ys (S, B, 4T) f32 [re_hi | re_lo | im_hi | im_lo],
@@ -214,12 +299,13 @@ def _df32_gnlse_traj_solver(n_steps: int, save_every: int):
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
 
-    def run(y0: CTF, co: DF32GNLSECoeffs):
+    def run(y0: CTF, co: DF32GNLSECoeffs, nlp=None):
+        kw = dict(nlp=nlp, f_r=f_r, inv_w0=inv_w0) if has_nl else {}
         ok0 = ctf_all_finite(y0)
 
         def chunk(carry, _):
             y, ok = carry
-            y_new = ssfm_steps_df32(y, co, save_every)
+            y_new = ssfm_steps_df32(y, co, save_every, **kw)
             ok_new = ok & ctf_all_finite(y_new)
             y_out = ctf_freeze(ok_new, y_new, y)
             row = jnp.concatenate(
@@ -234,7 +320,7 @@ def _df32_gnlse_traj_solver(n_steps: int, save_every: int):
             ys = jnp.zeros((0, y0.re.hi.shape[0], 4 * y0.re.hi.shape[1]),
                            dtype=jnp.float32)
         if remainder > 0:
-            y_new = ssfm_steps_df32(y, co, remainder)
+            y_new = ssfm_steps_df32(y, co, remainder, **kw)
             ok = ok & ctf_all_finite(y_new)
         return ys, ok.astype(jnp.int32)
 
@@ -250,10 +336,13 @@ def run_gnlse_traj_df32(
     dz_m: float,
     n_steps: int,
     save_every: int,
+    nl=None,
 ):
     """Matched-tolerance trajectory solve for ``run_gnlse_simulation``'s
     df32 tier: ``A0`` is (B, T) c128; returns host ``(A_saved (S+1, B, T)
-    c128 incl. the z=0 row, ok (B,) bool)``."""
+    c128 incl. the z=0 row, ok (B,) bool)``.  ``nl`` (a host-f64
+    ``NLTerms``) switches the substep to the two-float RK4 on the
+    generalized operator."""
     A0 = np.asarray(A0, dtype=np.complex128)
     B, T = A0.shape
     if T & (T - 1):
@@ -262,8 +351,15 @@ def run_gnlse_traj_df32(
         )
     co = make_df32_gnlse_coeffs(gamma, alpha, lin_phase,
                                 dz_m=float(dz_m), B=B, T=T)
-    solver = _df32_gnlse_traj_solver(int(n_steps), int(save_every))
-    ys, ok = jax.block_until_ready(solver(ctf_from_c128(A0), co))
+    nlp = None
+    f_r = inv_w0 = 0.0
+    if nl is not None:
+        nlp = make_df32_nl_planes(nl)
+        f_r = float(np.asarray(nl.f_r))
+        inv_w0 = float(np.asarray(nl.inv_w0))
+    solver = _df32_gnlse_traj_solver(int(n_steps), int(save_every),
+                                     f_r, inv_w0, nl is not None)
+    ys, ok = jax.block_until_ready(solver(ctf_from_c128(A0), co, nlp))
     ys = np.asarray(ys, dtype=np.float64)
     A_saved = np.concatenate([
         A0[None],
@@ -283,8 +379,9 @@ def solve_gnlse_batch_df32(
     n_steps: int,
     save_every: int,
     mesh=None,
+    nl=None,
 ):
-    """Batched matched-tolerance SSFM Kerr solve; per-meter f64 inputs.
+    """Batched matched-tolerance SSFM solve; per-meter f64 inputs.
 
     Contract mirrors ``models/gnlse.solve_gnlse_batch`` (fixed-step reduce
     mode): returns host ``(peak_max (B,) f64, A_last (B, T) c128, ok (B,)
@@ -335,6 +432,12 @@ def solve_gnlse_batch_df32(
 
     co = make_df32_gnlse_coeffs(gamma, alpha, lin_phase,
                                 dz_m=float(dz_m), B=B, T=T)
+    nlp = None
+    f_r = inv_w0 = 0.0
+    if nl is not None:
+        nlp = make_df32_nl_planes(nl)
+        f_r = float(np.asarray(nl.f_r))
+        inv_w0 = float(np.asarray(nl.inv_w0))
     if mesh is not None:
         sh_b = batch_sharding(mesh)
         sh_r = replicated_sharding(mesh)
@@ -346,11 +449,15 @@ def solve_gnlse_batch_df32(
                 np.asarray(x), sh_b if x.shape[0] == B else sh_r),
             co,
         )
+        if nlp is not None:
+            nlp = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), sh_r), nlp)
     else:
         y0 = ctf_from_c128(A0)
 
-    solver = _df32_gnlse_solver(int(n_steps), int(save_every))
-    out = jax.block_until_ready(solver(y0, co))
+    solver = _df32_gnlse_solver(int(n_steps), int(save_every),
+                                f_r, inv_w0, nl is not None)
+    out = jax.block_until_ready(solver(y0, co, nlp))
     if mesh is not None:
         out = fetch_global(out)
     out = np.asarray(out, dtype=np.float64)

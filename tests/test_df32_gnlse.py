@@ -126,6 +126,40 @@ def test_eager_ssfm_matches_x64_scan():
 
 
 @cpu_lane
+@pytest.mark.parametrize("f_raman,omega0", [
+    (0.18, 1.2e15),   # full generalized operator
+    (0.18, None),     # Raman only
+    (0.0, 1.2e15),    # self-steepening only
+])
+def test_eager_nl_matches_x64_scan(f_raman, omega0):
+    """Eager df32 generalized-nonlinearity solve vs the x64 scan engine:
+    the two-float RK4 runs the SAME method (and the full-complex tf_fft of
+    the real power waveform computes the identical convolution to the
+    scan engine's rfft pair), so the difference is pure roundoff."""
+    grid, co, A0 = _setup(B=2, T=32)
+    nl = gn.make_nl_terms(grid, f_raman=f_raman, omega0=omega0,
+                          precision="df32")
+    cfg = _cfg(n_steps=4, save_every=2, zmax=0.04)
+    co_df = dg.make_df32_gnlse_coeffs(
+        co.gamma, co.alpha, co.lin_phase,
+        dz_m=cfg.dz, B=2, T=A0.shape[1])
+    nlp = dg.make_df32_nl_planes(nl)
+    pk, y, ok = dg.run_reduce_eager(
+        ctf_from_c128(A0), co_df, 4, 2, nlp=nlp,
+        f_r=float(nl.f_r), inv_w0=float(nl.inv_w0))
+    assert bool(np.all(np.asarray(ok)))
+
+    _g, co64, _ = _setup(B=2, T=32, precision="x64")
+    nl64 = gn.make_nl_terms(grid, f_raman=f_raman, omega0=omega0,
+                            precision="x64")
+    cfg64 = _cfg(n_steps=4, save_every=2, zmax=0.04, precision="x64")
+    pk_r, A_r, _ok = gn.solve_gnlse_batch(cfg64, co64, A0, nl=nl64)
+    A_df = ctf_to_c128(y)
+    assert np.abs(A_df - A_r).max() / np.abs(A_r).max() < 1e-11
+    np.testing.assert_allclose(tf_to_f64(pk), pk_r, rtol=1e-11)
+
+
+@cpu_lane
 def test_eager_spectral_alpha_and_freeze():
     """Spectral loss collapses into the factor planes; a runaway lane
     (negative alpha) freezes at its last good chunk like the scan engine."""
@@ -152,8 +186,9 @@ def test_eager_spectral_alpha_and_freeze():
 
 @cpu_lane
 def test_df32_dispatch_validation():
-    """Public-surface guards: df32 is fixed-step Kerr-only; T must be a
-    power of two; df32 coeffs keep host f64 leaves."""
+    """Public-surface guards: df32 is fixed-step only; T must be a power
+    of two; df32 coeffs AND nl terms keep host f64 leaves (round 3: the
+    generalized nonlinearity has a two-float rendering now)."""
     _grid, co, A0 = _setup(B=2)
     assert isinstance(co.lin_phase, np.ndarray)
     assert co.lin_phase.dtype == np.float64
@@ -161,10 +196,11 @@ def test_df32_dispatch_validation():
         gn.solve_gnlse_batch(
             _cfg(integrator="rk45", rtol=1e-6, atol=1e-10), co, A0)
     grid = gn.TimeGrid.for_pulse(T0, n_samples=64)
-    nl = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
-                          precision="x32")
-    with pytest.raises(ValueError, match="Kerr-only"):
-        gn.solve_gnlse_batch(_cfg(), co, A0, nl=nl)
+    nl_df = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                             precision="df32")
+    assert isinstance(nl_df.hr_re, np.ndarray)
+    assert nl_df.hr_re.dtype == np.float64
+    assert isinstance(nl_df.omega, np.ndarray)
     with pytest.raises(ValueError, match="power of two"):
         dg.solve_gnlse_batch_df32(
             np.zeros((2, 48), complex), GAMMA, ALPHA, np.zeros(48),
@@ -175,23 +211,32 @@ def test_df32_dispatch_validation():
 
 
 @needs_full
-def test_jitted_df32_gnlse_matches_x64_1e9():
+@pytest.mark.parametrize("with_nl", [False, True])
+def test_jitted_df32_gnlse_matches_x64_1e9(with_nl):
     """The matched-tolerance bar: jitted df32 SSFM within 1e-9 of the x64
-    CPU solver over 200 cascaded split steps (soliton-scale nonlinearity)."""
+    CPU solver over 200 cascaded split steps (soliton-scale nonlinearity;
+    with_nl adds the Raman + self-steepening two-float RK4 substep)."""
     import jax
 
     B, T, steps = 4, 128, 200
-    _grid, co, A0 = _setup(B=B, T=T)
+    grid, co, A0 = _setup(B=B, T=T)
+    nl = nl64 = None
+    if with_nl:
+        nl = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                              precision="df32")
     cfg = _cfg(n_steps=steps, save_every=20, zmax=2.0)
-    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co, A0)
+    pk, A_last, ok = gn.solve_gnlse_batch(cfg, co, A0, nl=nl)
     assert ok.all()
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         _g, co64, _ = _setup(B=B, T=T, precision="x64")
+        if with_nl:
+            nl64 = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                                    precision="x64")
         cfg64 = _cfg(n_steps=steps, save_every=20, zmax=2.0,
                      precision="x64")
-        pk_r, A_r, ok_r = gn.solve_gnlse_batch(cfg64, co64, A0)
+        pk_r, A_r, ok_r = gn.solve_gnlse_batch(cfg64, co64, A0, nl=nl64)
     assert np.abs(A_last - A_r).max() / np.abs(A_r).max() < 1e-9
     np.testing.assert_allclose(pk, pk_r, rtol=1e-9)
 
