@@ -892,6 +892,15 @@ def run_gnlse_simulation(
                 "precision='df32' GNLSE solves are fixed-step rk4 only "
                 "(use x32 for the adaptive split-step, or x64 on CPU)"
             )
+        from ..utils.precision import require_f64_leaves
+
+        require_f64_leaves(
+            "GNLSE df32", gamma=coeffs.gamma, alpha=coeffs.alpha,
+            lin_phase=coeffs.lin_phase)
+        if nl is not None:
+            require_f64_leaves(
+                "GNLSE df32 nl terms", hr_re=nl.hr_re, hr_im=nl.hr_im,
+                omega=nl.omega)
         from ..ops.df32_gnlse import run_gnlse_traj_df32
 
         A_saved, ok = run_gnlse_traj_df32(
@@ -1016,6 +1025,15 @@ def solve_gnlse_batch(
                 "precision='df32' GNLSE solves are fixed-step rk4 only "
                 "(use x32 for the adaptive split-step, or x64 on CPU)"
             )
+        from ..utils.precision import require_f64_leaves
+
+        require_f64_leaves(
+            "GNLSE df32", gamma=coeffs.gamma, alpha=coeffs.alpha,
+            lin_phase=coeffs.lin_phase)
+        if nl is not None:
+            require_f64_leaves(
+                "GNLSE df32 nl terms", hr_re=nl.hr_re, hr_im=nl.hr_im,
+                omega=nl.omega)
         from ..ops.df32_gnlse import solve_gnlse_batch_df32
 
         return solve_gnlse_batch_df32(
@@ -1185,6 +1203,15 @@ def solve_gnlse_batch_trajectories(
                 "precision='df32' trajectories are unsharded; shard the "
                 "reduce-mode solve_gnlse_batch instead"
             )
+        from ..utils.precision import require_f64_leaves
+
+        require_f64_leaves(
+            "GNLSE df32", gamma=coeffs.gamma, alpha=coeffs.alpha,
+            lin_phase=coeffs.lin_phase)
+        if nl is not None:
+            require_f64_leaves(
+                "GNLSE df32 nl terms", hr_re=nl.hr_re, hr_im=nl.hr_im,
+                omega=nl.omega)
         from ..ops.df32_gnlse import run_gnlse_traj_df32
 
         A_saved, ok = run_gnlse_traj_df32(

@@ -540,6 +540,11 @@ def run_vgnlse_simulation(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
                 "only (use x32 for the adaptive split-step, or x64 on CPU)"
             )
+        from ..utils.precision import require_f64_leaves
+
+        require_f64_leaves(
+            "vector-GNLSE df32", gamma=coeffs.gamma, alpha=coeffs.alpha,
+            lin_phase=coeffs.lin_phase)
         from ..ops.df32_vgnlse import run_vgnlse_traj_df32
 
         A_saved, ok = run_vgnlse_traj_df32(
@@ -642,6 +647,11 @@ def solve_vgnlse_batch(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
                 "only (use x32 for the adaptive split-step, or x64 on CPU)"
             )
+        from ..utils.precision import require_f64_leaves
+
+        require_f64_leaves(
+            "vector-GNLSE df32", gamma=coeffs.gamma, alpha=coeffs.alpha,
+            lin_phase=coeffs.lin_phase)
         from ..ops.df32_vgnlse import solve_vgnlse_batch_df32
 
         return solve_vgnlse_batch_df32(
@@ -788,6 +798,11 @@ def solve_vgnlse_batch_trajectories(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
                 "only (use x32 for the adaptive split-step, or x64 on CPU)"
             )
+        from ..utils.precision import require_f64_leaves
+
+        require_f64_leaves(
+            "vector-GNLSE df32", gamma=coeffs.gamma, alpha=coeffs.alpha,
+            lin_phase=coeffs.lin_phase)
         from ..ops.df32_vgnlse import run_vgnlse_traj_df32
 
         A_saved, ok = run_vgnlse_traj_df32(

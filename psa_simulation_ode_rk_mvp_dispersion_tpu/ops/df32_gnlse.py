@@ -128,23 +128,40 @@ def _lin(y: CTF, L: CTF) -> CTF:
     return tf_ifft(ctf_mul(tf_fft(y), L))
 
 
+def _np_tf_split(x: np.ndarray) -> TF:
+    """Exact host f64 -> (hi, lo) f32 split as NUMPY leaves (no device
+    commit: the planes are jit-lifted once per solver, and the sharded
+    path device_puts them replicated without a device->host round trip)."""
+    hi = x.astype(np.float32)
+    return TF(hi, (x - hi.astype(np.float64)).astype(np.float32))
+
+
 def make_df32_nl_planes(nl) -> "tuple[CTF, TF]":
     """Split a host-f64 ``models.gnlse.NLTerms`` (built with
     precision='df32', which keeps numpy leaves) into the engine's
-    two-float planes: (conj(H_R) CTF (T,), omega TF (T,))."""
+    two-float planes: (conj(H_R) CTF (T,), omega TF (T,)).  Rejects
+    f32-built terms: upcasting them would zero every lo limb and silently
+    degrade the <=1e-9 tier to f32-class accuracy."""
+    from ..utils.precision import require_f64_leaves
+
+    require_f64_leaves("make_df32_nl_planes", hr_re=nl.hr_re,
+                       hr_im=nl.hr_im, omega=nl.omega)
     hr_re = np.asarray(nl.hr_re, dtype=np.float64)
     hr_im = np.asarray(nl.hr_im, dtype=np.float64)
     return (
-        ctf_from_c128(hr_re - 1j * hr_im),
-        tf_from_f64(np.asarray(nl.omega, dtype=np.float64)),
+        CTF(_np_tf_split(hr_re), _np_tf_split(-hr_im)),
+        _np_tf_split(np.asarray(nl.omega, dtype=np.float64)),
     )
 
 
 def _nl_m_df32(y: CTF, gamma_h: TF, nlp, f_r: float, inv_w0: float) -> CTF:
     """h-scaled generalized nonlinear operator, all two-float -- the df32
-    rendering of ``models/gnlse._nl_rhs`` times the step:
+    rendering of ``models/gnlse._nl_rhs`` times the step.  As implemented
+    (this module's time axis is the REVERSE of Agrawal's retarded time,
+    see ``_nl_rhs``'s t = -T note -- the shock derivative is SUBTRACTED):
 
-        M(A) = i gamma h (1 + (i/w0) d/dt)[A((1-f_R)P + f_R h_R*P)].
+        M(A) = i gamma h [ W - (i/w0) dW/dt ],
+        W    = A ((1-f_R) P + f_R conj(H_R)-convolved P).
 
     ``nlp`` is ``(hrc CTF (T,), omega TF (T,))`` from
     :func:`make_df32_nl_planes`; ``f_r`` / ``inv_w0`` are STATIC floats

@@ -33,9 +33,12 @@ on the MXU:
 
 The nonlinear substep is the exact Kerr rotation by default; with
 ``nl=`` (:class:`models.gnlse.NLTerms`) it becomes the same in-kernel RK4
-on the generalized operator N(A) = i gamma (1 + (i/w0) d/dt)
-[A((1-f_R)P + f_R h_R*P)] that the scan engine integrates
-(``models/gnlse._nl_substep``), with every transform staying in VMEM:
+on the generalized operator that the scan engine integrates
+(``models/gnlse._nl_substep``).  As implemented (the module's time axis
+is the reverse of Agrawal's retarded time -- ``_nl_rhs``'s t = -T note --
+so the shock derivative is SUBTRACTED and the Raman kernel conjugated):
+N(A) = i gamma [W - (i/w0) dW/dt], W = A((1-f_R)P + f_R conj(H_R)*P),
+with every transform staying in VMEM:
 
 - the Raman convolution forward-transforms the REAL power waveform
   (imag block dropped: 2 (m, m) matmuls per group instead of 2 (m, 2m)),

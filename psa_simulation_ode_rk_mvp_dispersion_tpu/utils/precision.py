@@ -93,6 +93,27 @@ def dtypes_for(precision: str) -> Tuple[jnp.dtype, jnp.dtype]:
     return real_dtype(p), complex_dtype(p)
 
 
+def require_f64_leaves(what: str, **arrays) -> None:
+    """Reject inputs already rounded to f32 before a two-float split.
+
+    The df32 tier's <=1e-9 contract needs exact f64 -> (hi, lo) f32
+    splitting; feeding it x32-built coeffs/terms (f32 leaves upcast to
+    f64) zeroes every lo limb and silently degrades the result to
+    f32-class accuracy (the CLAUDE.md 'never cast to device f32 before
+    the two-float split' invariant).  Build the object with
+    precision='df32' instead."""
+    import numpy as np
+
+    for name, a in arrays.items():
+        dt = np.asarray(a).dtype
+        if dt != np.float64:
+            raise ValueError(
+                f"{what}: df32 solves need float64 inputs for the exact "
+                f"two-float split, but {name} has dtype {dt} -- build it "
+                "with precision='df32' (host f64 leaves)"
+            )
+
+
 def enable_compile_cache(path: str = "/tmp/psa_tpu_jax_cache",
                          min_compile_secs: float = 2.0) -> None:
     """Point JAX at the persistent compilation cache.

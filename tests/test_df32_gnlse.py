@@ -201,6 +201,18 @@ def test_df32_dispatch_validation():
     assert isinstance(nl_df.hr_re, np.ndarray)
     assert nl_df.hr_re.dtype == np.float64
     assert isinstance(nl_df.omega, np.ndarray)
+    # x32-built inputs are REJECTED under a df32 cfg: upcasting f32 leaves
+    # would zero the lo limbs and silently degrade the <=1e-9 tier
+    nl_x32 = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                              precision="x32")
+    with pytest.raises(ValueError, match="two-float split"):
+        gn.solve_gnlse_batch(_cfg(), co, A0, nl=nl_x32)
+    co_x32 = gn.make_gnlse_coeffs(
+        gn.TimeGrid.for_pulse(T0, n_samples=64),
+        psa.DispersionParams.from_betas(1.2e15, beta2=BETA2),
+        gamma_W_m=GAMMA, precision="x32")
+    with pytest.raises(ValueError, match="two-float split"):
+        gn.solve_gnlse_batch(_cfg(), co_x32, A0)
     with pytest.raises(ValueError, match="power of two"):
         dg.solve_gnlse_batch_df32(
             np.zeros((2, 48), complex), GAMMA, ALPHA, np.zeros(48),

@@ -126,6 +126,12 @@ def test_df32_dispatch_validation():
     with pytest.raises(ValueError, match="rk4"):
         vg.solve_vgnlse_batch(
             _cfg(integrator="rk45", rtol=1e-6, atol=1e-10), co, A0)
+    # x32-built coeffs under a df32 cfg are rejected (upcast f32 leaves
+    # would zero the lo limbs -- restores the pre-round-3 fail-fast)
+    co_x32 = vg.make_vgnlse_coeffs(grid, None, gamma_W_m=GAMMA,
+                                   coupling="isotropic", precision="x32")
+    with pytest.raises(ValueError, match="two-float split"):
+        vg.solve_vgnlse_batch(_cfg(), co_x32, A0)
     with pytest.raises(ValueError, match="power of two"):
         dv.solve_vgnlse_batch_df32(
             np.zeros((2, 2, 48), complex), GAMMA, 0.0, 2.0 / 3.0,

@@ -110,6 +110,32 @@ def test_comb_pallas_vs_scan_on_chip():
     np.testing.assert_allclose(Pp[sig], Ps[sig], rtol=5e-4)
 
 
+def test_gnlse_pallas_kernel_on_chip():
+    """Compiled fused SSFM kernel vs the scan engine, Kerr AND the
+    in-kernel Raman/steepening RK4 (T=128 keeps the Mosaic compile under
+    ~1 min; bench_gnlse.py covers the T=1024 record shape)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
+
+    grid = psa.TimeGrid.for_pulse(T0, n_samples=128)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=BETA2)
+    co = psa.make_gnlse_coeffs(grid, disp, gamma_W_m=GAM, alpha_1_m=5e-5,
+                               precision="x32")
+    P0 = psa.soliton_peak_power(BETA2, GAM, T0)
+    A0 = np.stack([np.asarray(psa.sech_pulse(grid, peak_W=s * P0, t0_s=T0))
+                   for s in np.linspace(0.8, 1.2, 8)])
+    cfg = _cfg(z_max=2.0, dz=0.01, save_every=50)
+    for nl in (None, gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                                      precision="x32")):
+        pk_s, Af_s, ok_s = psa.solve_gnlse_batch(cfg, co, A0, nl=nl,
+                                                 engine="scan")
+        pk_p, Af_p, ok_p = psa.solve_gnlse_batch(cfg, co, A0, nl=nl,
+                                                 engine="pallas")
+        assert ok_s.all() and ok_p.all()
+        np.testing.assert_allclose(pk_p, pk_s, rtol=2e-3)
+        scale = np.abs(Af_s).max()
+        np.testing.assert_allclose(Af_p, Af_s, rtol=0, atol=2e-3 * scale)
+
+
 def test_noise_pia_quantum_limit_on_chip():
     omega = np.asarray(psa.plan_from_wavelengths(1550e-9, 1552e-9, 1551e-9))
     cfg = psa.custom_simulation_config(z_max=200.0, dz=0.05, save_every=50,
