@@ -90,11 +90,29 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
     remainder = n_steps - n_chunks * save_every
 
     f32 = jnp.float32
-    # Mosaic supports only DEFAULT and HIGHEST dot precisions
-    prec = {
-        "highest": lax.Precision.HIGHEST,  # multi-pass bf16 = full f32
-        "default": lax.Precision.DEFAULT,  # 1-pass bf16 (fast, lossy)
-    }[mxu_precision]
+    # Mosaic supports only DEFAULT and HIGHEST dot precisions; 'x3' is a
+    # MANUAL compensated split (the ops/pallas_gnlse DOT_ALG scheme): both
+    # operands split into (hi, lo) bf16 planes and w@x ~= wh@xh + (wh@xl +
+    # wl@xh) -- 3 full-rate bf16 MXU passes vs HIGHEST's 6, dropping only
+    # the ~2^-18-relative wl@xl term.  Weight splits are hoisted out of the
+    # step loops (loop constants); operand splits are 2 VPU ops per matmul.
+    if mxu_precision not in ("highest", "default", "x3"):
+        raise ValueError(
+            f"mxu_precision must be 'highest', 'default' or 'x3', "
+            f"got {mxu_precision!r}"
+        )
+    x3 = mxu_precision == "x3"
+    prec = (lax.Precision.DEFAULT if mxu_precision == "default"
+            else lax.Precision.HIGHEST)
+    bf16 = jnp.bfloat16
+    d3 = functools.partial(
+        lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=lax.Precision.DEFAULT,
+    )
+
+    def _split(x):
+        xh = x.astype(bf16)
+        return xh, (x - xh.astype(f32)).astype(bf16)
 
     def mm(w, x):
         # HIGHEST keeps the f32 mantissa through the MXU (the default is
@@ -104,6 +122,32 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
             preferred_element_type=f32,
             precision=prec,
         )
+
+    def make_pair(wa, wb):
+        """(wa @ x, wb @ x) sharing x's hi/lo split on the x3 path; weight
+        splits precomputed once (captured as loop constants)."""
+        if not x3:
+            return lambda x: (mm(wa, x), mm(wb, x))
+        wah, wal = _split(wa)
+        wbh, wbl = _split(wb)
+
+        def pair(x):
+            xh, xl = _split(x)
+            return (d3(wah, xh) + (d3(wah, xl) + d3(wal, xh)),
+                    d3(wbh, xh) + (d3(wbh, xl) + d3(wbl, xh)))
+
+        return pair
+
+    def make_single(w):
+        if not x3:
+            return lambda x: mm(w, x)
+        wh, wl = _split(w)
+
+        def single(x):
+            xh, xl = _split(x)
+            return d3(wh, xh) + (d3(wh, xl) + d3(wl, xh))
+
+        return single
 
     def kernel(*refs):
         if variant == "block":
@@ -130,13 +174,19 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
 
         u0 = y0_ref[:, :]              # (2N, B) stacked [Ar; Ai]
 
+        if variant == "block":
+            fwd_pair = make_pair(wfr, wfi)
+            inv_pair = make_pair(wir, wii)
+        else:
+            s_fr, s_fi, s_fs = make_single(fr), make_single(fi), make_single(fs)
+            s_ir, s_ii, s_is = (make_single(ivr), make_single(ivi),
+                                make_single(ivs))
+
         def rhs_block(u):
-            Fr = mm(wfr, u)
-            Fi = mm(wfi, u)
+            Fr, Fi = fwd_pair(u)
             mag = Fr * Fr + Fi * Fi
             g = jnp.concatenate([Fr * mag, Fi * mag], axis=0)  # (2L, B)
-            Tr = mm(wir, g)
-            Ti = mm(wii, g)
+            Tr, Ti = inv_pair(g)
             ar = u[0:n, :]
             ai = u[n:2 * n, :]
             # dA = (-alpha/2) A + i beta A + i gamma T
@@ -148,9 +198,9 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
             ar = u[0:n, :]
             ai = u[n:2 * n, :]
             # forward DFT (Karatsuba complex matmul, 3 real matmuls)
-            p1 = mm(fr, ar)
-            p2 = mm(fi, ai)
-            p3 = mm(fs, ar + ai)
+            p1 = s_fr(ar)
+            p2 = s_fi(ai)
+            p3 = s_fs(ar + ai)
             Fr = p1 - p2
             Fi = p3 - p1 - p2
             # cubic product: F^2 conj(F) = F |F|^2
@@ -158,9 +208,9 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
             Gr = Fr * mag
             Gi = Fi * mag
             # inverse DFT
-            q1 = mm(ivr, Gr)
-            q2 = mm(ivi, Gi)
-            q3 = mm(ivs, Gr + Gi)
+            q1 = s_ir(Gr)
+            q2 = s_ii(Gi)
+            q3 = s_is(Gr + Gi)
             Tr = q1 - q2
             Ti = q3 - q1 - q2
             dr = neg_half_alpha * ar - beta * ai - gamma * Ti
@@ -340,7 +390,11 @@ def solve_comb_batch_pallas(
     ``A0`` is ``(B, N)`` complex; ``gamma``/``alpha`` broadcast to ``(B,)``;
     ``beta_lin`` broadcasts to ``(B, N)``.  Pass ``mesh`` to shard the batch
     axis with ``shard_map`` (per-shard kernel launch, no collectives).
-    ``variant`` selects the matmul formulation (see module docstring).
+    ``variant`` selects the matmul formulation (see module docstring);
+    ``mxu_precision`` the dot path: 'highest' (6-pass bf16, f32-class),
+    'x3' (3-pass compensated hi/lo-bf16 split, ~2x the MXU pass rate at
+    ~2^-18-relative extra rounding per matmul), or 'default' (1-pass bf16,
+    lossy -- A/B only).
     """
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 2:

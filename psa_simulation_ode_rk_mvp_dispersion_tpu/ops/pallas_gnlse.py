@@ -12,8 +12,11 @@ on the MXU:
   the field into r polyphase groups of length m.  Forward transform =
   one (m, 2m) @ (2m, blk) stacked-complex matmul per group (full 2m=256
   contraction depth on the MXU), a per-group twiddle multiply
-  W_T^{g d}, and an r-point DFT across groups with SCALAR weights
-  (python-unrolled plane FMAs; +-1 / +-i weights are special-cased).
+  W_T^{g d}, and an r-point DFT across groups with SCALAR weights —
+  a compile-time-unrolled radix-2 FFT over the group planes by default
+  ((r/2) log2 r butterflies; stage-0/1 weights are sign flips), or dense
+  r^2 plane FMAs (``PSA_GNLSE_PALLAS_XGROUP=fma``, also the non-power-of-
+  two-r fallback).
   MAC cost per instance per transform pair is 2*T*m complex MACs --
   T/m = r times cheaper than a dense T x T DFT matmul, with every
   matmul perfectly MXU-shaped.
@@ -75,14 +78,22 @@ MAX_R = 16       # cap on polyphase groups (T <= 2048)
 # engine: 4.5e-3 / 2.6e-2) vs 9.1e-3 / 0.43 for x3, at indistinguishable
 # wall clock (the kernel is not MXU-pass-bound).  Default: x6.
 DOT_ALG = os.environ.get("PSA_GNLSE_PALLAS_DOT", "x6")
+# Cross-group r-point DFT strategy: 'fft' = radix-2 butterflies
+# (r log2 r plane ops), 'fma' = dense unrolled FMAs (r^2 plane ops).
+# T = r*128 is usually a power-of-two multiple of 128 (r <= 16); a
+# non-power-of-two r (e.g. T = 384) falls back to the dense path.
+XGROUP = os.environ.get("PSA_GNLSE_PALLAS_XGROUP", "fft")
 
 
-def _dft_weight_blocks(m: int):
+def _dft_weight_blocks(m: int, inv_extra: float = 1.0):
     """Stacked-complex DFT_m weights: forward [fr | -fi] / [fi | fr] and
-    inverse [ir | -ii] / [ii | ir], each (m, 2m) f32 (G = W @ [ar; ai])."""
+    inverse [ir | -ii] / [ii | ir], each (m, 2m) f32 (G = W @ [ar; ai]).
+    ``inv_extra`` folds an additional 1/x into the inverse weights (the
+    radix-2 cross-group path bakes its 1/r here so the butterflies stay
+    unit-modulus)."""
     ang = (-2.0 * np.pi / m) * np.outer(np.arange(m), np.arange(m))
     fr, fi = np.cos(ang), np.sin(ang)
-    ir, ii = fr / m, -fi / m           # conj(F)/m
+    ir, ii = fr / (m * inv_extra), -fi / (m * inv_extra)   # conj(F)/(m x)
     f32 = np.float32
     return (
         np.concatenate([fr, -fi], axis=1).astype(f32),
@@ -121,6 +132,61 @@ def _scalar_fma(acc_r, acc_i, wr: float, wi: float, xr, xi):
             acc_i + f(wr) * xi + f(wi) * xr)
 
 
+def _scalar_cmul(wr: float, wi: float, xr, xi):
+    """(wr + i wi) * (xr + i xi) with +-1 / +-i fast paths."""
+    f = np.float32
+    if abs(wi) < 1e-12:
+        if abs(wr - 1.0) < 1e-12:
+            return xr, xi
+        if abs(wr + 1.0) < 1e-12:
+            return -xr, -xi
+        return f(wr) * xr, f(wr) * xi
+    if abs(wr) < 1e-12:
+        if abs(wi - 1.0) < 1e-12:
+            return -xi, xr
+        if abs(wi + 1.0) < 1e-12:
+            return xi, -xr
+        return -f(wi) * xi, f(wi) * xr
+    return f(wr) * xr - f(wi) * xi, f(wr) * xi + f(wi) * xr
+
+
+def _bitrev(n: int):
+    bits = n.bit_length() - 1
+    return [int(format(i, f"0{bits}b")[::-1], 2) for i in range(n)]
+
+
+def _fft_planes(xr, xi, sign: float):
+    """Radix-2 DIT FFT over python LISTS of (m, blk) planes (compile-time
+    unrolled): out[k] = sum_j exp(sign * 2i pi j k / r) in[j].  ``sign=-1``
+    is the forward DFT; ``sign=+1`` the un-normalized inverse (the caller
+    bakes the 1/r elsewhere).  r = len(xr) must be a power of two.  Cost is
+    (r/2) log2 r butterflies of one scalar cmul + two plane adds, vs the
+    dense path's r^2 scalar FMAs; the stage-0/1 weights are all +-1 / +-i
+    so their cmuls are free sign flips."""
+    rN = len(xr)
+    order = _bitrev(rN)
+    xr = [xr[j] for j in order]
+    xi = [xi[j] for j in order]
+    span = 1
+    while span < rN:
+        step = span * 2
+        for k in range(span):
+            ang = sign * 2.0 * np.pi * k / step
+            wr, wi = float(np.cos(ang)), float(np.sin(ang))
+            for base in range(0, rN, step):
+                i0, i1 = base + k, base + k + span
+                tr, ti = _scalar_cmul(wr, wi, xr[i1], xi[i1])
+                xr[i1], xi[i1] = xr[i0] - tr, xi[i0] - ti
+                xr[i0], xi[i0] = xr[i0] + tr, xi[i0] + ti
+        span = step
+    return xr, xi
+
+
+def _use_fft(t: int, m: int) -> bool:
+    r = t // m
+    return XGROUP == "fft" and r > 1 and (r & (r - 1)) == 0
+
+
 def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                  interpret: bool = False,
                  nl_static: "tuple[float, float] | None" = None):
@@ -138,9 +204,40 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
     has_raman = nl_static is not None and f_r > 0.0
     has_steep = nl_static is not None and inv_w0 != 0.0
 
-    # r-point cross-group DFT scalar weights
+    # r-point cross-group DFT scalar weights (dense 'fma' path only)
+    use_fft = _use_fft(t, m)
     wf = [[np.exp(-2j * np.pi * gg * cc / r) for cc in range(r)]
           for gg in range(r)]
+
+    def xdft_fwd(Gr, Gi):
+        """Cross-group r-point DFT: group-order planes -> natural c order."""
+        if use_fft:
+            return _fft_planes(Gr, Gi, -1.0)
+        Sr = [np.float32(0.0)] * r
+        Si = [np.float32(0.0)] * r
+        for g in range(r):
+            for c in range(r):
+                Sr[c], Si[c] = _scalar_fma(
+                    Sr[c], Si[c], wf[g][c].real, wf[g][c].imag, Gr[g], Gi[g])
+        return Sr, Si
+
+    def xdft_inv(Sr, Si):
+        """Cross-group inverse: natural c order -> group order.  The 1/r is
+        baked into the IDFT_m matmul weights on the fft path (unit-modulus
+        butterflies) and into the scalar weights on the dense path."""
+        if use_fft:
+            return _fft_planes(Sr, Si, 1.0)
+        inv_r = 1.0 / r
+        Hr = []
+        Hi = []
+        for g in range(r):
+            hr = hi = np.float32(0.0)
+            for c in range(r):
+                hr, hi = _scalar_fma(hr, hi, wf[g][c].real * inv_r,
+                                     -wf[g][c].imag * inv_r, Sr[c], Si[c])
+            Hr.append(hr)
+            Hi.append(hi)
+        return Hr, Hi
 
     # Mosaic's dot lowering takes only a (Precision, Precision) pair -- no
     # DotAlgorithmPreset.  'x6' is plain HIGHEST (6 bf16 passes, f32-class).
@@ -250,15 +347,14 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
             """Forward DFT, group layout -> natural-k-order (Sr, Si) lists
             of r (m, blk) planes.  ``read_g(g)`` yields group g's stacked
             (2m, blk) complex block."""
-            Sr = [np.float32(0.0)] * r
-            Si = [np.float32(0.0)] * r
+            Gr = []
+            Gi = []
             for g in range(r):
                 gr, gi = pair_mm(wfr, wfi, read_g(g))
                 gr, gi = _twiddle(g, gr, gi)
-                for c in range(r):
-                    Sr[c], Si[c] = _scalar_fma(
-                        Sr[c], Si[c], wf[g][c].real, wf[g][c].imag, gr, gi)
-            return Sr, Si
+                Gr.append(gr)
+                Gi.append(gi)
+            return xdft_fwd(Gr, Gi)
 
         def fwd_real(read_g):
             """Forward DFT of a REAL grouped signal: the imag input block is
@@ -266,27 +362,22 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
             (the (m, m) halves of the stacked weights)."""
             frm = wfr[:, 0:m]
             fim = wfi[:, 0:m]
-            Sr = [np.float32(0.0)] * r
-            Si = [np.float32(0.0)] * r
+            Gr = []
+            Gi = []
             for g in range(r):
                 gr, gi = pair_mm(frm, fim, read_g(g))
                 gr, gi = _twiddle(g, gr, gi)
-                for c in range(r):
-                    Sr[c], Si[c] = _scalar_fma(
-                        Sr[c], Si[c], wf[g][c].real, wf[g][c].imag, gr, gi)
-            return Sr, Si
+                Gr.append(gr)
+                Gi.append(gi)
+            return xdft_fwd(Gr, Gi)
 
         def inv_cplx(Sr, Si, write):
-            """Inverse DFT of a natural-k-order spectrum: cross-group DFT
-            with conj weights / r, conj twiddle, IDFT_m; ``write(g, or_, oi)``
-            stores group g's planes (no (2T, blk) temporaries)."""
-            inv_r = 1.0 / r
+            """Inverse DFT of a natural-k-order spectrum: cross-group inverse
+            DFT, conj twiddle, IDFT_m; ``write(g, or_, oi)`` stores group g's
+            planes (no (2T, blk) temporaries)."""
+            Hr, Hi = xdft_inv(Sr, Si)
             for g in range(r):
-                hr = hi = np.float32(0.0)
-                for c in range(r):
-                    hr, hi = _scalar_fma(hr, hi, wf[g][c].real * inv_r,
-                                         -wf[g][c].imag * inv_r, Sr[c], Si[c])
-                hr, hi = _twiddle(g, hr, hi, conj=True)
+                hr, hi = _twiddle(g, Hr[g], Hi[g], conj=True)
                 vg = jnp.concatenate([hr, hi], axis=0)
                 or_, oi = pair_mm(wir, wii, vg)
                 write(g, or_, oi)
@@ -294,13 +385,9 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
         def inv_real(Sr, Si, write):
             """REAL part of the inverse DFT (Hermitian spectrum): only the
             wir matmul per group; ``write(g, or_)`` stores the plane."""
-            inv_r = 1.0 / r
+            Hr, Hi = xdft_inv(Sr, Si)
             for g in range(r):
-                hr = hi = np.float32(0.0)
-                for c in range(r):
-                    hr, hi = _scalar_fma(hr, hi, wf[g][c].real * inv_r,
-                                         -wf[g][c].imag * inv_r, Sr[c], Si[c])
-                hr, hi = _twiddle(g, hr, hi, conj=True)
+                hr, hi = _twiddle(g, Hr[g], Hi[g], conj=True)
                 vg = jnp.concatenate([hr, hi], axis=0)
                 write(g, single_mm(wir, vg))
 
@@ -480,7 +567,10 @@ def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
     from jax.experimental import pallas as pl
 
     m = M_SUB if t >= M_SUB else t
-    wfr, wfi, wir, wii = _dft_weight_blocks(m)
+    # fft cross-group path: its butterflies are unit-modulus, so the 1/r
+    # normalization folds into the IDFT_m matmul weights instead
+    inv_extra = float(t // m) if _use_fft(t, m) else 1.0
+    wfr, wfi, wir, wii = _dft_weight_blocks(m, inv_extra)
     kernel = _kernel_body(n_steps, save_every, t, m, dz, interpret, nl_static)
     weights = [jnp.asarray(w) for w in (wfr, wfi, wir, wii)]
     has_nl = nl_static is not None

@@ -441,3 +441,33 @@ def co_row(co, i):
     b = np.asarray(co.beta_lin, float)
     return nw.NWaveCoeffs(gamma=jnp.asarray(g[i]), alpha=jnp.asarray(a[i]),
                           beta_lin=jnp.asarray(b))
+
+
+def test_pallas_comb_x3_compensated_dot_parity():
+    """mxu_precision='x3' (3-pass compensated hi/lo-bf16 split) tracks the
+    'highest' (6-pass) kernel to ~1e-5 relative in interpret mode, for both
+    matmul variants."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.pallas_comb import (
+        solve_comb_batch_pallas,
+    )
+
+    n, B = 8, 4
+    rng = np.random.default_rng(5)
+    A0 = rng.normal(size=(B, n)) * 0.3 + 1j * rng.normal(size=(B, n)) * 0.3
+    kw = dict(
+        gamma=np.linspace(0.5, 1.5, B), alpha=np.full(B, 0.02),
+        beta_lin=np.broadcast_to(np.linspace(-0.3, 0.3, n), (B, n)),
+        dz_m=0.01, n_steps=100, save_every=10, interpret=True,
+    )
+    for variant in ("block", "karatsuba"):
+        P6, A6, ok6 = solve_comb_batch_pallas(
+            A0, variant=variant, mxu_precision="highest", **kw)
+        P3, A3, ok3 = solve_comb_batch_pallas(
+            A0, variant=variant, mxu_precision="x3", **kw)
+        assert ok6.all() and ok3.all()
+        np.testing.assert_allclose(A3, A6, rtol=0,
+                                   atol=5e-5 * np.max(np.abs(A6)))
+        np.testing.assert_allclose(P3, P6, rtol=0,
+                                   atol=5e-5 * np.max(P6))
+    with pytest.raises(ValueError, match="mxu_precision"):
+        solve_comb_batch_pallas(A0, mxu_precision="x9", **kw)

@@ -198,3 +198,32 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(Af_s, Af, rtol=0, atol=0)
     np.testing.assert_allclose(pk_s, pk, rtol=0)
     np.testing.assert_array_equal(ok_s, ok)
+
+
+def test_xgroup_fft_matches_fma():
+    """Radix-2 cross-group FFT (default) vs the dense FMA cross-group DFT
+    at r=4 (T=512): same kernel up to summation order."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import (
+        pallas_gnlse as pg,
+    )
+
+    _grid, co, A0 = _setup(B=3, T=512)
+
+    def run():
+        return solve_gnlse_batch_pallas(
+            A0, GAMMA, ALPHA, np.asarray(co.lin_phase),
+            dz_m=0.01, n_steps=6, save_every=2, interpret=True)
+
+    assert pg.XGROUP == "fft"          # default strategy under test
+    pk_f, Af_f, ok_f = run()
+    pg.XGROUP = "fma"
+    pg._pallas_gnlse_solver.cache_clear()
+    try:
+        pk_d, Af_d, ok_d = run()
+    finally:
+        pg.XGROUP = "fft"
+        pg._pallas_gnlse_solver.cache_clear()
+    assert np.array_equal(ok_f, ok_d)
+    np.testing.assert_allclose(pk_f, pk_d, rtol=1e-5)
+    np.testing.assert_allclose(Af_f, Af_d, rtol=0,
+                               atol=1e-5 * np.max(np.abs(Af_d)))
