@@ -80,6 +80,20 @@ def _dft_weight_blocks(n: int):
     return f_re, f_im, i_re, i_im, L
 
 
+def _dft_weight_stacked(n: int):
+    """Fully stacked complex-as-real weights: ONE forward matmul
+    [Fr; Fi] = W_f @ [Ar; Ai] with W_f = [[Wr -Wi]; [Wi Wr]] (2L, 2N), and
+    one inverse (2N, 2L).  Same MACs as the 'block' pair with half the dot
+    dispatches -- but measured on v5e (round 3, noise-controlled A/B) it is
+    NOT faster than 'block' (Mosaic pipelines the pair dots; the stacked
+    matmul pays back the saved dispatch in row-slice layout ops).  Kept for
+    A/B and for future hardware where dispatch latency dominates."""
+    f_re, f_im, i_re, i_im, L = _dft_weight_blocks(n)
+    w_f = np.concatenate([f_re, f_im], axis=0)   # (2L, 2N)
+    w_i = np.concatenate([i_re, i_im], axis=0)   # (2N, 2L)
+    return w_f, w_i, L
+
+
 def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
                  mxu_precision: str = "highest", variant: str = DEFAULT_VARIANT):
     dz = float(dz)
@@ -150,7 +164,13 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
         return single
 
     def kernel(*refs):
-        if variant == "block":
+        if variant == "fused":
+            (wf_ref, wi_ref,
+             beta_ref, gamma_ref, alpha_ref, y0_ref,
+             pmax_ref, ylast_ref, ok_ref) = refs
+            wf = wf_ref[:, :]
+            wi = wi_ref[:, :]
+        elif variant == "block":
             (wfr_ref, wfi_ref, wir_ref, wii_ref,
              beta_ref, gamma_ref, alpha_ref, y0_ref,
              pmax_ref, ylast_ref, ok_ref) = refs
@@ -174,13 +194,31 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
 
         u0 = y0_ref[:, :]              # (2N, B) stacked [Ar; Ai]
 
-        if variant == "block":
+        if variant == "fused":
+            s_f, s_i = make_single(wf), make_single(wi)
+        elif variant == "block":
             fwd_pair = make_pair(wfr, wfi)
             inv_pair = make_pair(wir, wii)
         else:
             s_fr, s_fi, s_fs = make_single(fr), make_single(fi), make_single(fs)
             s_ir, s_ii, s_is = (make_single(ivr), make_single(ivi),
                                 make_single(ivs))
+
+        def rhs_fused(u):
+            FF = s_f(u)                       # (2L, B) stacked [Fr; Fi]
+            Fr = FF[0:L, :]
+            Fi = FF[L:2 * L, :]
+            mag = Fr * Fr + Fi * Fi
+            g = FF * jnp.concatenate([mag, mag], axis=0)
+            T = s_i(g)                        # (2N, B) stacked [Tr; Ti]
+            Tr = T[0:n, :]
+            Ti = T[n:2 * n, :]
+            ar = u[0:n, :]
+            ai = u[n:2 * n, :]
+            # dA = (-alpha/2) A + i beta A + i gamma T
+            dr = neg_half_alpha * ar - beta * ai - gamma * Ti
+            di = neg_half_alpha * ai + beta * ar + gamma * Tr
+            return jnp.concatenate([dr, di], axis=0)
 
         def rhs_block(u):
             Fr, Fi = fwd_pair(u)
@@ -217,7 +255,8 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
             di = neg_half_alpha * ai + beta * ar + gamma * Tr
             return jnp.concatenate([dr, di], axis=0)
 
-        rhs = rhs_block if variant == "block" else rhs_karatsuba
+        rhs = {"fused": rhs_fused, "block": rhs_block,
+               "karatsuba": rhs_karatsuba}[variant]
 
         def rk4(u):
             k1 = rhs(u)
@@ -267,7 +306,11 @@ def _make_comb_call(
 ):
     from jax.experimental import pallas as pl
 
-    if variant == "block":
+    if variant == "fused":
+        w_f, w_i, L = _dft_weight_stacked(n)
+        weights = [jnp.asarray(w_f), jnp.asarray(w_i)]
+        w_shapes = [(2 * L, 2 * n), (2 * n, 2 * L)]
+    elif variant == "block":
         f_re, f_im, i_re, i_im, L = _dft_weight_blocks(n)
         weights = [jnp.asarray(f_re), jnp.asarray(f_im),
                    jnp.asarray(i_re), jnp.asarray(i_im)]
@@ -279,7 +322,7 @@ def _make_comb_call(
         w_shapes = [(L, n)] * 3 + [(n, L)] * 3
     else:
         raise ValueError(
-            f"variant must be 'block' or 'karatsuba', got {variant!r}"
+            f"variant must be 'fused', 'block' or 'karatsuba', got {variant!r}"
         )
     kernel = _kernel_body(n_steps, save_every, n, L, dz, mxu_precision,
                           variant)
@@ -419,7 +462,7 @@ def solve_comb_batch_pallas(
             "(measured v5e limit); use the scan engine (coupling='dft')"
         )
     cap = 1024 if L <= 128 else 256
-    w_floats = 8 * L * n if variant == "block" else 12 * L * n
+    w_floats = 12 * L * n if variant == "karatsuba" else 8 * L * n
     budget = 14 * 1024 * 1024 - w_floats * 4
     blk_fit = (budget // (24 * L * 4)) // LANES * LANES
     if blk_fit < LANES:

@@ -445,8 +445,8 @@ def co_row(co, i):
 
 def test_pallas_comb_x3_compensated_dot_parity():
     """mxu_precision='x3' (3-pass compensated hi/lo-bf16 split) tracks the
-    'highest' (6-pass) kernel to ~1e-5 relative in interpret mode, for both
-    matmul variants."""
+    'highest' (6-pass) kernel to ~1e-5 relative in interpret mode, for all
+    three matmul variants."""
     from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.pallas_comb import (
         solve_comb_batch_pallas,
     )
@@ -459,7 +459,7 @@ def test_pallas_comb_x3_compensated_dot_parity():
         beta_lin=np.broadcast_to(np.linspace(-0.3, 0.3, n), (B, n)),
         dz_m=0.01, n_steps=100, save_every=10, interpret=True,
     )
-    for variant in ("block", "karatsuba"):
+    for variant in ("fused", "block", "karatsuba"):
         P6, A6, ok6 = solve_comb_batch_pallas(
             A0, variant=variant, mxu_precision="highest", **kw)
         P3, A3, ok3 = solve_comb_batch_pallas(
