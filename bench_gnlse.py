@@ -140,47 +140,92 @@ def main() -> None:
     if backend == "tpu":
         from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import pallas_gnlse
 
-        gn.solve_gnlse_batch(cfg, co, A0, engine="pallas")  # warm-up
-        repsk = []
-        for _ in range(N_REPS):
-            t0 = time.perf_counter()
-            _, _, okk = gn.solve_gnlse_batch(cfg, co, A0, engine="pallas")
-            repsk.append(time.perf_counter() - t0)
-        elk = float(np.median(repsk))
-        instk = BATCH * N_STEPS / elk
         # the kernel's DFT cost model: 2 group-split transforms per step,
         # each 2*T*M_SUB complex MACs = 8*T*M_SUB real FLOPs per instance
         dft_flops = 2.0 * 8.0 * T_SAMPLES * pallas_gnlse.M_SUB
-        results["kerr_pallas"] = {
-            "elapsed_s": round(elk, 4),
-            "rep_times_s": [round(r, 4) for r in repsk],
-            "instance_steps_per_s": round(instk),
-            "dot_alg": pallas_gnlse.DOT_ALG,
-            "mxu_tflops_per_s": round(instk * dft_flops / 1e12, 2),
-            "ok_fraction": float(np.mean(okk)),
-        }
+
+        try:
+            gn.solve_gnlse_batch(cfg, co, A0, engine="pallas")  # warm-up
+            repsk = []
+            for _ in range(N_REPS):
+                t0 = time.perf_counter()
+                _, _, okk = gn.solve_gnlse_batch(cfg, co, A0, engine="pallas")
+                repsk.append(time.perf_counter() - t0)
+            elk = float(np.median(repsk))
+            instk = BATCH * N_STEPS / elk
+            results["kerr_pallas"] = {
+                "elapsed_s": round(elk, 4),
+                "rep_times_s": [round(r, 4) for r in repsk],
+                "instance_steps_per_s": round(instk),
+                "dot_alg": pallas_gnlse.DOT_ALG,
+                "xgroup": pallas_gnlse.XGROUP,
+                "mxu_tflops_per_s": round(instk * dft_flops / 1e12, 2),
+                "ok_fraction": float(np.mean(okk)),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"# kerr_pallas lane skipped: {e}", file=sys.stderr)
 
         # generalized nonlinearity in-kernel (RK4 on the Raman/steepening
         # operator, every transform VMEM-resident -- round 3)
-        gn.solve_gnlse_batch(cfg, co, A0, nl=nl, engine="pallas")  # warm-up
-        repsn = []
-        for _ in range(N_REPS):
-            t0 = time.perf_counter()
-            _, _, okn = gn.solve_gnlse_batch(cfg, co, A0, nl=nl,
-                                             engine="pallas")
-            repsn.append(time.perf_counter() - t0)
-        eln = float(np.median(repsn))
-        instn = BATCH * N_STEPS / eln
-        # per step: 2 linear transforms + 4 RK4 stages x (0.5 real fwd +
-        # 0.5 real-part inv + 1 fwd + 1 inv) = 2 + 12 transform-equivalents
-        results["raman_pallas"] = {
-            "elapsed_s": round(eln, 4),
-            "rep_times_s": [round(r, 4) for r in repsn],
-            "instance_steps_per_s": round(instn),
-            "dot_alg": pallas_gnlse.DOT_ALG,
-            "mxu_tflops_per_s": round(instn * 7.0 * dft_flops / 1e12, 2),
-            "ok_fraction": float(np.mean(okn)),
-        }
+        try:
+            gn.solve_gnlse_batch(cfg, co, A0, nl=nl, engine="pallas")
+            repsn = []
+            for _ in range(N_REPS):
+                t0 = time.perf_counter()
+                _, _, okn = gn.solve_gnlse_batch(cfg, co, A0, nl=nl,
+                                                 engine="pallas")
+                repsn.append(time.perf_counter() - t0)
+            eln = float(np.median(repsn))
+            instn = BATCH * N_STEPS / eln
+            # per step: 2 linear transforms + 4 RK4 stages x (0.5 real fwd +
+            # 0.5 real-part inv + 1 fwd + 1 inv) = 2 + 12 transform-equiv.
+            results["raman_pallas"] = {
+                "elapsed_s": round(eln, 4),
+                "rep_times_s": [round(r, 4) for r in repsn],
+                "instance_steps_per_s": round(instn),
+                "dot_alg": pallas_gnlse.DOT_ALG,
+                "xgroup": pallas_gnlse.XGROUP,
+                "mxu_tflops_per_s": round(instn * 7.0 * dft_flops / 1e12, 2),
+                "ok_fraction": float(np.mean(okn)),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"# raman_pallas lane skipped: {e}", file=sys.stderr)
+
+    # --- vector (2-pol Manakov) lanes: scan vs fused pallas kernel ----------
+    # Same grid/physics, B/2 instances of 2 polarizations each (same total
+    # field samples as the scalar lanes).
+    if backend == "tpu":
+        try:
+            from psa_simulation_ode_rk_mvp_dispersion_tpu.models import (
+                vgnlse as vgn,
+            )
+
+            Bv = BATCH // 2
+            co_v = vgn.make_vgnlse_coeffs(grid, disp, gamma_W_m=GAMMA,
+                                          alpha_1_m=5e-5, coupling="manakov",
+                                          precision="x32")
+            th = 0.4
+            A0v = np.stack([np.cos(th) * A0[:Bv], np.sin(th) * A0[:Bv]],
+                           axis=1)
+            for lane, eng in (("manakov_scan", "scan"),
+                              ("manakov_pallas", "pallas")):
+                vgn.solve_vgnlse_batch(cfg, co_v, A0v, engine=eng)
+                repsv = []
+                for _ in range(N_REPS):
+                    t0 = time.perf_counter()
+                    _, _, okv = vgn.solve_vgnlse_batch(cfg, co_v, A0v,
+                                                       engine=eng)
+                    repsv.append(time.perf_counter() - t0)
+                elv = float(np.median(repsv))
+                results[lane] = {
+                    "elapsed_s": round(elv, 4),
+                    "rep_times_s": [round(x, 4) for x in repsv],
+                    "batch": Bv,
+                    "instance_steps_per_s": round(Bv * N_STEPS / elv),
+                    "ok_fraction": float(np.mean(okv)),
+                }
+        except Exception as e:  # noqa: BLE001
+            print(f"# vector gnlse lanes skipped: {e}", file=sys.stderr)
 
     # --- matched-tolerance (df32) lane: two-float SSFM ----------------------
     # The tier that meets the <=1e-9 BASELINE bar on the f64-less v5e

@@ -613,6 +613,7 @@ def solve_vgnlse_batch(
     *,
     length_unit: str = "m",
     mesh=None,
+    engine: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Solve B independent vector envelopes (B, 2, T) in one XLA program
     (reduce mode).  Returns host ``(peak_max (B, 2), A_last (B, 2, T),
@@ -622,6 +623,12 @@ def solve_vgnlse_batch(
     dispatches to the adaptive split-step (lockstep batched lanes; the
     reduction covers the same saved grid, integration stops at the last
     saved grid point).
+
+    ``engine``: 'scan' (XLA loop, any coupling/integrator/precision),
+    'pallas' (fused single-launch VMEM kernel, ``ops/pallas_vgnlse.py``:
+    TPU, rk4, x32, incoherent couplings only -- the coherent isotropic
+    c-term needs the scan engine's RK4 substep; T a multiple of 128 up to
+    2048), or 'auto' (scan).
 
     Checkpoint/resume: ``A_last`` is the restart state (autonomous
     equation) -- feed it back as ``A0`` to continue bitwise (fixed-step;
@@ -638,6 +645,38 @@ def solve_vgnlse_batch(
     B, _, T = A0.shape
     dz_m = float(cfg.dz) * scale
     n_steps = int(round(float(cfg.z_max) * scale / dz_m))
+
+    if engine not in ("auto", "scan", "pallas"):
+        raise ValueError(
+            f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}"
+        )
+    if engine == "pallas":
+        import jax as _jax
+
+        if cfg.integrator.lower() != "rk4":
+            raise ValueError(
+                "engine='pallas' vector SSFM kernel implements fixed-step "
+                "rk4 only"
+            )
+        if prec != "x32":
+            raise ValueError(
+                "engine='pallas' vector SSFM kernel is x32 only"
+            )
+        if float(coeffs.coherent) != 0.0:
+            raise ValueError(
+                "engine='pallas' covers the incoherent couplings only "
+                "(coherent c-term needs the scan engine's RK4 substep)"
+            )
+        from ..ops.pallas_vgnlse import solve_vgnlse_batch_pallas
+
+        return solve_vgnlse_batch_pallas(
+            A0, np.asarray(coeffs.gamma, dtype=float),
+            np.asarray(coeffs.alpha, dtype=float),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            float(np.asarray(coeffs.b_xpm)),
+            dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            interpret=_jax.default_backend() != "tpu", mesh=mesh,
+        )
 
     if prec == "df32":
         # matched-tolerance two-float SSFM (ops/df32_vgnlse.py): exact

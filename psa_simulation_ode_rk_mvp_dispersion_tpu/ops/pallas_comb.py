@@ -526,11 +526,11 @@ def solve_comb_batch_pallas(
 
 def solve_batch_pallas_comb_result(
     A0, gamma, alpha, beta_lin, *, dz_m, n_steps, save_every, interpret=False,
-    mesh=None,
+    mesh=None, mxu_precision="highest",
 ):
     """``nwave.solve_comb_batch``-shaped wrapper: (P_max, A_final, ok)."""
     return solve_comb_batch_pallas(
         A0, gamma, alpha, beta_lin,
         dz_m=dz_m, n_steps=n_steps, save_every=save_every, interpret=interpret,
-        mesh=mesh,
+        mesh=mesh, mxu_precision=mxu_precision,
     )

@@ -13,10 +13,10 @@ on the MXU:
   one (m, 2m) @ (2m, blk) stacked-complex matmul per group (full 2m=256
   contraction depth on the MXU), a per-group twiddle multiply
   W_T^{g d}, and an r-point DFT across groups with SCALAR weights —
-  a compile-time-unrolled radix-2 FFT over the group planes by default
-  ((r/2) log2 r butterflies; stage-0/1 weights are sign flips), or dense
-  r^2 plane FMAs (``PSA_GNLSE_PALLAS_XGROUP=fma``, also the non-power-of-
-  two-r fallback).
+  dense r^2 plane FMAs by default (python-unrolled; +-1 / +-i weights
+  are special-cased), or a compile-time-unrolled radix-2 FFT over the
+  group planes (``PSA_GNLSE_PALLAS_XGROUP=fft``; measured slower at r=8
+  and VMEM-OOM with the in-kernel NL body — see XGROUP below).
   MAC cost per instance per transform pair is 2*T*m complex MACs --
   T/m = r times cheaper than a dense T x T DFT matmul, with every
   matmul perfectly MXU-shaped.
@@ -78,11 +78,16 @@ MAX_R = 16       # cap on polyphase groups (T <= 2048)
 # engine: 4.5e-3 / 2.6e-2) vs 9.1e-3 / 0.43 for x3, at indistinguishable
 # wall clock (the kernel is not MXU-pass-bound).  Default: x6.
 DOT_ALG = os.environ.get("PSA_GNLSE_PALLAS_DOT", "x6")
-# Cross-group r-point DFT strategy: 'fft' = radix-2 butterflies
-# (r log2 r plane ops), 'fma' = dense unrolled FMAs (r^2 plane ops).
-# T = r*128 is usually a power-of-two multiple of 128 (r <= 16); a
-# non-power-of-two r (e.g. T = 384) falls back to the dense path.
-XGROUP = os.environ.get("PSA_GNLSE_PALLAS_XGROUP", "fft")
+# Cross-group r-point DFT strategy: 'fma' = dense unrolled FMAs (r^2
+# plane ops, DEFAULT), 'fft' = radix-2 butterflies ((r/2) log2 r plane
+# ops).  Measured on v5e at T=1024 (r=8, 2026-08-17): the fft path is
+# NOT faster for the Kerr body (1.86M vs 2.0M inst-steps/s — the
+# cross-group stage is a small share of the kernel and the butterfly
+# chains serialize), and with the in-kernel Raman/steepening body it
+# exceeds the 100M scoped-VMEM limit (all r planes live through log2 r
+# stages vs the dense path's freed accumulators).  Kept as an opt-in
+# A/B lever for wider r; non-power-of-two r falls back to 'fma'.
+XGROUP = os.environ.get("PSA_GNLSE_PALLAS_XGROUP", "fma")
 
 
 def _dft_weight_blocks(m: int, inv_extra: float = 1.0):
@@ -187,24 +192,27 @@ def _use_fft(t: int, m: int) -> bool:
     return XGROUP == "fft" and r > 1 and (r & (r - 1)) == 0
 
 
-def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
-                 interpret: bool = False,
-                 nl_static: "tuple[float, float] | None" = None):
-    r = t // m
-    n_chunks = n_steps // save_every
-    remainder = n_steps - n_chunks * save_every
-    f32 = jnp.float32
-    gh = np.float32(dz)                      # Kerr angle scale: gamma*h*P
-    # generalized-nonlinearity static parameters (shared across the batch,
-    # like the scan engine's NLTerms): compile-time floats so disabled
-    # terms drop their transforms at trace time
-    f_r = inv_w0 = 0.0
-    if nl_static is not None:
-        f_r, inv_w0 = (float(nl_static[0]), float(nl_static[1]))
-    has_raman = nl_static is not None and f_r > 0.0
-    has_steep = nl_static is not None and inv_w0 != 0.0
+def _make_dft_ops(t: int, m: int, x3: bool, wfr, wfi, wir, wii, twiddle):
+    """Group-plane DFT machinery shared by the scalar and vector SSFM
+    kernels (called INSIDE a kernel body; ``wfr``..`` wii`` are the loaded
+    (m, 2m) stacked weights, ``twiddle(g, gr, gi, conj=False)`` the
+    polyphase twiddle).  Returns
+    ``(fwd_cplx, fwd_real, inv_cplx, inv_real, pair_mm, single_mm)``:
 
-    # r-point cross-group DFT scalar weights (dense 'fma' path only)
+    - ``fwd_cplx(read_g)`` / ``fwd_real(read_g)``: forward DFT, group
+      layout -> natural-k-order (Sr, Si) lists of r (m, blk) planes;
+      ``read_g(g)`` yields group g's stacked (2m, blk) complex block
+      (fwd_real: the (m, blk) real block, imag dropped -- 2 (m, m)
+      matmuls per group).
+    - ``inv_cplx(Sr, Si, write)`` / ``inv_real(Sr, Si, write)``: inverse;
+      ``write(g, or_, oi)`` / ``write(g, or_)`` stores group g's planes
+      (no (2T, blk) temporaries).
+
+    ``x3`` selects the 3-pass compensated hi/lo-bf16 dot path (see
+    DOT_ALG); the cross-group r-point stage follows XGROUP.
+    """
+    f32 = jnp.float32
+    r = t // m
     use_fft = _use_fft(t, m)
     wf = [[np.exp(-2j * np.pi * gg * cc / r) for cc in range(r)]
           for gg in range(r)]
@@ -239,15 +247,6 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
             Hi.append(hi)
         return Hr, Hi
 
-    # Mosaic's dot lowering takes only a (Precision, Precision) pair -- no
-    # DotAlgorithmPreset.  'x6' is plain HIGHEST (6 bf16 passes, f32-class).
-    # 'x3' is a MANUAL compensated split: both operands split into (hi, lo)
-    # bf16 planes and w@x ~= wh@xh + wh@xl + wl@xh -- 3 full-rate bf16 MXU
-    # passes, ~2x the HIGHEST throughput, error ~2^-21 relative for
-    # unit-modulus DFT weights (dropping wl@xl costs ~2^-16*2^-8).
-    # Interpret mode (XLA:CPU) keeps HIGHEST: same f32-class contract
-    # without emulating bf16 arithmetic.
-    x3 = DOT_ALG == "x3" and not interpret
     bf16 = jnp.bfloat16
     d3 = functools.partial(
         lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -282,6 +281,73 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
         xh, xl = _split(x)
         wh, wl = _split(w)
         return d3(wh, xh) + (d3(wh, xl) + d3(wl, xh))
+
+    def fwd_cplx(read_g):
+        Gr = []
+        Gi = []
+        for g in range(r):
+            gr, gi = pair_mm(wfr, wfi, read_g(g))
+            gr, gi = twiddle(g, gr, gi)
+            Gr.append(gr)
+            Gi.append(gi)
+        return xdft_fwd(Gr, Gi)
+
+    def fwd_real(read_g):
+        frm = wfr[:, 0:m]
+        fim = wfi[:, 0:m]
+        Gr = []
+        Gi = []
+        for g in range(r):
+            gr, gi = pair_mm(frm, fim, read_g(g))
+            gr, gi = twiddle(g, gr, gi)
+            Gr.append(gr)
+            Gi.append(gi)
+        return xdft_fwd(Gr, Gi)
+
+    def inv_cplx(Sr, Si, write):
+        Hr, Hi = xdft_inv(Sr, Si)
+        for g in range(r):
+            hr, hi = twiddle(g, Hr[g], Hi[g], conj=True)
+            vg = jnp.concatenate([hr, hi], axis=0)
+            or_, oi = pair_mm(wir, wii, vg)
+            write(g, or_, oi)
+
+    def inv_real(Sr, Si, write):
+        Hr, Hi = xdft_inv(Sr, Si)
+        for g in range(r):
+            hr, hi = twiddle(g, Hr[g], Hi[g], conj=True)
+            vg = jnp.concatenate([hr, hi], axis=0)
+            write(g, single_mm(wir, vg))
+
+    return fwd_cplx, fwd_real, inv_cplx, inv_real, pair_mm, single_mm
+
+
+def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
+                 interpret: bool = False,
+                 nl_static: "tuple[float, float] | None" = None):
+    r = t // m
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+    f32 = jnp.float32
+    gh = np.float32(dz)                      # Kerr angle scale: gamma*h*P
+    # generalized-nonlinearity static parameters (shared across the batch,
+    # like the scan engine's NLTerms): compile-time floats so disabled
+    # terms drop their transforms at trace time
+    f_r = inv_w0 = 0.0
+    if nl_static is not None:
+        f_r, inv_w0 = (float(nl_static[0]), float(nl_static[1]))
+    has_raman = nl_static is not None and f_r > 0.0
+    has_steep = nl_static is not None and inv_w0 != 0.0
+
+    # Mosaic's dot lowering takes only a (Precision, Precision) pair -- no
+    # DotAlgorithmPreset.  'x6' is plain HIGHEST (6 bf16 passes, f32-class).
+    # 'x3' is a MANUAL compensated split: both operands split into (hi, lo)
+    # bf16 planes and w@x ~= wh@xh + wh@xl + wl@xh -- 3 full-rate bf16 MXU
+    # passes, ~2x the HIGHEST throughput, error ~2^-21 relative for
+    # unit-modulus DFT weights (dropping wl@xl costs ~2^-16*2^-8).
+    # Interpret mode (XLA:CPU) keeps HIGHEST: same f32-class contract
+    # without emulating bf16 arithmetic.
+    x3 = DOT_ALG == "x3" and not interpret
 
     def kernel(*refs):
         (wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref) = refs[:6]
@@ -343,53 +409,8 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                 return gr * tr + gi * ti, gi * tr - gr * ti
             return gr * tr - gi * ti, gr * ti + gi * tr
 
-        def fwd_cplx(read_g):
-            """Forward DFT, group layout -> natural-k-order (Sr, Si) lists
-            of r (m, blk) planes.  ``read_g(g)`` yields group g's stacked
-            (2m, blk) complex block."""
-            Gr = []
-            Gi = []
-            for g in range(r):
-                gr, gi = pair_mm(wfr, wfi, read_g(g))
-                gr, gi = _twiddle(g, gr, gi)
-                Gr.append(gr)
-                Gi.append(gi)
-            return xdft_fwd(Gr, Gi)
-
-        def fwd_real(read_g):
-            """Forward DFT of a REAL grouped signal: the imag input block is
-            dropped, so the sub-transform is 2 (m, m) matmuls per group
-            (the (m, m) halves of the stacked weights)."""
-            frm = wfr[:, 0:m]
-            fim = wfi[:, 0:m]
-            Gr = []
-            Gi = []
-            for g in range(r):
-                gr, gi = pair_mm(frm, fim, read_g(g))
-                gr, gi = _twiddle(g, gr, gi)
-                Gr.append(gr)
-                Gi.append(gi)
-            return xdft_fwd(Gr, Gi)
-
-        def inv_cplx(Sr, Si, write):
-            """Inverse DFT of a natural-k-order spectrum: cross-group inverse
-            DFT, conj twiddle, IDFT_m; ``write(g, or_, oi)`` stores group g's
-            planes (no (2T, blk) temporaries)."""
-            Hr, Hi = xdft_inv(Sr, Si)
-            for g in range(r):
-                hr, hi = _twiddle(g, Hr[g], Hi[g], conj=True)
-                vg = jnp.concatenate([hr, hi], axis=0)
-                or_, oi = pair_mm(wir, wii, vg)
-                write(g, or_, oi)
-
-        def inv_real(Sr, Si, write):
-            """REAL part of the inverse DFT (Hermitian spectrum): only the
-            wir matmul per group; ``write(g, or_)`` stores the plane."""
-            Hr, Hi = xdft_inv(Sr, Si)
-            for g in range(r):
-                hr, hi = _twiddle(g, Hr[g], Hi[g], conj=True)
-                vg = jnp.concatenate([hr, hi], axis=0)
-                write(g, single_mm(wir, vg))
+        fwd_cplx, fwd_real, inv_cplx, inv_real, _pmm, _smm = _make_dft_ops(
+            t, m, x3, wfr, wfi, wir, wii, _twiddle)
 
         def lin(src, dst, fac_ref):
             """One linear substep dst = IDFT( fac * DFT(src) ), group layout.

@@ -1,0 +1,458 @@
+"""Pallas TPU kernel: fused single-launch vector SSFM solver (x32).
+
+Vector (two-polarization) analog of ``ops/pallas_gnlse.py`` for the
+INCOHERENT couplings of ``models/vgnlse.py`` (cnlse b=2/3 / manakov
+b=8/9-scaled / isotropic-incoherent b=2/3+1/3: every model whose
+``coherent`` term is 0, i.e. the nonlinear substep is the exact coupled
+rotation exp(i gamma (P_p + b P_q) h) — ``models/vgnlse._xpm_kerr_step``).
+The coherent c-term (``coupling='isotropic'``) needs an RK4 substep and
+stays on the scan engine.
+
+Layout: the batched state is (4T, blk) f32 — polarization p occupies rows
+[p*2T, (p+1)*2T) in the scalar kernel's grouped-complex layout (r groups
+of [re (m rows); im (m rows)]).  Both polarizations share the DFT
+machinery (``pallas_gnlse._make_dft_ops``: polyphase MXU matmuls,
+twiddles, cross-group stage); the linear substep applies per-polarization
+factor planes (birefringence lives in ``lin_phase[pol]``; flat or
+spectral per-pol loss folds in), and the Kerr rotation reads BOTH
+polarizations' group planes to build the joint angle — static row
+offsets, no lane shuffles.
+
+Step structure, chunked save/freeze contract, and the one-fetch output
+stack all mirror the scalar kernel (and ``models/vgnlse._vgnlse_solver``):
+each save chunk is Lh, (K, Lf)^(k-1), K, Lh with per-chunk NaN freeze;
+peak is the per-polarization running max over saved samples; ``ok`` is
+per-lane over both polarizations.  Reference save-decimation semantics:
+/root/reference/integrators.py:137-140.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .pallas_gnlse import (
+    BLOCK,
+    DOT_ALG,
+    LANES,
+    MAX_R,
+    M_SUB,
+    _dft_weight_blocks,
+    _group_perm,
+    _make_dft_ops,
+    _use_fft,
+)
+
+
+def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
+                 b_xpm: float, interpret: bool = False):
+    r = t // m
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+    f32 = jnp.float32
+    gh = np.float32(dz)                      # rotation angle scale
+    bx = np.float32(b_xpm)
+    x3 = DOT_ALG == "x3" and not interpret
+
+    def kernel(wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref,
+               y0_ref, pk_ref, ylast_ref, ok_ref, u_ref, v_ref, lf_ref,
+               *maybe_tw):
+        tw_ref = maybe_tw[0] if r > 1 else None
+        s_ref = ylast_ref
+        wfr = wfr_ref[:, :]
+        wfi = wfi_ref[:, :]
+        wir = wir_ref[:, :]
+        wii = wii_ref[:, :]
+        gam = gam_ref[:, :]                  # (1, blk)
+
+        u_ref[:, :] = y0_ref[:, :]
+        s_ref[:, :] = y0_ref[:, :]
+        # full-step factor from the half-step one, per polarization
+        for p in (0, 1):
+            o = 2 * t * p
+            lhr = lh_ref[o:o + t, :]
+            lhi = lh_ref[o + t:o + 2 * t, :]
+            lf_ref[o:o + t, :] = lhr * lhr - lhi * lhi
+            lf_ref[o + t:o + 2 * t, :] = (lhr + lhr) * lhi
+        if r > 1:
+            rows = lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+            gidx = rows // m
+            didx = rows - gidx * m
+            ang = np.float32(-2.0 * np.pi / t) * (gidx * didx).astype(f32)
+            tw_ref[0:t, :] = jnp.cos(ang)
+            tw_ref[t:2 * t, :] = jnp.sin(ang)
+
+        def _twiddle(g, gr, gi, conj=False):
+            if r == 1:
+                return gr, gi
+            tr = tw_ref[g * m:(g + 1) * m, :]
+            ti = tw_ref[t + g * m:t + (g + 1) * m, :]
+            if conj:
+                return gr * tr + gi * ti, gi * tr - gr * ti
+            return gr * tr - gi * ti, gr * ti + gi * tr
+
+        fwd_cplx, _fr, inv_cplx, _ir, _pmm, _smm = _make_dft_ops(
+            t, m, x3, wfr, wfi, wir, wii, _twiddle)
+
+        def lin(src, dst, fac_ref):
+            """Linear substep per polarization: dst = IDFT(fac * DFT(src))."""
+            for p in (0, 1):
+                o = 2 * t * p
+                Sr, Si = fwd_cplx(
+                    lambda g, o=o: src[o + 2 * g * m:o + 2 * (g + 1) * m, :])
+                for c in range(r):
+                    fr_c = fac_ref[o + c * m:o + (c + 1) * m, :]
+                    fi_c = fac_ref[o + t + c * m:o + t + (c + 1) * m, :]
+                    Sr[c], Si[c] = (Sr[c] * fr_c - Si[c] * fi_c,
+                                    Sr[c] * fi_c + Si[c] * fr_c)
+
+                def write(g, or_, oi, o=o):
+                    dst[o + 2 * g * m:o + (2 * g + 1) * m, :] = or_
+                    dst[o + (2 * g + 1) * m:o + 2 * (g + 1) * m, :] = oi
+
+                inv_cplx(Sr, Si, write)
+
+        def kerr_v(src, dst):
+            """Exact coupled rotation exp(i gamma (P_p + b P_q) h) per
+            sample (both powers are invariants of the incoherent flow)."""
+            for g in range(r):
+                ox, oy = 0, 2 * t
+                arx = src[ox + 2 * g * m:ox + (2 * g + 1) * m, :]
+                aix = src[ox + (2 * g + 1) * m:ox + 2 * (g + 1) * m, :]
+                ary = src[oy + 2 * g * m:oy + (2 * g + 1) * m, :]
+                aiy = src[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :]
+                Px = arx * arx + aix * aix
+                Py = ary * ary + aiy * aiy
+                angx = (gam * gh) * (Px + bx * Py)
+                angy = (gam * gh) * (Py + bx * Px)
+                cx, sx = jnp.cos(angx), jnp.sin(angx)
+                cy, sy = jnp.cos(angy), jnp.sin(angy)
+                dst[ox + 2 * g * m:ox + (2 * g + 1) * m, :] = arx * cx - aix * sx
+                dst[ox + (2 * g + 1) * m:ox + 2 * (g + 1) * m, :] = (
+                    arx * sx + aix * cx)
+                dst[oy + 2 * g * m:oy + (2 * g + 1) * m, :] = ary * cy - aiy * sy
+                dst[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :] = (
+                    ary * sy + aiy * cy)
+
+        def peak_of(ref):
+            """(2, blk) per-polarization max over samples of |A|^2."""
+            rows = []
+            for p in (0, 1):
+                o = 2 * t * p
+                pk = None
+                for g in range(r):
+                    ar = ref[o + 2 * g * m:o + (2 * g + 1) * m, :]
+                    ai = ref[o + (2 * g + 1) * m:o + 2 * (g + 1) * m, :]
+                    pp = jnp.max(ar * ar + ai * ai, axis=0, keepdims=True)
+                    pk = pp if pk is None else jnp.maximum(pk, pp)
+                rows.append(pk)
+            return jnp.concatenate(rows, axis=0)
+
+        def steps_refs(k):
+            lin(u_ref, v_ref, lh_ref)
+
+            def body(_i, c):
+                kerr_v(v_ref, u_ref)
+                lin(u_ref, v_ref, lf_ref)
+                return c
+
+            if k > 1:
+                lax.fori_loop(0, k - 1, body, jnp.int32(0))
+            kerr_v(v_ref, u_ref)
+            lin(u_ref, v_ref, lh_ref)
+
+        def v_finite():
+            v = v_ref[:, :]
+            return jnp.all(jnp.abs(v) < np.float32(3.4e38),
+                           axis=0, keepdims=True).astype(f32)
+
+        ok0 = jnp.ones_like(gam[0:1, :])
+        pk0 = peak_of(s_ref)
+
+        def chunk(_c, carry):
+            ok, pk = carry
+            steps_refs(save_every)
+            ok_n = ok * v_finite()
+            s_ref[:, :] = jnp.where(ok_n > np.float32(0.0),
+                                    v_ref[:, :], s_ref[:, :])
+            u_ref[:, :] = v_ref[:, :]
+            pk = jnp.maximum(pk, peak_of(s_ref))
+            return (ok_n, pk)
+
+        ok, pk = lax.fori_loop(0, n_chunks, chunk, (ok0, pk0))
+        if remainder > 0:
+            steps_refs(remainder)
+            ok = ok * v_finite()
+        pk_ref[:, :] = pk
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
+def _make_vgnlse_call(n_steps: int, save_every: int, t: int, dz: float,
+                      b_xpm: float, interpret: bool, block: int):
+    from jax.experimental import pallas as pl
+
+    m = M_SUB if t >= M_SUB else t
+    inv_extra = float(t // m) if _use_fft(t, m) else 1.0
+    wfr, wfi, wir, wii = _dft_weight_blocks(m, inv_extra)
+    kernel = _kernel_body(n_steps, save_every, t, m, dz, b_xpm, interpret)
+    weights = [jnp.asarray(w) for w in (wfr, wfi, wir, wii)]
+
+    def call(lh, gam, y0):
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = y0.shape[1]
+        blk = min(block, B)
+        grid = (B // blk,)
+        spec_kwargs = {}
+        call_kwargs = {}
+        if not interpret:
+            spec_kwargs = {"memory_space": pltpu.VMEM}
+            call_kwargs = {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)}
+        r = t // m
+        scratch = [pltpu.VMEM((4 * t, blk), jnp.float32) for _ in range(3)]
+        if r > 1:
+            scratch.append(pltpu.VMEM((2 * t, 1), jnp.float32))
+        fixed = [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), **spec_kwargs)
+            for w in weights
+        ]
+        per_b = [
+            pl.BlockSpec((4 * t, blk), lambda i: (0, i), **spec_kwargs),  # lh
+            pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),      # gam
+            pl.BlockSpec((4 * t, blk), lambda i: (0, i), **spec_kwargs),  # y0
+        ]
+        out_specs = (
+            pl.BlockSpec((2, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((4 * t, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=fixed + per_b,
+            out_specs=out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((2, B), jnp.float32),
+                jax.ShapeDtypeStruct((4 * t, B), jnp.float32),
+                jax.ShapeDtypeStruct((1, B), jnp.float32),
+            ),
+            # y0's block is the dead initial value of ylast: alias them
+            input_output_aliases={len(weights) + 2: 1},
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **call_kwargs,
+        )(*weights, lh, gam, y0)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_vgnlse_solver(n_steps: int, save_every: int, t: int, dz: float,
+                          b_xpm: float, interpret: bool, block: int):
+    call = _make_vgnlse_call(n_steps, save_every, t, dz, b_xpm, interpret,
+                             block)
+
+    def fused(lh, gam, y0):
+        B = y0.shape[1]
+        lh = jnp.broadcast_to(lh, (lh.shape[0], B))
+        pk, ylast, ok = call(lh, gam, y0)
+        # one stacked output (docs/PERF.md rule 7)
+        return jnp.concatenate([pk, ylast, ok], axis=0)
+
+    return jax.jit(fused)
+
+
+@functools.lru_cache(maxsize=16)
+def _pallas_vgnlse_solver_sharded(n_steps: int, save_every: int, t: int,
+                                  dz: float, b_xpm: float, interpret: bool,
+                                  block: int, mesh):
+    from jax.sharding import PartitionSpec
+
+    call = _make_vgnlse_call(n_steps, save_every, t, dz, b_xpm, interpret,
+                             block)
+
+    def fused(lh, gam, y0):
+        pk, ylast, ok = call(lh, gam, y0)
+        return jnp.concatenate([pk, ylast, ok], axis=0)
+
+    axes = tuple(mesh.axis_names)
+    spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
+    return jax.jit(
+        jax.shard_map(
+            fused, mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+    ), spec
+
+
+def solve_vgnlse_batch_pallas(
+    A0: np.ndarray,
+    gamma,
+    alpha,
+    lin_phase,
+    b_xpm: float,
+    *,
+    dz_m: float,
+    n_steps: int,
+    save_every: int,
+    interpret: bool = False,
+    block: int = BLOCK,
+    mesh=None,
+):
+    """Fused-kernel batched vector SSFM solve; contract mirrors
+    ``models/vgnlse._vgnlse_solver`` (fixed-step, x32, incoherent
+    couplings): returns host ``(peak_max (B, 2), A_last (B, 2, T),
+    ok (B,))``.
+
+    ``A0`` is ``(B, 2, T)`` complex; ``gamma`` broadcasts to ``(B,)``;
+    ``alpha`` follows the vector rank rule (rank >= 2: spectral (2, T) /
+    (B, 2, T); rank 1: per-instance (B,); rank 0: flat); ``lin_phase`` is
+    ``(2, T)`` or ``(B, 2, T)`` [rad/m] (birefringence folds in);
+    ``b_xpm`` is the XPM coupling ratio (a trace-time constant).  T must
+    be a multiple of 128 and at most ``128 * MAX_R``.  Pass ``mesh`` to
+    shard the batch axis (``shard_map``, per-shard kernel launch).
+    """
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 3 or A0.shape[1] != 2:
+        raise ValueError(f"A0 must have shape (B, 2, T), got {A0.shape}")
+    B, _, T = A0.shape
+    m = M_SUB
+    if T % m != 0 or T < m:
+        raise ValueError(
+            f"T={T} is not a multiple of {m}: the fused vector SSFM kernel "
+            f"needs polyphase groups of {m}; use the scan engine"
+        )
+    if T // m > MAX_R:
+        raise ValueError(
+            f"T={T} too wide for the fused vector SSFM kernel "
+            f"(max {m * MAX_R}); use the scan engine"
+        )
+
+    gamma = np.broadcast_to(np.asarray(gamma, dtype=np.float64), (B,))
+    al = np.asarray(alpha, dtype=np.float64)
+    phase = np.asarray(lin_phase, dtype=np.float64)
+    if phase.shape[-2:] != (2, T):
+        raise ValueError(
+            f"lin_phase must end in (2, T)=(2, {T}), got {phase.shape}"
+        )
+    # alpha rank rule (models/vgnlse._lin_factor_v)
+    if al.ndim >= 2:
+        al_b = np.broadcast_to(al, (B, 2, T))
+        shared = al.ndim == 2 and phase.ndim == 2
+        al_f = al[None] if (shared and al.ndim == 2) else al_b
+    elif al.ndim == 1:
+        al_f = np.broadcast_to(al[:, None, None], (B, 2, T))
+        shared = False
+    else:
+        shared = phase.ndim == 2
+        al_f = np.broadcast_to(al, (1 if shared else B, 2, T))
+    phase_f = phase[None] if phase.ndim == 2 else np.broadcast_to(
+        phase, (B, 2, T))
+    if not shared:
+        phase_f = np.broadcast_to(phase_f, (B, 2, T))
+        al_f = np.broadcast_to(al_f, (B, 2, T))
+
+    perm = _group_perm(T, m)
+    r = T // m
+
+    def grouped_planes(re_bt, im_bt):
+        """(Bf, T) re/im -> (2T, Bf) grouped-stacked layout."""
+        ar = re_bt.T.astype(np.float32)[perm]
+        ai = im_bt.T.astype(np.float32)[perm]
+        rows = []
+        for gg in range(r):
+            rows.append(ar[gg * m:(gg + 1) * m])
+            rows.append(ai[gg * m:(gg + 1) * m])
+        return np.concatenate(rows, axis=0)
+
+    def factor_planes(h):
+        """exp((-alpha/2 + i phi) h) per pol, natural k order, (4T, Bf)."""
+        with np.errstate(over="ignore"):
+            dec = np.exp(-0.5 * al_f * h)
+            ang = phase_f * h
+            fr = (dec * np.cos(ang)).astype(np.float32)
+            fi = (dec * np.sin(ang)).astype(np.float32)
+        pols = []
+        for p in (0, 1):
+            pols.append(np.concatenate([fr[:, p].T, fi[:, p].T], axis=0))
+        return np.concatenate(pols, axis=0)     # (4T, Bf)
+
+    lh = factor_planes(0.5 * dz_m)
+
+    blk = int(min(block, max(B, LANES)))
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    if B < ndev * blk:
+        blk = LANES
+    mult = ndev * blk
+    Bp = ((B + mult - 1) // mult) * mult
+    pad = Bp - B
+
+    def padded(x, axis=0):
+        if not pad:
+            return x
+        rep = np.repeat(np.take(x, [-1], axis=axis), pad, axis=axis)
+        return np.concatenate([x, rep], axis=axis)
+
+    A0p = padded(A0)
+    g = padded(gamma).astype(np.float32)[None, :]
+    if lh.shape[1] != 1:
+        lh = padded(lh, axis=1)
+
+    y0 = np.concatenate(
+        [grouped_planes(A0p[:, p].real, A0p[:, p].imag) for p in (0, 1)],
+        axis=0,
+    )                                            # (4T, Bp)
+
+    if mesh is None:
+        solver = _pallas_vgnlse_solver(
+            int(n_steps), int(save_every), int(T), float(dz_m),
+            float(b_xpm), bool(interpret), blk,
+        )
+        args = (jnp.asarray(lh), jnp.asarray(g), jnp.asarray(y0))
+        with jax.enable_x64(False):
+            out = jax.block_until_ready(solver(*args))
+        out = np.asarray(out, np.float64)        # ONE fetch
+    else:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import fetch_global, put_global
+
+        solver, spec = _pallas_vgnlse_solver_sharded(
+            int(n_steps), int(save_every), int(T), float(dz_m),
+            float(b_xpm), bool(interpret), blk, mesh,
+        )
+        sh = NamedSharding(mesh, spec)
+        lhb = np.broadcast_to(lh, (4 * T, Bp))
+        args = tuple(put_global(np.ascontiguousarray(x), sh)
+                     for x in (lhb, g, y0))
+        with jax.enable_x64(False):
+            fused_out = jax.block_until_ready(solver(*args))
+        out = np.asarray(fetch_global(fused_out), np.float64)
+
+    pk = out[0:2, :B].T                          # (B, 2)
+    yl = out[2:2 + 4 * T]
+    ok = out[2 + 4 * T, :B] > 0.0
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(T)
+
+    def ungroup(block_2t):
+        ar = np.concatenate(
+            [block_2t[2 * gg * m:(2 * gg + 1) * m] for gg in range(r)],
+            axis=0)
+        ai = np.concatenate(
+            [block_2t[(2 * gg + 1) * m:2 * (gg + 1) * m] for gg in range(r)],
+            axis=0)
+        return (ar[inv] + 1j * ai[inv]).T[:B]    # (B, T)
+
+    A_last = np.stack([ungroup(yl[0:2 * T]), ungroup(yl[2 * T:4 * T])],
+                      axis=1)                    # (B, 2, T)
+    return pk, A_last, ok

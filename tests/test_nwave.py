@@ -471,3 +471,15 @@ def test_pallas_comb_x3_compensated_dot_parity():
                                    atol=5e-5 * np.max(P6))
     with pytest.raises(ValueError, match="mxu_precision"):
         solve_comb_batch_pallas(A0, mxu_precision="x9", **kw)
+
+    # models-layer pass-through: solve_comb_batch(engine='pallas',
+    # mxu_precision='x3') reaches the same kernel
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=0.01, save_every=10,
+                                       precision="x32")
+    co = nw.NWaveCoeffs(gamma=kw["gamma"], alpha=kw["alpha"],
+                        beta_lin=kw["beta_lin"])
+    _, A_m, ok_m = nw.solve_comb_batch(cfg, co, A0, engine="pallas",
+                                       mxu_precision="x3")
+    P3, A3, ok3 = solve_comb_batch_pallas(A0, mxu_precision="x3", **kw)
+    np.testing.assert_array_equal(A_m, A3)
+    assert ok_m.all()

@@ -201,8 +201,9 @@ def test_sharded_matches_unsharded():
 
 
 def test_xgroup_fft_matches_fma():
-    """Radix-2 cross-group FFT (default) vs the dense FMA cross-group DFT
-    at r=4 (T=512): same kernel up to summation order."""
+    """Radix-2 cross-group FFT (opt-in A/B path) vs the dense FMA
+    cross-group DFT (default) at r=4 (T=512): same kernel up to summation
+    order."""
     from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import (
         pallas_gnlse as pg,
     )
@@ -214,14 +215,14 @@ def test_xgroup_fft_matches_fma():
             A0, GAMMA, ALPHA, np.asarray(co.lin_phase),
             dz_m=0.01, n_steps=6, save_every=2, interpret=True)
 
-    assert pg.XGROUP == "fft"          # default strategy under test
-    pk_f, Af_f, ok_f = run()
-    pg.XGROUP = "fma"
+    assert pg.XGROUP == "fma"          # measured default (v5e A/B)
+    pk_d, Af_d, ok_d = run()
+    pg.XGROUP = "fft"
     pg._pallas_gnlse_solver.cache_clear()
     try:
-        pk_d, Af_d, ok_d = run()
+        pk_f, Af_f, ok_f = run()
     finally:
-        pg.XGROUP = "fft"
+        pg.XGROUP = "fma"
         pg._pallas_gnlse_solver.cache_clear()
     assert np.array_equal(ok_f, ok_d)
     np.testing.assert_allclose(pk_f, pk_d, rtol=1e-5)
