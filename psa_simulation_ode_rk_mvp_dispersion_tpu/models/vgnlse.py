@@ -626,9 +626,9 @@ def solve_vgnlse_batch(
 
     ``engine``: 'scan' (XLA loop, any coupling/integrator/precision),
     'pallas' (fused single-launch VMEM kernel, ``ops/pallas_vgnlse.py``:
-    TPU, rk4, x32, incoherent couplings only -- the coherent isotropic
-    c-term needs the scan engine's RK4 substep; T a multiple of 128 up to
-    2048), or 'auto' (scan).
+    TPU, rk4, x32, every coupling -- the coherent isotropic c-term runs
+    an in-kernel pointwise RK4; T a multiple of 128 up to 2048), or
+    'auto' (scan).
 
     Checkpoint/resume: ``A_last`` is the restart state (autonomous
     equation) -- feed it back as ``A0`` to continue bitwise (fixed-step;
@@ -662,11 +662,6 @@ def solve_vgnlse_batch(
             raise ValueError(
                 "engine='pallas' vector SSFM kernel is x32 only"
             )
-        if float(coeffs.coherent) != 0.0:
-            raise ValueError(
-                "engine='pallas' covers the incoherent couplings only "
-                "(coherent c-term needs the scan engine's RK4 substep)"
-            )
         from ..ops.pallas_vgnlse import solve_vgnlse_batch_pallas
 
         return solve_vgnlse_batch_pallas(
@@ -675,6 +670,7 @@ def solve_vgnlse_batch(
             np.asarray(coeffs.lin_phase, dtype=float),
             float(np.asarray(coeffs.b_xpm)),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
+            coherent=float(coeffs.coherent),
             interpret=_jax.default_backend() != "tpu", mesh=mesh,
         )
 

@@ -1,12 +1,15 @@
 """Pallas TPU kernel: fused single-launch vector SSFM solver (x32).
 
-Vector (two-polarization) analog of ``ops/pallas_gnlse.py`` for the
-INCOHERENT couplings of ``models/vgnlse.py`` (cnlse b=2/3 / manakov
-b=8/9-scaled / isotropic-incoherent b=2/3+1/3: every model whose
-``coherent`` term is 0, i.e. the nonlinear substep is the exact coupled
-rotation exp(i gamma (P_p + b P_q) h) — ``models/vgnlse._xpm_kerr_step``).
-The coherent c-term (``coupling='isotropic'``) needs an RK4 substep and
-stays on the scan engine.
+Vector (two-polarization) analog of ``ops/pallas_gnlse.py`` covering ALL
+the couplings of ``models/vgnlse.py``: the incoherent models (cnlse
+b=2/3 / manakov b=8/9-scaled / isotropic-incoherent) use the exact
+coupled rotation exp(i gamma (P_p + b P_q) h)
+(``models/vgnlse._xpm_kerr_step``); the full isotropic coupling's
+coherent four-wave c-term (``coupling='isotropic'``) runs an in-kernel
+pointwise RK4 on the joint operator
+N(A)_p = i gamma [(P_p + b P_q) A_p + c A_p* A_q^2]
+(``models/vgnlse._v_nl_rhs`` — no transforms, pure VPU plane math, so
+unlike the scalar kernel's Raman RK4 it adds no MXU passes).
 
 Layout: the batched state is (4T, blk) f32 — polarization p occupies rows
 [p*2T, (p+1)*2T) in the scalar kernel's grouped-complex layout (r groups
@@ -49,13 +52,16 @@ from .pallas_gnlse import (
 
 
 def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
-                 b_xpm: float, interpret: bool = False):
+                 b_xpm: float, coherent: float = 0.0,
+                 interpret: bool = False):
     r = t // m
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
     f32 = jnp.float32
     gh = np.float32(dz)                      # rotation angle scale
     bx = np.float32(b_xpm)
+    ch = np.float32(coherent)
+    has_coh = float(coherent) != 0.0
     x3 = DOT_ALG == "x3" and not interpret
 
     def kernel(wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref,
@@ -138,6 +144,57 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                 dst[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :] = (
                     ary * sy + aiy * cy)
 
+        def coh_rk4_v(src, dst):
+            """Pointwise RK4 on the full isotropic operator
+            N(A)_p = i G [(P_p + b P_q) A_p + c A_p* A_q^2] with the step
+            folded into G = gamma*h (``models/vgnlse._v_nl_substep``).
+            Per-sample, no transforms: pure VPU plane math per group."""
+            G = gam * gh
+
+            def rhs(arx, aix, ary, aiy):
+                Px = arx * arx + aix * aix
+                Py = ary * ary + aiy * aiy
+                sx = Px + bx * Py
+                sy = Py + bx * Px
+                # ay^2 and ax^2 (re, im)
+                yr2 = ary * ary - aiy * aiy
+                yi2 = (ary + ary) * aiy
+                xr2 = arx * arx - aix * aix
+                xi2 = (arx + arx) * aix
+                # w_p = conj(a_p) a_q^2
+                wxr = arx * yr2 + aix * yi2
+                wxi = arx * yi2 - aix * yr2
+                wyr = ary * xr2 + aiy * xi2
+                wyi = ary * xi2 - aiy * xr2
+                uxr = sx * arx + ch * wxr
+                uxi = sx * aix + ch * wxi
+                uyr = sy * ary + ch * wyr
+                uyi = sy * aiy + ch * wyi
+                # N = i G u
+                return (-G * uxi, G * uxr, -G * uyi, G * uyr)
+
+            for g in range(r):
+                ox, oy = 0, 2 * t
+                y0g = (src[ox + 2 * g * m:ox + (2 * g + 1) * m, :],
+                       src[ox + (2 * g + 1) * m:ox + 2 * (g + 1) * m, :],
+                       src[oy + 2 * g * m:oy + (2 * g + 1) * m, :],
+                       src[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :])
+                k1 = rhs(*y0g)
+                k2 = rhs(*[y + np.float32(0.5) * k
+                           for y, k in zip(y0g, k1)])
+                k3 = rhs(*[y + np.float32(0.5) * k
+                           for y, k in zip(y0g, k2)])
+                k4 = rhs(*[y + k for y, k in zip(y0g, k3)])
+                sixth = np.float32(1.0 / 6.0)
+                out = [y + sixth * (a + np.float32(2.0) * (b + c) + d)
+                       for y, a, b, c, d in zip(y0g, k1, k2, k3, k4)]
+                dst[ox + 2 * g * m:ox + (2 * g + 1) * m, :] = out[0]
+                dst[ox + (2 * g + 1) * m:ox + 2 * (g + 1) * m, :] = out[1]
+                dst[oy + 2 * g * m:oy + (2 * g + 1) * m, :] = out[2]
+                dst[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :] = out[3]
+
+        nl_v = coh_rk4_v if has_coh else kerr_v
+
         def peak_of(ref):
             """(2, blk) per-polarization max over samples of |A|^2."""
             rows = []
@@ -156,13 +213,13 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
             lin(u_ref, v_ref, lh_ref)
 
             def body(_i, c):
-                kerr_v(v_ref, u_ref)
+                nl_v(v_ref, u_ref)
                 lin(u_ref, v_ref, lf_ref)
                 return c
 
             if k > 1:
                 lax.fori_loop(0, k - 1, body, jnp.int32(0))
-            kerr_v(v_ref, u_ref)
+            nl_v(v_ref, u_ref)
             lin(u_ref, v_ref, lh_ref)
 
         def v_finite():
@@ -194,13 +251,15 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
 
 
 def _make_vgnlse_call(n_steps: int, save_every: int, t: int, dz: float,
-                      b_xpm: float, interpret: bool, block: int):
+                      b_xpm: float, coherent: float, interpret: bool,
+                      block: int):
     from jax.experimental import pallas as pl
 
     m = M_SUB if t >= M_SUB else t
     inv_extra = float(t // m) if _use_fft(t, m) else 1.0
     wfr, wfi, wir, wii = _dft_weight_blocks(m, inv_extra)
-    kernel = _kernel_body(n_steps, save_every, t, m, dz, b_xpm, interpret)
+    kernel = _kernel_body(n_steps, save_every, t, m, dz, b_xpm, coherent,
+                          interpret)
     weights = [jnp.asarray(w) for w in (wfr, wfi, wir, wii)]
 
     def call(lh, gam, y0):
@@ -255,9 +314,10 @@ def _make_vgnlse_call(n_steps: int, save_every: int, t: int, dz: float,
 
 @functools.lru_cache(maxsize=32)
 def _pallas_vgnlse_solver(n_steps: int, save_every: int, t: int, dz: float,
-                          b_xpm: float, interpret: bool, block: int):
-    call = _make_vgnlse_call(n_steps, save_every, t, dz, b_xpm, interpret,
-                             block)
+                          b_xpm: float, coherent: float, interpret: bool,
+                          block: int):
+    call = _make_vgnlse_call(n_steps, save_every, t, dz, b_xpm, coherent,
+                             interpret, block)
 
     def fused(lh, gam, y0):
         B = y0.shape[1]
@@ -271,12 +331,12 @@ def _pallas_vgnlse_solver(n_steps: int, save_every: int, t: int, dz: float,
 
 @functools.lru_cache(maxsize=16)
 def _pallas_vgnlse_solver_sharded(n_steps: int, save_every: int, t: int,
-                                  dz: float, b_xpm: float, interpret: bool,
-                                  block: int, mesh):
+                                  dz: float, b_xpm: float, coherent: float,
+                                  interpret: bool, block: int, mesh):
     from jax.sharding import PartitionSpec
 
-    call = _make_vgnlse_call(n_steps, save_every, t, dz, b_xpm, interpret,
-                             block)
+    call = _make_vgnlse_call(n_steps, save_every, t, dz, b_xpm, coherent,
+                             interpret, block)
 
     def fused(lh, gam, y0):
         pk, ylast, ok = call(lh, gam, y0)
@@ -304,22 +364,25 @@ def solve_vgnlse_batch_pallas(
     dz_m: float,
     n_steps: int,
     save_every: int,
+    coherent: float = 0.0,
     interpret: bool = False,
     block: int = BLOCK,
     mesh=None,
 ):
     """Fused-kernel batched vector SSFM solve; contract mirrors
-    ``models/vgnlse._vgnlse_solver`` (fixed-step, x32, incoherent
-    couplings): returns host ``(peak_max (B, 2), A_last (B, 2, T),
-    ok (B,))``.
+    ``models/vgnlse._vgnlse_solver`` (fixed-step, x32): returns host
+    ``(peak_max (B, 2), A_last (B, 2, T), ok (B,))``.
 
     ``A0`` is ``(B, 2, T)`` complex; ``gamma`` broadcasts to ``(B,)``;
     ``alpha`` follows the vector rank rule (rank >= 2: spectral (2, T) /
     (B, 2, T); rank 1: per-instance (B,); rank 0: flat); ``lin_phase`` is
     ``(2, T)`` or ``(B, 2, T)`` [rad/m] (birefringence folds in);
-    ``b_xpm`` is the XPM coupling ratio (a trace-time constant).  T must
-    be a multiple of 128 and at most ``128 * MAX_R``.  Pass ``mesh`` to
-    shard the batch axis (``shard_map``, per-shard kernel launch).
+    ``b_xpm`` is the XPM coupling ratio and ``coherent`` the four-wave
+    c-term weight (both trace-time constants; ``coherent != 0`` switches
+    the nonlinear substep from the exact rotation to the in-kernel
+    pointwise RK4).  T must be a multiple of 128 and at most
+    ``128 * MAX_R``.  Pass ``mesh`` to shard the batch axis
+    (``shard_map``, per-shard kernel launch).
     """
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 3 or A0.shape[1] != 2:
@@ -415,7 +478,7 @@ def solve_vgnlse_batch_pallas(
     if mesh is None:
         solver = _pallas_vgnlse_solver(
             int(n_steps), int(save_every), int(T), float(dz_m),
-            float(b_xpm), bool(interpret), blk,
+            float(b_xpm), float(coherent), bool(interpret), blk,
         )
         args = (jnp.asarray(lh), jnp.asarray(g), jnp.asarray(y0))
         with jax.enable_x64(False):
@@ -428,7 +491,7 @@ def solve_vgnlse_batch_pallas(
 
         solver, spec = _pallas_vgnlse_solver_sharded(
             int(n_steps), int(save_every), int(T), float(dz_m),
-            float(b_xpm), bool(interpret), blk, mesh,
+            float(b_xpm), float(coherent), bool(interpret), blk, mesh,
         )
         sh = NamedSharding(mesh, spec)
         lhb = np.broadcast_to(lh, (4 * T, Bp))

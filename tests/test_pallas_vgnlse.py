@@ -112,12 +112,40 @@ def test_public_engine_dispatch_and_validation():
             psa.custom_simulation_config(z_max=0.1, dz=0.01,
                                          precision="x64"),
             co64, A0, engine="pallas")
-    with pytest.raises(ValueError, match="incoherent"):
-        _g, co_iso, A0i = _setup(B=4, coupling="isotropic")
-        vg.solve_vgnlse_batch(cfg, co_iso, A0i, engine="pallas")
     with pytest.raises(ValueError, match="multiple of 128"):
         _g, co_w, A0_w = _setup(B=4, T=200)
         _run_kernel(cfg, co_w, A0_w)
+
+
+def test_isotropic_coherent_matches_scan_engine():
+    """Full isotropic coupling (coherent c=1/3): the kernel's in-kernel
+    pointwise RK4 must match the scan engine's RK4 substep
+    (``models/vgnlse._v_nl_substep``), and the c-term's pointwise power
+    exchange must conserve |A_x|^2 + |A_y|^2 per sample up to loss."""
+    # dbeta0 drives the relative-phase drift that enables the c-term's
+    # power exchange (2*dbeta0*z_max ~ 1.6 rad: strong, not averaged out)
+    _grid, co, A0 = _setup(B=4, coupling="isotropic", theta=0.35,
+                           dbeta0_1_m=8.0)
+    assert float(co.coherent) != 0.0
+    cfg = _cfg()
+    pk_s, Af_s, ok_s = vg.solve_vgnlse_batch(cfg, co, A0, engine="scan")
+    pk_p, Af_p, ok_p = vg.solve_vgnlse_batch(cfg, co, A0, engine="pallas")
+    assert np.array_equal(ok_s, ok_p)
+    np.testing.assert_allclose(pk_p, pk_s, rtol=1e-4)
+    np.testing.assert_allclose(Af_p, Af_s, rtol=0,
+                               atol=1e-4 * np.max(np.abs(Af_s)))
+    # coherent exchange moved power between polarizations...
+    p_in = np.abs(A0) ** 2
+    p_out = np.abs(Af_p) ** 2
+    frac_in = p_in.sum(-1)[:, 0] / p_in.sum(-1).sum(-1)
+    frac_out = p_out.sum(-1)[:, 0] / p_out.sum(-1).sum(-1)
+    # grows with instance power (lanes are 0.5..1.5 x soliton power)
+    exch = np.abs(frac_out - frac_in)
+    assert exch.max() > 1e-5 and exch.argmax() == 3
+    # ...but the total energy only decays by the flat loss
+    decay = np.exp(-ALPHA * cfg.z_max)
+    np.testing.assert_allclose(p_out.sum((-2, -1)),
+                               p_in.sum((-2, -1)) * decay, rtol=1e-3)
 
 
 def test_nan_lane_freezes_at_last_good_chunk():
