@@ -53,7 +53,7 @@ from ..utils.packing import (
     ri_unpack_host,
 )
 from ..utils.precision import real_dtype, require_non_df32, validate_precision
-from .gnlse import TimeGrid, _lane_finite, _split_reduce_pack
+from .gnlse import NLTerms, TimeGrid, _lane_finite, _split_reduce_pack
 
 XPM_LINEAR_BIREFRINGENT = 2.0 / 3.0
 MANAKOV_GAMMA_FACTOR = 8.0 / 9.0
@@ -249,36 +249,75 @@ def _v_nl_rhs(y, gamma, b, c):
     return _times_i_v(gamma * ((P + b * P_other) * y + c * coh))
 
 
-def _v_nl_substep(y, gamma, b, h, coherent):
+def _v_nl_rhs_gen(y, gamma, b, c, nl):
+    """Generalized vector nonlinear operator with the delayed Raman
+    response and self-steepening (isotropic-Raman approximation: the
+    delayed response is a SCALAR acting on the total power P_x + P_y,
+    the dominant parallel component h_a of silica's Raman tensor --
+    Lin & Agrawal's vector SRS theory reduced to a single response):
+
+        N(A)_p = i gamma (1 + (i/omega_0) d/dt) W_p,
+        W_p = (1 - f_R) [ (P_p + b P_q) A_p + c A_p* A_q^2 ]
+              + f_R A_p (h_R * (P_p + P_q)).
+
+    With A_q = 0 this reduces EXACTLY to the scalar ``gnlse._nl_rhs``
+    (the empty-pol parity test pins it).  Time-axis sign conventions
+    (correlation form of the convolution, flipped shock derivative)
+    follow the scalar operator -- see ``gnlse._nl_rhs``'s docstring."""
+    P = y.real * y.real + y.imag * y.imag            # (..., 2, T)
+    P_other = jnp.flip(P, axis=-2)
+    y_other = jnp.flip(y, axis=-2)
+    K = (P + b * P_other) * y
+    if c != 0.0:
+        K = K + c * (jnp.conj(y) * y_other * y_other)
+    T = P.shape[-1]
+    hl = T // 2 + 1
+    HRc_half = lax.complex(nl.hr_re[..., :hl], -nl.hr_im[..., :hl]).astype(
+        jnp.complex64 if y.dtype == jnp.complex64 else jnp.complex128
+    )
+    # total power on ONE row (both pols see the same scalar response --
+    # half the transforms), broadcast back over the pol axis by R * y
+    Pt = jnp.sum(P, axis=-2, keepdims=True)
+    R = jnp.fft.irfft(HRc_half * jnp.fft.rfft(Pt, axis=-1), n=T, axis=-1)
+    W = (1.0 - nl.f_r) * K + nl.f_r * (R * y)
+    dWdt = jnp.fft.ifft(_times_i_v(nl.omega * jnp.fft.fft(W, axis=-1)),
+                        axis=-1)
+    return _times_i_v(gamma * (W - nl.inv_w0 * _times_i_v(dWdt)))
+
+
+def _v_nl_substep(y, gamma, b, h, coherent, nl=None):
     """One nonlinear split substep: exact rotation for the incoherent
-    models (coherent == 0, a trace-time constant), RK4 on the full
+    models (coherent == 0, a trace-time constant), RK4 on the coherent
+    operator or (``nl`` present) the generalized Raman/steepening
     operator otherwise."""
-    if coherent == 0.0:
+    if nl is None and coherent == 0.0:
         return _xpm_kerr_step(y, gamma, b, h)
     c = coherent
-    k1 = _v_nl_rhs(y, gamma, b, c)
-    k2 = _v_nl_rhs(y + (0.5 * h) * k1, gamma, b, c)
-    k3 = _v_nl_rhs(y + (0.5 * h) * k2, gamma, b, c)
-    k4 = _v_nl_rhs(y + h * k3, gamma, b, c)
+    rhs = (functools.partial(_v_nl_rhs_gen, nl=nl) if nl is not None
+           else _v_nl_rhs)
+    k1 = rhs(y, gamma, b, c)
+    k2 = rhs(y + (0.5 * h) * k1, gamma, b, c)
+    k3 = rhs(y + (0.5 * h) * k2, gamma, b, c)
+    k4 = rhs(y + h * k3, gamma, b, c)
     return y + (h / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
 
 
 def _chunk_stepper_v(k: int, coherent: float = 0.0):
     """k fused symmetric split steps over (B, 2, T) state."""
 
-    def run(y, Lh, Lf, gamma, b, h):
+    def run(y, Lh, Lf, gamma, b, h, nl=None):
         if k == 0:
             return y
         y = jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
 
         def body(carry, _):
-            c = _v_nl_substep(carry, gamma, b, h, coherent)
+            c = _v_nl_substep(carry, gamma, b, h, coherent, nl)
             c = jnp.fft.ifft(Lf * jnp.fft.fft(c, axis=-1), axis=-1)
             return c, None
 
         if k > 1:
             y, _ = lax.scan(body, y, None, length=k - 1)
-        y = _v_nl_substep(y, gamma, b, h, coherent)
+        y = _v_nl_substep(y, gamma, b, h, coherent, nl)
         return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
 
     return run
@@ -302,13 +341,16 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
     def peak(y):
         return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)  # (B, 2)
 
-    def solve(y0_ri, coeffs: VGNLSECoeffs, dz):
+    def solve(y0_ri, coeffs: VGNLSECoeffs, dz, nl=None):
+        from .gnlse import _cast_nl
+
         y0 = ri_to_complex(y0_ri)                    # (B, 2, T)
         h = jnp.asarray(dz, dtype=rdt)
         gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
         if gamma.ndim:
             gamma = gamma[..., None, None]
         b = jnp.asarray(coeffs.b_xpm, dtype=rdt)
+        nl = _cast_nl(nl, rdt)
         Lh = _lin_factor_v(coeffs, 0.5 * h, rdt)
         Lf = _lin_factor_v(coeffs, h, rdt)
         ok0 = _lane_finite(y0)
@@ -316,7 +358,7 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
 
         def chunk(carry, _):
             y, pk, ok = carry
-            y_new = stepper(y, Lh, Lf, gamma, b, h)
+            y_new = stepper(y, Lh, Lf, gamma, b, h, nl)
             ok_new = ok & _lane_finite(y_new)
             y_out = jnp.where(ok_new[..., None, None], y_new, y)
             pk = jnp.maximum(pk, peak(y_out))
@@ -337,7 +379,7 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
         # framework-wide saved-grid convention)
         if remainder > 0:
             y_new = _chunk_stepper_v(remainder, coeffs.coherent)(
-                y, Lh, Lf, gamma, b, h)
+                y, Lh, Lf, gamma, b, h, nl)
             ok = ok & _lane_finite(y_new)
         y_final = complex_to_ri(y).astype(rdt)
         if reduce_mode:
@@ -356,7 +398,7 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
 # rank-generic step-doubling controller (models/gnlse._gnlse_advance_segment)
 # ---------------------------------------------------------------------------
 
-def _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt):
+def _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt, nl=None):
     """(coarse h step, fused fine h/2 pair) for the vector state -- the same
     5-FFT-pair structure as gnlse._doubling_attempt."""
     def lfft(L, a):
@@ -365,9 +407,9 @@ def _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt):
     coh = coeffs.coherent
     Lc = _lin_factor_v(coeffs, 0.5 * hb, rdt)
     Lf = _lin_factor_v(coeffs, 0.25 * hb, rdt)
-    yc = lfft(Lc, _v_nl_substep(lfft(Lc, y), gamma, b, hb, coh))
-    yf = _v_nl_substep(lfft(Lf, y), gamma, b, 0.5 * hb, coh)
-    yf = _v_nl_substep(lfft(Lc, yf), gamma, b, 0.5 * hb, coh)
+    yc = lfft(Lc, _v_nl_substep(lfft(Lc, y), gamma, b, hb, coh, nl))
+    yf = _v_nl_substep(lfft(Lf, y), gamma, b, 0.5 * hb, coh, nl)
+    yf = _v_nl_substep(lfft(Lc, yf), gamma, b, 0.5 * hb, coh, nl)
     return yc, lfft(Lf, yf)
 
 
@@ -382,19 +424,22 @@ def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
 
     rdt = jnp.dtype(rdt_name)
 
-    def solve(y0_ri, coeffs: VGNLSECoeffs, z_grid, dt0):
+    def solve(y0_ri, coeffs: VGNLSECoeffs, z_grid, dt0, nl=None):
+        from .gnlse import _cast_nl
+
         y0 = ri_to_complex(y0_ri)                    # (B, 2, T)
         gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
         if gamma.ndim:
             gamma = gamma[..., None, None]
         b = jnp.asarray(coeffs.b_xpm, dtype=rdt)
+        nl = _cast_nl(nl, rdt)
         B = y0.shape[0]
         ok0 = _lane_finite(y0)
         dt_init = jnp.full((B,), dt0, dtype=rdt)
         n0 = jnp.zeros((B,), jnp.int32)
 
         def attempt(y, hb):
-            return _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt)
+            return _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt, nl)
 
         def peak(y):
             return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
@@ -428,10 +473,21 @@ def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
     return jax.jit(solve)
 
 
+def _nl_replicated_spec():
+    """Replicated shard_map spec for an NLTerms pytree (shared planes)."""
+    from jax.sharding import PartitionSpec
+
+    from .gnlse import NLTerms
+
+    rep = PartitionSpec()
+    return NLTerms(f_r=rep, inv_w0=rep, omega=rep, hr_re=rep, hr_im=rep)
+
+
 @functools.lru_cache(maxsize=16)
 def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                                            atol: float, max_steps: int, mesh,
-                                           coherent: float = 0.0):
+                                           coherent: float = 0.0,
+                                           has_nl: bool = False):
     from jax.sharding import PartitionSpec
 
     inner = _vgnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
@@ -442,7 +498,7 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
     b = PartitionSpec(ax)
     return jax.jit(
         jax.shard_map(
-            lambda y0, c, zg, dt0: inner(y0, c, zg, dt0),
+            lambda y0, c, zg, dt0, nl=None: inner(y0, c, zg, dt0, nl),
             mesh=mesh,
             in_specs=(
                 PartitionSpec(ax, None, None, None),
@@ -450,7 +506,7 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                              lin_phase=PartitionSpec(ax, None, None),
                              coherent=coherent),
                 PartitionSpec(), PartitionSpec(),
-            ),
+            ) + ((_nl_replicated_spec(),) if has_nl else ()),
             out_specs=PartitionSpec(ax, None),
             check_vma=False,
         )
@@ -460,7 +516,8 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
 @functools.lru_cache(maxsize=16)
 def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
                                   rdt_name: str, mesh,
-                                  coherent: float = 0.0):
+                                  coherent: float = 0.0,
+                                  has_nl: bool = False):
     from jax.sharding import PartitionSpec
 
     inner = _vgnlse_solver(n_steps, save_every, rdt_name, True)
@@ -470,7 +527,7 @@ def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
     b = PartitionSpec(ax)
     return jax.jit(
         jax.shard_map(
-            lambda y0, c, dz: inner(y0, c, dz),
+            lambda y0, c, dz, nl=None: inner(y0, c, dz, nl),
             mesh=mesh,
             in_specs=(
                 PartitionSpec(ax, None, None, None),
@@ -478,7 +535,7 @@ def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
                              lin_phase=PartitionSpec(ax, None, None),
                              coherent=coherent),
                 PartitionSpec(),
-            ),
+            ) + ((_nl_replicated_spec(),) if has_nl else ()),
             out_specs=PartitionSpec(ax, None),
             check_vma=False,
         )
@@ -496,12 +553,17 @@ def run_vgnlse_simulation(
     *,
     length_unit: str = "m",
     z0: float = 0.0,
+    nl: Optional[NLTerms] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Integrate one vector envelope (2, T) over [z0, z0 + z_max]; returns
     host ``(z_saved, A_saved (S+1, 2, T))`` on the decimated save grid.
     Raises ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan``.
     ``cfg.integrator='rk45'`` dispatches to the adaptive split-step (the
     scalar GNLSE's step-doubling controller) on the same save grid.
+    ``nl`` (:func:`~.gnlse.make_nl_terms`, shared with the scalar family)
+    enables the delayed Raman response + self-steepening in the
+    isotropic-Raman approximation (the scalar response acts on the total
+    power; see ``_v_nl_rhs_gen``).
 
     Checkpoint/resume: pass the last saved row as ``A0`` and its coordinate
     as ``z0`` (in ``length_unit``); the co-moving vector GNLSE is autonomous
@@ -553,7 +615,7 @@ def run_vgnlse_simulation(
             float(np.asarray(coeffs.b_xpm)),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
-            coherent=float(coeffs.coherent),
+            coherent=float(coeffs.coherent), nl=nl,
         )
         if cfg.check_nan and not bool(ok[0]):
             raise FloatingPointError(
@@ -581,7 +643,7 @@ def run_vgnlse_simulation(
         ys, yf, ok, _na, _nr = jax.block_until_ready(
             solver(ri_pack_host(A0[None], rdt), coeffs,
                    jnp.asarray(z_grid, dtype=rdt),
-                   jnp.asarray(dz_m, dtype=rdt))
+                   jnp.asarray(dz_m, dtype=rdt), nl)
         )
         if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
             raise FloatingPointError(
@@ -594,7 +656,7 @@ def run_vgnlse_simulation(
                             np.dtype(rdt).name, False)
     ys, yf, ok = jax.block_until_ready(
         solver(ri_pack_host(A0[None], rdt), coeffs,
-               jnp.asarray(dz_m, dtype=rdt))
+               jnp.asarray(dz_m, dtype=rdt), nl)
     )
     if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
         raise FloatingPointError(
@@ -614,6 +676,7 @@ def solve_vgnlse_batch(
     length_unit: str = "m",
     mesh=None,
     engine: str = "auto",
+    nl: Optional[NLTerms] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Solve B independent vector envelopes (B, 2, T) in one XLA program
     (reduce mode).  Returns host ``(peak_max (B, 2), A_last (B, 2, T),
@@ -629,6 +692,10 @@ def solve_vgnlse_batch(
     TPU, rk4, x32, every coupling -- the coherent isotropic c-term runs
     an in-kernel pointwise RK4; T a multiple of 128 up to 2048), or
     'auto' (scan).
+
+    ``nl`` (:func:`~.gnlse.make_nl_terms`, shared with the scalar family)
+    enables Raman + self-steepening in the isotropic-Raman approximation
+    (scan engine; see ``_v_nl_rhs_gen``).
 
     Checkpoint/resume: ``A_last`` is the restart state (autonomous
     equation) -- feed it back as ``A0`` to continue bitwise (fixed-step;
@@ -661,6 +728,11 @@ def solve_vgnlse_batch(
         if prec != "x32":
             raise ValueError(
                 "engine='pallas' vector SSFM kernel is x32 only"
+            )
+        if nl is not None:
+            raise ValueError(
+                "engine='pallas' vector SSFM kernel does not take nl terms "
+                "(Raman/steepening); use the scan engine"
             )
         from ..ops.pallas_vgnlse import solve_vgnlse_batch_pallas
 
@@ -695,7 +767,7 @@ def solve_vgnlse_batch(
             float(np.asarray(coeffs.b_xpm)),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
-            mesh=mesh, coherent=float(coeffs.coherent),
+            mesh=mesh, coherent=float(coeffs.coherent), nl=nl,
         )
     rdt = real_dtype(require_non_df32(cfg.precision, family="vector-GNLSE split-step"))
 
@@ -751,7 +823,7 @@ def solve_vgnlse_batch(
                 int(cfg.max_steps), True,
             )
             out = jax.block_until_ready(
-                solver(jnp.asarray(y0_ri), cof, z_grid, dt0)
+                solver(jnp.asarray(y0_ri), cof, z_grid, dt0, nl)
             )
             pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, 2 * T,
                                                         counters=True)
@@ -759,7 +831,8 @@ def solve_vgnlse_batch(
             solver = _vgnlse_solver(n_steps, int(cfg.save_every),
                                     np.dtype(rdt).name, True)
             out = jax.block_until_ready(
-                solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt))
+                solver(jnp.asarray(y0_ri), cof,
+                       jnp.asarray(dz_m, dtype=rdt), nl)
             )
             pk, y_ri, ok = _split_reduce_pack(out, 2 * T, counters=False)
         y_ri = y_ri.reshape(-1, 2, T, 2)
@@ -775,23 +848,26 @@ def solve_vgnlse_batch(
             coherent=float(coeffs.coherent),
         )
         y0_dev = put_global(y0_ri, sh)
+        nl_args = () if nl is None else (nl,)
         if use_rk45:
             solver = _vgnlse_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), mesh, float(coeffs.coherent),
+                nl is not None,
             )
             out = fetch_global(jax.block_until_ready(
-                solver(y0_dev, cof_dev, z_grid, dt0)
+                solver(y0_dev, cof_dev, z_grid, dt0, *nl_args)
             ))
             pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, 2 * T,
                                                         counters=True)
         else:
             solver = _vgnlse_reduce_solver_sharded(
                 n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
-                float(coeffs.coherent),
+                float(coeffs.coherent), nl is not None,
             )
             out = fetch_global(jax.block_until_ready(
-                solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt))
+                solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt),
+                       *nl_args)
             ))
             pk, y_ri, ok = _split_reduce_pack(out, 2 * T, counters=False)
         y_ri = y_ri.reshape(-1, 2, T, 2)
@@ -808,11 +884,14 @@ def solve_vgnlse_batch_trajectories(
     *,
     length_unit: str = "m",
     z0: float = 0.0,
+    nl: Optional[NLTerms] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched solve returning full decimated trajectories
     ``(z (S+1,), A (B, S+1, 2, T) complex, ok (B,))`` (vector analog of
     ``gnlse.solve_gnlse_batch_trajectories``; unsharded -- trajectories are
-    a moderate-B tool, use :func:`solve_vgnlse_batch` for large sweeps)."""
+    a moderate-B tool, use :func:`solve_vgnlse_batch` for large sweeps).
+    ``nl`` enables Raman + self-steepening (isotropic-Raman approximation,
+    see ``_v_nl_rhs_gen``)."""
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
@@ -846,7 +925,7 @@ def solve_vgnlse_batch_trajectories(
             float(np.asarray(coeffs.b_xpm)),
             np.asarray(coeffs.lin_phase, dtype=float),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
-            coherent=float(coeffs.coherent),
+            coherent=float(coeffs.coherent), nl=nl,
         )
         zg = float(z0) + np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * dz_m
@@ -886,13 +965,13 @@ def solve_vgnlse_batch_trajectories(
         )
         ys, _yf, ok, _na, _nr = jax.block_until_ready(
             solver(jnp.asarray(y0_ri), cof, z_grid,
-                   jnp.asarray(dz_m, dtype=rdt))
+                   jnp.asarray(dz_m, dtype=rdt), nl)
         )
     else:
         solver = _vgnlse_solver(n_steps, int(cfg.save_every),
                                 np.dtype(rdt).name, False)
         ys, _yf, ok = jax.block_until_ready(
-            solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt))
+            solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt), nl)
         )
     A = ri_unpack_host(np.asarray(ys)).transpose(1, 0, 2, 3)
     return z, A, np.asarray(ok).astype(bool)

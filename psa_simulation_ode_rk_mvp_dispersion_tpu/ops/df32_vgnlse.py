@@ -12,6 +12,12 @@ uses (``models/vgnlse._v_nl_substep``), evaluated entirely in two-float
 arithmetic -- matched METHOD, so df32-vs-x64 differs only by rounding,
 not truncation.
 
+The generalized Raman/self-steepening nonlinearity (isotropic-Raman
+approximation, ``models/vgnlse._v_nl_rhs_gen``) runs the same two-float
+RK4 treatment as the scalar engine: ``_v_nl_m_gen_df32`` /
+``v_nl_rk4_gen_df32`` below, with the delayed response convolved against
+the TOTAL power via one two-float FFT pair per stage.
+
 State is a (B, 2, T) CTF; the linear substep reuses the scalar engine's
 ``_lin`` (the two-float FFT transforms the trailing axis, batching over
 (B, 2)).  Chunk/freeze/peak semantics mirror ``models/vgnlse._vgnlse_solver``
@@ -31,7 +37,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from .df32_gnlse import _lin
+from .df32_comb import tf_fft, tf_ifft
+from .df32_gnlse import _lin, make_df32_nl_planes
 from .twofloat import (
     CTF,
     TF,
@@ -41,14 +48,17 @@ from .twofloat import (
     ctf_freeze,
     ctf_from_c128,
     ctf_mul,
+    ctf_mul_i_real,
     ctf_mul_real,
     ctf_scale_f32,
+    ctf_sub,
     tf_add,
     tf_from_f64,
     tf_max,
     tf_mul,
     tf_neg,
     tf_sin_cos,
+    tf_zeros,
 )
 
 
@@ -146,14 +156,81 @@ def v_nl_rk4_df32(y: CTF, gamma_h: TF, b: TF, coherent: float) -> CTF:
     return ctf_add(y, ctf_mul_real(acc, sixth))
 
 
+def _v_nl_m_gen_df32(y: CTF, gamma_h: TF, b: TF, c: float, nlp,
+                     f_r: float, inv_w0: float) -> CTF:
+    """h-scaled GENERALIZED vector operator, all two-float -- the df32
+    rendering of ``models/vgnlse._v_nl_rhs_gen`` times the step
+    (isotropic-Raman approximation: the scalar delayed response acts on
+    the total power P_x + P_y):
+
+        M(A)_p = i gamma h [ W_p - (i/w0) dW_p/dt ],
+        W_p = (1-f_R) [ (P_p + b P_q) A_p + c A_p* A_q^2 ]
+              + f_R A_p (conj(H_R)-convolved (P_x + P_y)).
+
+    ``nlp`` is ``(hrc CTF (T,), omega TF (T,))`` from
+    :func:`~.df32_gnlse.make_df32_nl_planes`; ``c`` / ``f_r`` / ``inv_w0``
+    are STATIC floats (disabled terms drop their transforms at trace
+    time, matching the x64 path's math)."""
+    hrc, omega = nlp
+    P = ctf_abs2(y)
+    K = ctf_mul_real(y, tf_add(P, tf_mul(b, _tf_flip_pol(P))))
+    if c != 0.0:
+        y_q = _ctf_flip_pol(y)
+        coh = ctf_mul(ctf_conj(y), ctf_mul(y_q, y_q))
+        K = ctf_add(K, ctf_mul_real(coh, tf_from_f64(np.float64(c))))
+    if f_r > 0.0:
+        # total power on ONE pol row (the response is a scalar; R then
+        # broadcasts back over the pol axis) -- half the transforms
+        Ps = tf_add(P, _tf_flip_pol(P))
+        Pt = TF(Ps.hi[..., :1, :], Ps.lo[..., :1, :])
+        S = ctf_mul(tf_fft(CTF(Pt, tf_zeros(Pt.hi.shape))), hrc)
+        R = tf_ifft(S).re
+        W = ctf_add(
+            ctf_mul_real(K, tf_from_f64(np.float64(1.0 - f_r))),
+            ctf_mul_real(ctf_mul_real(y, R),
+                         tf_from_f64(np.float64(f_r))),
+        )
+    else:
+        W = K
+    out = W
+    if inv_w0 != 0.0:
+        V = tf_ifft(ctf_mul_i_real(tf_fft(W), omega))    # dW/dt
+        out = ctf_sub(W, ctf_mul_i_real(V, tf_from_f64(np.float64(inv_w0))))
+    return ctf_mul_i_real(out, gamma_h)                  # i gamma h (...)
+
+
+def v_nl_rk4_gen_df32(y: CTF, gamma_h: TF, b: TF, coherent: float, nlp,
+                      f_r: float, inv_w0: float) -> CTF:
+    """RK4 substep on the generalized vector operator, two-float (df32
+    rendering of ``models/vgnlse._v_nl_substep`` with nl present).  Exact
+    f32 stage scales + a two-float 1/6: matched METHOD vs x64."""
+    def m(v):
+        return _v_nl_m_gen_df32(v, gamma_h, b, coherent, nlp, f_r, inv_w0)
+
+    m1 = m(y)
+    m2 = m(ctf_add(y, ctf_scale_f32(m1, 0.5)))
+    m3 = m(ctf_add(y, ctf_scale_f32(m2, 0.5)))
+    m4 = m(ctf_add(y, m3))
+    acc = ctf_add(ctf_add(m1, m4), ctf_scale_f32(ctf_add(m2, m3), 2.0))
+    return ctf_add(y, ctf_mul_real(acc, tf_from_f64(np.float64(1.0) / 6.0)))
+
+
 def vssfm_steps_df32(y: CTF, co: DF32VGNLSECoeffs, k: int,
-                     unroll: bool = False, coherent: float = 0.0) -> CTF:
+                     unroll: bool = False, coherent: float = 0.0,
+                     nlp=None, f_r: float = 0.0,
+                     inv_w0: float = 0.0) -> CTF:
     """k fused symmetric split steps (``_chunk_stepper_v`` contract);
-    ``coherent`` (trace-time constant) selects the nonlinear substep."""
+    ``coherent`` (trace-time constant) selects the nonlinear substep;
+    ``nlp`` (with static ``f_r`` / ``inv_w0``) switches it to the
+    two-float RK4 on the generalized Raman/steepening operator."""
     if k == 0:
         return y
 
-    if coherent == 0.0:
+    if nlp is not None:
+        def sub(c):
+            return v_nl_rk4_gen_df32(c, co.gamma_h, co.b_xpm, coherent,
+                                     nlp, f_r, inv_w0)
+    elif coherent == 0.0:
         def sub(c):
             return xpm_kerr_rotation_df32(c, co.gamma_h, co.b_xpm)
     else:
@@ -193,7 +270,8 @@ def _v_peak(y: CTF) -> TF:
 
 
 def run_v_reduce_eager(y0: CTF, co: DF32VGNLSECoeffs, n_steps: int,
-                       save_every: int, coherent: float = 0.0):
+                       save_every: int, coherent: float = 0.0,
+                       nlp=None, f_r: float = 0.0, inv_w0: float = 0.0):
     """Eager reduce-mode solve for the CPU test lane (python loops)."""
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
@@ -202,32 +280,36 @@ def run_v_reduce_eager(y0: CTF, co: DF32VGNLSECoeffs, n_steps: int,
     y = y0
     for _ in range(n_chunks):
         y_new = vssfm_steps_df32(y, co, save_every, unroll=True,
-                                 coherent=coherent)
+                                 coherent=coherent, nlp=nlp, f_r=f_r,
+                                 inv_w0=inv_w0)
         ok = ok & _v_finite(y_new)
         y = ctf_freeze(ok[..., None], y_new, y)
         pk = tf_max(pk, _v_peak(y))
     if remainder > 0:
         y_new = vssfm_steps_df32(y, co, remainder, unroll=True,
-                                 coherent=coherent)
+                                 coherent=coherent, nlp=nlp, f_r=f_r,
+                                 inv_w0=inv_w0)
         ok = ok & _v_finite(y_new)
     return pk, y, ok
 
 
 @functools.lru_cache(maxsize=16)
 def _df32_vgnlse_solver(n_steps: int, save_every: int,
-                        coherent: float = 0.0):
+                        coherent: float = 0.0, f_r: float = 0.0,
+                        inv_w0: float = 0.0):
     """Jitted batched df32 vector SSFM reduce solve: ONE stacked
     (B, 4 + 8T + 1) f32 buffer [pk_hi (2) | pk_lo (2) | re_hi | re_lo |
     im_hi | im_lo (each (2T) flattened pol-major) | ok]."""
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
 
-    def run(y0: CTF, co: DF32VGNLSECoeffs):
+    def run(y0: CTF, co: DF32VGNLSECoeffs, nlp=None):
         ok0 = _v_finite(y0)
 
         def chunk(carry, _):
             y, pk, ok = carry
-            y_new = vssfm_steps_df32(y, co, save_every, coherent=coherent)
+            y_new = vssfm_steps_df32(y, co, save_every, coherent=coherent,
+                                     nlp=nlp, f_r=f_r, inv_w0=inv_w0)
             ok_new = ok & _v_finite(y_new)
             y_out = ctf_freeze(ok_new[..., None], y_new, y)
             pk = tf_max(pk, _v_peak(y_out))
@@ -238,7 +320,8 @@ def _df32_vgnlse_solver(n_steps: int, save_every: int,
             carry, _ = lax.scan(chunk, carry, None, length=n_chunks)
         y, pk, ok = carry
         if remainder > 0:
-            y_new = vssfm_steps_df32(y, co, remainder, coherent=coherent)
+            y_new = vssfm_steps_df32(y, co, remainder, coherent=coherent,
+                                     nlp=nlp, f_r=f_r, inv_w0=inv_w0)
             ok = ok & _v_finite(y_new)
         B = y.re.hi.shape[0]
         flat = lambda a: a.reshape(B, -1)  # noqa: E731
@@ -252,19 +335,21 @@ def _df32_vgnlse_solver(n_steps: int, save_every: int,
 
 @functools.lru_cache(maxsize=8)
 def _df32_vgnlse_traj_solver(n_steps: int, save_every: int,
-                             coherent: float = 0.0):
+                             coherent: float = 0.0, f_r: float = 0.0,
+                             inv_w0: float = 0.0):
     """Jitted trajectory-mode df32 vector SSFM: per-chunk saved states
     ``(ys (S, B, 2, 4T) f32 [re_hi | re_lo | im_hi | im_lo], ok (B,) i32)``
     -- rows exclude z=0 (the caller holds the input)."""
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
 
-    def run(y0: CTF, co: DF32VGNLSECoeffs):
+    def run(y0: CTF, co: DF32VGNLSECoeffs, nlp=None):
         ok0 = _v_finite(y0)
 
         def chunk(carry, _):
             y, ok = carry
-            y_new = vssfm_steps_df32(y, co, save_every, coherent=coherent)
+            y_new = vssfm_steps_df32(y, co, save_every, coherent=coherent,
+                                     nlp=nlp, f_r=f_r, inv_w0=inv_w0)
             ok_new = ok & _v_finite(y_new)
             y_out = ctf_freeze(ok_new[..., None], y_new, y)
             row = jnp.concatenate(
@@ -279,7 +364,8 @@ def _df32_vgnlse_traj_solver(n_steps: int, save_every: int,
             s = y0.re.hi.shape
             ys = jnp.zeros((0, s[0], 2, 4 * s[-1]), dtype=jnp.float32)
         if remainder > 0:
-            y_new = vssfm_steps_df32(y, co, remainder, coherent=coherent)
+            y_new = vssfm_steps_df32(y, co, remainder, coherent=coherent,
+                                     nlp=nlp, f_r=f_r, inv_w0=inv_w0)
             ok = ok & _v_finite(y_new)
         return ys, ok.astype(jnp.int32)
 
@@ -297,10 +383,13 @@ def run_vgnlse_traj_df32(
     n_steps: int,
     save_every: int,
     coherent: float = 0.0,
+    nl=None,
 ):
     """Matched-tolerance trajectory solve for ``run_vgnlse_simulation``'s
     df32 tier: ``A0`` is (B, 2, T) c128; returns host ``(A_saved
-    (S+1, B, 2, T) c128 incl. the z=0 row, ok (B,) bool)``."""
+    (S+1, B, 2, T) c128 incl. the z=0 row, ok (B,) bool)``.  ``nl`` (a
+    host-f64 ``models.gnlse.NLTerms``) enables the generalized
+    Raman/steepening operator (isotropic-Raman approximation)."""
     A0 = np.asarray(A0, dtype=np.complex128)
     B, _, T = A0.shape
     if T & (T - 1):
@@ -309,9 +398,12 @@ def run_vgnlse_traj_df32(
         )
     co = make_df32_vgnlse_coeffs(gamma, alpha, b_xpm, lin_phase,
                                  dz_m=float(dz_m), B=B, T=T)
+    nlp, f_r, inv_w0 = (None, 0.0, 0.0) if nl is None else (
+        make_df32_nl_planes(nl), float(nl.f_r), float(nl.inv_w0))
     solver = _df32_vgnlse_traj_solver(int(n_steps), int(save_every),
-                                      float(coherent))
-    ys, ok = jax.block_until_ready(solver(ctf_from_c128(A0), co))
+                                      float(coherent), f_r, inv_w0)
+    args = (ctf_from_c128(A0), co) + (() if nlp is None else (nlp,))
+    ys, ok = jax.block_until_ready(solver(*args))
     ys = np.asarray(ys, dtype=np.float64)
     A_saved = np.concatenate([
         A0[None],
@@ -333,13 +425,15 @@ def solve_vgnlse_batch_df32(
     save_every: int,
     mesh=None,
     coherent: float = 0.0,
+    nl=None,
 ):
     """Batched matched-tolerance vector SSFM solve; per-meter f64 inputs.
 
     Contract mirrors ``models/vgnlse.solve_vgnlse_batch`` (fixed-step
     reduce mode): returns host ``(peak_max (B, 2) f64, A_last (B, 2, T)
     c128, ok (B,) bool)``.  T must be a power of two.  Pass ``mesh`` to
-    shard the batch axis."""
+    shard the batch axis.  ``nl`` (a host-f64 ``models.gnlse.NLTerms``)
+    enables the generalized Raman/steepening operator."""
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 3 or A0.shape[1] != 2:
         raise ValueError(f"A0 must have shape (B, 2, T), got {A0.shape}")
@@ -376,6 +470,8 @@ def solve_vgnlse_batch_df32(
 
     co = make_df32_vgnlse_coeffs(gamma, alpha, b_xpm, lin_phase,
                                  dz_m=float(dz_m), B=B, T=T)
+    nlp, f_r, inv_w0 = (None, 0.0, 0.0) if nl is None else (
+        make_df32_nl_planes(nl), float(nl.f_r), float(nl.inv_w0))
     if mesh is not None:
         sh_b = batch_sharding(mesh)
         sh_r = replicated_sharding(mesh)
@@ -387,12 +483,16 @@ def solve_vgnlse_batch_df32(
                 sh_b if x.ndim and x.shape[0] == B else sh_r),
             co,
         )
+        if nlp is not None:
+            nlp = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), sh_r), nlp)
     else:
         y0 = ctf_from_c128(A0)
 
     solver = _df32_vgnlse_solver(int(n_steps), int(save_every),
-                                 float(coherent))
-    out = jax.block_until_ready(solver(y0, co))
+                                 float(coherent), f_r, inv_w0)
+    args = (y0, co) + (() if nlp is None else (nlp,))
+    out = jax.block_until_ready(solver(*args))
     if mesh is not None:
         out = fetch_global(out)
     out = np.asarray(out, dtype=np.float64)

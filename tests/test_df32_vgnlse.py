@@ -138,6 +138,68 @@ def test_df32_dispatch_validation():
             np.zeros((2, 48)), dz_m=0.01, n_steps=3, save_every=1)
 
 
+@cpu_lane
+def test_eager_vssfm_generalized_nl_matches_x64_scan():
+    """Eager df32 vector reduce solve with the GENERALIZED operator (Raman
+    + self-steepening, isotropic-Raman approximation) vs the x64 scan
+    engine: same RK4 on the same discrete operator, so the difference is
+    pure roundoff.  Coherent c-term active too (isotropic coupling)."""
+    T = 64
+    grid = gn.TimeGrid.for_pulse(T0, n_samples=T)
+    nl_df = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                             precision="df32")
+    _g, co, A0 = _setup(B=3, T=T, coupling="isotropic", spec=True)
+    cfg = _cfg()
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.df32_gnlse import (
+        make_df32_nl_planes,
+    )
+
+    co_df = dv.make_df32_vgnlse_coeffs(
+        co.gamma, co.alpha, float(co.b_xpm), co.lin_phase,
+        dz_m=cfg.dz, B=3, T=T)
+    pk, y, ok = dv.run_v_reduce_eager(
+        ctf_from_c128(A0), co_df, 7, 3, coherent=float(co.coherent),
+        nlp=make_df32_nl_planes(nl_df), f_r=float(nl_df.f_r),
+        inv_w0=float(nl_df.inv_w0))
+    assert bool(np.all(np.asarray(ok)))
+
+    _g, co64, _ = _setup(B=3, T=T, precision="x64", coupling="isotropic",
+                         spec=True)
+    nl64 = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                            precision="x64")
+    _pk_r, A_r, _ok_r = vg.solve_vgnlse_batch(
+        _cfg(precision="x64"), co64, A0, nl=nl64)
+    A_df = ctf_to_c128(y)
+    assert np.abs(A_df - A_r).max() / np.abs(A_r).max() < 1e-11
+
+
+@needs_full
+def test_jitted_df32_vgnlse_generalized_nl_matches_x64_1e9():
+    """Matched-tolerance bar for the vector generalized operator: jitted
+    df32 with nl terms within 1e-9 of the x64 CPU solver."""
+    import jax
+
+    B, T, steps = 2, 128, 100
+    grid = gn.TimeGrid.for_pulse(T0, n_samples=T)
+    _g, co, A0 = _setup(B=B, T=T, coupling="cnlse")
+    nl_df = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                             precision="df32")
+    cfg = _cfg(n_steps=steps, save_every=20, zmax=1.0)
+    pk, A_last, ok = vg.solve_vgnlse_batch(cfg, co, A0, nl=nl_df)
+    assert ok.all()
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        _g, co64, _ = _setup(B=B, T=T, precision="x64", coupling="cnlse")
+        nl64 = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                                precision="x64")
+        cfg64 = _cfg(n_steps=steps, save_every=20, zmax=1.0,
+                     precision="x64")
+        _pk_r, A_r, ok_r = vg.solve_vgnlse_batch(cfg64, co64, A0, nl=nl64)
+    assert ok_r.all()
+    assert np.abs(A_last - A_r).max() / np.abs(A_r).max() < 1e-9
+
+
 @needs_full
 @pytest.mark.parametrize("coupling", ["cnlse", "isotropic"])
 def test_jitted_df32_vgnlse_matches_x64_1e9(coupling):
