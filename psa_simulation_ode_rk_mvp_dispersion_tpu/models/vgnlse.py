@@ -689,13 +689,14 @@ def solve_vgnlse_batch(
 
     ``engine``: 'scan' (XLA loop, any coupling/integrator/precision),
     'pallas' (fused single-launch VMEM kernel, ``ops/pallas_vgnlse.py``:
-    TPU, rk4, x32, every coupling -- the coherent isotropic c-term runs
-    an in-kernel pointwise RK4; T a multiple of 128 up to 2048), or
-    'auto' (scan).
+    TPU, rk4, x32, every coupling AND nl terms -- the coherent isotropic
+    c-term runs an in-kernel pointwise RK4, the generalized
+    Raman/steepening operator an in-kernel RK4 with the total-power
+    convolution; T a multiple of 128 up to 2048), or 'auto' (scan).
 
     ``nl`` (:func:`~.gnlse.make_nl_terms`, shared with the scalar family)
     enables Raman + self-steepening in the isotropic-Raman approximation
-    (scan engine; see ``_v_nl_rhs_gen``).
+    (see ``_v_nl_rhs_gen``).
 
     Checkpoint/resume: ``A_last`` is the restart state (autonomous
     equation) -- feed it back as ``A0`` to continue bitwise (fixed-step;
@@ -729,11 +730,6 @@ def solve_vgnlse_batch(
             raise ValueError(
                 "engine='pallas' vector SSFM kernel is x32 only"
             )
-        if nl is not None:
-            raise ValueError(
-                "engine='pallas' vector SSFM kernel does not take nl terms "
-                "(Raman/steepening); use the scan engine"
-            )
         from ..ops.pallas_vgnlse import solve_vgnlse_batch_pallas
 
         return solve_vgnlse_batch_pallas(
@@ -742,7 +738,7 @@ def solve_vgnlse_batch(
             np.asarray(coeffs.lin_phase, dtype=float),
             float(np.asarray(coeffs.b_xpm)),
             dz_m=dz_m, n_steps=n_steps, save_every=int(cfg.save_every),
-            coherent=float(coeffs.coherent),
+            coherent=float(coeffs.coherent), nl=nl,
             interpret=_jax.default_backend() != "tpu", mesh=mesh,
         )
 

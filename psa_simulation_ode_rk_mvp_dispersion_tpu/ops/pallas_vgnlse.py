@@ -9,7 +9,11 @@ coherent four-wave c-term (``coupling='isotropic'``) runs an in-kernel
 pointwise RK4 on the joint operator
 N(A)_p = i gamma [(P_p + b P_q) A_p + c A_p* A_q^2]
 (``models/vgnlse._v_nl_rhs`` — no transforms, pure VPU plane math, so
-unlike the scalar kernel's Raman RK4 it adds no MXU passes).
+unlike the scalar kernel's Raman RK4 it adds no MXU passes).  The
+generalized Raman/self-steepening operator (``nl=``) runs an in-kernel
+RK4 too (``models/vgnlse._v_nl_rhs_gen``, isotropic-Raman approximation):
+per stage, ONE real transform pair convolves the total power and one
+complex pair per polarization applies the shock derivative.
 
 Layout: the batched state is (4T, blk) f32 — polarization p occupies rows
 [p*2T, (p+1)*2T) in the scalar kernel's grouped-complex layout (r groups
@@ -53,7 +57,7 @@ from .pallas_gnlse import (
 
 def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                  b_xpm: float, coherent: float = 0.0,
-                 interpret: bool = False):
+                 interpret: bool = False, nl_static=None):
     r = t // m
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
@@ -62,12 +66,34 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
     bx = np.float32(b_xpm)
     ch = np.float32(coherent)
     has_coh = float(coherent) != 0.0
+    # generalized-nonlinearity static parameters (the scalar kernel's
+    # contract): compile-time floats so disabled terms drop their
+    # transforms at trace time
+    f_r = inv_w0 = 0.0
+    if nl_static is not None:
+        f_r, inv_w0 = (float(nl_static[0]), float(nl_static[1]))
+    has_raman = nl_static is not None and f_r > 0.0
+    has_steep = nl_static is not None and inv_w0 != 0.0
     x3 = DOT_ALG == "x3" and not interpret
 
-    def kernel(wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref,
-               y0_ref, pk_ref, ylast_ref, ok_ref, u_ref, v_ref, lf_ref,
-               *maybe_tw):
-        tw_ref = maybe_tw[0] if r > 1 else None
+    def kernel(*refs):
+        (wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref) = refs[:6]
+        i = 6
+        hrc_ref = om_ref = None
+        if nl_static is not None:
+            hrc_ref, om_ref = refs[i:i + 2]
+            i += 2
+        y0_ref, pk_ref, ylast_ref, ok_ref = refs[i:i + 4]
+        i += 4
+        u_ref, v_ref, lf_ref = refs[i:i + 3]
+        i += 3
+        tw_ref = None
+        if r > 1:
+            tw_ref = refs[i]
+            i += 1
+        pr_ref = kt_ref = ka_ref = st_ref = None
+        if nl_static is not None:
+            pr_ref, kt_ref, ka_ref, st_ref = refs[i:i + 4]
         s_ref = ylast_ref
         wfr = wfr_ref[:, :]
         wfi = wfi_ref[:, :]
@@ -101,7 +127,7 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                 return gr * tr + gi * ti, gi * tr - gr * ti
             return gr * tr - gi * ti, gr * ti + gi * tr
 
-        fwd_cplx, _fr, inv_cplx, _ir, _pmm, _smm = _make_dft_ops(
+        fwd_cplx, fwd_real, inv_cplx, inv_real, _pmm, _smm = _make_dft_ops(
             t, m, x3, wfr, wfi, wir, wii, _twiddle)
 
         def lin(src, dst, fac_ref):
@@ -193,7 +219,125 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                 dst[oy + 2 * g * m:oy + (2 * g + 1) * m, :] = out[2]
                 dst[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :] = out[3]
 
-        nl_v = coh_rk4_v if has_coh else kerr_v
+        def nl_rhs_v(src, dst):
+            """dst = N(src): the generalized VECTOR operator, mirroring
+            ``models/vgnlse._v_nl_rhs_gen`` (isotropic-Raman approximation:
+            the delayed response convolves the TOTAL power, ONE real
+            transform pair regardless of polarization count)."""
+            one_m_fr = np.float32(1.0 - f_r)
+            fr_f = np.float32(f_r)
+            ox, oy = 0, 2 * t
+            # P_total = P_x + P_y into pr rows 0..T (group layout)
+            for g in range(r):
+                arx = src[ox + 2 * g * m:ox + (2 * g + 1) * m, :]
+                aix = src[ox + (2 * g + 1) * m:ox + 2 * (g + 1) * m, :]
+                ary = src[oy + 2 * g * m:oy + (2 * g + 1) * m, :]
+                aiy = src[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :]
+                pr_ref[g * m:(g + 1) * m, :] = (
+                    arx * arx + aix * aix + ary * ary + aiy * aiy)
+            if has_raman:
+                # R = Re IDFT( conj(H_R) * DFT(P_tot) ) into pr rows T..2T
+                Sr, Si = fwd_real(lambda g: pr_ref[g * m:(g + 1) * m, :])
+                for c in range(r):
+                    hr_c = hrc_ref[c * m:(c + 1) * m, :]
+                    hi_c = hrc_ref[t + c * m:t + (c + 1) * m, :]
+                    Sr[c], Si[c] = (Sr[c] * hr_c - Si[c] * hi_c,
+                                    Sr[c] * hi_c + Si[c] * hr_c)
+
+                def write_r(g, rr):
+                    pr_ref[t + g * m:t + (g + 1) * m, :] = rr
+
+                inv_real(Sr, Si, write_r)
+            # W_p = (1-f_R) [ (P_p + b P_q) A_p + c A_p* A_q^2 ]
+            #       + f_R R A_p; without steepening the combine
+            # N = i gamma W happens right here
+            for g in range(r):
+                arx = src[ox + 2 * g * m:ox + (2 * g + 1) * m, :]
+                aix = src[ox + (2 * g + 1) * m:ox + 2 * (g + 1) * m, :]
+                ary = src[oy + 2 * g * m:oy + (2 * g + 1) * m, :]
+                aiy = src[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :]
+                Px = arx * arx + aix * aix
+                Py = ary * ary + aiy * aiy
+                fx = Px + bx * Py
+                fy = Py + bx * Px
+                kxr, kxi = fx * arx, fx * aix
+                kyr, kyi = fy * ary, fy * aiy
+                if has_coh:
+                    yr2 = ary * ary - aiy * aiy
+                    yi2 = (ary + ary) * aiy
+                    xr2 = arx * arx - aix * aix
+                    xi2 = (arx + arx) * aix
+                    kxr = kxr + ch * (arx * yr2 + aix * yi2)
+                    kxi = kxi + ch * (arx * yi2 - aix * yr2)
+                    kyr = kyr + ch * (ary * xr2 + aiy * xi2)
+                    kyi = kyi + ch * (ary * xi2 - aiy * xr2)
+                wxr, wxi = one_m_fr * kxr, one_m_fr * kxi
+                wyr, wyi = one_m_fr * kyr, one_m_fr * kyi
+                if has_raman:
+                    Rg = fr_f * pr_ref[t + g * m:t + (g + 1) * m, :]
+                    wxr, wxi = wxr + Rg * arx, wxi + Rg * aix
+                    wyr, wyi = wyr + Rg * ary, wyi + Rg * aiy
+                if has_steep:
+                    dst[ox + 2 * g * m:ox + (2 * g + 1) * m, :] = wxr
+                    dst[ox + (2 * g + 1) * m:ox + 2 * (g + 1) * m, :] = wxi
+                    dst[oy + 2 * g * m:oy + (2 * g + 1) * m, :] = wyr
+                    dst[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :] = wyi
+                else:
+                    dst[ox + 2 * g * m:ox + (2 * g + 1) * m, :] = -gam * wxi
+                    dst[ox + (2 * g + 1) * m:ox + 2 * (g + 1) * m, :] = (
+                        gam * wxr)
+                    dst[oy + 2 * g * m:oy + (2 * g + 1) * m, :] = -gam * wyi
+                    dst[oy + (2 * g + 1) * m:oy + 2 * (g + 1) * m, :] = (
+                        gam * wyr)
+            if has_steep:
+                # per pol: dW/dt = IDFT( i omega DFT(W) ); the combine
+                # N = i gamma (W - (i/w0) dW/dt) fuses into the write
+                iw0 = np.float32(inv_w0)
+                for p in (0, 1):
+                    o = 2 * t * p
+                    Sr, Si = fwd_cplx(
+                        lambda g, o=o: dst[o + 2 * g * m:
+                                           o + 2 * (g + 1) * m, :])
+                    for c in range(r):
+                        w_c = om_ref[c * m:(c + 1) * m, :]
+                        Sr[c], Si[c] = -w_c * Si[c], w_c * Sr[c]
+
+                    def write_n(g, vr, vi, o=o):
+                        wr_ = dst[o + 2 * g * m:o + (2 * g + 1) * m, :]
+                        wi_ = dst[o + (2 * g + 1) * m:
+                                  o + 2 * (g + 1) * m, :]
+                        tr_ = wr_ + iw0 * vi
+                        ti_ = wi_ - iw0 * vr
+                        dst[o + 2 * g * m:o + (2 * g + 1) * m, :] = (
+                            -gam * ti_)
+                        dst[o + (2 * g + 1) * m:
+                            o + 2 * (g + 1) * m, :] = gam * tr_
+
+                    inv_cplx(Sr, Si, write_n)
+
+        def nlsub_v(src, dst):
+            """RK4 substep of length h = dz on the generalized operator
+            (``_v_nl_substep`` mirror, nl present)."""
+            half = np.float32(0.5 * dz)
+            full = np.float32(dz)
+            sixth = np.float32(dz / 6.0)
+            two = np.float32(2.0)
+            nl_rhs_v(src, kt_ref)                                 # k1
+            ka_ref[:, :] = kt_ref[:, :]
+            st_ref[:, :] = src[:, :] + half * kt_ref[:, :]
+            nl_rhs_v(st_ref, kt_ref)                              # k2
+            ka_ref[:, :] = ka_ref[:, :] + two * kt_ref[:, :]
+            st_ref[:, :] = src[:, :] + half * kt_ref[:, :]
+            nl_rhs_v(st_ref, kt_ref)                              # k3
+            ka_ref[:, :] = ka_ref[:, :] + two * kt_ref[:, :]
+            st_ref[:, :] = src[:, :] + full * kt_ref[:, :]
+            nl_rhs_v(st_ref, kt_ref)                              # k4
+            dst[:, :] = src[:, :] + sixth * (ka_ref[:, :] + kt_ref[:, :])
+
+        if nl_static is not None:
+            nl_v = nlsub_v
+        else:
+            nl_v = coh_rk4_v if has_coh else kerr_v
 
         def peak_of(ref):
             """(2, blk) per-polarization max over samples of |A|^2."""
@@ -252,17 +396,18 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
 
 def _make_vgnlse_call(n_steps: int, save_every: int, t: int, dz: float,
                       b_xpm: float, coherent: float, interpret: bool,
-                      block: int):
+                      block: int, nl_static=None):
     from jax.experimental import pallas as pl
 
     m = M_SUB if t >= M_SUB else t
     inv_extra = float(t // m) if _use_fft(t, m) else 1.0
     wfr, wfi, wir, wii = _dft_weight_blocks(m, inv_extra)
     kernel = _kernel_body(n_steps, save_every, t, m, dz, b_xpm, coherent,
-                          interpret)
+                          interpret, nl_static)
     weights = [jnp.asarray(w) for w in (wfr, wfi, wir, wii)]
+    has_nl = nl_static is not None
 
-    def call(lh, gam, y0):
+    def call(lh, gam, y0, hrc=None, om=None):
         from jax.experimental.pallas import tpu as pltpu
 
         B = y0.shape[1]
@@ -275,9 +420,16 @@ def _make_vgnlse_call(n_steps: int, save_every: int, t: int, dz: float,
             call_kwargs = {"compiler_params": pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)}
         r = t // m
+        # ping-pong state pair + derived full-step factor; (r > 1) the
+        # lane-width-1 twiddles; (nl) [P_tot|R] + RK4 k-current /
+        # k-accumulator / stage-input planes
         scratch = [pltpu.VMEM((4 * t, blk), jnp.float32) for _ in range(3)]
         if r > 1:
             scratch.append(pltpu.VMEM((2 * t, 1), jnp.float32))
+        if has_nl:
+            scratch.append(pltpu.VMEM((2 * t, blk), jnp.float32))
+            scratch += [pltpu.VMEM((4 * t, blk), jnp.float32)
+                        for _ in range(3)]
         fixed = [
             pl.BlockSpec(w.shape, lambda i: (0, 0), **spec_kwargs)
             for w in weights
@@ -285,8 +437,17 @@ def _make_vgnlse_call(n_steps: int, save_every: int, t: int, dz: float,
         per_b = [
             pl.BlockSpec((4 * t, blk), lambda i: (0, i), **spec_kwargs),  # lh
             pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),      # gam
-            pl.BlockSpec((4 * t, blk), lambda i: (0, i), **spec_kwargs),  # y0
         ]
+        args = [lh, gam]
+        if has_nl:
+            per_b += [
+                pl.BlockSpec((2 * t, 1), lambda i: (0, 0), **spec_kwargs),
+                pl.BlockSpec((t, 1), lambda i: (0, 0), **spec_kwargs),
+            ]
+            args += [hrc, om]
+        per_b.append(
+            pl.BlockSpec((4 * t, blk), lambda i: (0, i), **spec_kwargs))  # y0
+        args.append(y0)
         out_specs = (
             pl.BlockSpec((2, blk), lambda i: (0, i), **spec_kwargs),
             pl.BlockSpec((4 * t, blk), lambda i: (0, i), **spec_kwargs),
@@ -303,11 +464,11 @@ def _make_vgnlse_call(n_steps: int, save_every: int, t: int, dz: float,
                 jax.ShapeDtypeStruct((1, B), jnp.float32),
             ),
             # y0's block is the dead initial value of ylast: alias them
-            input_output_aliases={len(weights) + 2: 1},
+            input_output_aliases={len(weights) + len(per_b) - 1: 1},
             scratch_shapes=scratch,
             interpret=interpret,
             **call_kwargs,
-        )(*weights, lh, gam, y0)
+        )(*weights, *args)
 
     return call
 
@@ -315,14 +476,14 @@ def _make_vgnlse_call(n_steps: int, save_every: int, t: int, dz: float,
 @functools.lru_cache(maxsize=32)
 def _pallas_vgnlse_solver(n_steps: int, save_every: int, t: int, dz: float,
                           b_xpm: float, coherent: float, interpret: bool,
-                          block: int):
+                          block: int, nl_static=None):
     call = _make_vgnlse_call(n_steps, save_every, t, dz, b_xpm, coherent,
-                             interpret, block)
+                             interpret, block, nl_static)
 
-    def fused(lh, gam, y0):
+    def fused(lh, gam, y0, *nl_args):
         B = y0.shape[1]
         lh = jnp.broadcast_to(lh, (lh.shape[0], B))
-        pk, ylast, ok = call(lh, gam, y0)
+        pk, ylast, ok = call(lh, gam, y0, *nl_args)
         # one stacked output (docs/PERF.md rule 7)
         return jnp.concatenate([pk, ylast, ok], axis=0)
 
@@ -332,22 +493,26 @@ def _pallas_vgnlse_solver(n_steps: int, save_every: int, t: int, dz: float,
 @functools.lru_cache(maxsize=16)
 def _pallas_vgnlse_solver_sharded(n_steps: int, save_every: int, t: int,
                                   dz: float, b_xpm: float, coherent: float,
-                                  interpret: bool, block: int, mesh):
+                                  interpret: bool, block: int, mesh,
+                                  nl_static=None):
     from jax.sharding import PartitionSpec
 
     call = _make_vgnlse_call(n_steps, save_every, t, dz, b_xpm, coherent,
-                             interpret, block)
+                             interpret, block, nl_static)
 
-    def fused(lh, gam, y0):
-        pk, ylast, ok = call(lh, gam, y0)
+    def fused(lh, gam, y0, *nl_args):
+        pk, ylast, ok = call(lh, gam, y0, *nl_args)
         return jnp.concatenate([pk, ylast, ok], axis=0)
 
     axes = tuple(mesh.axis_names)
     spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
+    rep = PartitionSpec(None, None)
+    in_specs = (spec, spec, spec) + ((rep, rep) if nl_static is not None
+                                     else ())
     return jax.jit(
         jax.shard_map(
             fused, mesh=mesh,
-            in_specs=(spec, spec, spec),
+            in_specs=in_specs,
             out_specs=spec,
             check_vma=False,
         )
@@ -368,6 +533,7 @@ def solve_vgnlse_batch_pallas(
     interpret: bool = False,
     block: int = BLOCK,
     mesh=None,
+    nl=None,
 ):
     """Fused-kernel batched vector SSFM solve; contract mirrors
     ``models/vgnlse._vgnlse_solver`` (fixed-step, x32): returns host
@@ -380,7 +546,11 @@ def solve_vgnlse_batch_pallas(
     ``b_xpm`` is the XPM coupling ratio and ``coherent`` the four-wave
     c-term weight (both trace-time constants; ``coherent != 0`` switches
     the nonlinear substep from the exact rotation to the in-kernel
-    pointwise RK4).  T must be a multiple of 128 and at most
+    pointwise RK4).  ``nl`` (:class:`models.gnlse.NLTerms`, shared across
+    the batch) switches it to the in-kernel RK4 on the generalized vector
+    Raman/steepening operator (isotropic-Raman approximation,
+    ``models/vgnlse._v_nl_rhs_gen``: ONE real transform pair convolves the
+    total power per stage).  T must be a multiple of 128 and at most
     ``128 * MAX_R``.  Pass ``mesh`` to shard the batch axis
     (``shard_map``, per-shard kernel launch).
     """
@@ -451,6 +621,19 @@ def solve_vgnlse_batch_pallas(
 
     lh = factor_planes(0.5 * dz_m)
 
+    nl_static = None
+    nl_planes = ()
+    if nl is not None:
+        nl_static = (float(np.asarray(nl.f_r)), float(np.asarray(nl.inv_w0)))
+        # natural-k-order lane-width-1 planes (the scalar kernel's layout):
+        # conj(H_R) stacked (2T, 1) and omega (T, 1)
+        hr_re = np.asarray(nl.hr_re, dtype=np.float64).reshape(T)
+        hr_im = np.asarray(nl.hr_im, dtype=np.float64).reshape(T)
+        hrc = np.concatenate([hr_re, -hr_im]).astype(np.float32)[:, None]
+        om = np.asarray(nl.omega, dtype=np.float64).reshape(T).astype(
+            np.float32)[:, None]
+        nl_planes = (jnp.asarray(hrc), jnp.asarray(om))
+
     blk = int(min(block, max(B, LANES)))
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     if B < ndev * blk:
@@ -478,25 +661,31 @@ def solve_vgnlse_batch_pallas(
     if mesh is None:
         solver = _pallas_vgnlse_solver(
             int(n_steps), int(save_every), int(T), float(dz_m),
-            float(b_xpm), float(coherent), bool(interpret), blk,
+            float(b_xpm), float(coherent), bool(interpret), blk, nl_static,
         )
-        args = (jnp.asarray(lh), jnp.asarray(g), jnp.asarray(y0))
+        args = (jnp.asarray(lh), jnp.asarray(g),
+                jnp.asarray(y0)) + nl_planes
         with jax.enable_x64(False):
             out = jax.block_until_ready(solver(*args))
         out = np.asarray(out, np.float64)        # ONE fetch
     else:
-        from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding, PartitionSpec
 
         from ..parallel.mesh import fetch_global, put_global
 
         solver, spec = _pallas_vgnlse_solver_sharded(
             int(n_steps), int(save_every), int(T), float(dz_m),
             float(b_xpm), float(coherent), bool(interpret), blk, mesh,
+            nl_static,
         )
         sh = NamedSharding(mesh, spec)
         lhb = np.broadcast_to(lh, (4 * T, Bp))
         args = tuple(put_global(np.ascontiguousarray(x), sh)
                      for x in (lhb, g, y0))
+        if nl_planes:
+            rep_sh = NamedSharding(mesh, PartitionSpec(None, None))
+            args += tuple(put_global(np.asarray(x), rep_sh)
+                          for x in nl_planes)
         with jax.enable_x64(False):
             fused_out = jax.block_until_ready(solver(*args))
         out = np.asarray(fetch_global(fused_out), np.float64)

@@ -148,6 +148,57 @@ def test_isotropic_coherent_matches_scan_engine():
                                p_in.sum((-2, -1)) * decay, rtol=1e-3)
 
 
+@pytest.mark.parametrize("f_r,steep,coupling", [
+    (0.18, False, "manakov"),      # Raman only
+    (0.0, True, "manakov"),        # self-steepening only
+    (0.18, True, "cnlse"),         # both, birefringent incoherent model
+    (0.18, True, "isotropic"),     # both + the coherent c-term
+])
+def test_generalized_nl_matches_scan_engine(f_r, steep, coupling):
+    """In-kernel RK4 on the generalized vector operator vs the scan
+    engine's _v_nl_rhs_gen RK4: same discrete method, so interpret-mode
+    parity is roundoff-level (1e-4 of max amplitude at x32)."""
+    import psa_tpu as _psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
+
+    grid, co, A0 = _setup(B=4, coupling=coupling, dbeta0_1_m=0.3)
+    nl = gn.make_nl_terms(
+        grid, f_raman=f_r, omega0=(1.2e15 if steep else None),
+        precision="x32")
+    cfg = _cfg()
+    pk_s, Af_s, ok_s = vg.solve_vgnlse_batch(cfg, co, A0, nl=nl,
+                                             engine="scan")
+    pk_p, Af_p, ok_p = vg.solve_vgnlse_batch(cfg, co, A0, nl=nl,
+                                             engine="pallas")
+    assert np.array_equal(ok_s, ok_p)
+    np.testing.assert_allclose(pk_p, pk_s, rtol=1e-4)
+    np.testing.assert_allclose(Af_p, Af_s, rtol=0,
+                               atol=1e-4 * np.max(np.abs(Af_s)))
+
+
+def test_generalized_nl_sharded_matches_unsharded():
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.pallas_gnlse import (
+        M_SUB,
+    )
+
+    mesh = pm.default_mesh()
+    grid, co, A0 = _setup(B=2 * len(jax.devices()), T=2 * M_SUB)
+    nl = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                          precision="x32")
+    cfg = _cfg(n_steps=6, save_every=2)
+    kw = dict(n_steps=6, save_every=2, nl=nl)
+    pk, Af, ok = _run_kernel(cfg, co, A0, **kw)
+    pk_s, Af_s, ok_s = _run_kernel(cfg, co, A0, mesh=mesh, **kw)
+    # ULP-close, NOT bitwise: the sharded program fuses the steepening
+    # combine differently (same known behavior as the scalar kernel's
+    # sharded NL path)
+    np.testing.assert_allclose(Af_s, Af, rtol=0,
+                               atol=1e-6 * np.max(np.abs(Af)))
+    np.testing.assert_allclose(pk_s, pk, rtol=1e-6)
+    np.testing.assert_array_equal(ok_s, ok)
+
+
 def test_nan_lane_freezes_at_last_good_chunk():
     """A runaway-gain lane (negative alpha) overflows f32; the kernel must
     freeze it at its last good chunk boundary exactly like the scan engine

@@ -225,13 +225,18 @@ def test_runner_trajectories_and_validation():
     assert okt.all()
     np.testing.assert_allclose(At[:, -1], Af, rtol=0,
                                atol=1e-13 * np.abs(Af).max())
-    # pallas engine rejects nl terms explicitly
-    with pytest.raises(ValueError, match="nl"):
-        vg.solve_vgnlse_batch(
-            psa.custom_simulation_config(z_max=0.4, dz=0.01, save_every=10,
-                                         precision="x32"),
-            vg.make_vgnlse_coeffs(grid, disp, gamma_W_m=GAMMA,
-                                  coupling="manakov", precision="x32"),
-            A0, nl=gn.make_nl_terms(grid, f_raman=0.18, omega0=OMEGA_REF,
-                                    precision="x32"),
-            engine="pallas")
+    # pallas engine runs the nl terms in-kernel (interpret parity here;
+    # full kernel coverage in test_pallas_vgnlse.py)
+    cfg32 = psa.custom_simulation_config(z_max=0.4, dz=0.01, save_every=10,
+                                         precision="x32")
+    co32 = vg.make_vgnlse_coeffs(grid, disp, gamma_W_m=GAMMA,
+                                 coupling="manakov", precision="x32")
+    nl32 = gn.make_nl_terms(grid, f_raman=0.18, omega0=OMEGA_REF,
+                            precision="x32")
+    _pk_sc, Af_sc, ok_sc = vg.solve_vgnlse_batch(cfg32, co32, A0, nl=nl32,
+                                                 engine="scan")
+    _pk_pl, Af_pl, ok_pl = vg.solve_vgnlse_batch(cfg32, co32, A0, nl=nl32,
+                                                 engine="pallas")
+    assert np.array_equal(ok_sc, ok_pl)
+    np.testing.assert_allclose(Af_pl, Af_sc, rtol=0,
+                               atol=2e-4 * np.abs(Af_sc).max())
