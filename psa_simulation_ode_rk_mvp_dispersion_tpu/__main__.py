@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="group birefringence [ps/km]")
     s.add_argument("--periods", type=float, default=1.0,
                    help="propagation length in soliton periods")
+    s.add_argument("--raman", action="store_true",
+                   help="delayed Raman response on the total power "
+                        "(isotropic-Raman approximation, f_R=0.18)")
+    s.add_argument("--steepening", action="store_true",
+                   help="self-steepening / optical-shock term")
 
     s = sub.add_parser("supercontinuum",
                        help="PCF supercontinuum by soliton fission (GNLSE "
@@ -199,6 +204,7 @@ def main(argv=None) -> int:
             t0_ps=args.t0, n_soliton=args.n_soliton, theta_deg=args.theta,
             coupling=args.coupling, dbeta1_ps_km=args.dbeta1,
             n_periods=args.periods, integrator=args.integrator or "rk4",
+            raman=args.raman, steepening=args.steepening,
             verbose=verbose, **common,
         )
     elif args.cmd == "supercontinuum":

@@ -117,6 +117,8 @@ def vector_pulse(
     n_steps: int = 4000,
     integrator: str = "rk4",
     precision: str = "x64",
+    raman: bool = False,
+    steepening: bool = False,
     show: bool = True,
     save_dir: Optional[str] = None,
     verbose: bool = True,
@@ -126,7 +128,11 @@ def vector_pulse(
     Manakov (random-birefringence) or cnlse (linear-birefringence, b=2/3)
     coupling, optionally with group-velocity walk-off ``dbeta1_ps_km``.
     At N=1 under 'manakov' the vector soliton is shape-invariant at any
-    angle (the integrable limit); under 'cnlse' the same split deforms."""
+    angle (the integrable limit); under 'cnlse' the same split deforms.
+    ``raman`` / ``steepening`` enable the generalized nonlinearity
+    (isotropic-Raman approximation, ``models/vgnlse._v_nl_rhs_gen``) --
+    with Raman on, both polarizations red-shift together (the vector
+    Gordon soliton self-frequency shift)."""
     import numpy as _np
 
     from ..models import gnlse as gnl
@@ -153,7 +159,13 @@ def vector_pulse(
     A0 = vgl.polarized_pulse(
         gnl.sech_pulse(grid, peak_W=P0, t0_s=t0), _np.deg2rad(theta_deg)
     )
-    z, A = vgl.run_vgnlse_simulation(cfg, coeffs, A0)
+    nl = None
+    if raman or steepening:
+        nl = gnl.make_nl_terms(
+            grid, f_raman=0.18 if raman else 0.0,
+            omega0=1.2e15 if steepening else None, precision=precision,
+        )
+    z, A = vgl.run_vgnlse_simulation(cfg, coeffs, A0, nl=nl)
     if verbose:
         dop = vgl.degree_of_polarization(grid, A[-1])
         Pk = (_np.abs(A) ** 2).sum(axis=1).max(axis=-1)
