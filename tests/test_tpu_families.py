@@ -136,6 +136,39 @@ def test_gnlse_pallas_kernel_on_chip():
         np.testing.assert_allclose(Af_p, Af_s, rtol=0, atol=2e-3 * scale)
 
 
+def test_vgnlse_pallas_kernel_on_chip():
+    """Compiled fused VECTOR SSFM kernel vs the scan engine: incoherent
+    rotation, the coherent isotropic c-term (in-kernel pointwise RK4),
+    and the generalized Raman/steepening operator (in-kernel RK4 with
+    the total-power convolution).  T=128 keeps the Mosaic compile short."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import vgnlse as vgl
+
+    grid = psa.TimeGrid.for_pulse(T0, n_samples=128)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=BETA2)
+    P0 = psa.manakov_soliton_peak_power(BETA2, GAM, T0)
+    sech = psa.sech_pulse(grid, peak_W=P0, t0_s=T0)
+    A0 = np.stack([np.asarray(psa.polarized_pulse(s * sech, th))
+                   for s, th in zip(np.linspace(0.8, 1.2, 8),
+                                    np.linspace(0.1, 1.4, 8))])
+    cfg = _cfg(z_max=2.0, dz=0.01, save_every=50)
+    nl32 = gn.make_nl_terms(grid, f_raman=0.18, omega0=1.2e15,
+                            precision="x32")
+    for coupling, nl in (("manakov", None), ("isotropic", None),
+                         ("manakov", nl32)):
+        co = psa.make_vgnlse_coeffs(grid, disp, gamma_W_m=GAM,
+                                    alpha_1_m=5e-5, coupling=coupling,
+                                    dbeta0_1_m=0.3, precision="x32")
+        pk_s, Af_s, ok_s = vgl.solve_vgnlse_batch(cfg, co, A0, nl=nl,
+                                                  engine="scan")
+        pk_p, Af_p, ok_p = vgl.solve_vgnlse_batch(cfg, co, A0, nl=nl,
+                                                  engine="pallas")
+        assert ok_s.all() and ok_p.all()
+        np.testing.assert_allclose(pk_p, pk_s, rtol=2e-3)
+        scale = np.abs(Af_s).max()
+        np.testing.assert_allclose(Af_p, Af_s, rtol=0, atol=2e-3 * scale)
+
+
 def test_noise_pia_quantum_limit_on_chip():
     omega = np.asarray(psa.plan_from_wavelengths(1550e-9, 1552e-9, 1551e-9))
     cfg = psa.custom_simulation_config(z_max=200.0, dz=0.05, save_every=50,
