@@ -105,6 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--samples", type=int, default=8192, help="time samples")
     s.add_argument("--rtol", type=float, default=1e-6,
                    help="adaptive relative tolerance")
+    s.add_argument("--vector", action="store_true",
+                   help="polarization-resolved (Manakov + isotropic-Raman "
+                        "vector propagation)")
+    s.add_argument("--theta", type=float, default=30.0,
+                   help="pump polarization angle [deg] (with --vector)")
 
     s = sub.add_parser("sbs", help="coupled FWM + SBS forward/backward solve")
     s.add_argument("--z-max", type=float, default=200.0, help="fiber length [m]")
@@ -208,11 +213,14 @@ def main(argv=None) -> int:
             verbose=verbose, **common,
         )
     elif args.cmd == "supercontinuum":
-        ex.supercontinuum(
+        fn = (ex.vector_supercontinuum if args.vector
+              else ex.supercontinuum)
+        kw = dict(theta_deg=args.theta) if args.vector else {}
+        fn(
             t0_fs=args.t0, peak_kW=args.peak, length_m=args.length,
             n_samples=args.samples, rtol=args.rtol,
             integrator=args.integrator or "rk45",
-            verbose=verbose, **common,
+            verbose=verbose, **kw, **common,
         )
     elif args.cmd == "sbs":
         ex.fwm_sbs(z_max_m=args.z_max, g_B_km=args.gb, verbose=verbose,

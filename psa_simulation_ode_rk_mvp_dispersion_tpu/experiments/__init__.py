@@ -33,12 +33,13 @@ from .pulses import (  # noqa: F401
     gnlse_pulse,
     supercontinuum,
     vector_pulse,
+    vector_supercontinuum,
 )
 from .sbs import fwm_sbs  # noqa: F401
 
 __all__ = [
     "single_simulation", "gain_spectrum", "gain_spectrum_dbeta",
     "mismatch_scan", "psa_phase_sweep", "gain_map", "comb", "gnlse_pulse",
-    "vector_pulse", "supercontinuum", "noise_figure", "fwm_sbs",
-    "gain_ripple", "squeezing",
+    "vector_pulse", "supercontinuum", "vector_supercontinuum",
+    "noise_figure", "fwm_sbs", "gain_ripple", "squeezing",
 ]

@@ -206,6 +206,39 @@ def test_sharded_matches_unsharded_nl():
                                atol=1e-11 * np.abs(Af_a).max())
 
 
+def test_vector_supercontinuum_fission_preserves_polarization():
+    """Scaled-down polarization-resolved Dudley run
+    (experiments.vector_supercontinuum): fission broadens BOTH
+    polarizations >5x, and in the Manakov + isotropic-Raman limit the
+    dynamics depend only on total power, so the polarization state -- and
+    the DOP -- is preserved through the whole supercontinuum."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.vgnlse import (
+        degree_of_polarization,
+    )
+
+    z, A = ex.vector_supercontinuum(
+        n_samples=1024, window_ps=3.0, length_m=0.03, theta_deg=25.0,
+        rtol=1e-5, n_saved=10, show=False, verbose=False)
+    assert np.all(np.isfinite(A))
+
+    def bw(a):
+        S = np.abs(np.fft.fft(a)) ** 2
+        keep = np.fft.fftshift(S > S.max() * 1e-3)
+        idx = np.nonzero(keep)[0]
+        return idx[-1] - idx[0]
+
+    for p in (0, 1):
+        assert bw(A[-1][p]) > 5 * bw(A[0][p])
+    grid = gn.TimeGrid(n_samples=1024, t_window_s=3.0e-12)
+    assert degree_of_polarization(grid, A[-1]) > 0.9999
+    # the pol split is exactly preserved (total-power-only dynamics)
+    frac = (np.abs(A[-1]) ** 2).sum(-1)
+    frac = frac[0] / frac.sum()
+    np.testing.assert_allclose(frac, np.cos(np.deg2rad(25.0)) ** 2,
+                               rtol=1e-6)
+
+
 def test_runner_trajectories_and_validation():
     grid = _grid(128)
     disp = psa.DispersionParams.from_betas(OMEGA_REF, beta2=BETA2)
