@@ -100,10 +100,12 @@ from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # 
 from .parallel.noise import (  # noqa: E402
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
+    PulseSqueezingResult,
     QuadratureStats,
     noise_figure_monte_carlo,
     noise_figure_spectrum,
     psa_squeezing_monte_carlo,
+    pulse_squeezing_monte_carlo,
     quadrature_stats,
 )
 from .parallel.mesh import (  # noqa: E402

@@ -1,0 +1,120 @@
+"""Pulse-family (GNLSE) quantum noise: fiber Kerr / soliton squeezing by
+truncated-Wigner Monte Carlo (``psa.pulse_squeezing_monte_carlo``).
+
+Oracles:
+
+- LINEAR propagation (gamma = 0, dispersion on) is a unitary transform of
+  the iid vacuum Gaussians, so the measured ellipse stays the vacuum
+  circle (v = 1/4) to MC error;
+- dispersion-free KERR has the exact linearized ellipse
+  V_min/max = (1/4) (1 + 2 mu^2 -+ 2 mu sqrt(1 + mu^2)), mu = gamma P z
+  (CW Kerr squeezing, Agrawal ch. 12) -- every time bin squeezes
+  identically and independently, so the flat-mode measurement reproduces
+  it to MC error;
+- the FUNDAMENTAL SOLITON squeezes below vacuum with the self-adapted
+  (mean-field) local oscillator (Carter & Drummond PRL 58, 1841) while
+  respecting the uncertainty bound v_min v_max >= 1/16.
+
+Calibration run 2026-08-18 (B=4096): linear (0.2400, 0.2595) vs 0.25;
+Kerr v_min 0.0421 vs 0.0429 theory; soliton -6.2 dB at one soliton
+period, -12.3 dB at three.
+"""
+
+import numpy as np
+
+import psa_tpu as psa
+from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
+from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import mesh as pm
+
+OM0 = 1.2e15
+T0 = 1e-12
+BETA2 = -2.0e-26
+GAMMA = 2e-3
+
+
+def _grid(n=128):
+    return gn.TimeGrid.for_pulse(T0, n_samples=n)
+
+
+def test_linear_propagation_preserves_vacuum():
+    grid = _grid()
+    disp = psa.DispersionParams.from_betas(OM0, beta2=BETA2)
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=0.0)
+    A0 = np.asarray(psa.sech_pulse(grid, peak_W=1.0, t0_s=T0))
+    cfg = psa.custom_simulation_config(z_max=10.0, dz=0.5, save_every=10)
+    B = 4096
+    r = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=B, seed=1)
+    assert r.ok_fraction == 1.0
+    se = 0.25 * np.sqrt(2.0 / B)
+    # the trace is an unbiased vacuum estimator; the eigenvalue split is
+    # pure sampling noise (biased outward by ~2 SE)
+    assert abs(0.5 * (r.stats.v_min + r.stats.v_max) - 0.25) < 4 * se
+    assert r.stats.v_max - r.stats.v_min < 8 * se
+    assert r.mean_photons > 1e6      # classical pulse, Wigner regime
+
+
+def test_dispersion_free_kerr_matches_linearized_ellipse():
+    grid = _grid()
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=GAMMA)
+    P, z = 1.0, 500.0
+    A0 = np.full(grid.n_samples, np.sqrt(P), dtype=complex)
+    # dispersion-free SSFM: the Kerr rotation is exact at any step count
+    cfg = psa.custom_simulation_config(z_max=z, dz=z / 4, save_every=1)
+    r = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=4096, seed=2)
+    mu = GAMMA * P * z
+    root = np.sqrt(1.0 + mu * mu)
+    v_min_t = 0.25 * (1.0 + 2 * mu * mu - 2 * mu * root)
+    v_max_t = 0.25 * (1.0 + 2 * mu * mu + 2 * mu * root)
+    assert abs(r.stats.v_min - v_min_t) < 0.10 * v_min_t
+    assert abs(r.stats.v_max - v_max_t) < 0.10 * v_max_t
+    # minimum-uncertainty squeezed state: v_min v_max = 1/16 exactly in
+    # the linearized limit
+    np.testing.assert_allclose(r.stats.uncertainty_product, 1.0 / 16.0,
+                               rtol=0.1)
+
+
+def test_soliton_squeezing_below_vacuum():
+    grid = _grid()
+    disp = psa.DispersionParams.from_betas(OM0, beta2=BETA2)
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA)
+    P0 = psa.soliton_peak_power(BETA2, GAMMA, T0)
+    A0 = np.asarray(psa.sech_pulse(grid, peak_W=P0, t0_s=T0))
+    z0 = 0.5 * np.pi * T0**2 / abs(BETA2)       # soliton period
+    cfg = psa.custom_simulation_config(z_max=z0, dz=z0 / 200, save_every=200)
+    r = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=2048, seed=3)
+    # calibrated -6.2 dB at B=4096; generous MC margin
+    assert r.stats.squeezing_db < -4.0
+    assert r.stats.uncertainty_product >= (1.0 / 16.0) * (1.0 - 1e-9)
+    # vacuum LO sanity: measuring with the input mode still squeezes
+    r_in = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                           n_samples=2048, seed=3,
+                                           lo_mode="mean-input")
+    assert r_in.stats.squeezing_db < -2.0
+
+
+def test_sharded_matches_unsharded_and_validation():
+    import jax
+    import pytest
+
+    mesh = pm.default_mesh()
+    grid = _grid(64)
+    disp = psa.DispersionParams.from_betas(OM0, beta2=BETA2)
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA)
+    A0 = np.asarray(psa.sech_pulse(grid, peak_W=1.0, t0_s=T0))
+    cfg = psa.custom_simulation_config(z_max=1.0, dz=0.1, save_every=10)
+    B = 16 * len(jax.devices()) - 1   # exercise the pad path (B+1 lanes)
+    r = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=B, seed=5)
+    r_s = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                          n_samples=B, seed=5, mesh=mesh)
+    np.testing.assert_allclose(r_s.stats.v_min, r.stats.v_min, rtol=1e-8)
+    np.testing.assert_allclose(r_s.stats.v_max, r.stats.v_max, rtol=1e-8)
+    with pytest.raises(ValueError, match="n_samples"):
+        psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=4)
+    with pytest.raises(ValueError, match="lo_mode"):
+        psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=64, lo_mode="bogus")
