@@ -100,11 +100,13 @@ from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # 
 from .parallel.noise import (  # noqa: E402
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
+    PulseSqueezingEvolution,
     PulseSqueezingResult,
     QuadratureStats,
     noise_figure_monte_carlo,
     noise_figure_spectrum,
     psa_squeezing_monte_carlo,
+    pulse_squeezing_evolution,
     pulse_squeezing_monte_carlo,
     quadrature_stats,
 )

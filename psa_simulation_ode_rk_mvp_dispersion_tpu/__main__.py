@@ -146,6 +146,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--samples", type=int, default=8192)
     s.add_argument("--z-max", type=float, default=150.0, help="fiber [m]")
 
+    s = sub.add_parser("soliton-squeezing",
+                       help="quantum soliton squeezing along the fiber "
+                            "(truncated-Wigner MC on the GNLSE engine)")
+    s.add_argument("--samples", type=int, default=2048,
+                   help="Wigner ensemble size")
+    s.add_argument("--periods", type=float, default=3.0,
+                   help="propagation length in soliton periods")
+    s.add_argument("--points", type=int, default=24,
+                   help="measurement distances along the fiber")
+
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
 
@@ -155,7 +165,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.integrator is not None and args.cmd in (
             "sbs", "bench", "noise-figure", "comb", "gain-ripple",
-            "squeezing"):
+            "squeezing", "soliton-squeezing"):
         parser.error(
             f"--integrator is not honored by '{args.cmd}'"
             + (" (use --comb-integrator)" if args.cmd == "comb" else "")
@@ -243,6 +253,11 @@ def main(argv=None) -> int:
         ex.squeezing(
             n_samples=args.samples, z_max_m=args.z_max, mesh=mesh,
             verbose=verbose, **common,
+        )
+    elif args.cmd == "soliton-squeezing":
+        ex.soliton_squeezing(
+            n_samples=args.samples, periods=args.periods,
+            points=args.points, mesh=mesh, verbose=verbose, **common,
         )
     elif args.cmd == "bench":
         import runpy

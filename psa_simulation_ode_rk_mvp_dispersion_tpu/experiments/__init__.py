@@ -27,7 +27,7 @@ from .fwm4 import (  # noqa: F401
     single_simulation,
 )
 from .fluctuations import gain_ripple  # noqa: F401
-from .noise import noise_figure, squeezing  # noqa: F401
+from .noise import noise_figure, soliton_squeezing, squeezing  # noqa: F401
 from .pulses import (  # noqa: F401
     _SC_BETAS_PS_KM,
     gnlse_pulse,
@@ -42,4 +42,5 @@ __all__ = [
     "mismatch_scan", "psa_phase_sweep", "gain_map", "comb", "gnlse_pulse",
     "vector_pulse", "supercontinuum", "vector_supercontinuum",
     "noise_figure", "fwm_sbs", "gain_ripple", "squeezing",
+    "soliton_squeezing",
 ]

@@ -628,29 +628,150 @@ def pulse_squeezing_monte_carlo(
     if ok[1:].sum() < 16:
         raise FloatingPointError("too few lanes survived for statistics")
 
+    f = _resolve_lo_mode(lo_mode, A_end[0], A0)
+    stats, u_mf = _homodyne_stats(A_end[0], A_end[1:][ok[1:]], f, scale)
+    return PulseSqueezingResult(
+        stats=stats,
+        mean_photons=u_mf**2,
+        n_samples=int(ok[1:].sum()),
+        ok_fraction=float(ok[1:].mean()),
+        elapsed_s=elapsed,
+    )
+
+
+def _resolve_lo_mode(lo_mode, A_mean_out: np.ndarray,
+                     A0: np.ndarray) -> np.ndarray:
+    """Local-oscillator waveform [W^1/2] for ``lo_mode`` (see
+    :func:`pulse_squeezing_monte_carlo`)."""
     if isinstance(lo_mode, str):
         if lo_mode == "mean-output":
-            f = A_end[0]
-        elif lo_mode == "mean-input":
-            f = A0
-        else:
-            raise ValueError(
-                "lo_mode must be 'mean-output', 'mean-input' or a (T,) array"
-            )
-    else:
-        f = np.asarray(lo_mode, dtype=np.complex128).reshape(T)
+            return A_mean_out
+        if lo_mode == "mean-input":
+            return A0
+        raise ValueError(
+            "lo_mode must be 'mean-output', 'mean-input' or a (T,) array"
+        )
+    return np.asarray(lo_mode, dtype=np.complex128).reshape(A0.shape[0])
+
+
+def _homodyne_stats(A_mean: np.ndarray, A_lanes: np.ndarray,
+                    f: np.ndarray, scale: float):
+    """Project the surviving lanes (B_ok, T) [W^1/2] onto the normalized
+    LO mode ``f`` and return ``(QuadratureStats, |mean-field amplitude|)``
+    in photon units."""
     u_f = f * scale
     norm = np.sqrt(np.sum(np.abs(u_f) ** 2))
     if norm == 0.0:
         raise ValueError("local-oscillator mode has zero power")
     f_hat = u_f / norm
+    a = (A_lanes * scale) @ np.conj(f_hat)
+    u_mf = float(np.abs(np.sum((A_mean * scale) * np.conj(f_hat))))
+    return quadrature_stats_u(a), u_mf
 
-    U = A_end[1:][ok[1:]] * scale                  # (B_ok, T) photon units
-    a = U @ np.conj(f_hat)
-    u_mf = float(np.abs(np.sum((A_end[0] * scale) * np.conj(f_hat))))
-    return PulseSqueezingResult(
-        stats=quadrature_stats_u(a),
-        mean_photons=u_mf**2,
+
+@dataclasses.dataclass(frozen=True)
+class PulseSqueezingEvolution:
+    """Noise-ellipse evolution along the fiber: quadrature statistics of
+    one temporal mode at every SAVED propagation distance (vacuum = 1/4
+    per quadrature; dB values are relative to vacuum)."""
+
+    z_m: np.ndarray               # (S+1,) saved grid [m]
+    squeezing_db: np.ndarray      # (S+1,) 10 log10(4 v_min)
+    antisqueezing_db: np.ndarray  # (S+1,) 10 log10(4 v_max)
+    v_min: np.ndarray
+    v_max: np.ndarray
+    theta_min: np.ndarray         # (S+1,) squeezed-quadrature angle [rad]
+    uncertainty_product: np.ndarray   # (S+1,) v_min * v_max (>= 1/16)
+    mean_photons: np.ndarray      # (S+1,) mean-field photons in the LO mode
+    n_samples: int
+    ok_fraction: float
+    elapsed_s: float
+
+    @property
+    def best_index(self) -> int:
+        return int(np.argmin(self.squeezing_db))
+
+    def __repr__(self) -> str:
+        k = self.best_index
+        return (
+            f"PulseSqueezingEvolution(best {self.squeezing_db[k]:.2f} dB at "
+            f"z={self.z_m[k]:.3g} m, {self.z_m.shape[0]} samples along z, "
+            f"n_samples={self.n_samples})"
+        )
+
+
+def pulse_squeezing_evolution(
+    cfg: SimulationConfig,
+    coeffs,
+    A0: np.ndarray,
+    grid,
+    *,
+    omega0: float,
+    n_samples: int = 2048,
+    seed: int = 0,
+    lo_mode="mean-output",
+    nl=None,
+    mesh=None,
+) -> PulseSqueezingEvolution:
+    """Squeezing-vs-distance curve from ONE trajectory solve: the same
+    truncated-Wigner ensemble as :func:`pulse_squeezing_monte_carlo`, but
+    propagated with ``models.gnlse.solve_gnlse_batch_trajectories`` so the
+    noise ellipse is measured at every saved z (row 0 = input, vacuum).
+    With ``lo_mode='mean-output'`` the local oscillator self-adapts to the
+    mean field AT EACH DISTANCE (the Carter-Drummond soliton-squeezing
+    measurement); 'mean-input' or an explicit (T,) array keeps it fixed.
+
+    Trajectory mode materializes S+1 copies of the batch state -- size
+    n_samples for memory (B * (S+1) * T complex), not for speed.
+    """
+    from ..models.gnlse import solve_gnlse_batch_trajectories
+
+    A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
+    T = A0.shape[0]
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    dt = float(grid.dt_s)
+    scale = np.sqrt(dt / (hbar * float(omega0)))
+    sigma2 = 0.5 * hbar * float(omega0) / dt
+    rng = np.random.default_rng(seed)
+    xi = (rng.standard_normal((B, T)) + 1j * rng.standard_normal((B, T)))
+    xi *= np.sqrt(sigma2 / 2.0)
+    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+
+    t0 = time.perf_counter()
+    z, A_traj, ok = solve_gnlse_batch_trajectories(cfg, coeffs, A_batch,
+                                                   nl=nl, mesh=mesh)
+    elapsed = time.perf_counter() - t0
+    ok = np.asarray(ok, dtype=bool)
+    if not ok[0]:
+        raise FloatingPointError("the noise-free mean-field lane diverged")
+    if ok[1:].sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+
+    lanes = A_traj[1:][ok[1:]]                     # (B_ok, S+1, T)
+    S1 = z.shape[0]
+    sq = np.empty(S1)
+    asq = np.empty(S1)
+    vmin = np.empty(S1)
+    vmax = np.empty(S1)
+    th = np.empty(S1)
+    up = np.empty(S1)
+    nph = np.empty(S1)
+    for s in range(S1):
+        f = _resolve_lo_mode(lo_mode, A_traj[0, s], A0)
+        stats, u_mf = _homodyne_stats(A_traj[0, s], lanes[:, s], f, scale)
+        sq[s] = stats.squeezing_db
+        asq[s] = stats.antisqueezing_db
+        vmin[s] = stats.v_min
+        vmax[s] = stats.v_max
+        th[s] = stats.theta_min
+        up[s] = stats.uncertainty_product
+        nph[s] = u_mf**2
+    return PulseSqueezingEvolution(
+        z_m=np.asarray(z, dtype=float),
+        squeezing_db=sq, antisqueezing_db=asq, v_min=vmin, v_max=vmax,
+        theta_min=th, uncertainty_product=up, mean_photons=nph,
         n_samples=int(ok[1:].sum()),
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,

@@ -585,3 +585,31 @@ def plot_squeezing_ellipses(sig_stats, joint_stats, *,
     ax.set_aspect("equal")
     ax.legend(fontsize=9)
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_pulse_squeezing_evolution(ev, *,
+                                   title="Pulse squeezing along the fiber",
+                                   show=True, save_path=None):
+    """Squeezing / antisqueezing (dB relative to vacuum) against propagation
+    distance.  Input is :class:`~.parallel.noise.PulseSqueezingEvolution`;
+    the dashed zero line is the vacuum, the dotted curve the minimum-
+    uncertainty bound -10 log10(16 v_max) the squeezed quadrature cannot
+    beat."""
+    import matplotlib.pyplot as plt
+
+    z = np.asarray(ev.z_m, dtype=float)
+    fig, ax = plt.subplots(figsize=(6.4, 4.2))
+    ax.axhline(0.0, color="k", ls="--", lw=1, label="vacuum")
+    ax.plot(z, ev.antisqueezing_db, color="#d65f5f", lw=1.6,
+            label="antisqueezing")
+    ax.plot(z, ev.squeezing_db, color="#4878cf", lw=1.8, label="squeezing")
+    ax.plot(z, -10.0 * np.log10(16.0 * np.asarray(ev.v_max)), color="0.5",
+            ls=":", lw=1.2, label="min-uncertainty bound")
+    k = ev.best_index
+    ax.plot([z[k]], [ev.squeezing_db[k]], "o", color="#4878cf", ms=5)
+    ax.annotate(f"{ev.squeezing_db[k]:+.1f} dB", (z[k], ev.squeezing_db[k]),
+                textcoords="offset points", xytext=(6, -10), fontsize=9)
+    ax.set_xlabel("z (m)")
+    ax.set_ylabel("quadrature noise (dB rel. vacuum)")
+    ax.legend(fontsize=9)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

@@ -379,3 +379,20 @@ def test_squeezing_experiment_artifacts(tmp_path):
     assert sig.v_min > 0.25 * 0.9          # single mode not squeezed
     assert (tmp_path / "squeezing.npz").exists()
     assert (tmp_path / "squeezing.png").exists()
+
+
+def test_soliton_squeezing_experiment_artifacts(tmp_path):
+    """soliton-squeezing experiment: best squeezing below vacuum, artifacts
+    written, uncertainty bound respected along the whole curve."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    ev = ex.soliton_squeezing(
+        n_samples=256, periods=1.0, points=6, n_t=128,
+        show=False, save_dir=str(tmp_path), verbose=True,
+    )
+    assert ev.squeezing_db[ev.best_index] < -2.0
+    assert np.all(ev.uncertainty_product >= (1.0 / 16.0) * (1.0 - 1e-9))
+    assert (tmp_path / "soliton_squeezing.npz").exists()
+    assert (tmp_path / "soliton_squeezing.png").exists()
+    d = np.load(tmp_path / "soliton_squeezing.npz")
+    assert d["z_m"].shape == d["squeezing_db"].shape

@@ -118,3 +118,31 @@ def test_sharded_matches_unsharded_and_validation():
     with pytest.raises(ValueError, match="lo_mode"):
         psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
                                         n_samples=64, lo_mode="bogus")
+
+
+def test_squeezing_evolution_matches_single_shot_and_starts_at_vacuum():
+    grid = _grid()
+    disp = psa.DispersionParams.from_betas(OM0, beta2=BETA2)
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA)
+    P0 = psa.soliton_peak_power(BETA2, GAMMA, T0)
+    A0 = np.asarray(psa.sech_pulse(grid, peak_W=P0, t0_s=T0))
+    zs = 0.5 * np.pi * T0**2 / abs(BETA2)
+    cfg = psa.custom_simulation_config(z_max=3 * zs, dz=zs / 200,
+                                       save_every=100)
+    ev = psa.pulse_squeezing_evolution(cfg, co, A0, grid, omega0=OM0,
+                                       n_samples=1024, seed=3)
+    # same seed => identical injected noise => the last saved point is the
+    # single-shot measurement exactly
+    r = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=1024, seed=3)
+    np.testing.assert_allclose(ev.squeezing_db[-1], r.stats.squeezing_db,
+                               rtol=0, atol=0)
+    # row 0 is the un-propagated input: the vacuum circle to MC error
+    se = 0.25 * np.sqrt(2.0 / 1024)
+    assert abs(0.5 * (ev.v_min[0] + ev.v_max[0]) - 0.25) < 4 * se
+    # squeezing deepens with distance (Carter-Drummond), uncertainty bound
+    # respected everywhere
+    assert ev.squeezing_db[-1] < ev.squeezing_db[2] < ev.squeezing_db[1]
+    assert ev.best_index == ev.z_m.shape[0] - 1
+    assert np.all(ev.uncertainty_product >= (1.0 / 16.0) * (1.0 - 1e-9))
+    assert ev.z_m[0] == 0.0 and ev.z_m[-1] > 0.0
