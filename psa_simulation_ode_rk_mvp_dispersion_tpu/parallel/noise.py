@@ -443,6 +443,8 @@ def noise_figure_monte_carlo(
     seed: int = 0,
     mesh=None,
     engine: str = "auto",
+    loss_model: str = "deterministic",
+    n_loss_segments: int = 16,
 ) -> NoiseFigureResult:
     """Monte-Carlo noise figure of a 4-wave parametric amplifier.
 
@@ -458,6 +460,13 @@ def noise_figure_monte_carlo(
     (pumps can be kept noiseless to isolate the ideal-amplifier limit).
     ``t_mode_s`` sets the photon-number scale n = P T/(hbar omega); results
     are t_mode-independent as long as n >> 1.
+
+    ``loss_model='langevin'`` models the distributed loss ``alpha`` as a
+    continuum of beamsplitters: the span is split into ``n_loss_segments``
+    and every segment of power transmission ``eta`` injects fresh vacuum of
+    variance ``(1 - eta)`` into the ``noisy_waves`` (a pure-loss channel
+    then shows the exact NF = 1/eta; the default deterministic loss would
+    unphysically report 0 dB).
     """
     omega = np.asarray(omega, dtype=np.float64).reshape(4)
     p_in = np.asarray(p_in, dtype=np.float64).reshape(4)
@@ -465,6 +474,8 @@ def noise_figure_monte_carlo(
         phase_in = np.zeros(4)
     noisy = np.asarray(noisy_waves, dtype=bool).reshape(4)
     names, idx = _parse_measure(measure, noisy)
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
     if int(n_samples) < 2:
         raise ValueError("n_samples must be >= 2")
     if not float(t_mode_s) > 0.0:
@@ -475,8 +486,8 @@ def noise_figure_monte_carlo(
 
     # vacuum (Wigner) seeding: half a photon per mode, quarter per quadrature
     B = int(n_samples) + 1                                  # lane 0 noise-free
-    xi = _vacuum_draws(np.random.default_rng(seed), (B, 4), omega,
-                       t_mode_s, noisy)
+    rng = np.random.default_rng(seed)
+    xi = _vacuum_draws(rng, (B, 4), omega, t_mode_s, noisy)
     xi[0] = 0.0
     A0 = A_mean[None, :] + xi
 
@@ -486,10 +497,33 @@ def noise_figure_monte_carlo(
         delta_beta=np.full(B, float(delta_beta)),
     )
     t0 = time.perf_counter()
-    res = solve_batch(cfg, coeffs, A0, mesh=mesh, engine=engine)
+    if loss_model == "langevin" and float(alpha) != 0.0:
+        K = int(n_loss_segments)
+        n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+        if K < 1 or n_steps % K != 0:
+            raise ValueError(
+                f"n_loss_segments must divide the {n_steps} fixed steps, "
+                f"got {K}"
+            )
+        steps_seg = n_steps // K
+        z_seg = steps_seg * float(cfg.dz)
+        cfg_seg = dataclasses.replace(cfg, z_max=z_seg, save_every=steps_seg)
+        eta = float(np.exp(-float(alpha) * z_seg))
+        A = A0
+        ok = np.ones(B, dtype=bool)
+        for _ in range(K):
+            res = solve_batch(cfg_seg, coeffs, A, mesh=mesh, engine=engine)
+            ok &= np.asarray(res.ok, dtype=bool)
+            A = np.asarray(res.A_end, dtype=np.complex128).copy()
+            dxi = _vacuum_draws(rng, (B, 4), omega, t_mode_s, noisy)
+            dxi[0] = 0.0
+            A += np.sqrt(1.0 - eta) * dxi
+        A_end = A
+    else:
+        res = solve_batch(cfg, coeffs, A0, mesh=mesh, engine=engine)
+        ok = np.asarray(res.ok, dtype=bool)
+        A_end = np.asarray(res.A_end, dtype=np.complex128)
     elapsed = time.perf_counter() - t0
-
-    ok = np.asarray(res.ok, dtype=bool)
     if not ok[0]:
         raise FloatingPointError(
             "mean-field (noise-free) lane diverged; noise figure undefined"
@@ -504,13 +538,11 @@ def noise_figure_monte_carlo(
     n_in_all, n_in_mean, n_in_var = _photon_stats(A0[keep], omega, idx,
                                                   t_mode_s)
     n_out_all, n_out_mean, n_out_var = _photon_stats(
-        np.asarray(res.A_end)[keep], omega, idx, t_mode_s
+        A_end[keep], omega, idx, t_mode_s
     )
     # mean-field photon numbers from the noise-free lane
     _, n_in_mf, _ = _photon_stats(A0[:1], omega, idx, t_mode_s)
-    _, n_out_mf, _ = _photon_stats(
-        np.asarray(res.A_end)[:1], omega, idx, t_mode_s
-    )
+    _, n_out_mf, _ = _photon_stats(A_end[:1], omega, idx, t_mode_s)
     if n_in_mf <= 0.0:
         raise ValueError(
             "measured wave(s) carry no input power; SNR_in undefined "
@@ -533,6 +565,78 @@ def noise_figure_monte_carlo(
         measure=names,
         elapsed_s=elapsed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed-loss (Langevin) vacuum injection
+# ---------------------------------------------------------------------------
+#
+# A lossy channel is a continuum of beamsplitters: attenuating the field by
+# power transmission eta REQUIRES admixing (1 - eta) of fresh vacuum, or the
+# ensemble variance decays below the vacuum floor (unphysical).  Discretized
+# over K segments the exact beamsplitter recursion v -> eta v + (1-eta)/4
+# holds per segment, so a LINEAR lossy channel preserves the vacuum exactly
+# for ANY K; K only controls the splitting error against the nonlinearity.
+
+_LOSS_MODELS = ("deterministic", "langevin")
+
+
+def _gnlse_vacuum_injection(rng, shape, eta, sigma2: float) -> np.ndarray:
+    """Complex Gaussian draws (B, T) with per-time-bin variance
+    ``(1 - eta) * sigma2`` -- the vacuum a segment of power transmission
+    ``eta`` must inject.  ``eta`` is a scalar (flat loss, time-domain
+    injection) or a (T,) fft-ordered array (spectral loss; the draw is
+    colored in the frequency domain, where per-bin vacuum variance is
+    ``sigma2 * T`` under the unnormalized DFT)."""
+    eta = np.asarray(eta, dtype=np.float64)
+    xi = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    if eta.ndim == 0:
+        return xi * np.sqrt(max(1.0 - float(eta), 0.0) * sigma2 / 2.0)
+    T = shape[-1]
+    var_f = np.maximum(1.0 - eta, 0.0) * sigma2 * T
+    return np.fft.ifft(xi * np.sqrt(var_f / 2.0), axis=-1)
+
+
+def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
+                              n_segments: int, rng, nl, mesh,
+                              boundaries: bool = False):
+    """Segmented GNLSE propagation with vacuum injection into lanes 1:
+    after every segment (lane 0 stays the noise-free mean field -- the
+    injection has zero mean).  Returns ``(A_end, ok, outs, z_b)`` where
+    ``outs`` is the list of post-injection states at the K+1 segment
+    boundaries (input first) when ``boundaries`` else None."""
+    from ..models.gnlse import solve_gnlse_batch
+
+    K = int(n_segments)
+    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+    if K < 1 or n_steps % K != 0:
+        raise ValueError(
+            f"n_loss_segments must divide the {n_steps} fixed steps, got {K}"
+        )
+    steps_seg = n_steps // K
+    z_seg = steps_seg * float(cfg.dz)
+    cfg_seg = dataclasses.replace(cfg, z_max=z_seg, save_every=steps_seg)
+    alpha = np.asarray(coeffs.alpha, dtype=np.float64)
+    T = A_batch.shape[1]
+    if alpha.ndim not in (0, 1) or (alpha.ndim == 1 and alpha.shape != (T,)):
+        raise ValueError(
+            "langevin loss needs a scalar or (T,) spectral alpha "
+            f"(got shape {alpha.shape})"
+        )
+    eta = np.exp(-alpha * z_seg)
+    A = np.asarray(A_batch, dtype=np.complex128).copy()
+    ok_all = np.ones(A.shape[0], dtype=bool)
+    outs = [A.copy()] if boundaries else None
+    for _ in range(K):
+        _pk, A_end, ok = solve_gnlse_batch(cfg_seg, coeffs, A, nl=nl,
+                                           mesh=mesh)
+        ok_all &= np.asarray(ok, dtype=bool)
+        A = np.asarray(A_end, dtype=np.complex128).copy()
+        A[1:] += _gnlse_vacuum_injection(rng, A[1:].shape, eta, sigma2)
+        if boundaries:
+            outs.append(A.copy())
+    z_b = np.arange(K + 1, dtype=np.float64) * z_seg
+    return A, ok_all, outs, z_b
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +677,8 @@ def pulse_squeezing_monte_carlo(
     lo_mode="mean-output",
     nl=None,
     mesh=None,
+    loss_model: str = "deterministic",
+    n_loss_segments: int = 16,
 ) -> PulseSqueezingResult:
     """Quadrature squeezing of a propagated pulse (GNLSE family) by
     truncated-Wigner Monte Carlo: every TIME BIN of the input receives an
@@ -597,14 +703,21 @@ def pulse_squeezing_monte_carlo(
     2 mu sqrt(1+mu^2) (mu = gamma P z) to MC error; the fundamental
     soliton squeezes below vacuum at minimum-uncertainty-bounded product.
 
-    NOTE on loss: the solver's linear loss is deterministic -- the Langevin
-    vacuum injection a lossy channel requires is NOT modeled, so quote
-    squeezing for (near-)lossless spans only (same approximation as the
-    4-wave module).  Physics: Carter & Drummond, PRL 58, 1841 (1987)
-    (squeezing of quantum solitons); Agrawal ch. 12 fiber squeezing.
+    Loss: ``loss_model='deterministic'`` (default) attenuates without noise
+    -- exact for (near-)lossless spans, and the variance decays below the
+    vacuum floor on lossy ones.  ``loss_model='langevin'`` splits the span
+    into ``n_loss_segments`` and injects fresh vacuum with variance
+    ``(1 - eta)`` per segment of power transmission ``eta`` (the
+    beamsplitter model of distributed loss; supports flat AND spectral
+    alpha) -- a LINEAR lossy channel then preserves the vacuum ellipse
+    exactly for any segment count.  Physics: Carter & Drummond, PRL 58,
+    1841 (1987) (squeezing of quantum solitons); Agrawal ch. 12 fiber
+    squeezing.
     """
     from ..models.gnlse import solve_gnlse_batch
 
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
     A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
     T = A0.shape[0]
     B = int(n_samples)
@@ -619,8 +732,14 @@ def pulse_squeezing_monte_carlo(
     A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
 
     t0 = time.perf_counter()
-    _pk, A_end, ok = solve_gnlse_batch(cfg, coeffs, A_batch, nl=nl,
-                                       mesh=mesh)
+    if loss_model == "langevin":
+        A_end, ok, _, _ = _propagate_langevin_gnlse(
+            cfg, coeffs, A_batch, sigma2=sigma2,
+            n_segments=n_loss_segments, rng=rng, nl=nl, mesh=mesh,
+        )
+    else:
+        _pk, A_end, ok = solve_gnlse_batch(cfg, coeffs, A_batch, nl=nl,
+                                           mesh=mesh)
     elapsed = time.perf_counter() - t0
     ok = np.asarray(ok, dtype=bool)
     if not ok[0]:
@@ -712,6 +831,7 @@ def pulse_squeezing_evolution(
     lo_mode="mean-output",
     nl=None,
     mesh=None,
+    loss_model: str = "deterministic",
 ) -> PulseSqueezingEvolution:
     """Squeezing-vs-distance curve from ONE trajectory solve: the same
     truncated-Wigner ensemble as :func:`pulse_squeezing_monte_carlo`, but
@@ -721,11 +841,20 @@ def pulse_squeezing_evolution(
     mean field AT EACH DISTANCE (the Carter-Drummond soliton-squeezing
     measurement); 'mean-input' or an explicit (T,) array keeps it fixed.
 
+    ``loss_model='langevin'`` injects vacuum at EVERY saved interval (the
+    segment grid is the save grid, so measurement and injection points
+    coincide; requires save_every to divide the step count).  With the
+    same seed and ``n_loss_segments`` equal to the number of saved
+    intervals, the endpoint matches :func:`pulse_squeezing_monte_carlo`
+    bitwise.
+
     Trajectory mode materializes S+1 copies of the batch state -- size
     n_samples for memory (B * (S+1) * T complex), not for speed.
     """
     from ..models.gnlse import solve_gnlse_batch_trajectories
 
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
     A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
     T = A0.shape[0]
     B = int(n_samples)
@@ -740,8 +869,22 @@ def pulse_squeezing_evolution(
     A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
 
     t0 = time.perf_counter()
-    z, A_traj, ok = solve_gnlse_batch_trajectories(cfg, coeffs, A_batch,
-                                                   nl=nl, mesh=mesh)
+    if loss_model == "langevin":
+        n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+        if n_steps % int(cfg.save_every) != 0:
+            raise ValueError(
+                "loss_model='langevin' evolution needs save_every to "
+                f"divide the {n_steps} steps (injection points = save grid)"
+            )
+        _, ok, outs, z = _propagate_langevin_gnlse(
+            cfg, coeffs, A_batch, sigma2=sigma2,
+            n_segments=n_steps // int(cfg.save_every), rng=rng, nl=nl,
+            mesh=mesh, boundaries=True,
+        )
+        A_traj = np.stack(outs, axis=1)            # (B, S+1, T)
+    else:
+        z, A_traj, ok = solve_gnlse_batch_trajectories(cfg, coeffs, A_batch,
+                                                       nl=nl, mesh=mesh)
     elapsed = time.perf_counter() - t0
     ok = np.asarray(ok, dtype=bool)
     if not ok[0]:

@@ -202,3 +202,30 @@ def test_mean_field_divergence_raises():
             _cfg(), gamma=1e6, alpha=-100.0, omega=OMEGA,
             p_in=[10.0, 10.0, 1.0, 0.0], delta_beta=0.0, n_samples=16,
         )
+
+
+def test_langevin_pure_loss_channel_nf():
+    """A pure-loss channel (gamma = 0, power transmission eta) has the
+    textbook NF = 1/eta under the Langevin beamsplitter model; the default
+    deterministic loss unphysically reports ~0 dB (variance decays with the
+    signal).  Exact for ANY segment count on a linear channel."""
+    omega = OMEGA
+    L = 100.0
+    eta = 0.5
+    cfg = psa.custom_simulation_config(z_max=L, dz=0.5, save_every=10)
+    common = dict(gamma=0.0, alpha=-np.log(eta) / L, omega=omega,
+                  p_in=[0.0, 0.0, 1e-6, 0.0],
+                  noisy_waves=(False, False, True, False), measure="signal",
+                  t_mode_s=1e-9, n_samples=16384, seed=0)
+    r_det = psa.noise_figure_monte_carlo(cfg, **common)
+    r_lan = psa.noise_figure_monte_carlo(cfg, loss_model="langevin",
+                                         n_loss_segments=20, **common)
+    nf_theory = -10.0 * np.log10(eta)                     # +3.010 dB
+    assert abs(r_lan.nf_db - nf_theory) < 4 * r_lan.nf_se_db
+    assert abs(r_det.nf_db) < 4 * r_det.nf_se_db          # the wrong model
+    np.testing.assert_allclose(r_lan.gain_db, 10 * np.log10(eta), atol=1e-6)
+    with pytest.raises(ValueError, match="n_loss_segments"):
+        psa.noise_figure_monte_carlo(cfg, loss_model="langevin",
+                                     n_loss_segments=3, **common)
+    with pytest.raises(ValueError, match="loss_model"):
+        psa.noise_figure_monte_carlo(cfg, loss_model="nope", **common)

@@ -146,3 +146,69 @@ def test_squeezing_evolution_matches_single_shot_and_starts_at_vacuum():
     assert ev.best_index == ev.z_m.shape[0] - 1
     assert np.all(ev.uncertainty_product >= (1.0 / 16.0) * (1.0 - 1e-9))
     assert ev.z_m[0] == 0.0 and ev.z_m[-1] > 0.0
+
+
+def test_langevin_loss_preserves_vacuum():
+    """Distributed-loss beamsplitter model: a LINEAR lossy channel must
+    return the vacuum ellipse exactly (deterministic loss decays to eta/4,
+    which is unphysical for a coherent state)."""
+    import pytest
+
+    grid = _grid()
+    eta = 0.25
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=0.0,
+                              alpha_1_m=-np.log(eta) / 100.0)
+    A0 = np.full(grid.n_samples, 1.0 + 0j)
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=20)
+    B = 4096
+    rd = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                         n_samples=B, seed=1)
+    rl = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                         n_samples=B, seed=1,
+                                         loss_model="langevin",
+                                         n_loss_segments=10)
+    se = 0.25 * np.sqrt(2.0 / B)
+    v_det = 0.5 * (rd.stats.v_min + rd.stats.v_max)
+    v_lan = 0.5 * (rl.stats.v_min + rl.stats.v_max)
+    assert abs(v_det - eta * 0.25) < 4 * se          # decayed (unphysical)
+    assert abs(v_lan - 0.25) < 4 * se                # vacuum restored
+    # mean field is identical (injection has zero mean; lane 0 noise-free)
+    np.testing.assert_allclose(rl.mean_photons, rd.mean_photons, rtol=1e-12)
+
+    # spectral alpha at the same flat value: same physics
+    co_sp = gn.make_gnlse_coeffs(
+        grid, None, gamma_W_m=0.0,
+        alpha_spec_1_m=np.full(grid.n_samples, -np.log(eta) / 100.0))
+    rs = psa.pulse_squeezing_monte_carlo(cfg, co_sp, A0, grid, omega0=OM0,
+                                         n_samples=B, seed=1,
+                                         loss_model="langevin",
+                                         n_loss_segments=10)
+    v_sp = 0.5 * (rs.stats.v_min + rs.stats.v_max)
+    assert abs(v_sp - 0.25) < 4 * se
+
+    with pytest.raises(ValueError, match="loss_model"):
+        psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=64, loss_model="bogus")
+    with pytest.raises(ValueError, match="n_loss_segments"):
+        psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=64,
+                                        loss_model="langevin",
+                                        n_loss_segments=7)
+
+
+def test_langevin_evolution_endpoint_matches_mc():
+    grid = _grid(64)
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=GAMMA,
+                              alpha_1_m=5e-3)
+    A0 = np.full(grid.n_samples, 1.0 + 0j)
+    # 100 steps / save_every 20 -> 5 injection segments
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=20)
+    ev = psa.pulse_squeezing_evolution(cfg, co, A0, grid, omega0=OM0,
+                                       n_samples=512, seed=2,
+                                       loss_model="langevin")
+    r = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=512, seed=2,
+                                        loss_model="langevin",
+                                        n_loss_segments=5)
+    assert ev.squeezing_db[-1] == r.stats.squeezing_db
+    assert ev.z_m.shape == (6,)

@@ -182,3 +182,33 @@ def test_noise_pia_quantum_limit_on_chip():
     assert G > 1.5
     nf_theory = 10 * np.log10(2.0 - 1.0 / G)
     assert r.nf_db == pytest.approx(nf_theory, abs=0.2)
+
+
+def test_pulse_squeezing_on_chip():
+    """Soliton squeezing MC at x32 on the real chip: squeezes below vacuum
+    at one soliton period, and the Langevin pure-loss channel preserves
+    the vacuum ellipse (CPU x64 calibration: -5.97 dB; x32 -5.95)."""
+    grid = psa.TimeGrid.for_pulse(T0, n_samples=128)
+    disp = psa.DispersionParams.from_betas(1.2e15, beta2=BETA2)
+    co = psa.make_gnlse_coeffs(grid, disp, gamma_W_m=GAM, precision="x32")
+    P0 = psa.soliton_peak_power(BETA2, GAM, T0)
+    A0 = np.asarray(psa.sech_pulse(grid, peak_W=P0, t0_s=T0))
+    zs = 0.5 * np.pi * T0**2 / abs(BETA2)
+    cfg = psa.custom_simulation_config(z_max=zs, dz=zs / 200, save_every=200,
+                                       precision="x32")
+    r = psa.pulse_squeezing_monte_carlo(cfg, co, A0, grid, omega0=1.2e15,
+                                        n_samples=1024, seed=3)
+    assert r.stats.squeezing_db < -4.0
+    assert r.stats.uncertainty_product >= (1.0 / 16.0) * (1.0 - 1e-6)
+    # langevin vacuum preservation on a pure-loss channel
+    eta = 0.25
+    col = psa.make_gnlse_coeffs(grid, None, gamma_W_m=0.0,
+                                alpha_1_m=-np.log(eta) / 100.0,
+                                precision="x32")
+    cfg2 = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=20,
+                                        precision="x32")
+    rl = psa.pulse_squeezing_monte_carlo(
+        cfg2, col, np.full(128, 1.0 + 0j), grid, omega0=1.2e15,
+        n_samples=2048, seed=1, loss_model="langevin", n_loss_segments=10)
+    v = 0.5 * (rl.stats.v_min + rl.stats.v_max)
+    assert abs(v - 0.25) < 4 * 0.25 * np.sqrt(2.0 / 2048)
