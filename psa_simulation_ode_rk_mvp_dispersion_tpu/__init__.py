@@ -108,6 +108,7 @@ from .parallel.noise import (  # noqa: E402
     psa_squeezing_monte_carlo,
     pulse_squeezing_evolution,
     pulse_squeezing_monte_carlo,
+    vector_pulse_squeezing_monte_carlo,
     quadrature_stats,
 )
 from .parallel.mesh import (  # noqa: E402

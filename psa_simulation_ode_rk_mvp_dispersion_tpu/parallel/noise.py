@@ -582,12 +582,13 @@ _LOSS_MODELS = ("deterministic", "langevin")
 
 
 def _gnlse_vacuum_injection(rng, shape, eta, sigma2: float) -> np.ndarray:
-    """Complex Gaussian draws (B, T) with per-time-bin variance
+    """Complex Gaussian draws (B, ..., T) with per-time-bin variance
     ``(1 - eta) * sigma2`` -- the vacuum a segment of power transmission
     ``eta`` must inject.  ``eta`` is a scalar (flat loss, time-domain
-    injection) or a (T,) fft-ordered array (spectral loss; the draw is
-    colored in the frequency domain, where per-bin vacuum variance is
-    ``sigma2 * T`` under the unnormalized DFT)."""
+    injection) or an fft-ordered array matching the trailing axes --
+    (T,) scalar-family / (2, T) per-polarization spectral loss; the draw
+    is then colored in the frequency domain, where per-bin vacuum
+    variance is ``sigma2 * T`` under the unnormalized DFT."""
     eta = np.asarray(eta, dtype=np.float64)
     xi = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
     if eta.ndim == 0:
@@ -599,13 +600,16 @@ def _gnlse_vacuum_injection(rng, shape, eta, sigma2: float) -> np.ndarray:
 
 def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
                               n_segments: int, rng, nl, mesh,
-                              boundaries: bool = False):
-    """Segmented GNLSE propagation with vacuum injection into lanes 1:
-    after every segment (lane 0 stays the noise-free mean field -- the
-    injection has zero mean).  Returns ``(A_end, ok, outs, z_b)`` where
+                              boundaries: bool = False, solve_fn=None):
+    """Segmented GNLSE-family propagation with vacuum injection into lanes
+    1: after every segment (lane 0 stays the noise-free mean field -- the
+    injection has zero mean).  ``solve_fn(cfg, coeffs, A, nl=, mesh=)``
+    defaults to the scalar ``solve_gnlse_batch``; the state is (B, T)
+    scalar or (B, 2, T) vector.  Returns ``(A_end, ok, outs, z_b)`` where
     ``outs`` is the list of post-injection states at the K+1 segment
     boundaries (input first) when ``boundaries`` else None."""
-    from ..models.gnlse import solve_gnlse_batch
+    if solve_fn is None:
+        from ..models.gnlse import solve_gnlse_batch as solve_fn
 
     K = int(n_segments)
     n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
@@ -617,10 +621,10 @@ def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
     z_seg = steps_seg * float(cfg.dz)
     cfg_seg = dataclasses.replace(cfg, z_max=z_seg, save_every=steps_seg)
     alpha = np.asarray(coeffs.alpha, dtype=np.float64)
-    T = A_batch.shape[1]
-    if alpha.ndim not in (0, 1) or (alpha.ndim == 1 and alpha.shape != (T,)):
+    state_shape = A_batch.shape[1:]
+    if alpha.ndim != 0 and alpha.shape != state_shape:
         raise ValueError(
-            "langevin loss needs a scalar or (T,) spectral alpha "
+            f"langevin loss needs a scalar or {state_shape} spectral alpha "
             f"(got shape {alpha.shape})"
         )
     eta = np.exp(-alpha * z_seg)
@@ -628,8 +632,7 @@ def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
     ok_all = np.ones(A.shape[0], dtype=bool)
     outs = [A.copy()] if boundaries else None
     for _ in range(K):
-        _pk, A_end, ok = solve_gnlse_batch(cfg_seg, coeffs, A, nl=nl,
-                                           mesh=mesh)
+        _pk, A_end, ok = solve_fn(cfg_seg, coeffs, A, nl=nl, mesh=mesh)
         ok_all &= np.asarray(ok, dtype=bool)
         A = np.asarray(A_end, dtype=np.complex128).copy()
         A[1:] += _gnlse_vacuum_injection(rng, A[1:].shape, eta, sigma2)
@@ -768,22 +771,23 @@ def _resolve_lo_mode(lo_mode, A_mean_out: np.ndarray,
         if lo_mode == "mean-input":
             return A0
         raise ValueError(
-            "lo_mode must be 'mean-output', 'mean-input' or a (T,) array"
+            "lo_mode must be 'mean-output', 'mean-input' or an array of "
+            f"the state shape {A0.shape}"
         )
-    return np.asarray(lo_mode, dtype=np.complex128).reshape(A0.shape[0])
+    return np.asarray(lo_mode, dtype=np.complex128).reshape(A0.shape)
 
 
 def _homodyne_stats(A_mean: np.ndarray, A_lanes: np.ndarray,
                     f: np.ndarray, scale: float):
-    """Project the surviving lanes (B_ok, T) [W^1/2] onto the normalized
-    LO mode ``f`` and return ``(QuadratureStats, |mean-field amplitude|)``
-    in photon units."""
+    """Project the surviving lanes (B_ok, T) / (B_ok, 2, T) [W^1/2] onto
+    the normalized LO mode ``f`` (matching trailing shape) and return
+    ``(QuadratureStats, |mean-field amplitude|)`` in photon units."""
     u_f = f * scale
     norm = np.sqrt(np.sum(np.abs(u_f) ** 2))
     if norm == 0.0:
         raise ValueError("local-oscillator mode has zero power")
     f_hat = u_f / norm
-    a = (A_lanes * scale) @ np.conj(f_hat)
+    a = np.tensordot(A_lanes * scale, np.conj(f_hat), axes=f_hat.ndim)
     u_mf = float(np.abs(np.sum((A_mean * scale) * np.conj(f_hat))))
     return quadrature_stats_u(a), u_mf
 
@@ -915,6 +919,87 @@ def pulse_squeezing_evolution(
         z_m=np.asarray(z, dtype=float),
         squeezing_db=sq, antisqueezing_db=asq, v_min=vmin, v_max=vmax,
         theta_min=th, uncertainty_product=up, mean_photons=nph,
+        n_samples=int(ok[1:].sum()),
+        ok_fraction=float(ok[1:].mean()),
+        elapsed_s=elapsed,
+    )
+
+
+def vector_pulse_squeezing_monte_carlo(
+    cfg: SimulationConfig,
+    coeffs,
+    A0: np.ndarray,
+    grid,
+    *,
+    omega0: float,
+    n_samples: int = 4096,
+    seed: int = 0,
+    lo_mode="mean-output",
+    nl=None,
+    mesh=None,
+    loss_model: str = "deterministic",
+    n_loss_segments: int = 16,
+) -> PulseSqueezingResult:
+    """Polarization-resolved quadrature squeezing (vector-GNLSE family):
+    the truncated-Wigner measurement of :func:`pulse_squeezing_monte_carlo`
+    with BOTH polarization components receiving independent per-time-bin
+    vacuum, propagated through ``models.vgnlse.solve_vgnlse_batch``
+    (``coeffs`` is a :class:`~..models.vgnlse.VGNLSECoeffs`; ``A0`` is the
+    (2, T) Jones-resolved input).  ``lo_mode`` selects the measured mode:
+    the self-adapted mean output, the input, or an explicit (2, T) Jones
+    mode -- e.g. ``(x - y)/sqrt(2)`` to probe the polarization orthogonal
+    to a +45deg pump.
+
+    Oracle (tests/test_pulse_noise.py, exact by the Manakov U(2)
+    invariance): an equal-split CW pump under dispersion-free Manakov
+    coupling squeezes its +45deg mode on the SCALAR linearized Kerr
+    ellipse with mu = gamma_eff P z, while the orthogonal -45deg mode --
+    pure XPM on vacuum -- stays the exact vacuum circle.
+    ``loss_model='langevin'`` injects distributed-loss vacuum per segment
+    into both polarizations (flat or (2, T) spectral alpha)."""
+    from ..models.vgnlse import solve_vgnlse_batch
+
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2 or A0.shape[0] != 2:
+        raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
+    T = A0.shape[1]
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    dt = float(grid.dt_s)
+    scale = np.sqrt(dt / (hbar * float(omega0)))
+    sigma2 = 0.5 * hbar * float(omega0) / dt
+    rng = np.random.default_rng(seed)
+    xi = (rng.standard_normal((B, 2, T)) +
+          1j * rng.standard_normal((B, 2, T)))
+    xi *= np.sqrt(sigma2 / 2.0)
+    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+
+    t0 = time.perf_counter()
+    if loss_model == "langevin":
+        A_end, ok, _, _ = _propagate_langevin_gnlse(
+            cfg, coeffs, A_batch, sigma2=sigma2,
+            n_segments=n_loss_segments, rng=rng, nl=nl, mesh=mesh,
+            solve_fn=solve_vgnlse_batch,
+        )
+    else:
+        _pk, A_end, ok = solve_vgnlse_batch(cfg, coeffs, A_batch, nl=nl,
+                                            mesh=mesh)
+    elapsed = time.perf_counter() - t0
+    ok = np.asarray(ok, dtype=bool)
+    if not ok[0]:
+        raise FloatingPointError("the noise-free mean-field lane diverged")
+    if ok[1:].sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+
+    f = _resolve_lo_mode(lo_mode, np.asarray(A_end[0]), A0)
+    stats, u_mf = _homodyne_stats(np.asarray(A_end[0]),
+                                  np.asarray(A_end[1:])[ok[1:]], f, scale)
+    return PulseSqueezingResult(
+        stats=stats,
+        mean_photons=u_mf**2,
         n_samples=int(ok[1:].sum()),
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,

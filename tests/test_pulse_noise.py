@@ -212,3 +212,50 @@ def test_langevin_evolution_endpoint_matches_mc():
                                         n_loss_segments=5)
     assert ev.squeezing_db[-1] == r.stats.squeezing_db
     assert ev.z_m.shape == (6,)
+
+
+def test_vector_squeezing_manakov_u2_oracle():
+    """Equal-split CW under dispersion-free Manakov coupling: by U(2)
+    invariance the +45deg mode IS a scalar Kerr field with mu =
+    gamma_eff P z (linearized ellipse, exact), and the orthogonal -45deg
+    mode -- pure XPM acting on vacuum -- stays the exact vacuum circle."""
+    import pytest
+
+    grid = _grid(64)
+    G, P, z = 2e-3, 1.0, 500.0
+    co = psa.make_vgnlse_coeffs(grid, None, gamma_W_m=G, coupling="manakov")
+    A0 = np.stack([np.full(64, np.sqrt(P / 2)),
+                   np.full(64, np.sqrt(P / 2))]).astype(complex)
+    cfg = psa.custom_simulation_config(z_max=z, dz=z / 8, save_every=1)
+    ones = np.ones(64, complex)
+    B = 4096
+    rp = psa.vector_pulse_squeezing_monte_carlo(
+        cfg, co, A0, grid, omega0=OM0, n_samples=B, seed=2,
+        lo_mode=np.stack([ones, ones]))
+    rm = psa.vector_pulse_squeezing_monte_carlo(
+        cfg, co, A0, grid, omega0=OM0, n_samples=B, seed=2,
+        lo_mode=np.stack([ones, -ones]))
+    mu = (8.0 / 9.0) * G * P * z
+    root = np.sqrt(1.0 + mu * mu)
+    assert rp.stats.v_min == pytest.approx(
+        0.25 * (1 + 2 * mu * mu - 2 * mu * root), rel=0.10)
+    assert rp.stats.v_max == pytest.approx(
+        0.25 * (1 + 2 * mu * mu + 2 * mu * root), rel=0.10)
+    se = 0.25 * np.sqrt(2.0 / B)
+    assert abs(0.5 * (rm.stats.v_min + rm.stats.v_max) - 0.25) < 4 * se
+    assert rm.mean_photons < 1e-12          # orthogonal mode is dark
+    # self-adapted LO: the mean output stays +45-polarized, same ellipse
+    ro = psa.vector_pulse_squeezing_monte_carlo(
+        cfg, co, A0, grid, omega0=OM0, n_samples=B, seed=2)
+    np.testing.assert_allclose(ro.stats.v_min, rp.stats.v_min, rtol=1e-10)
+    # langevin distributed loss preserves the vacuum on a linear channel
+    col = psa.make_vgnlse_coeffs(grid, None, gamma_W_m=0.0,
+                                 alpha_1_m=np.log(4.0) / z,
+                                 coupling="manakov")
+    rl = psa.vector_pulse_squeezing_monte_carlo(
+        cfg, col, A0, grid, omega0=OM0, n_samples=B, seed=2,
+        loss_model="langevin", n_loss_segments=8, lo_mode="mean-input")
+    assert abs(0.5 * (rl.stats.v_min + rl.stats.v_max) - 0.25) < 4 * se
+    with pytest.raises(ValueError, match=r"\(2, T\)"):
+        psa.vector_pulse_squeezing_monte_carlo(
+            cfg, co, A0[0], grid, omega0=OM0, n_samples=64)
