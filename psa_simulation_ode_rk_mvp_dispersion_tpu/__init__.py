@@ -100,12 +100,14 @@ from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # 
 from .parallel.noise import (  # noqa: E402
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
+    PulsePhotonStatistics,
     PulseSqueezingEvolution,
     PulseSqueezingResult,
     QuadratureStats,
     noise_figure_monte_carlo,
     noise_figure_spectrum,
     psa_squeezing_monte_carlo,
+    pulse_photon_statistics,
     pulse_squeezing_evolution,
     pulse_squeezing_monte_carlo,
     vector_pulse_squeezing_monte_carlo,

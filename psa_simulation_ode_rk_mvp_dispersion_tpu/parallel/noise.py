@@ -646,6 +646,49 @@ def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
 # Pulse-family (GNLSE) quantum noise: fiber Kerr / soliton squeezing
 # ---------------------------------------------------------------------------
 
+def _pulse_wigner_ensemble(cfg, coeffs, A0, grid, *, omega0, n_samples,
+                           seed, nl, mesh, loss_model, n_loss_segments):
+    """Seed a (1 + n_samples, T) Wigner ensemble (lane 0 noise-free), add
+    iid half-photon-per-time-bin vacuum, propagate through the batched
+    scalar GNLSE engine (segmented with per-segment vacuum injection under
+    ``loss_model='langevin'``) and return
+    ``(A0 (T,), A_end (B+1, T), ok, scale, elapsed_s)`` with ``scale`` the
+    W^1/2 -> photon-amplitude conversion ``sqrt(dt / hbar omega0)``."""
+    from ..models.gnlse import solve_gnlse_batch
+
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
+    A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
+    T = A0.shape[0]
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    dt = float(grid.dt_s)
+    scale = np.sqrt(dt / (hbar * float(omega0)))   # W^1/2 -> photon units
+    sigma2 = 0.5 * hbar * float(omega0) / dt       # vacuum variance [W]
+    rng = np.random.default_rng(seed)
+    xi = (rng.standard_normal((B, T)) + 1j * rng.standard_normal((B, T)))
+    xi *= np.sqrt(sigma2 / 2.0)
+    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+
+    t0 = time.perf_counter()
+    if loss_model == "langevin":
+        A_end, ok, _, _ = _propagate_langevin_gnlse(
+            cfg, coeffs, A_batch, sigma2=sigma2,
+            n_segments=n_loss_segments, rng=rng, nl=nl, mesh=mesh,
+        )
+    else:
+        _pk, A_end, ok = solve_gnlse_batch(cfg, coeffs, A_batch, nl=nl,
+                                           mesh=mesh)
+    elapsed = time.perf_counter() - t0
+    ok = np.asarray(ok, dtype=bool)
+    if not ok[0]:
+        raise FloatingPointError("the noise-free mean-field lane diverged")
+    if ok[1:].sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+    return A0, np.asarray(A_end, dtype=np.complex128), ok, scale, elapsed
+
+
 @dataclasses.dataclass(frozen=True)
 class PulseSqueezingResult:
     """Truncated-Wigner quadrature statistics of one temporal mode of a
@@ -717,39 +760,11 @@ def pulse_squeezing_monte_carlo(
     1841 (1987) (squeezing of quantum solitons); Agrawal ch. 12 fiber
     squeezing.
     """
-    from ..models.gnlse import solve_gnlse_batch
-
-    if loss_model not in _LOSS_MODELS:
-        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
-    A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
-    T = A0.shape[0]
-    B = int(n_samples)
-    if B < 16:
-        raise ValueError("n_samples must be >= 16")
-    dt = float(grid.dt_s)
-    scale = np.sqrt(dt / (hbar * float(omega0)))   # W^1/2 -> photon units
-    sigma2 = 0.5 * hbar * float(omega0) / dt       # vacuum variance [W]
-    rng = np.random.default_rng(seed)
-    xi = (rng.standard_normal((B, T)) + 1j * rng.standard_normal((B, T)))
-    xi *= np.sqrt(sigma2 / 2.0)
-    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
-
-    t0 = time.perf_counter()
-    if loss_model == "langevin":
-        A_end, ok, _, _ = _propagate_langevin_gnlse(
-            cfg, coeffs, A_batch, sigma2=sigma2,
-            n_segments=n_loss_segments, rng=rng, nl=nl, mesh=mesh,
-        )
-    else:
-        _pk, A_end, ok = solve_gnlse_batch(cfg, coeffs, A_batch, nl=nl,
-                                           mesh=mesh)
-    elapsed = time.perf_counter() - t0
-    ok = np.asarray(ok, dtype=bool)
-    if not ok[0]:
-        raise FloatingPointError("the noise-free mean-field lane diverged")
-    if ok[1:].sum() < 16:
-        raise FloatingPointError("too few lanes survived for statistics")
-
+    A0, A_end, ok, scale, elapsed = _pulse_wigner_ensemble(
+        cfg, coeffs, A0, grid, omega0=omega0, n_samples=n_samples,
+        seed=seed, nl=nl, mesh=mesh, loss_model=loss_model,
+        n_loss_segments=n_loss_segments,
+    )
     f = _resolve_lo_mode(lo_mode, A_end[0], A0)
     stats, u_mf = _homodyne_stats(A_end[0], A_end[1:][ok[1:]], f, scale)
     return PulseSqueezingResult(
@@ -1000,6 +1015,153 @@ def vector_pulse_squeezing_monte_carlo(
     return PulseSqueezingResult(
         stats=stats,
         mean_photons=u_mf**2,
+        n_samples=int(ok[1:].sum()),
+        ok_fraction=float(ok[1:].mean()),
+        elapsed_s=elapsed,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Photon-number statistics / spectrally filtered direct detection
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PulsePhotonStatistics:
+    """Wigner-corrected photon-number statistics of a propagated pulse
+    ensemble, resolved over the fft-ordered spectral bins of the unitary
+    DFT (each bin one bosonic mode).
+
+    Symmetric (Wigner) moments convert exactly to normal-ordered ones:
+    ``n = <|u|^2> - 1/2`` per mode and ``Var(n_hat) = Var_W - 1/4`` per
+    mode (``- sum w_i^2 / 4`` for a weighted sum), so a coherent state
+    shows ``fano == 1`` in every bin regardless of occupation.  Direct
+    detection behind a spectral filter ``w`` measures ``sum w_i n_i``;
+    ``fano < 1`` is photon-number squeezing."""
+
+    omega: np.ndarray         # (T,) fft-ordered baseband offsets [rad/s]
+    n_mean: np.ndarray        # (T,) per-bin mean photons (ensemble)
+    fano: np.ndarray          # (T,) per-bin Fano factor (shot noise = 1)
+    total_photons: float      # unfiltered total mean photons
+    total_fano: float         # unfiltered direct-detection Fano
+    filtered_photons: Optional[float]   # behind filter_w (None if no filter)
+    filtered_fano: Optional[float]
+    filter_w: Optional[np.ndarray]      # (T,) weights actually applied
+    n_samples: int
+    ok_fraction: float
+    elapsed_s: float
+
+    def __repr__(self) -> str:
+        extra = ""
+        if self.filtered_fano is not None:
+            extra = (f", filtered_fano={self.filtered_fano:.3f} "
+                     f"({self.filtered_photons:.3g} photons)")
+        return (
+            f"PulsePhotonStatistics(total_fano={self.total_fano:.3f}, "
+            f"n={self.total_photons:.3g} photons, "
+            f"n_samples={self.n_samples}{extra})"
+        )
+
+
+def _weighted_photon_stats(n_w, w):
+    """Mean photons and Wigner-corrected Fano of ``sum_i w_i |u_i|^2``
+    given per-lane per-bin ``n_w = |u|^2`` (B, T) Wigner occupations."""
+    w = np.asarray(w, dtype=np.float64)
+    s = n_w @ w
+    mean = float(s.mean() - 0.5 * w.sum())          # subtract half photons
+    var = float(s.var(ddof=1) - 0.25 * (w * w).sum())
+    return mean, var / mean if mean > 0 else float("nan")
+
+
+def pulse_photon_statistics(
+    cfg: SimulationConfig,
+    coeffs,
+    A0: np.ndarray,
+    grid,
+    *,
+    omega0: float,
+    n_samples: int = 4096,
+    seed: int = 0,
+    nl=None,
+    mesh=None,
+    loss_model: str = "deterministic",
+    n_loss_segments: int = 16,
+    filter_mask=None,
+    optimal_filter: bool = False,
+) -> PulsePhotonStatistics:
+    """Photon-number statistics of a propagated pulse by truncated-Wigner
+    Monte Carlo: the direct-detection counterpart of
+    :func:`pulse_squeezing_monte_carlo`.  The output ensemble is resolved
+    into unitary-DFT spectral modes and symmetric-ordering corrections are
+    removed exactly, so a COHERENT state reads Fano = 1 in every bin and
+    in total (the shot-noise oracle), and a lossless Kerr/soliton solve --
+    which conserves each lane's total photon number identically -- reads
+    total Fano = 1 to solver roundoff.
+
+    ``filter_mask``: (T,) nonnegative weights on the fft-ordered spectral
+    grid modeling direct detection behind a spectral filter --
+    ``filtered_fano < 1`` is the spectrally-filtered photon-number
+    squeezing of Spaelter et al., PRL 81, 786 (1998).
+    ``optimal_filter=True`` derives the minimum-Fano linear filter from
+    one half of the ensemble (w ~ C^-1 m on the Wigner-corrected
+    covariance) and evaluates it on the other half (out-of-sample, no
+    selection bias); the derived weights are returned in ``filter_w``.
+    """
+    A0, A_end, ok, scale, elapsed = _pulse_wigner_ensemble(
+        cfg, coeffs, A0, grid, omega0=omega0, n_samples=n_samples,
+        seed=seed, nl=nl, mesh=mesh, loss_model=loss_model,
+        n_loss_segments=n_loss_segments,
+    )
+    T = A0.shape[0]
+    lanes = A_end[1:][ok[1:]] * scale
+    # unitary DFT: sum_i |u_i|^2 preserved, each bin a mode w/ vacuum 1/2
+    U = np.fft.fft(lanes, axis=-1) / np.sqrt(T)
+    n_w = np.abs(U) ** 2                                  # (B_ok, T)
+
+    n_mean = n_w.mean(axis=0) - 0.5
+    var_bin = n_w.var(axis=0, ddof=1) - 0.25
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fano = np.where(n_mean > 0, var_bin / n_mean, np.nan)
+    tot_mean, tot_fano = _weighted_photon_stats(n_w, np.ones(T))
+
+    filt_mean = filt_fano = None
+    w_used = None
+    if optimal_filter:
+        if filter_mask is not None:
+            raise ValueError("pass filter_mask OR optimal_filter, not both")
+        B_ok = n_w.shape[0]
+        if B_ok < 4 * T:
+            raise ValueError(
+                f"optimal_filter needs n_samples >= 4*T lanes for a usable "
+                f"covariance (have {B_ok} ok lanes, T = {T})"
+            )
+        half = B_ok // 2
+        train, test = n_w[:half], n_w[half:]
+        m = train.mean(axis=0) - 0.5
+        C = np.cov(train, rowvar=False, ddof=1) - 0.25 * np.eye(T)
+        # scale-invariant ridge keeps the solve stable on empty bins and
+        # damps the sampling noise of a (T x T) covariance from B/2 lanes
+        ridge = 1e-3 * float(np.trace(C)) / T
+        C_r = C + max(ridge, 0.25) * np.eye(T)
+        w = np.linalg.solve(C_r, np.maximum(m, 0.0))
+        w = np.maximum(w, 0.0)                  # physical filter: w >= 0
+        if w.max() <= 0:
+            raise FloatingPointError("optimal filter collapsed to zero")
+        w /= w.max()
+        filt_mean, filt_fano = _weighted_photon_stats(test, w)
+        w_used = w
+    elif filter_mask is not None:
+        w = np.asarray(filter_mask, dtype=np.float64).reshape(T)
+        if np.any(w < 0):
+            raise ValueError("filter_mask weights must be >= 0")
+        filt_mean, filt_fano = _weighted_photon_stats(n_w, w)
+        w_used = w
+
+    return PulsePhotonStatistics(
+        omega=np.asarray(grid.omega(), dtype=np.float64),
+        n_mean=n_mean, fano=fano,
+        total_photons=tot_mean, total_fano=tot_fano,
+        filtered_photons=filt_mean, filtered_fano=filt_fano,
+        filter_w=w_used,
         n_samples=int(ok[1:].sum()),
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,

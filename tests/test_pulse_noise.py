@@ -259,3 +259,75 @@ def test_vector_squeezing_manakov_u2_oracle():
     with pytest.raises(ValueError, match=r"\(2, T\)"):
         psa.vector_pulse_squeezing_monte_carlo(
             cfg, co, A0[0], grid, omega0=OM0, n_samples=64)
+
+
+def test_photon_statistics_shot_noise_oracle():
+    """Wigner-corrected photon statistics: a coherent pulse (linear
+    propagation) reads Fano = 1 in every occupied spectral bin and in
+    total; a lossless soliton solve conserves each lane's total photon
+    number, so total Fano stays at the input's shot noise."""
+    import pytest
+
+    grid = _grid()
+    disp = psa.DispersionParams.from_betas(OM0, beta2=BETA2)
+    P0 = psa.soliton_peak_power(BETA2, GAMMA, T0)
+    A0 = np.asarray(psa.sech_pulse(grid, peak_W=P0, t0_s=T0))
+    zs = 0.5 * np.pi * T0**2 / abs(BETA2)
+    B = 2048
+    se = np.sqrt(2.0 / B)
+
+    co_lin = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=0.0)
+    cfg = psa.custom_simulation_config(z_max=zs, dz=zs / 100, save_every=100)
+    r = psa.pulse_photon_statistics(cfg, co_lin, A0, grid, omega0=OM0,
+                                    n_samples=B, seed=0)
+    assert abs(r.total_fano - 1.0) < 4 * se
+    occ = r.n_mean > 1000
+    assert occ.sum() > 20
+    assert np.nanmax(np.abs(r.fano[occ] - 1.0)) < 8 * se
+    assert r.total_photons == pytest.approx(
+        float(np.sum(np.abs(A0) ** 2)) * grid.dt_s / (1.0546e-34 * OM0),
+        rel=1e-2)
+
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA)
+    cfg3 = psa.custom_simulation_config(z_max=3 * zs, dz=zs / 200,
+                                        save_every=200)
+    r2 = psa.pulse_photon_statistics(cfg3, co, A0, grid, omega0=OM0,
+                                     n_samples=B, seed=1)
+    assert abs(r2.total_fano - 1.0) < 4 * se
+    # the soliton redistributes noise across bins (excess somewhere)
+    assert np.nanmax(r2.fano) > 2.0
+
+
+def test_photon_statistics_filtered_squeezing():
+    """Spectrally-filtered direct detection (Spaelter-style): the
+    out-of-sample optimal linear filter measures a bright photon
+    observable far below shot noise at one soliton period."""
+    import pytest
+
+    grid = _grid()
+    disp = psa.DispersionParams.from_betas(OM0, beta2=BETA2)
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA)
+    P0 = psa.soliton_peak_power(BETA2, GAMMA, T0)
+    A0 = np.asarray(psa.sech_pulse(grid, peak_W=P0, t0_s=T0))
+    zs = 0.5 * np.pi * T0**2 / abs(BETA2)
+    cfg = psa.custom_simulation_config(z_max=zs, dz=zs / 200, save_every=200)
+    r = psa.pulse_photon_statistics(cfg, co, A0, grid, omega0=OM0,
+                                    n_samples=4096, seed=1,
+                                    optimal_filter=True)
+    # calibrated 0.124 at B=4096 (out-of-sample halves); generous margin
+    assert 0.0 < r.filtered_fano < 0.5
+    assert r.filtered_photons > 1e6
+    assert r.filter_w is not None and r.filter_w.min() >= 0.0
+    assert r.filter_w.max() == pytest.approx(1.0)
+
+    with pytest.raises(ValueError, match="not both"):
+        psa.pulse_photon_statistics(cfg, co, A0, grid, omega0=OM0,
+                                    n_samples=64, optimal_filter=True,
+                                    filter_mask=np.ones(grid.n_samples))
+    with pytest.raises(ValueError, match=">="):
+        psa.pulse_photon_statistics(cfg, co, A0, grid, omega0=OM0,
+                                    n_samples=64, optimal_filter=True)
+    with pytest.raises(ValueError, match="filter_mask"):
+        psa.pulse_photon_statistics(cfg, co, A0, grid, omega0=OM0,
+                                    n_samples=64,
+                                    filter_mask=-np.ones(grid.n_samples))
