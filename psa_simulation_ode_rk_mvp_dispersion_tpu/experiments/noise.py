@@ -274,6 +274,14 @@ def soliton_squeezing(
         cfg, co, A0, grid, omega0=omega0_rad_s, n_samples=n_samples,
         seed=seed, mesh=mesh,
     )
+    # direct-detection counterpart: photon statistics behind the
+    # out-of-sample optimal spectral filter (needs >= 4*n_t lanes)
+    ph = None
+    if int(n_samples) >= 4 * int(n_t):
+        ph = nz.pulse_photon_statistics(
+            cfg, co, A0, grid, omega0=omega0_rad_s, n_samples=n_samples,
+            seed=seed + 1, mesh=mesh, optimal_filter=True,
+        )
     if verbose:
         k = ev.best_index
         print(
@@ -287,6 +295,12 @@ def soliton_squeezing(
             f"uncertainty product {ev.uncertainty_product[k]:.4f} "
             f"(bound 1/16 = {1/16:.4f})"
         )
+        if ph is not None:
+            print(
+                f"direct detection: total Fano {ph.total_fano:.3f} (shot "
+                f"noise 1); optimally filtered Fano {ph.filtered_fano:.3f} "
+                f"({ph.filtered_photons:.3g} photons)"
+            )
     if save_dir is not None:
         from pathlib import Path
 
@@ -300,10 +314,21 @@ def soliton_squeezing(
             uncertainty_product=ev.uncertainty_product,
             mean_photons=ev.mean_photons, n_samples=ev.n_samples,
             z_period_m=z_period, peak_W=P0,
+            **({} if ph is None else dict(
+                photon_omega=ph.omega, photon_n_mean=ph.n_mean,
+                photon_fano=ph.fano, photon_total_fano=ph.total_fano,
+                photon_filter_w=ph.filter_w,
+                photon_filtered_fano=ph.filtered_fano)),
         )
     plotting.plot_pulse_squeezing_evolution(
         ev, show=show,
         save_path=None if save_dir is None
         else f"{save_dir}/soliton_squeezing.png",
     )
+    if ph is not None:
+        plotting.plot_photon_statistics(
+            ph, show=show,
+            save_path=None if save_dir is None
+            else f"{save_dir}/soliton_photon_statistics.png",
+        )
     return ev

@@ -613,3 +613,29 @@ def plot_pulse_squeezing_evolution(ev, *,
     ax.set_ylabel("quadrature noise (dB rel. vacuum)")
     ax.legend(fontsize=9)
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_photon_statistics(ph, *, title="Spectral photon-number statistics",
+                           show=True, save_path=None):
+    """Two panels from :class:`~.parallel.noise.PulsePhotonStatistics`:
+    the mean photon spectrum (log) and the per-bin Fano factor against the
+    shot-noise line, with the applied filter (if any) overlaid."""
+    import matplotlib.pyplot as plt
+
+    om = np.fft.fftshift(np.asarray(ph.omega, dtype=float))
+    n = np.fft.fftshift(np.asarray(ph.n_mean, dtype=float))
+    f = np.fft.fftshift(np.asarray(ph.fano, dtype=float))
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(6.4, 5.6), sharex=True)
+    ax1.semilogy(om, np.maximum(n, 1e-3), color="#4878cf", lw=1.4)
+    ax1.set_ylabel("photons / bin")
+    ax2.axhline(1.0, color="k", ls="--", lw=1, label="shot noise")
+    ax2.plot(om, f, color="#d65f5f", lw=1.4, label="per-bin Fano")
+    if ph.filter_w is not None:
+        w = np.fft.fftshift(np.asarray(ph.filter_w, dtype=float))
+        ax2.plot(om, w, color="0.5", ls=":", lw=1.2,
+                 label=f"filter (Fano {ph.filtered_fano:.2f})")
+    ax2.set_yscale("log")
+    ax2.set_xlabel("baseband angular frequency (rad/s)")
+    ax2.set_ylabel("Fano factor")
+    ax2.legend(fontsize=9)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
