@@ -90,10 +90,17 @@ def _two_prod(a, b):
 # ---------------------------------------------------------------------------
 
 def tf_from_f64(x) -> TF:
-    """Split host float64 values into (hi, lo) float32 words exactly."""
+    """Split host float64 values into (hi, lo) float32 words exactly.
+
+    Non-finite values (nan/inf, incl. f32 overflow) live in ``hi`` alone
+    with ``lo = 0`` -- ``inf - inf`` in the residual would otherwise
+    poison ``lo`` with nan (seen as a RuntimeWarning from NaN-mask
+    tests)."""
     x = np.asarray(x, dtype=np.float64)
     hi = x.astype(np.float32)
-    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    with np.errstate(invalid="ignore"):
+        lo = np.where(np.isfinite(hi), x - hi.astype(np.float64),
+                      0.0).astype(np.float32)
     return TF(jnp.asarray(hi), jnp.asarray(lo))
 
 
