@@ -130,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="NF-vs-phase curve resolution (0 disables)")
     s.add_argument("--spectrum-points", type=int, default=0,
                    help="NF-vs-wavelength spectrum resolution (0 disables)")
+    s.add_argument("--alpha-db-km", type=float, default=0.0,
+                   help="fiber loss [dB/km]")
+    s.add_argument("--loss-model", default="deterministic",
+                   choices=("deterministic", "langevin"),
+                   help="'langevin' injects distributed-loss vacuum "
+                        "(beamsplitter model; quantum-correct NF)")
 
     s = sub.add_parser("gain-ripple",
                        help="fiber-yield Monte Carlo: gain statistics under "
@@ -241,8 +247,9 @@ def main(argv=None) -> int:
         ex.noise_figure(
             z_max_m=args.z_max, n_samples=args.samples,
             phase_points=args.phase_points,
-            spectrum_points=args.spectrum_points, mesh=mesh,
-            verbose=verbose, **common,
+            spectrum_points=args.spectrum_points,
+            alpha_db_km=args.alpha_db_km, loss_model=args.loss_model,
+            mesh=mesh, verbose=verbose, **common,
         )
     elif args.cmd == "gain-ripple":
         ex.gain_ripple(

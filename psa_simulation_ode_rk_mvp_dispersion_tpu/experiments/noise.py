@@ -16,6 +16,8 @@ def noise_figure(
     z_max_m: float = 200.0,
     dz_m: float = 0.05,
     gamma_km: float = 5.0,
+    alpha_db_km: float = 0.0,
+    loss_model: str = "deterministic",
     p_pump_W: float = 0.5,
     p_signal_W: float = 1e-6,
     n_samples: int = 8192,
@@ -42,14 +44,17 @@ def noise_figure(
     from ..ops.rhs import RHSCoeffs
     from ..parallel import noise as nz
     from ..parallel.sweep import solve_batch
+    from ..utils.units import alpha_db_per_km_to_1_m
 
     omega = _np.asarray(plan_from_wavelengths(1550e-9, 1552e-9, 1551.0e-9))
     cfg = custom_simulation_config(z_max=z_max_m, dz=dz_m, save_every=50,
                                    precision=precision)
     gam = gamma_km / 1e3
-    common = dict(gamma=gam, alpha=0.0, omega=omega, delta_beta=0.0,
+    al = alpha_db_per_km_to_1_m(alpha_db_km)
+    common = dict(gamma=gam, alpha=al, omega=omega, delta_beta=0.0,
                   t_mode_s=t_mode_s, n_samples=n_samples,
-                  noisy_waves=(False, False, True, True), mesh=mesh)
+                  noisy_waves=(False, False, True, True), mesh=mesh,
+                  loss_model=loss_model)
 
     pia = nz.noise_figure_monte_carlo(
         cfg, p_in=[p_pump_W, p_pump_W, p_signal_W, 0.0],
@@ -66,7 +71,7 @@ def noise_figure(
             [0, 0, ph, 0]))
         for ph in phases
     ])
-    co = RHSCoeffs(gamma=_np.full(65, gam), alpha=_np.zeros(65),
+    co = RHSCoeffs(gamma=_np.full(65, gam), alpha=_np.full(65, al),
                    delta_beta=_np.zeros(65))
     mf = solve_batch(cfg, co, A0)
     ph_max = float(phases[_np.argmax(mf.P_end[:, 2] + mf.P_end[:, 3])])
