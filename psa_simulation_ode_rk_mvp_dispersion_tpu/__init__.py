@@ -110,6 +110,7 @@ from .parallel.noise import (  # noqa: E402
     pulse_photon_statistics,
     pulse_squeezing_evolution,
     pulse_squeezing_monte_carlo,
+    vector_pulse_photon_statistics,
     vector_pulse_squeezing_monte_carlo,
     quadrature_stats,
 )

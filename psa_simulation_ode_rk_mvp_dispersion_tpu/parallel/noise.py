@@ -1166,3 +1166,102 @@ def pulse_photon_statistics(
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,
     )
+
+
+def vector_pulse_photon_statistics(
+    cfg: SimulationConfig,
+    coeffs,
+    A0: np.ndarray,
+    grid,
+    *,
+    omega0: float,
+    n_samples: int = 4096,
+    seed: int = 0,
+    nl=None,
+    mesh=None,
+    loss_model: str = "deterministic",
+    n_loss_segments: int = 16,
+    filter_mask=None,
+) -> PulsePhotonStatistics:
+    """Polarization-resolved photon-number statistics: the vector-family
+    counterpart of :func:`pulse_photon_statistics`.  The (2, T) output is
+    resolved into 2T unitary-DFT modes (x-polarization bins first); the
+    per-bin arrays in the result are stacked (2, T) -> (2T,) in that
+    order, and ``filter_mask`` accepts (T,) weights (applied to both
+    polarizations) or explicit (2, T) per-polarization weights.  The
+    symmetric-ordering corrections and oracles are the scalar ones;
+    additionally the Manakov coupling conserves TOTAL photons per lane,
+    so total Fano stays at the input shot noise exactly."""
+    from ..models.vgnlse import solve_vgnlse_batch
+
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2 or A0.shape[0] != 2:
+        raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
+    T = A0.shape[1]
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    dt = float(grid.dt_s)
+    scale = np.sqrt(dt / (hbar * float(omega0)))
+    sigma2 = 0.5 * hbar * float(omega0) / dt
+    rng = np.random.default_rng(seed)
+    xi = (rng.standard_normal((B, 2, T)) +
+          1j * rng.standard_normal((B, 2, T)))
+    xi *= np.sqrt(sigma2 / 2.0)
+    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+
+    t0 = time.perf_counter()
+    if loss_model == "langevin":
+        A_end, ok, _, _ = _propagate_langevin_gnlse(
+            cfg, coeffs, A_batch, sigma2=sigma2,
+            n_segments=n_loss_segments, rng=rng, nl=nl, mesh=mesh,
+            solve_fn=solve_vgnlse_batch,
+        )
+    else:
+        _pk, A_end, ok = solve_vgnlse_batch(cfg, coeffs, A_batch, nl=nl,
+                                            mesh=mesh)
+    elapsed = time.perf_counter() - t0
+    ok = np.asarray(ok, dtype=bool)
+    if not ok[0]:
+        raise FloatingPointError("the noise-free mean-field lane diverged")
+    if ok[1:].sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+
+    lanes = np.asarray(A_end, dtype=np.complex128)[1:][ok[1:]] * scale
+    U = np.fft.fft(lanes, axis=-1) / np.sqrt(T)     # (B_ok, 2, T)
+    n_w = np.abs(U.reshape(U.shape[0], 2 * T)) ** 2
+
+    n_mean = n_w.mean(axis=0) - 0.5
+    var_bin = n_w.var(axis=0, ddof=1) - 0.25
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fano = np.where(n_mean > 0, var_bin / n_mean, np.nan)
+    tot_mean, tot_fano = _weighted_photon_stats(n_w, np.ones(2 * T))
+
+    filt_mean = filt_fano = None
+    w_used = None
+    if filter_mask is not None:
+        w = np.asarray(filter_mask, dtype=np.float64)
+        if w.shape == (T,):
+            w = np.broadcast_to(w, (2, T))
+        if w.shape != (2, T):
+            raise ValueError(
+                f"filter_mask must have shape (T,) or (2, T), got {w.shape}"
+            )
+        if np.any(w < 0):
+            raise ValueError("filter_mask weights must be >= 0")
+        w = w.reshape(2 * T)
+        filt_mean, filt_fano = _weighted_photon_stats(n_w, w)
+        w_used = w
+
+    return PulsePhotonStatistics(
+        omega=np.asarray(grid.omega(), dtype=np.float64),
+        n_mean=n_mean, fano=fano,
+        total_photons=tot_mean, total_fano=tot_fano,
+        filtered_photons=filt_mean, filtered_fano=filt_fano,
+        filter_w=w_used,
+        n_samples=int(ok[1:].sum()),
+        ok_fraction=float(ok[1:].mean()),
+        elapsed_s=elapsed,
+    )

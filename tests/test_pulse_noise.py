@@ -331,3 +331,40 @@ def test_photon_statistics_filtered_squeezing():
         psa.pulse_photon_statistics(cfg, co, A0, grid, omega0=OM0,
                                     n_samples=64,
                                     filter_mask=-np.ones(grid.n_samples))
+
+
+def test_vector_photon_statistics():
+    """Vector direct detection: Manakov coupling conserves total photons
+    per lane (total Fano at input shot noise); each polarization's
+    occupied bins read coherent-state Fano = 1 under linear propagation;
+    filter shapes validate."""
+    import pytest
+
+    grid = _grid(64)
+    B = 2048
+    se = np.sqrt(2.0 / B)
+    # linear birefringent propagation: coherent in every occupied bin
+    co_lin = psa.make_vgnlse_coeffs(grid, None, gamma_W_m=0.0,
+                                    dbeta0_1_m=0.5, coupling="manakov")
+    A0 = np.stack([np.full(64, 2.0 + 0j), np.full(64, 1.0 + 0j)])
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=20)
+    r = psa.vector_pulse_photon_statistics(cfg, co_lin, A0, grid,
+                                           omega0=OM0, n_samples=B, seed=0)
+    assert abs(r.total_fano - 1.0) < 4 * se
+    occ = r.n_mean > 1000
+    assert occ.sum() == 2          # two CW carriers (one per polarization)
+    assert np.nanmax(np.abs(r.fano[occ] - 1.0)) < 8 * se
+    assert r.n_mean.shape == (2 * 64,)
+
+    # nonlinear Manakov conserves total photons -> shot-noise total Fano
+    co = psa.make_vgnlse_coeffs(grid, None, gamma_W_m=GAMMA,
+                                coupling="manakov")
+    r2 = psa.vector_pulse_photon_statistics(
+        cfg, co, A0, grid, omega0=OM0, n_samples=B, seed=1,
+        filter_mask=np.ones(64))
+    assert abs(r2.total_fano - 1.0) < 4 * se
+    np.testing.assert_allclose(r2.filtered_fano, r2.total_fano, rtol=1e-9)
+    with pytest.raises(ValueError, match="filter_mask"):
+        psa.vector_pulse_photon_statistics(cfg, co, A0, grid, omega0=OM0,
+                                           n_samples=64,
+                                           filter_mask=np.ones(7))
