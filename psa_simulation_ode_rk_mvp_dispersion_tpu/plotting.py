@@ -623,17 +623,29 @@ def plot_photon_statistics(ph, *, title="Spectral photon-number statistics",
     import matplotlib.pyplot as plt
 
     om = np.fft.fftshift(np.asarray(ph.omega, dtype=float))
-    n = np.fft.fftshift(np.asarray(ph.n_mean, dtype=float))
-    f = np.fft.fftshift(np.asarray(ph.fano, dtype=float))
+    T = om.shape[0]
+    # vector results stack (2, T) -> (2T,): split back into per-pol rows
+    n_rows = np.asarray(ph.n_mean, dtype=float).reshape(-1, T)
+    f_rows = np.asarray(ph.fano, dtype=float).reshape(-1, T)
+    pol = ("", " (x)", " (y)") if n_rows.shape[0] > 1 else ("",)
     fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(6.4, 5.6), sharex=True)
-    ax1.semilogy(om, np.maximum(n, 1e-3), color="#4878cf", lw=1.4)
+    for k in range(n_rows.shape[0]):
+        ax1.semilogy(om, np.maximum(np.fft.fftshift(n_rows[k]), 1e-3),
+                     color=("#4878cf", "#6acc65")[k % 2], lw=1.4,
+                     label=None if n_rows.shape[0] == 1 else pol[k + 1])
     ax1.set_ylabel("photons / bin")
+    if n_rows.shape[0] > 1:
+        ax1.legend(fontsize=9)
     ax2.axhline(1.0, color="k", ls="--", lw=1, label="shot noise")
-    ax2.plot(om, f, color="#d65f5f", lw=1.4, label="per-bin Fano")
+    for k in range(f_rows.shape[0]):
+        ax2.plot(om, np.fft.fftshift(f_rows[k]),
+                 color=("#d65f5f", "#956cb4")[k % 2], lw=1.4,
+                 label="per-bin Fano"
+                 + (pol[k + 1] if f_rows.shape[0] > 1 else ""))
     if ph.filter_w is not None:
-        w = np.fft.fftshift(np.asarray(ph.filter_w, dtype=float))
-        ax2.plot(om, w, color="0.5", ls=":", lw=1.2,
-                 label=f"filter (Fano {ph.filtered_fano:.2f})")
+        w_rows = np.asarray(ph.filter_w, dtype=float).reshape(-1, T)
+        ax2.plot(om, np.fft.fftshift(w_rows[0]), color="0.5", ls=":",
+                 lw=1.2, label=f"filter (Fano {ph.filtered_fano:.2f})")
     ax2.set_yscale("log")
     ax2.set_xlabel("baseband angular frequency (rad/s)")
     ax2.set_ylabel("Fano factor")
