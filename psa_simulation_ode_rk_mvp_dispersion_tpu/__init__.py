@@ -98,12 +98,14 @@ from .parallel import noise as noise  # noqa: E402
 from .parallel import fluctuations as fluctuations  # noqa: E402
 from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # noqa: E402
 from .parallel.noise import (  # noqa: E402
+    CombPhotonStatistics,
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
     PulsePhotonStatistics,
     PulseSqueezingEvolution,
     PulseSqueezingResult,
     QuadratureStats,
+    comb_photon_statistics,
     noise_figure_monte_carlo,
     noise_figure_spectrum,
     psa_squeezing_monte_carlo,

@@ -1265,3 +1265,137 @@ def vector_pulse_photon_statistics(
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Comb-family (N-wave) quantum noise
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CombPhotonStatistics:
+    """Per-line Wigner photon statistics of a propagated comb ensemble,
+    plus (when ``measure_lines`` is given) the Monte-Carlo noise figure of
+    the summed photon number over those lines -- the N-wave generalization
+    of :func:`noise_figure_monte_carlo`."""
+
+    omega: np.ndarray         # (N,) absolute line frequencies [rad/s]
+    n_mean: np.ndarray        # (N,) per-line mean photons (Wigner-corrected)
+    fano: np.ndarray          # (N,) per-line Fano (shot noise = 1)
+    nf_db: Optional[float]    # NF of the measured-line sum (None w/o lines)
+    nf_se_db: Optional[float]
+    gain_db: Optional[float]  # mean-field photon gain of the measurement
+    measure_lines: Optional[Tuple[int, ...]]
+    n_samples: int
+    ok_fraction: float
+    t_mode_s: float
+    elapsed_s: float
+
+    def __repr__(self) -> str:
+        nf = ("" if self.nf_db is None else
+              f", nf={self.nf_db:.3f}+-{self.nf_se_db:.3f} dB, "
+              f"gain={self.gain_db:.2f} dB @lines{list(self.measure_lines)}")
+        return (f"CombPhotonStatistics(N={self.omega.shape[0]}, "
+                f"n_samples={self.n_samples}{nf})")
+
+
+def comb_photon_statistics(
+    cfg: SimulationConfig,
+    coeffs,
+    grid,
+    A0: np.ndarray,
+    *,
+    t_mode_s: float = 1e-9,
+    n_samples: int = 4096,
+    seed: int = 0,
+    noisy_lines=None,
+    measure_lines=None,
+    mesh=None,
+    engine: str = "auto",
+    coupling: str = "fft",
+) -> CombPhotonStatistics:
+    """Quantum-noise Monte Carlo for the N-wave comb family: every line
+    gets an independent vacuum draw ``<|dA_j|^2> = (hbar w_j / 2)/T_mode``
+    (mask with ``noisy_lines``, a bool (N,) array; default all), the
+    ensemble rides ``models.nwave.solve_comb_batch`` (lane 0 noise-free),
+    and per-line photon statistics are Wigner-corrected exactly
+    (``n = <|u|^2> - 1/2``, ``Var(n_hat) = Var_W - 1/4``), so a linear
+    comb reads Fano = 1 on every seeded line.
+
+    ``measure_lines`` (indices) adds the direct-detection noise figure of
+    the summed photon number over those lines -- in the undepleted PIA
+    regime (two strong pumps at lines (j, k), weak signal at l, idler at
+    j + k - l) this reproduces the 4-wave 2 - 1/G law, a cross-family
+    consistency oracle (tests/test_pulse_noise.py)."""
+    from ..models.nwave import solve_comb_batch
+
+    A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
+    N = A0.shape[0]
+    omega_abs = np.asarray(grid.omegas(), dtype=np.float64)
+    if omega_abs.shape != (N,):
+        raise ValueError(
+            f"A0 has {N} lines but the grid has {omega_abs.shape[0]}"
+        )
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    if not float(t_mode_s) > 0.0:
+        raise ValueError("t_mode_s must be positive")
+    noisy = (np.ones(N, dtype=bool) if noisy_lines is None
+             else np.asarray(noisy_lines, dtype=bool).reshape(N))
+
+    sigma2 = 0.5 * hbar * omega_abs / float(t_mode_s)     # (N,) [W]
+    rng = np.random.default_rng(seed)
+    xi = (rng.standard_normal((B, N)) + 1j * rng.standard_normal((B, N)))
+    xi *= np.sqrt(sigma2 / 2.0)
+    xi[:, ~noisy] = 0.0
+    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+
+    t0 = time.perf_counter()
+    _pk, A_end, ok = solve_comb_batch(cfg, coeffs, A_batch, mesh=mesh,
+                                      engine=engine, coupling=coupling)
+    elapsed = time.perf_counter() - t0
+    ok = np.asarray(ok, dtype=bool)
+    if not ok[0]:
+        raise FloatingPointError("the noise-free mean-field lane diverged")
+    if ok[1:].sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+
+    photon_scale = float(t_mode_s) / (hbar * omega_abs)   # (N,) W -> photons
+    n_out = (np.abs(np.asarray(A_end)[1:][ok[1:]]) ** 2) * photon_scale
+    n_mean = n_out.mean(axis=0) - 0.5
+    var_line = n_out.var(axis=0, ddof=1) - 0.25
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fano = np.where(n_mean > 0, var_line / n_mean, np.nan)
+
+    nf_db = nf_se = gain_db = None
+    lines = None
+    if measure_lines is not None:
+        lines = tuple(int(j) for j in np.atleast_1d(measure_lines))
+        bad = [j for j in lines if not (0 <= j < N) or not noisy[j]]
+        if bad:
+            raise ValueError(
+                f"measure_lines {bad} out of range or masked by noisy_lines"
+            )
+        n_in = (np.abs(A_batch[1:][ok[1:]][:, lines]) ** 2
+                * photon_scale[list(lines)]).sum(axis=1)
+        n_o = n_out[:, lines].sum(axis=1)
+        mf_in = float((np.abs(A0[list(lines)]) ** 2
+                       * photon_scale[list(lines)]).sum())
+        mf_out = float((np.abs(np.asarray(A_end)[0, list(lines)]) ** 2
+                        * photon_scale[list(lines)]).sum())
+        if mf_in <= 0.0:
+            raise ValueError("measured line(s) carry no input power")
+        snr_in = n_in.mean() ** 2 / n_in.var(ddof=1)
+        snr_out = n_o.mean() ** 2 / n_o.var(ddof=1)
+        nf_db = float(10.0 * np.log10(snr_in / snr_out))
+        nf_se = _nf_jackknife_se_db(n_in, n_o)
+        gain_db = float(10.0 * np.log10(mf_out / mf_in))
+
+    return CombPhotonStatistics(
+        omega=omega_abs, n_mean=n_mean, fano=fano,
+        nf_db=nf_db, nf_se_db=nf_se, gain_db=gain_db, measure_lines=lines,
+        n_samples=int(ok[1:].sum()),
+        ok_fraction=float(ok[1:].mean()),
+        t_mode_s=float(t_mode_s),
+        elapsed_s=elapsed,
+    )

@@ -368,3 +368,62 @@ def test_vector_photon_statistics():
         psa.vector_pulse_photon_statistics(cfg, co, A0, grid, omega0=OM0,
                                            n_samples=64,
                                            filter_mask=np.ones(7))
+
+
+def test_comb_photon_statistics_pia_oracle():
+    """Comb-family quantum noise: a linear comb reads Fano = 1 on every
+    seeded line, and the undepleted two-pump PIA configuration (pumps at
+    the outer lines, 0+3 == 1+2) reproduces the 4-wave 2 - 1/G law --
+    the cross-family consistency oracle."""
+    import pytest
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+
+    grid = nw.CombGrid.centered(2 * np.pi * 193.1e12, 2 * np.pi * 100e9, 4)
+    cfg = psa.custom_simulation_config(z_max=200.0, dz=0.05, save_every=100)
+    A0 = nw.seed_comb(grid, pump_lines={0: 0.5, 3: 0.5, 1: 1e-6})
+
+    co0 = nw.NWaveCoeffs(gamma=0.0, alpha=0.0, beta_lin=np.zeros(4))
+    B = 4096
+    r0 = psa.comb_photon_statistics(cfg, co0, grid, A0, n_samples=B, seed=0)
+    seeded = r0.n_mean > 1000
+    assert seeded.sum() == 3
+    assert np.nanmax(np.abs(r0.fano[seeded] - 1.0)) < 8 * np.sqrt(2.0 / B)
+    assert r0.nf_db is None
+
+    co = nw.NWaveCoeffs(gamma=5e-3, alpha=0.0, beta_lin=np.zeros(4))
+    r = psa.comb_photon_statistics(cfg, co, grid, A0, n_samples=8192,
+                                   seed=1,
+                                   noisy_lines=[False, True, True, False],
+                                   measure_lines=[1])
+    G = 10.0 ** (r.gain_db / 10.0)
+    assert G > 1.5
+    nf_theory = 10.0 * np.log10(2.0 - 1.0 / G)
+    assert abs(r.nf_db - nf_theory) < 4 * r.nf_se_db
+    # PIA joint detection: the twin-beam correlation squeezes the photon
+    # DIFFERENCE, so the measured SUM is super-poissonian (NF above the
+    # single-line 2 - 1/G)
+    rj = psa.comb_photon_statistics(cfg, co, grid, A0, n_samples=8192,
+                                    seed=1,
+                                    noisy_lines=[False, True, True, False],
+                                    measure_lines=[1, 2])
+    assert rj.nf_db > r.nf_db + 4 * rj.nf_se_db
+    # PSA: seed signal AND idler at the max-gain phase (67.5 deg for this
+    # config, from a mean-field scan) -> joint detection at the 0 dB
+    # quantum limit (measured 0.001 +- 0.001 at 16k samples)
+    A0_psa = (nw.seed_comb(grid, pump_lines={0: 0.5, 3: 0.5})
+              + np.array([0.0, np.sqrt(5e-7) * np.exp(1j * np.deg2rad(67.5)),
+                          np.sqrt(5e-7), 0.0]))
+    rp = psa.comb_photon_statistics(cfg, co, grid, A0_psa, n_samples=8192,
+                                    seed=2,
+                                    noisy_lines=[False, True, True, False],
+                                    measure_lines=[1, 2])
+    assert 10.0 ** (rp.gain_db / 10.0) > 2.0
+    assert abs(rp.nf_db) < max(4 * rp.nf_se_db, 0.05)
+
+    with pytest.raises(ValueError, match="measure_lines"):
+        psa.comb_photon_statistics(cfg, co, grid, A0, n_samples=64,
+                                   noisy_lines=[False, True, True, False],
+                                   measure_lines=[0])
+    with pytest.raises(ValueError, match="lines"):
+        psa.comb_photon_statistics(cfg, co, grid, A0[:3], n_samples=64)
