@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("deterministic", "langevin"),
                    help="'langevin' injects distributed-loss vacuum "
                         "(beamsplitter model; quantum-correct NF)")
+    s.add_argument("--loss-segments", type=int, default=16,
+                   help="langevin injection segments (must divide the "
+                        "observed step count)")
 
     s = sub.add_parser("gain-ripple",
                        help="fiber-yield Monte Carlo: gain statistics under "
@@ -249,6 +252,7 @@ def main(argv=None) -> int:
             phase_points=args.phase_points,
             spectrum_points=args.spectrum_points,
             alpha_db_km=args.alpha_db_km, loss_model=args.loss_model,
+            n_loss_segments=args.loss_segments,
             mesh=mesh, verbose=verbose, **common,
         )
     elif args.cmd == "gain-ripple":

@@ -498,20 +498,16 @@ def noise_figure_monte_carlo(
     )
     t0 = time.perf_counter()
     if loss_model == "langevin" and float(alpha) != 0.0:
-        K = int(n_loss_segments)
-        n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
-        if K < 1 or n_steps % K != 0:
+        if float(alpha) < 0.0:
             raise ValueError(
-                f"n_loss_segments must divide the {n_steps} fixed steps, "
-                f"got {K}"
+                "loss_model='langevin' needs alpha >= 0 (flat gain would "
+                "require the amplifier Langevin term, which is not modeled)"
             )
-        steps_seg = n_steps // K
-        z_seg = steps_seg * float(cfg.dz)
-        cfg_seg = dataclasses.replace(cfg, z_max=z_seg, save_every=steps_seg)
+        cfg_seg, z_seg = _loss_segment_cfg(cfg, n_loss_segments)
         eta = float(np.exp(-float(alpha) * z_seg))
         A = A0
         ok = np.ones(B, dtype=bool)
-        for _ in range(K):
+        for _ in range(int(n_loss_segments)):
             res = solve_batch(cfg_seg, coeffs, A, mesh=mesh, engine=engine)
             ok &= np.asarray(res.ok, dtype=bool)
             A = np.asarray(res.A_end, dtype=np.complex128).copy()
@@ -598,6 +594,32 @@ def _gnlse_vacuum_injection(rng, shape, eta, sigma2: float) -> np.ndarray:
     return np.fft.ifft(xi * np.sqrt(var_f / 2.0), axis=-1)
 
 
+def _loss_segment_cfg(cfg, n_segments: int):
+    """Segment config for langevin propagation, honoring the framework-wide
+    save-decimation contract: the measurement point is the LAST SAVED grid
+    point ``floor(n_steps / save_every) * save_every`` (trailing partial
+    steps are not propagated -- unlike the deterministic path they carry no
+    observable state here, only ok flips, which segmented measurement gives
+    up).  Returns ``(cfg_seg, z_seg)``; ``n_segments`` must divide the
+    observed step count."""
+    K = int(n_segments)
+    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+    n_obs = (n_steps // int(cfg.save_every)) * int(cfg.save_every)
+    if n_obs < 1:
+        raise ValueError(
+            f"no saved grid points: {n_steps} steps with "
+            f"save_every={cfg.save_every}"
+        )
+    if K < 1 or n_obs % K != 0:
+        raise ValueError(
+            f"n_loss_segments must divide the {n_obs} observed fixed steps "
+            f"(floor({n_steps}/save_every)*save_every), got {K}"
+        )
+    steps_seg = n_obs // K
+    z_seg = steps_seg * float(cfg.dz)
+    return dataclasses.replace(cfg, z_max=z_seg, save_every=steps_seg), z_seg
+
+
 def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
                               n_segments: int, rng, nl, mesh,
                               boundaries: bool = False, solve_fn=None):
@@ -607,19 +629,17 @@ def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
     defaults to the scalar ``solve_gnlse_batch``; the state is (B, T)
     scalar or (B, 2, T) vector.  Returns ``(A_end, ok, outs, z_b)`` where
     ``outs`` is the list of post-injection states at the K+1 segment
-    boundaries (input first) when ``boundaries`` else None."""
+    boundaries (input first) when ``boundaries`` else None.
+
+    Spectral-alpha GAIN regions (alpha < 0) receive NO injection (the
+    ``1 - eta`` clamp): deterministic amplification without amplifier
+    noise -- the phase-insensitive-amplifier Langevin term is not modeled.
+    """
     if solve_fn is None:
         from ..models.gnlse import solve_gnlse_batch as solve_fn
 
     K = int(n_segments)
-    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
-    if K < 1 or n_steps % K != 0:
-        raise ValueError(
-            f"n_loss_segments must divide the {n_steps} fixed steps, got {K}"
-        )
-    steps_seg = n_steps // K
-    z_seg = steps_seg * float(cfg.dz)
-    cfg_seg = dataclasses.replace(cfg, z_max=z_seg, save_every=steps_seg)
+    cfg_seg, z_seg = _loss_segment_cfg(cfg, K)
     alpha = np.asarray(coeffs.alpha, dtype=np.float64)
     state_shape = A_batch.shape[1:]
     if alpha.ndim != 0 and alpha.shape != state_shape:
@@ -647,19 +667,27 @@ def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
 # ---------------------------------------------------------------------------
 
 def _pulse_wigner_ensemble(cfg, coeffs, A0, grid, *, omega0, n_samples,
-                           seed, nl, mesh, loss_model, n_loss_segments):
-    """Seed a (1 + n_samples, T) Wigner ensemble (lane 0 noise-free), add
-    iid half-photon-per-time-bin vacuum, propagate through the batched
-    scalar GNLSE engine (segmented with per-segment vacuum injection under
-    ``loss_model='langevin'``) and return
-    ``(A0 (T,), A_end (B+1, T), ok, scale, elapsed_s)`` with ``scale`` the
+                           seed, nl, mesh, loss_model, n_loss_segments,
+                           vector: bool = False):
+    """Seed a (1 + n_samples, ...) Wigner ensemble (lane 0 noise-free),
+    add iid half-photon-per-time-bin vacuum to every state component,
+    propagate through the batched GNLSE engine -- scalar (B, T) or, with
+    ``vector=True``, the vector (B, 2, T) solver -- segmented with
+    per-segment vacuum injection under ``loss_model='langevin'``.  Returns
+    ``(A0, A_end (B+1, ...), ok, scale, elapsed_s)`` with ``scale`` the
     W^1/2 -> photon-amplitude conversion ``sqrt(dt / hbar omega0)``."""
-    from ..models.gnlse import solve_gnlse_batch
-
     if loss_model not in _LOSS_MODELS:
         raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
-    A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
-    T = A0.shape[0]
+    if vector:
+        from ..models.vgnlse import solve_vgnlse_batch as solve_fn
+
+        A0 = np.asarray(A0, dtype=np.complex128)
+        if A0.ndim != 2 or A0.shape[0] != 2:
+            raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
+    else:
+        from ..models.gnlse import solve_gnlse_batch as solve_fn
+
+        A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
     B = int(n_samples)
     if B < 16:
         raise ValueError("n_samples must be >= 16")
@@ -667,7 +695,8 @@ def _pulse_wigner_ensemble(cfg, coeffs, A0, grid, *, omega0, n_samples,
     scale = np.sqrt(dt / (hbar * float(omega0)))   # W^1/2 -> photon units
     sigma2 = 0.5 * hbar * float(omega0) / dt       # vacuum variance [W]
     rng = np.random.default_rng(seed)
-    xi = (rng.standard_normal((B, T)) + 1j * rng.standard_normal((B, T)))
+    shape = (B,) + A0.shape
+    xi = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
     xi *= np.sqrt(sigma2 / 2.0)
     A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
 
@@ -676,10 +705,10 @@ def _pulse_wigner_ensemble(cfg, coeffs, A0, grid, *, omega0, n_samples,
         A_end, ok, _, _ = _propagate_langevin_gnlse(
             cfg, coeffs, A_batch, sigma2=sigma2,
             n_segments=n_loss_segments, rng=rng, nl=nl, mesh=mesh,
+            solve_fn=solve_fn,
         )
     else:
-        _pk, A_end, ok = solve_gnlse_batch(cfg, coeffs, A_batch, nl=nl,
-                                           mesh=mesh)
+        _pk, A_end, ok = solve_fn(cfg, coeffs, A_batch, nl=nl, mesh=mesh)
     elapsed = time.perf_counter() - t0
     ok = np.asarray(ok, dtype=bool)
     if not ok[0]:
@@ -889,16 +918,13 @@ def pulse_squeezing_evolution(
 
     t0 = time.perf_counter()
     if loss_model == "langevin":
+        # injection points = the saved grid (trailing partial steps are
+        # unobserved, the framework-wide save-decimation convention)
         n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
-        if n_steps % int(cfg.save_every) != 0:
-            raise ValueError(
-                "loss_model='langevin' evolution needs save_every to "
-                f"divide the {n_steps} steps (injection points = save grid)"
-            )
+        n_chunks = n_steps // int(cfg.save_every)
         _, ok, outs, z = _propagate_langevin_gnlse(
-            cfg, coeffs, A_batch, sigma2=sigma2,
-            n_segments=n_steps // int(cfg.save_every), rng=rng, nl=nl,
-            mesh=mesh, boundaries=True,
+            cfg, coeffs, A_batch, sigma2=sigma2, n_segments=max(n_chunks, 1),
+            rng=rng, nl=nl, mesh=mesh, boundaries=True,
         )
         A_traj = np.stack(outs, axis=1)            # (B, S+1, T)
     else:
@@ -972,46 +998,13 @@ def vector_pulse_squeezing_monte_carlo(
     pure XPM on vacuum -- stays the exact vacuum circle.
     ``loss_model='langevin'`` injects distributed-loss vacuum per segment
     into both polarizations (flat or (2, T) spectral alpha)."""
-    from ..models.vgnlse import solve_vgnlse_batch
-
-    if loss_model not in _LOSS_MODELS:
-        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
-    A0 = np.asarray(A0, dtype=np.complex128)
-    if A0.ndim != 2 or A0.shape[0] != 2:
-        raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
-    T = A0.shape[1]
-    B = int(n_samples)
-    if B < 16:
-        raise ValueError("n_samples must be >= 16")
-    dt = float(grid.dt_s)
-    scale = np.sqrt(dt / (hbar * float(omega0)))
-    sigma2 = 0.5 * hbar * float(omega0) / dt
-    rng = np.random.default_rng(seed)
-    xi = (rng.standard_normal((B, 2, T)) +
-          1j * rng.standard_normal((B, 2, T)))
-    xi *= np.sqrt(sigma2 / 2.0)
-    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
-
-    t0 = time.perf_counter()
-    if loss_model == "langevin":
-        A_end, ok, _, _ = _propagate_langevin_gnlse(
-            cfg, coeffs, A_batch, sigma2=sigma2,
-            n_segments=n_loss_segments, rng=rng, nl=nl, mesh=mesh,
-            solve_fn=solve_vgnlse_batch,
-        )
-    else:
-        _pk, A_end, ok = solve_vgnlse_batch(cfg, coeffs, A_batch, nl=nl,
-                                            mesh=mesh)
-    elapsed = time.perf_counter() - t0
-    ok = np.asarray(ok, dtype=bool)
-    if not ok[0]:
-        raise FloatingPointError("the noise-free mean-field lane diverged")
-    if ok[1:].sum() < 16:
-        raise FloatingPointError("too few lanes survived for statistics")
-
-    f = _resolve_lo_mode(lo_mode, np.asarray(A_end[0]), A0)
-    stats, u_mf = _homodyne_stats(np.asarray(A_end[0]),
-                                  np.asarray(A_end[1:])[ok[1:]], f, scale)
+    A0, A_end, ok, scale, elapsed = _pulse_wigner_ensemble(
+        cfg, coeffs, A0, grid, omega0=omega0, n_samples=n_samples,
+        seed=seed, nl=nl, mesh=mesh, loss_model=loss_model,
+        n_loss_segments=n_loss_segments, vector=True,
+    )
+    f = _resolve_lo_mode(lo_mode, A_end[0], A0)
+    stats, u_mf = _homodyne_stats(A_end[0], A_end[1:][ok[1:]], f, scale)
     return PulseSqueezingResult(
         stats=stats,
         mean_photons=u_mf**2,
@@ -1060,6 +1053,17 @@ class PulsePhotonStatistics:
             f"n={self.total_photons:.3g} photons, "
             f"n_samples={self.n_samples}{extra})"
         )
+
+
+def _bin_stats(n_w: np.ndarray):
+    """Per-mode Wigner-corrected photon mean and Fano from (B, M) Wigner
+    occupations ``|u|^2`` (meaningful where ``n_mean > 0``; empty modes
+    give nan)."""
+    n_mean = n_w.mean(axis=0) - 0.5
+    var_bin = n_w.var(axis=0, ddof=1) - 0.25
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fano = np.where(n_mean > 0, var_bin / n_mean, np.nan)
+    return n_mean, fano
 
 
 def _weighted_photon_stats(n_w, w):
@@ -1117,10 +1121,7 @@ def pulse_photon_statistics(
     U = np.fft.fft(lanes, axis=-1) / np.sqrt(T)
     n_w = np.abs(U) ** 2                                  # (B_ok, T)
 
-    n_mean = n_w.mean(axis=0) - 0.5
-    var_bin = n_w.var(axis=0, ddof=1) - 0.25
-    with np.errstate(divide="ignore", invalid="ignore"):
-        fano = np.where(n_mean > 0, var_bin / n_mean, np.nan)
+    n_mean, fano = _bin_stats(n_w)
     tot_mean, tot_fano = _weighted_photon_stats(n_w, np.ones(T))
 
     filt_mean = filt_fano = None
@@ -1192,51 +1193,17 @@ def vector_pulse_photon_statistics(
     symmetric-ordering corrections and oracles are the scalar ones;
     additionally the Manakov coupling conserves TOTAL photons per lane,
     so total Fano stays at the input shot noise exactly."""
-    from ..models.vgnlse import solve_vgnlse_batch
-
-    if loss_model not in _LOSS_MODELS:
-        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
-    A0 = np.asarray(A0, dtype=np.complex128)
-    if A0.ndim != 2 or A0.shape[0] != 2:
-        raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
+    A0, A_end, ok, scale, elapsed = _pulse_wigner_ensemble(
+        cfg, coeffs, A0, grid, omega0=omega0, n_samples=n_samples,
+        seed=seed, nl=nl, mesh=mesh, loss_model=loss_model,
+        n_loss_segments=n_loss_segments, vector=True,
+    )
     T = A0.shape[1]
-    B = int(n_samples)
-    if B < 16:
-        raise ValueError("n_samples must be >= 16")
-    dt = float(grid.dt_s)
-    scale = np.sqrt(dt / (hbar * float(omega0)))
-    sigma2 = 0.5 * hbar * float(omega0) / dt
-    rng = np.random.default_rng(seed)
-    xi = (rng.standard_normal((B, 2, T)) +
-          1j * rng.standard_normal((B, 2, T)))
-    xi *= np.sqrt(sigma2 / 2.0)
-    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
-
-    t0 = time.perf_counter()
-    if loss_model == "langevin":
-        A_end, ok, _, _ = _propagate_langevin_gnlse(
-            cfg, coeffs, A_batch, sigma2=sigma2,
-            n_segments=n_loss_segments, rng=rng, nl=nl, mesh=mesh,
-            solve_fn=solve_vgnlse_batch,
-        )
-    else:
-        _pk, A_end, ok = solve_vgnlse_batch(cfg, coeffs, A_batch, nl=nl,
-                                            mesh=mesh)
-    elapsed = time.perf_counter() - t0
-    ok = np.asarray(ok, dtype=bool)
-    if not ok[0]:
-        raise FloatingPointError("the noise-free mean-field lane diverged")
-    if ok[1:].sum() < 16:
-        raise FloatingPointError("too few lanes survived for statistics")
-
-    lanes = np.asarray(A_end, dtype=np.complex128)[1:][ok[1:]] * scale
+    lanes = A_end[1:][ok[1:]] * scale
     U = np.fft.fft(lanes, axis=-1) / np.sqrt(T)     # (B_ok, 2, T)
     n_w = np.abs(U.reshape(U.shape[0], 2 * T)) ** 2
 
-    n_mean = n_w.mean(axis=0) - 0.5
-    var_bin = n_w.var(axis=0, ddof=1) - 0.25
-    with np.errstate(divide="ignore", invalid="ignore"):
-        fano = np.where(n_mean > 0, var_bin / n_mean, np.nan)
+    n_mean, fano = _bin_stats(n_w)
     tot_mean, tot_fano = _weighted_photon_stats(n_w, np.ones(2 * T))
 
     filt_mean = filt_fano = None
@@ -1362,10 +1329,7 @@ def comb_photon_statistics(
 
     photon_scale = float(t_mode_s) / (hbar * omega_abs)   # (N,) W -> photons
     n_out = (np.abs(np.asarray(A_end)[1:][ok[1:]]) ** 2) * photon_scale
-    n_mean = n_out.mean(axis=0) - 0.5
-    var_line = n_out.var(axis=0, ddof=1) - 0.25
-    with np.errstate(divide="ignore", invalid="ignore"):
-        fano = np.where(n_mean > 0, var_line / n_mean, np.nan)
+    n_mean, fano = _bin_stats(n_out)
 
     nf_db = nf_se = gain_db = None
     lines = None

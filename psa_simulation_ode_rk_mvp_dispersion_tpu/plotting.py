@@ -637,15 +637,22 @@ def plot_photon_statistics(ph, *, title="Spectral photon-number statistics",
     if n_rows.shape[0] > 1:
         ax1.legend(fontsize=9)
     ax2.axhline(1.0, color="k", ls="--", lw=1, label="shot noise")
+    # clip the MC-noise-negative Fano estimates of near-empty bins to the
+    # axis floor instead of letting the log scale drop them silently
+    floor = 1e-3
     for k in range(f_rows.shape[0]):
-        ax2.plot(om, np.fft.fftshift(f_rows[k]),
+        ax2.plot(om, np.maximum(np.fft.fftshift(f_rows[k]), floor),
                  color=("#d65f5f", "#956cb4")[k % 2], lw=1.4,
                  label="per-bin Fano"
                  + (pol[k + 1] if f_rows.shape[0] > 1 else ""))
     if ph.filter_w is not None:
         w_rows = np.asarray(ph.filter_w, dtype=float).reshape(-1, T)
-        ax2.plot(om, np.fft.fftshift(w_rows[0]), color="0.5", ls=":",
-                 lw=1.2, label=f"filter (Fano {ph.filtered_fano:.2f})")
+        for k in range(w_rows.shape[0]):
+            ax2.plot(om, np.maximum(np.fft.fftshift(w_rows[k]), floor),
+                     color="0.5", ls=(":", "-.")[k % 2], lw=1.2,
+                     label="filter"
+                     + (pol[k + 1] if w_rows.shape[0] > 1 else "")
+                     + (f" (Fano {ph.filtered_fano:.2f})" if k == 0 else ""))
     ax2.set_yscale("log")
     ax2.set_xlabel("baseband angular frequency (rad/s)")
     ax2.set_ylabel("Fano factor")
