@@ -105,6 +105,7 @@ from .parallel.noise import (  # noqa: E402
     PulseSqueezingEvolution,
     PulseSqueezingResult,
     QuadratureStats,
+    SqueezingSpectrumResult,
     comb_photon_statistics,
     noise_figure_monte_carlo,
     noise_figure_spectrum,
@@ -112,6 +113,7 @@ from .parallel.noise import (  # noqa: E402
     pulse_photon_statistics,
     pulse_squeezing_evolution,
     pulse_squeezing_monte_carlo,
+    pulse_squeezing_spectrum,
     vector_pulse_photon_statistics,
     vector_pulse_squeezing_monte_carlo,
     quadrature_stats,

@@ -658,3 +658,23 @@ def plot_photon_statistics(ph, *, title="Spectral photon-number statistics",
     ax2.set_ylabel("Fano factor")
     ax2.legend(fontsize=9)
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_squeezing_spectrum(sp, *,
+                            title="Sideband squeezing spectrum",
+                            show=True, save_path=None):
+    """Squeezing / antisqueezing (dB rel. vacuum) against baseband
+    frequency from :class:`~.parallel.noise.SqueezingSpectrumResult`."""
+    import matplotlib.pyplot as plt
+
+    om = np.fft.fftshift(np.asarray(sp.omega, dtype=float))
+    fig, ax = plt.subplots(figsize=(6.4, 4.2))
+    ax.axhline(0.0, color="k", ls="--", lw=1, label="vacuum")
+    ax.plot(om, np.fft.fftshift(np.asarray(sp.antisqueezing_db)),
+            color="#d65f5f", lw=1.5, label="antisqueezing")
+    ax.plot(om, np.fft.fftshift(np.asarray(sp.squeezing_db)),
+            color="#4878cf", lw=1.5, label="squeezing")
+    ax.set_xlabel("baseband angular frequency (rad/s)")
+    ax.set_ylabel("sideband noise (dB rel. vacuum)")
+    ax.legend(fontsize=9)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

