@@ -98,6 +98,7 @@ from .parallel import noise as noise  # noqa: E402
 from .parallel import fluctuations as fluctuations  # noqa: E402
 from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # noqa: E402
 from .parallel.noise import (  # noqa: E402
+    CoherenceResult,
     CombPhotonStatistics,
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
@@ -110,6 +111,7 @@ from .parallel.noise import (  # noqa: E402
     noise_figure_monte_carlo,
     noise_figure_spectrum,
     psa_squeezing_monte_carlo,
+    pulse_coherence_monte_carlo,
     pulse_photon_statistics,
     pulse_squeezing_evolution,
     pulse_squeezing_monte_carlo,

@@ -108,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--vector", action="store_true",
                    help="polarization-resolved (Manakov + isotropic-Raman "
                         "vector propagation)")
+    s.add_argument("--coherence", type=int, default=0, metavar="N",
+                   help="also measure shot-to-shot spectral coherence "
+                        "|g12| over N vacuum-seeded Wigner shots "
+                        "(scalar only)")
     s.add_argument("--theta", type=float, default=30.0,
                    help="pump polarization angle [deg] (with --vector)")
 
@@ -232,9 +236,12 @@ def main(argv=None) -> int:
             verbose=verbose, **common,
         )
     elif args.cmd == "supercontinuum":
+        if args.vector and args.coherence:
+            parser.error("--coherence is scalar-only (drop --vector)")
         fn = (ex.vector_supercontinuum if args.vector
               else ex.supercontinuum)
-        kw = dict(theta_deg=args.theta) if args.vector else {}
+        kw = (dict(theta_deg=args.theta) if args.vector
+              else dict(coherence_samples=args.coherence))
         fn(
             t0_fs=args.t0, peak_kW=args.peak, length_m=args.length,
             n_samples=args.samples, rtol=args.rtol,

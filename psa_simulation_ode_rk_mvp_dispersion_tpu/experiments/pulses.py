@@ -212,6 +212,9 @@ def supercontinuum(
     rtol: float = 1e-6,
     n_saved: int = 100,
     integrator: str = "rk45",
+    coherence_samples: int = 0,
+    seed: int = 0,
+    mesh=None,
     precision: str = "x64",
     show: bool = True,
     save_dir: Optional[str] = None,
@@ -223,7 +226,13 @@ def supercontinuum(
     solitons that red-shift by the Raman effect while shedding blue
     dispersive waves, spanning more than an octave in 15 cm.  Exercises
     every generalized-nonlinearity ingredient at once: dispersion orders
-    2-7, delayed Raman response, self-steepening, adaptive stepping."""
+    2-7, delayed Raman response, self-steepening, adaptive stepping.
+
+    ``coherence_samples > 0`` adds the shot-to-shot spectral coherence
+    measurement |g12(omega)| (truncated-Wigner ensemble of that many
+    vacuum-seeded shots, one batched solve; Dudley & Coen OL 27, 1180):
+    long-pump / high-soliton-number continua decohere, short-pump ones
+    stay |g12| ~ 1 -- the figure of merit of Dudley RMP 2006 Eq. (25)."""
     import numpy as _np
 
     from ..models import gnlse as gnl
@@ -289,7 +298,31 @@ def supercontinuum(
         title="Supercontinuum temporal evolution",
         save_path=None if save_dir is None else f"{save_dir}/supercontinuum_t.png",
     )
-    return z, A
+    coh = None
+    if int(coherence_samples) > 0:
+        from ..parallel import noise as _nz
+
+        coh = _nz.pulse_coherence_monte_carlo(
+            cfg, coeffs, gnl.sech_pulse(grid, peak_W=P0, t0_s=t0), grid,
+            omega0=omega_c, n_samples=int(coherence_samples), seed=seed,
+            nl=nl, mesh=mesh,
+        )
+        if verbose:
+            print(
+                f"spectral coherence over {coh.n_samples} shots: "
+                f"<|g12|> = {coh.g12_avg:.4f}"
+            )
+        if save_dir is not None:
+            _np.savez(f"{save_dir}/supercontinuum_coherence.npz",
+                      omega=coh.omega, g12=coh.g12,
+                      mean_photons=coh.mean_photons, g12_avg=coh.g12_avg,
+                      n_samples=coh.n_samples)
+        plotting.plot_spectral_coherence(
+            coh, show=show,
+            save_path=None if save_dir is None
+            else f"{save_dir}/supercontinuum_coherence.png",
+        )
+    return (z, A) if coh is None else (z, A, coh)
 
 
 def vector_supercontinuum(

@@ -1467,3 +1467,87 @@ def pulse_squeezing_spectrum(
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral first-order coherence |g12(omega)|
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CoherenceResult:
+    """Shot-to-shot spectral coherence of a propagated pulse ensemble:
+    the modulus of the complex degree of first-order coherence
+
+        |g12(omega)| = |<A_i*(omega) A_j(omega)>_{i != j}| / <|A(omega)|^2>
+
+    estimated over all independent lane pairs (Dudley & Coen, Opt. Lett.
+    27, 1180 (2002) -- THE supercontinuum stability diagnostic).  1 means
+    every shot has the same spectral phase (pulse-to-pulse interference
+    fringes at full visibility); 0 means vacuum-seeded / incoherent."""
+
+    omega: np.ndarray          # (T,) fft-ordered baseband [rad/s]
+    g12: np.ndarray            # (T,) in [0, 1]
+    mean_photons: np.ndarray   # (T,) ensemble-mean photons per bin
+    g12_avg: float             # spectrum-weighted average coherence
+    n_samples: int
+    ok_fraction: float
+    elapsed_s: float
+
+    def __repr__(self) -> str:
+        return (
+            f"CoherenceResult(g12_avg={self.g12_avg:.4f}, "
+            f"n_samples={self.n_samples})"
+        )
+
+
+def pulse_coherence_monte_carlo(
+    cfg: SimulationConfig,
+    coeffs,
+    A0: np.ndarray,
+    grid,
+    *,
+    omega0: float,
+    n_samples: int = 128,
+    seed: int = 0,
+    nl=None,
+    mesh=None,
+    loss_model: str = "deterministic",
+    n_loss_segments: int = 16,
+) -> CoherenceResult:
+    """First-order spectral coherence by truncated-Wigner Monte Carlo:
+    the same per-time-bin vacuum ensemble as the squeezing measurements,
+    reduced with the all-pairs estimator
+
+        g12 = (|sum_i a_i|^2 - sum_i |a_i|^2) / ((B - 1) sum_i |a_i|^2)
+
+    per unitary-DFT bin (noisy lanes only).  Bins dominated by the
+    deterministic field read ~n/(n + 1/2) -> 1; bins built from amplified
+    vacuum (e.g. the modulation-instability band, or decoherent
+    supercontinuum regions) read ~0.  ``g12_avg`` weights by the mean
+    spectrum, the single-number figure of merit of Dudley, Genty & Coen,
+    RMP 78, 1135 (2006), Eq. (25)."""
+    A0, A_end, ok, scale, elapsed = _pulse_wigner_ensemble(
+        cfg, coeffs, A0, grid, omega0=omega0, n_samples=n_samples,
+        seed=seed, nl=nl, mesh=mesh, loss_model=loss_model,
+        n_loss_segments=n_loss_segments,
+    )
+    T = A0.shape[0]
+    a = np.fft.fft(A_end[1:][ok[1:]] * scale, axis=-1) / np.sqrt(T)
+    B_ok = a.shape[0]
+    S1 = a.sum(axis=0)
+    S2 = (np.abs(a) ** 2).sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g12 = np.where(S2 > 0,
+                       np.abs(np.abs(S1) ** 2 - S2) / ((B_ok - 1) * S2),
+                       0.0)
+    g12 = np.clip(g12, 0.0, 1.0)
+    n_mean = np.maximum(S2 / B_ok - 0.5, 0.0)
+    w = n_mean.sum()
+    g12_avg = float((g12 * n_mean).sum() / w) if w > 0 else float("nan")
+    return CoherenceResult(
+        omega=np.asarray(grid.omega(), dtype=np.float64),
+        g12=g12, mean_photons=n_mean, g12_avg=g12_avg,
+        n_samples=int(B_ok),
+        ok_fraction=float(ok[1:].mean()),
+        elapsed_s=elapsed,
+    )

@@ -678,3 +678,29 @@ def plot_squeezing_spectrum(sp, *,
     ax.set_ylabel("sideband noise (dB rel. vacuum)")
     ax.legend(fontsize=9)
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_spectral_coherence(res, *,
+                            title="Shot-to-shot spectral coherence",
+                            show=True, save_path=None):
+    """Mean photon spectrum (log) with |g12(omega)| overlaid on a twin
+    axis, from :class:`~.parallel.noise.CoherenceResult`."""
+    import matplotlib.pyplot as plt
+
+    om = np.fft.fftshift(np.asarray(res.omega, dtype=float))
+    n = np.fft.fftshift(np.asarray(res.mean_photons, dtype=float))
+    g = np.fft.fftshift(np.asarray(res.g12, dtype=float))
+    fig, ax1 = plt.subplots(figsize=(6.4, 4.2))
+    ax1.semilogy(om, np.maximum(n, 1e-3), color="#4878cf", lw=1.4,
+                 label="mean spectrum")
+    ax1.set_xlabel("baseband angular frequency (rad/s)")
+    ax1.set_ylabel("photons / bin", color="#4878cf")
+    ax2 = ax1.twinx()
+    ax2.plot(om, g, color="#d65f5f", lw=1.5,
+             label=f"|g12| (avg {res.g12_avg:.3f})")
+    ax2.set_ylabel("|g12|", color="#d65f5f")
+    ax2.set_ylim(-0.02, 1.05)
+    lines = ax1.get_lines() + ax2.get_lines()
+    ax1.legend(lines, [ln.get_label() for ln in lines], fontsize=9,
+               loc="center right")
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

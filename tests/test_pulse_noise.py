@@ -483,3 +483,37 @@ def test_squeezing_spectrum_oracles():
                                rtol=0.1)
     assert r2.best_index == k or True  # repr smoke
     assert "SqueezingSpectrumResult" in repr(r2)
+
+
+def test_spectral_coherence_g12():
+    """First-order coherence |g12|: a bright coherent pulse reads ~1 on
+    every occupied bin (n/(n + 1/2) under Wigner); the vacuum-amplified
+    modulation-instability band reads ~0 while the pump line stays
+    coherent -- the Dudley-Coen supercontinuum-stability diagnostic."""
+    grid = _grid()
+    P = 1.0
+    om = grid.omega()
+    disp = psa.DispersionParams.from_betas(OM0, beta2=BETA2)
+
+    co0 = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=0.0)
+    A0p = np.asarray(psa.sech_pulse(grid, peak_W=1.0, t0_s=T0))
+    cfg0 = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=100)
+    r0 = psa.pulse_coherence_monte_carlo(cfg0, co0, A0p, grid, omega0=OM0,
+                                         n_samples=256, seed=0)
+    occ = r0.mean_photons > 1e4
+    assert occ.sum() > 20
+    assert r0.g12[occ].min() > 0.99
+    assert r0.g12_avg > 0.99
+    assert np.all((r0.g12 >= 0.0) & (r0.g12 <= 1.0))
+
+    co = gn.make_gnlse_coeffs(grid, disp, gamma_W_m=GAMMA)
+    A0 = np.full(grid.n_samples, np.sqrt(P), dtype=complex)
+    z = 8.0 / (GAMMA * P)
+    cfg = psa.custom_simulation_config(z_max=z, dz=z / 800, save_every=800)
+    r = psa.pulse_coherence_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=256, seed=1)
+    Oc = np.sqrt(4.0 * GAMMA * P / abs(BETA2))
+    band = (np.abs(om) > 0.3 * Oc) & (np.abs(om) < 0.9 * Oc)
+    assert r.g12[0] > 0.99                     # pump line coherent
+    assert r.mean_photons[band].min() > 1e4    # band IS amplified...
+    assert r.g12[band].max() < 0.05            # ...and incoherent
