@@ -396,3 +396,30 @@ def test_soliton_squeezing_experiment_artifacts(tmp_path):
     assert (tmp_path / "soliton_squeezing.png").exists()
     d = np.load(tmp_path / "soliton_squeezing.npz")
     assert d["z_m"].shape == d["squeezing_db"].shape
+
+
+def test_plot_quantum_noise_figures(tmp_path):
+    """Smoke the three quantum-noise figure functions on tiny ensembles."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
+
+    OM0 = 1.2e15
+    grid = gn.TimeGrid.for_pulse(1e-12, n_samples=64)
+    co = gn.make_gnlse_coeffs(grid, None, gamma_W_m=2e-3)
+    A0 = np.full(64, 1.0 + 0j)
+    cfg = psa.custom_simulation_config(z_max=50.0, dz=1.0, save_every=10)
+
+    ph = psa.pulse_photon_statistics(cfg, co, A0, grid, omega0=OM0,
+                                     n_samples=64, seed=0,
+                                     filter_mask=np.ones(64))
+    plotting.plot_photon_statistics(
+        ph, show=False, save_path=str(tmp_path / "ph.png"))
+    sp = psa.pulse_squeezing_spectrum(cfg, co, A0, grid, omega0=OM0,
+                                      n_samples=64, seed=0)
+    plotting.plot_squeezing_spectrum(
+        sp, show=False, save_path=str(tmp_path / "sp.png"))
+    g = psa.pulse_coherence_monte_carlo(cfg, co, A0, grid, omega0=OM0,
+                                        n_samples=64, seed=0)
+    plotting.plot_spectral_coherence(
+        g, show=False, save_path=str(tmp_path / "g.png"))
+    for f in ("ph.png", "sp.png", "g.png"):
+        assert (tmp_path / f).stat().st_size > 10_000
