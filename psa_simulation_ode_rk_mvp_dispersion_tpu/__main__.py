@@ -169,6 +169,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--points", type=int, default=24,
                    help="measurement distances along the fiber")
 
+    s = sub.add_parser("mi-noise",
+                       help="modulation-instability quantum sidebands: "
+                            "squeezing spectrum + shot-to-shot coherence")
+    s.add_argument("--samples", type=int, default=4096)
+    s.add_argument("--nonlinear-lengths", type=float, default=3.0,
+                   help="propagation distance in units of 1/(gamma P)")
+
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
 
@@ -178,7 +185,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.integrator is not None and args.cmd in (
             "sbs", "bench", "noise-figure", "comb", "gain-ripple",
-            "squeezing", "soliton-squeezing"):
+            "squeezing", "soliton-squeezing", "mi-noise"):
         parser.error(
             f"--integrator is not honored by '{args.cmd}'"
             + (" (use --comb-integrator)" if args.cmd == "comb" else "")
@@ -276,6 +283,12 @@ def main(argv=None) -> int:
         ex.soliton_squeezing(
             n_samples=args.samples, periods=args.periods,
             points=args.points, mesh=mesh, verbose=verbose, **common,
+        )
+    elif args.cmd == "mi-noise":
+        ex.mi_sideband_noise(
+            n_samples=args.samples,
+            nonlinear_lengths=args.nonlinear_lengths, mesh=mesh,
+            verbose=verbose, **common,
         )
     elif args.cmd == "bench":
         import runpy

@@ -27,7 +27,12 @@ from .fwm4 import (  # noqa: F401
     single_simulation,
 )
 from .fluctuations import gain_ripple  # noqa: F401
-from .noise import noise_figure, soliton_squeezing, squeezing  # noqa: F401
+from .noise import (  # noqa: F401
+    mi_sideband_noise,
+    noise_figure,
+    soliton_squeezing,
+    squeezing,
+)
 from .pulses import (  # noqa: F401
     _SC_BETAS_PS_KM,
     gnlse_pulse,
@@ -42,5 +47,5 @@ __all__ = [
     "mismatch_scan", "psa_phase_sweep", "gain_map", "comb", "gnlse_pulse",
     "vector_pulse", "supercontinuum", "vector_supercontinuum",
     "noise_figure", "fwm_sbs", "gain_ripple", "squeezing",
-    "soliton_squeezing",
+    "soliton_squeezing", "mi_sideband_noise",
 ]

@@ -423,3 +423,17 @@ def test_plot_quantum_noise_figures(tmp_path):
         g, show=False, save_path=str(tmp_path / "g.png"))
     for f in ("ph.png", "sp.png", "g.png"):
         assert (tmp_path / f).stat().st_size > 10_000
+
+
+def test_mi_noise_experiment_artifacts(tmp_path):
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    sp, coh = ex.mi_sideband_noise(
+        n_samples=512, n_t=64, nonlinear_lengths=2.0,
+        show=False, save_dir=str(tmp_path), verbose=True,
+    )
+    assert np.nanmax(sp.antisqueezing_db) > 8.0
+    assert coh.g12[0] > 0.99
+    assert (tmp_path / "mi_noise.npz").exists()
+    assert (tmp_path / "mi_noise.png").exists()
+    assert (tmp_path / "mi_coherence.png").exists()
