@@ -27,7 +27,54 @@ BASELINE_POINTS_PER_S = 1.0 / 0.301  # reference: 0.301 s/point (BASELINE.md)
 N_POINTS = 10_000
 
 
+def _tunnel_preflight(retries: int = 3, timeout_s: int = 300) -> bool:
+    """Probe the TPU tunnel with a trivial matmul in a SUBPROCESS (an
+    in-process hang inside the tunnel RPC cannot be interrupted).  The
+    axon tunnel has a documented outage mode where even a 128x128 matmul
+    never returns -- without this guard the bench hangs forever instead
+    of reporting a diagnosable record."""
+    import os
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "(jnp.ones((128,128),jnp.float32)"
+            "@jnp.ones((128,128),jnp.float32)).block_until_ready(); "
+            "print('preflight-ok')")
+    for _ in range(int(retries)):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True,
+                               text=True, env=os.environ.copy())
+            if r.returncode == 0 and "preflight-ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
+def _tpu_attempt() -> bool:
+    """True when this process will target a non-CPU backend -- decided
+    from the environment BEFORE importing jax, because in deep outage
+    mode even backend initialization (jax.default_backend()) hangs."""
+    import os
+
+    return os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+
+
 def main() -> None:
+    if _tpu_attempt() and not _tunnel_preflight():
+        print("# TPU tunnel unreachable: preflight matmul timed out "
+              "3 x 300 s (documented outage mode, not a code regression)",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "gain_spectrum_points_per_s_at_1e-9",
+            "value": 0.0,
+            "unit": "points/s",
+            "vs_baseline": 0.0,
+            "error": "tpu-tunnel-unreachable",
+        }))
+        return
+
     import jax
 
     from psa_simulation_ode_rk_mvp_dispersion_tpu.utils.precision import (
