@@ -1,9 +1,26 @@
-"""Semiclassical (Wigner) quantum-noise Monte Carlo for the 4-wave model.
+"""Semiclassical (truncated-Wigner) quantum-noise Monte Carlo for EVERY
+model family -- the measurement layer the reference's deterministic
+solver cannot express, riding the batched engines (10^4-10^6 independent
+nonlinear solves are one XLA program).
 
-Estimates amplifier noise figures by brute-force ensemble simulation --
-the measurement the reference's deterministic solver cannot make, and a
-showcase of the batched-solve throughput (10^4-10^6 independent solves are
-one XLA program; see ``parallel/sweep.solve_batch``).
+Sections (in file order):
+
+1. 4-wave amplifier noise: ``noise_figure_monte_carlo`` (PIA/PSA NF with
+   jackknife SE), ``noise_figure_spectrum`` (NF(lambda), one program),
+   ``psa_squeezing_monte_carlo`` + ``quadrature_stats`` (noise ellipses);
+2. distributed-loss (Langevin) machinery shared by all families:
+   beamsplitter vacuum injection per segment, flat or spectral alpha;
+3. pulse family (GNLSE): ``pulse_squeezing_monte_carlo`` / ``_evolution``
+   (homodyne ellipses), ``pulse_photon_statistics`` (direct detection,
+   spectral filters, out-of-sample optimal filter),
+   ``pulse_squeezing_spectrum`` (sideband two-mode ellipses),
+   ``pulse_coherence_monte_carlo`` (Dudley-Coen |g12|);
+4. vector family: ``vector_pulse_squeezing_monte_carlo`` (Jones-mode LO)
+   and ``vector_pulse_photon_statistics``;
+5. comb family: ``comb_photon_statistics`` (per-line Fano + NF).
+
+Physics conventions, exact oracles and the model boundary are documented
+in docs/PHYSICS.md section 6/6a.
 
 Method (truncated-Wigner / semiclassical): each selected wave's input
 amplitude receives an independent complex Gaussian perturbation with the
