@@ -100,6 +100,7 @@ from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # 
 from .parallel.noise import (  # noqa: E402
     CoherenceResult,
     CombPhotonStatistics,
+    EPRResult,
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
     PulsePhotonStatistics,
@@ -108,6 +109,7 @@ from .parallel.noise import (  # noqa: E402
     QuadratureStats,
     SqueezingSpectrumResult,
     comb_photon_statistics,
+    epr_inseparability_monte_carlo,
     noise_figure_monte_carlo,
     noise_figure_spectrum,
     psa_squeezing_monte_carlo,

@@ -1568,3 +1568,112 @@ def pulse_coherence_monte_carlo(
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous-variable entanglement: Duan-Simon EPR criterion
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class EPRResult:
+    """Duan-Simon inseparability of the signal/idler twin beams.
+
+    ``duan`` is the minimized EPR sum Var_theta[(X_s + X_i)/sqrt2] +
+    Var_{theta+90}[(X_s - X_i)/sqrt2]; separable states obey
+    ``duan >= 1/2`` (two vacuum quadratures at 1/4), so ``duan < 1/2``
+    VERIFIES entanglement (Duan et al. PRL 84, 2722; Simon PRL 84, 2726).
+    An ideal two-mode squeezer gives ``exp(-2r)/2`` with
+    ``sinh^2 r = n`` photons per beam."""
+
+    duan: float
+    separable_bound: float      # 1/2 in these units
+    entangled: bool
+    theta: float                # optimizing quadrature angle [rad]
+    n_signal: float             # mean photons scattered into the signal
+    duan_theory: float          # exp(-2r)/2 from n_signal (ideal TMSV)
+    stats_plus: QuadratureStats
+    stats_minus: QuadratureStats
+    n_samples: int
+
+    def __repr__(self) -> str:
+        return (
+            f"EPRResult(duan={self.duan:.4f} vs bound 0.5 -> "
+            f"{'ENTANGLED' if self.entangled else 'separable'}, "
+            f"theory {self.duan_theory:.4f}, n={self.n_signal:.3g})"
+        )
+
+
+def epr_inseparability_monte_carlo(
+    cfg: SimulationConfig,
+    *,
+    gamma: float,
+    alpha: float,
+    omega: np.ndarray,
+    p_pump_W: float,
+    delta_beta: float = 0.0,
+    t_mode_s: float = 1e-9,
+    n_samples: int = 8192,
+    seed: int = 0,
+    mesh=None,
+    engine: str = "auto",
+) -> EPRResult:
+    """Verify continuous-variable entanglement of the vacuum-seeded
+    signal/idler pair behind a dual-pump parametric amplifier: propagate
+    the Wigner vacuum (pumps noiseless), form the +-45-degree
+    superposition modes, and minimize the Duan sum over the common
+    quadrature angle analytically,
+
+        D(theta)  = Var_theta(u_+) + Var_{theta+90}(u_-)
+        D_min     = (m_+ + m_-)/2 - |s_+ - s_-|/2,
+
+    with m = <|u|^2>, s = <u^2> of the (zero-mean) mode amplitudes.
+    D_min < 1/2 is impossible for ANY separable state.  Oracle
+    (tests/test_noise.py): the lossless PSA's twin beams reach the ideal
+    two-mode-squeezed value exp(-2r)/2 inferred from the scattered photon
+    number sinh^2 r."""
+    omega = np.asarray(omega, dtype=np.float64).reshape(4)
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    xi = _vacuum_draws(np.random.default_rng(seed), (B, 4), omega, t_mode_s,
+                       (False, False, True, True))
+    A_mean = np.asarray(
+        make_initial_amplitudes([p_pump_W, p_pump_W, 0.0, 0.0], np.zeros(4)),
+        dtype=np.complex128,
+    )
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, float(gamma)),
+        alpha=np.full(B, float(alpha)),
+        delta_beta=np.full(B, float(delta_beta)),
+    )
+    res = solve_batch(cfg, coeffs, A_mean[None, :] + xi, mesh=mesh,
+                      engine=engine)
+    ok = np.asarray(res.ok, dtype=bool)
+    if ok.sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+    A_end = np.asarray(res.A_end)[ok]
+    us = A_end[:, 2] * np.sqrt(t_mode_s / (hbar * float(omega[2])))
+    ui = A_end[:, 3] * np.sqrt(t_mode_s / (hbar * float(omega[3])))
+    u_p = (us + ui) / np.sqrt(2.0)
+    u_m = (us - ui) / np.sqrt(2.0)
+    m_p = float((np.abs(u_p) ** 2).mean())
+    m_m = float((np.abs(u_m) ** 2).mean())
+    s_p = complex((u_p * u_p).mean())
+    s_m = complex((u_m * u_m).mean())
+    # D(theta) = (m_p + m_m)/2 + Re[e^{-2i theta}(s_p - s_m)]/2
+    d = s_p - s_m
+    duan = 0.5 * (m_p + m_m) - 0.5 * abs(d)
+    theta = 0.5 * (np.angle(-d)) if d != 0 else 0.0
+    n_sig = max(float((np.abs(us) ** 2).mean()) - 0.5, 0.0)
+    r = np.arcsinh(np.sqrt(n_sig))
+    return EPRResult(
+        duan=float(duan),
+        separable_bound=0.5,
+        entangled=bool(duan < 0.5),
+        theta=float(theta),
+        n_signal=n_sig,
+        duan_theory=float(0.5 * np.exp(-2.0 * r)),
+        stats_plus=quadrature_stats_u(u_p),
+        stats_minus=quadrature_stats_u(u_m),
+        n_samples=int(ok.sum()),
+    )

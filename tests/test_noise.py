@@ -229,3 +229,31 @@ def test_langevin_pure_loss_channel_nf():
                                      n_loss_segments=3, **common)
     with pytest.raises(ValueError, match="loss_model"):
         psa.noise_figure_monte_carlo(cfg, loss_model="nope", **common)
+
+
+def test_epr_inseparability_twin_beams():
+    """CV entanglement verification: the lossless PSA's vacuum-seeded
+    twin beams violate the Duan-Simon separability bound 1/2 and reach
+    the ideal two-mode-squeezed value exp(-2r)/2 with sinh^2 r inferred
+    from the scattered photon number (calibrated 0.1148 vs 0.1144)."""
+    cfg = psa.custom_simulation_config(z_max=150.0, dz=0.05, save_every=50)
+    r = psa.epr_inseparability_monte_carlo(
+        cfg, gamma=5e-3, alpha=0.0, omega=OMEGA, p_pump_W=0.5,
+        n_samples=8192, seed=0,
+    )
+    assert r.entangled and r.duan < 0.2
+    assert r.duan == pytest.approx(r.duan_theory, rel=0.05)
+    assert r.n_signal > 0.1
+    # both superposition modes squeeze (symmetric two-mode squeezing)
+    assert r.stats_plus.squeezing_db < -3.0
+    assert r.stats_minus.squeezing_db < -3.0
+    # the un-pumped control is separable: gamma = 0 keeps vacuum
+    r0 = psa.epr_inseparability_monte_carlo(
+        cfg, gamma=0.0, alpha=0.0, omega=OMEGA, p_pump_W=0.5,
+        n_samples=4096, seed=1,
+    )
+    assert abs(r0.duan - 0.5) < 4 * 0.5 * np.sqrt(2.0 / 4096)
+    with pytest.raises(ValueError, match="n_samples"):
+        psa.epr_inseparability_monte_carlo(
+            cfg, gamma=5e-3, alpha=0.0, omega=OMEGA, p_pump_W=0.5,
+            n_samples=4)
