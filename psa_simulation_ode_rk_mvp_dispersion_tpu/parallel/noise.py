@@ -199,6 +199,47 @@ def quadrature_stats_u(u: np.ndarray) -> QuadratureStats:
     )
 
 
+def _fwm4_vacuum_ensemble(cfg, *, gamma, alpha, omega, p_pump_W, delta_beta,
+                          t_mode_s, n_samples, seed, mesh, engine,
+                          loss_model, n_loss_segments):
+    """Shared vacuum-seeded 4-wave ensemble of the squeezing/EPR
+    measurements: noiseless pumps, Wigner vacuum on signal+idler, every
+    lane statistical (no mean-field lane).  Returns the surviving
+    ``(A_end (B_ok, 4), omega)``."""
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
+    omega = np.asarray(omega, dtype=np.float64).reshape(4)
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    noisy = (False, False, True, True)
+    rng = np.random.default_rng(seed)
+    xi = _vacuum_draws(rng, (B, 4), omega, t_mode_s, noisy)
+    A_mean = np.asarray(
+        make_initial_amplitudes([p_pump_W, p_pump_W, 0.0, 0.0], np.zeros(4)),
+        dtype=np.complex128,
+    )
+    A0 = A_mean[None, :] + xi
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, float(gamma)),
+        alpha=np.full(B, float(alpha)),
+        delta_beta=np.full(B, float(delta_beta)),
+    )
+    if loss_model == "langevin" and float(alpha) != 0.0:
+        A_end, ok = _propagate_langevin_fwm4(
+            cfg, coeffs, A0, omega=omega, t_mode_s=t_mode_s, noisy=noisy,
+            n_segments=n_loss_segments, rng=rng, mesh=mesh, engine=engine,
+            skip_lane0=False,
+        )
+    else:
+        res = solve_batch(cfg, coeffs, A0, mesh=mesh, engine=engine)
+        ok = np.asarray(res.ok, dtype=bool)
+        A_end = np.asarray(res.A_end, dtype=np.complex128)
+    if ok.sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+    return A_end[ok], omega
+
+
 def psa_squeezing_monte_carlo(
     cfg: SimulationConfig,
     *,
@@ -212,6 +253,8 @@ def psa_squeezing_monte_carlo(
     seed: int = 0,
     mesh=None,
     engine: str = "auto",
+    loss_model: str = "deterministic",
+    n_loss_segments: int = 16,
 ) -> Tuple[QuadratureStats, QuadratureStats]:
     """Vacuum squeezing of a dual-pump PSA: propagate a VACUUM signal/idler
     (zero mean field, half-photon Wigner noise, pumps noiseless) and return
@@ -223,29 +266,17 @@ def psa_squeezing_monte_carlo(
     vacuum by the parametric gain while v_min * v_max stays at the minimum
     uncertainty 1/16 (lossless PSA is a pure squeezer); the single signal
     mode alone shows a thermal (unsqueezed) ellipse.
-    """
-    omega = np.asarray(omega, dtype=np.float64).reshape(4)
-    B = int(n_samples)
-    if B < 16:
-        raise ValueError("n_samples must be >= 16")
-    xi = _vacuum_draws(np.random.default_rng(seed), (B, 4), omega, t_mode_s,
-                       (False, False, True, True))
-    A_mean = np.asarray(
-        make_initial_amplitudes([p_pump_W, p_pump_W, 0.0, 0.0], np.zeros(4)),
-        dtype=np.complex128,
-    )
-    A0 = A_mean[None, :] + xi
 
-    coeffs = RHSCoeffs(
-        gamma=np.full(B, float(gamma)),
-        alpha=np.full(B, float(alpha)),
-        delta_beta=np.full(B, float(delta_beta)),
+    ``loss_model='langevin'`` injects distributed-loss vacuum per segment:
+    a lossy VACUUM channel (gamma = 0) then stays the exact vacuum circle,
+    whereas the deterministic default decays to eta/4 -- fake squeezing.
+    """
+    A_end, omega = _fwm4_vacuum_ensemble(
+        cfg, gamma=gamma, alpha=alpha, omega=omega, p_pump_W=p_pump_W,
+        delta_beta=delta_beta, t_mode_s=t_mode_s, n_samples=n_samples,
+        seed=seed, mesh=mesh, engine=engine, loss_model=loss_model,
+        n_loss_segments=n_loss_segments,
     )
-    res = solve_batch(cfg, coeffs, A0, mesh=mesh, engine=engine)
-    ok = np.asarray(res.ok, dtype=bool)
-    if ok.sum() < 16:
-        raise FloatingPointError("too few lanes survived for statistics")
-    A_end = np.asarray(res.A_end)[ok]
     sig = quadrature_stats(A_end[:, 2], float(omega[2]), t_mode_s)
     # +45-deg superposition: photon-unit amplitudes combined, converted back
     # to a common-frequency W^1/2 scale for quadrature_stats
@@ -515,23 +546,11 @@ def noise_figure_monte_carlo(
     )
     t0 = time.perf_counter()
     if loss_model == "langevin" and float(alpha) != 0.0:
-        if float(alpha) < 0.0:
-            raise ValueError(
-                "loss_model='langevin' needs alpha >= 0 (flat gain would "
-                "require the amplifier Langevin term, which is not modeled)"
-            )
-        cfg_seg, z_seg = _loss_segment_cfg(cfg, n_loss_segments)
-        eta = float(np.exp(-float(alpha) * z_seg))
-        A = A0
-        ok = np.ones(B, dtype=bool)
-        for _ in range(int(n_loss_segments)):
-            res = solve_batch(cfg_seg, coeffs, A, mesh=mesh, engine=engine)
-            ok &= np.asarray(res.ok, dtype=bool)
-            A = np.asarray(res.A_end, dtype=np.complex128).copy()
-            dxi = _vacuum_draws(rng, (B, 4), omega, t_mode_s, noisy)
-            dxi[0] = 0.0
-            A += np.sqrt(1.0 - eta) * dxi
-        A_end = A
+        A_end, ok = _propagate_langevin_fwm4(
+            cfg, coeffs, A0, omega=omega, t_mode_s=t_mode_s, noisy=noisy,
+            n_segments=n_loss_segments, rng=rng, mesh=mesh, engine=engine,
+            skip_lane0=True,
+        )
     else:
         res = solve_batch(cfg, coeffs, A0, mesh=mesh, engine=engine)
         ok = np.asarray(res.ok, dtype=bool)
@@ -592,6 +611,41 @@ def noise_figure_monte_carlo(
 # for ANY K; K only controls the splitting error against the nonlinearity.
 
 _LOSS_MODELS = ("deterministic", "langevin")
+
+
+def _propagate_langevin_fwm4(cfg, coeffs, A0, *, omega, t_mode_s, noisy,
+                             n_segments, rng, mesh, engine,
+                             skip_lane0: bool):
+    """Segmented 4-wave propagation with per-segment vacuum injection into
+    the ``noisy`` waves (the beamsplitter model of the flat loss in
+    ``coeffs.alpha``).  ``skip_lane0`` keeps lane 0 noise-free (the
+    mean-field lane of the NF measurement); measurements whose every lane
+    is statistical (squeezing/EPR on vacuum) inject everywhere.  Returns
+    ``(A_end, ok)``; measurement point = last saved grid point."""
+    alpha = np.asarray(coeffs.alpha, dtype=np.float64)
+    a0 = float(alpha.reshape(-1)[0])
+    if alpha.size and not np.all(alpha == a0):
+        raise ValueError(
+            "loss_model='langevin' needs a uniform alpha across the batch"
+        )
+    if a0 < 0.0:
+        raise ValueError(
+            "loss_model='langevin' needs alpha >= 0 (flat gain would "
+            "require the amplifier Langevin term, which is not modeled)"
+        )
+    cfg_seg, z_seg = _loss_segment_cfg(cfg, n_segments)
+    eta = float(np.exp(-a0 * z_seg))
+    A = np.asarray(A0, dtype=np.complex128).copy()
+    ok = np.ones(A.shape[0], dtype=bool)
+    for _ in range(int(n_segments)):
+        res = solve_batch(cfg_seg, coeffs, A, mesh=mesh, engine=engine)
+        ok &= np.asarray(res.ok, dtype=bool)
+        A = np.asarray(res.A_end, dtype=np.complex128).copy()
+        dxi = _vacuum_draws(rng, A.shape, omega, t_mode_s, noisy)
+        if skip_lane0:
+            dxi[0] = 0.0
+        A += np.sqrt(1.0 - eta) * dxi
+    return A, ok
 
 
 def _gnlse_vacuum_injection(rng, shape, eta, sigma2: float) -> np.ndarray:
@@ -1583,11 +1637,14 @@ class EPRResult:
     ``duan >= 1/2`` (two vacuum quadratures at 1/4), so ``duan < 1/2``
     VERIFIES entanglement (Duan et al. PRL 84, 2722; Simon PRL 84, 2726).
     An ideal two-mode squeezer gives ``exp(-2r)/2`` with
-    ``sinh^2 r = n`` photons per beam."""
+    ``sinh^2 r = n`` photons per beam.  ``entangled`` requires STATISTICAL
+    significance: duan + 3 SE < 1/2 (a point estimate at the bound flips
+    on MC noise ~half the time)."""
 
     duan: float
+    duan_se: float              # delete-block jackknife standard error
     separable_bound: float      # 1/2 in these units
-    entangled: bool
+    entangled: bool             # duan + 3*duan_se < 1/2
     theta: float                # optimizing quadrature angle [rad]
     n_signal: float             # mean photons scattered into the signal
     duan_theory: float          # exp(-2r)/2 from n_signal (ideal TMSV)
@@ -1597,8 +1654,8 @@ class EPRResult:
 
     def __repr__(self) -> str:
         return (
-            f"EPRResult(duan={self.duan:.4f} vs bound 0.5 -> "
-            f"{'ENTANGLED' if self.entangled else 'separable'}, "
+            f"EPRResult(duan={self.duan:.4f}+-{self.duan_se:.4f} vs bound "
+            f"0.5 -> {'ENTANGLED' if self.entangled else 'separable'}, "
             f"theory {self.duan_theory:.4f}, n={self.n_signal:.3g})"
         )
 
@@ -1616,6 +1673,8 @@ def epr_inseparability_monte_carlo(
     seed: int = 0,
     mesh=None,
     engine: str = "auto",
+    loss_model: str = "deterministic",
+    n_loss_segments: int = 16,
 ) -> EPRResult:
     """Verify continuous-variable entanglement of the vacuum-seeded
     signal/idler pair behind a dual-pump parametric amplifier: propagate
@@ -1630,50 +1689,55 @@ def epr_inseparability_monte_carlo(
     D_min < 1/2 is impossible for ANY separable state.  Oracle
     (tests/test_noise.py): the lossless PSA's twin beams reach the ideal
     two-mode-squeezed value exp(-2r)/2 inferred from the scattered photon
-    number sinh^2 r."""
-    omega = np.asarray(omega, dtype=np.float64).reshape(4)
-    B = int(n_samples)
-    if B < 16:
-        raise ValueError("n_samples must be >= 16")
-    xi = _vacuum_draws(np.random.default_rng(seed), (B, 4), omega, t_mode_s,
-                       (False, False, True, True))
-    A_mean = np.asarray(
-        make_initial_amplitudes([p_pump_W, p_pump_W, 0.0, 0.0], np.zeros(4)),
-        dtype=np.complex128,
+    number sinh^2 r.
+
+    ``loss_model='langevin'`` matters here more than anywhere: a lossy
+    VACUUM channel under the deterministic default decays the ensemble
+    below the vacuum floor and certifies FAKE entanglement (duan =
+    eta/2 < 1/2 with no nonlinearity at all); the beamsplitter injection
+    keeps it at exactly 1/2 (tests/test_noise.py)."""
+    A_end, omega = _fwm4_vacuum_ensemble(
+        cfg, gamma=gamma, alpha=alpha, omega=omega, p_pump_W=p_pump_W,
+        delta_beta=delta_beta, t_mode_s=t_mode_s, n_samples=n_samples,
+        seed=seed, mesh=mesh, engine=engine, loss_model=loss_model,
+        n_loss_segments=n_loss_segments,
     )
-    coeffs = RHSCoeffs(
-        gamma=np.full(B, float(gamma)),
-        alpha=np.full(B, float(alpha)),
-        delta_beta=np.full(B, float(delta_beta)),
-    )
-    res = solve_batch(cfg, coeffs, A_mean[None, :] + xi, mesh=mesh,
-                      engine=engine)
-    ok = np.asarray(res.ok, dtype=bool)
-    if ok.sum() < 16:
-        raise FloatingPointError("too few lanes survived for statistics")
-    A_end = np.asarray(res.A_end)[ok]
     us = A_end[:, 2] * np.sqrt(t_mode_s / (hbar * float(omega[2])))
     ui = A_end[:, 3] * np.sqrt(t_mode_s / (hbar * float(omega[3])))
     u_p = (us + ui) / np.sqrt(2.0)
     u_m = (us - ui) / np.sqrt(2.0)
-    m_p = float((np.abs(u_p) ** 2).mean())
-    m_m = float((np.abs(u_m) ** 2).mean())
-    s_p = complex((u_p * u_p).mean())
-    s_m = complex((u_m * u_m).mean())
-    # D(theta) = (m_p + m_m)/2 + Re[e^{-2i theta}(s_p - s_m)]/2
-    d = s_p - s_m
-    duan = 0.5 * (m_p + m_m) - 0.5 * abs(d)
+
+    def _duan(up, um):
+        # D(theta) = (m_p + m_m)/2 + Re[e^{-2i theta}(s_p - s_m)]/2
+        m = float((np.abs(up) ** 2).mean() + (np.abs(um) ** 2).mean())
+        d = complex((up * up).mean() - (um * um).mean())
+        return 0.5 * m - 0.5 * abs(d), d
+
+    duan, d = _duan(u_p, u_m)
+    # delete-block jackknife SE (the entanglement claim must be
+    # statistically significant, not a point-estimate coin flip)
+    Bk = u_p.shape[0]
+    k = min(32, Bk // 2)
+    mlen = (Bk // k) * k
+    thetas = np.array([
+        _duan(np.delete(u_p[:mlen].reshape(k, -1), j, axis=0).ravel(),
+              np.delete(u_m[:mlen].reshape(k, -1), j, axis=0).ravel())[0]
+        for j in range(k)
+    ])
+    duan_se = float(np.sqrt((k - 1) / k * ((thetas - thetas.mean()) ** 2)
+                            .sum()))
     theta = 0.5 * (np.angle(-d)) if d != 0 else 0.0
     n_sig = max(float((np.abs(us) ** 2).mean()) - 0.5, 0.0)
     r = np.arcsinh(np.sqrt(n_sig))
     return EPRResult(
         duan=float(duan),
+        duan_se=duan_se,
         separable_bound=0.5,
-        entangled=bool(duan < 0.5),
+        entangled=bool(duan + 3.0 * duan_se < 0.5),
         theta=float(theta),
         n_signal=n_sig,
         duan_theory=float(0.5 * np.exp(-2.0 * r)),
         stats_plus=quadrature_stats_u(u_p),
         stats_minus=quadrature_stats_u(u_m),
-        n_samples=int(ok.sum()),
+        n_samples=int(A_end.shape[0]),
     )

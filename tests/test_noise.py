@@ -257,3 +257,39 @@ def test_epr_inseparability_twin_beams():
         psa.epr_inseparability_monte_carlo(
             cfg, gamma=5e-3, alpha=0.0, omega=OMEGA, p_pump_W=0.5,
             n_samples=4)
+
+
+def test_langevin_protects_epr_and_squeezing_from_fake_results():
+    """On a LINEAR lossy vacuum channel the deterministic loss decays the
+    ensemble below the vacuum floor -- certifying FAKE entanglement
+    (duan = eta/2) and fake squeezing (v = eta/4).  The Langevin
+    beamsplitter injection restores the exact separable vacuum."""
+    L, eta = 100.0, 0.5
+    al = -np.log(eta) / L
+    cfg = psa.custom_simulation_config(z_max=L, dz=0.5, save_every=10)
+    B = 8192
+    common = dict(gamma=0.0, alpha=al, omega=OMEGA, p_pump_W=0.5,
+                  n_samples=B, seed=0)
+    rd = psa.epr_inseparability_monte_carlo(cfg, **common)
+    rl = psa.epr_inseparability_monte_carlo(cfg, loss_model="langevin",
+                                            n_loss_segments=20, **common)
+    se = 0.5 * np.sqrt(2.0 / B)
+    assert abs(rd.duan - eta / 2.0) < 4 * se      # the unphysical answer
+    assert rd.entangled                            # ...falsely certified
+    assert abs(rl.duan - 0.5) < 4 * se             # physical: separable
+    assert not rl.entangled
+
+    _, jd = psa.psa_squeezing_monte_carlo(cfg, **dict(common, seed=1))
+    _, jl = psa.psa_squeezing_monte_carlo(cfg, loss_model="langevin",
+                                          n_loss_segments=20,
+                                          **dict(common, seed=1))
+    assert abs(0.5 * (jd.v_min + jd.v_max) - eta / 4.0) < 2 * se
+    assert abs(0.5 * (jl.v_min + jl.v_max) - 0.25) < 2 * se
+
+    # a lossy PSA stays genuinely entangled, degraded toward the bound
+    r = psa.epr_inseparability_monte_carlo(
+        cfg, loss_model="langevin", n_loss_segments=20,
+        **dict(common, gamma=5e-3, seed=2))
+    rless = psa.epr_inseparability_monte_carlo(
+        cfg, **dict(common, gamma=5e-3, alpha=0.0, seed=2))
+    assert rless.duan < r.duan < 0.5
