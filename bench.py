@@ -27,29 +27,48 @@ BASELINE_POINTS_PER_S = 1.0 / 0.301  # reference: 0.301 s/point (BASELINE.md)
 N_POINTS = 10_000
 
 
-def _tunnel_preflight(retries: int = 3, timeout_s: int = 300) -> bool:
+def _tunnel_preflight(retries: int = 3, timeout_s: int = 300):
     """Probe the TPU tunnel with a trivial matmul in a SUBPROCESS (an
     in-process hang inside the tunnel RPC cannot be interrupted).  The
     axon tunnel has a documented outage mode where even a 128x128 matmul
     never returns -- without this guard the bench hangs forever instead
-    of reporting a diagnosable record."""
+    of reporting a diagnosable record.
+
+    Returns ``(ok, reason)``: a timeout reads as the outage mode; a
+    non-zero exit (e.g. \"Backend 'axon' is not known\" from a broken
+    PYTHONPATH) is a CONFIGURATION failure and its stderr tail is the
+    reason -- do not misreport one as the other.  The subprocess shares
+    the persistent compile cache so a live-but-slow tunnel only pays the
+    matmul compile once across retries."""
     import os
     import subprocess
 
+    env = os.environ.copy()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/psa_tpu_jax_cache")
     code = ("import jax, jax.numpy as jnp; "
             "(jnp.ones((128,128),jnp.float32)"
             "@jnp.ones((128,128),jnp.float32)).block_until_ready(); "
             "print('preflight-ok')")
+    reason = "unknown"
     for _ in range(int(retries)):
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s, capture_output=True,
-                               text=True, env=os.environ.copy())
+                               text=True, env=env)
             if r.returncode == 0 and "preflight-ok" in r.stdout:
-                return True
+                return True, "ok"
+            out = (r.stderr or r.stdout).strip()
+            if out:
+                lines = out.splitlines()
+                err = next((ln for ln in reversed(lines) if "Error" in ln),
+                           lines[-1])
+                reason = "probe-failed: " + err.strip()[:200]
+            else:
+                reason = f"probe exited {r.returncode}"
         except subprocess.TimeoutExpired:
-            pass
-    return False
+            reason = (f"tunnel-unreachable: probe matmul timed out "
+                      f"{retries} x {timeout_s} s (documented outage mode)")
+    return False, reason
 
 
 def _tpu_attempt() -> bool:
@@ -62,18 +81,18 @@ def _tpu_attempt() -> bool:
 
 
 def main() -> None:
-    if _tpu_attempt() and not _tunnel_preflight():
-        print("# TPU tunnel unreachable: preflight matmul timed out "
-              "3 x 300 s (documented outage mode, not a code regression)",
-              file=sys.stderr)
-        print(json.dumps({
-            "metric": "gain_spectrum_points_per_s_at_1e-9",
-            "value": 0.0,
-            "unit": "points/s",
-            "vs_baseline": 0.0,
-            "error": "tpu-tunnel-unreachable",
-        }))
-        return
+    if _tpu_attempt():
+        ok, reason = _tunnel_preflight()
+        if not ok:
+            print(f"# TPU preflight failed: {reason}", file=sys.stderr)
+            print(json.dumps({
+                "metric": "gain_spectrum_points_per_s_at_1e-9",
+                "value": 0.0,
+                "unit": "points/s",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }))
+            return
 
     import jax
 

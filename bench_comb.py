@@ -64,18 +64,18 @@ def _flops_per_rk4_step(n: int, L: int, coupling: str) -> float:
 def main() -> None:
     from bench import _tpu_attempt, _tunnel_preflight
 
-    if _tpu_attempt() and not _tunnel_preflight():
-        print("# TPU tunnel unreachable: preflight matmul timed out "
-              "3 x 300 s (documented outage mode, not a regression)",
-              file=sys.stderr)
-        print(json.dumps({
-            "metric": "comb_rk4_instance_steps_per_s",
-            "value": 0.0,
-            "unit": "instance-steps/s",
-            "vs_baseline": 0.0,
-            "error": "tpu-tunnel-unreachable",
-        }))
-        return
+    if _tpu_attempt():
+        ok_pf, reason = _tunnel_preflight()
+        if not ok_pf:
+            print(f"# TPU preflight failed: {reason}", file=sys.stderr)
+            print(json.dumps({
+                "metric": "comb_rk4_instance_steps_per_s",
+                "value": 0.0,
+                "unit": "instance-steps/s",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }))
+            return
 
     import jax
 

@@ -248,7 +248,7 @@ def main(argv=None) -> int:
         fn = (ex.vector_supercontinuum if args.vector
               else ex.supercontinuum)
         kw = (dict(theta_deg=args.theta) if args.vector
-              else dict(coherence_samples=args.coherence))
+              else dict(coherence_samples=args.coherence, mesh=mesh))
         fn(
             t0_fs=args.t0, peak_kW=args.peak, length_m=args.length,
             n_samples=args.samples, rtol=args.rtol,

@@ -382,10 +382,9 @@ def mi_sideband_noise(
     from ..models import gnlse as _gn
     from ..parallel import noise as nz
 
-    grid = _gn.TimeGrid.for_pulse(1e-12, n_samples=int(n_t))
-    disp = None
     from ..ops.dispersion import DispersionParams
 
+    grid = _gn.TimeGrid.for_pulse(1e-12, n_samples=int(n_t))
     disp = DispersionParams.from_betas(omega0_rad_s, beta2=beta2_s2_m)
     co = _gn.make_gnlse_coeffs(grid, disp, gamma_W_m=gamma_W_m,
                                precision=precision)
@@ -394,14 +393,11 @@ def mi_sideband_noise(
     steps = 400
     cfg = custom_simulation_config(z_max=z, dz=z / steps, save_every=steps,
                                    precision=precision)
-    sp = nz.pulse_squeezing_spectrum(cfg, co, A0, grid,
-                                     omega0=omega0_rad_s,
-                                     n_samples=n_samples, seed=seed,
-                                     mesh=mesh)
-    coh = nz.pulse_coherence_monte_carlo(cfg, co, A0, grid,
-                                         omega0=omega0_rad_s,
-                                         n_samples=min(n_samples, 512),
-                                         seed=seed + 1, mesh=mesh)
+    # ONE propagated ensemble; both statistics are reductions of it
+    sp, coh = nz.pulse_squeezing_spectrum(cfg, co, A0, grid,
+                                          omega0=omega0_rad_s,
+                                          n_samples=n_samples, seed=seed,
+                                          mesh=mesh, return_coherence=True)
     om = grid.omega()
     Oc = _np.sqrt(4.0 * gamma_W_m * p_pump_W / abs(beta2_s2_m))
     k = int(_np.nanargmax(sp.antisqueezing_db))

@@ -1490,13 +1490,18 @@ def pulse_squeezing_spectrum(
     mesh=None,
     loss_model: str = "deterministic",
     n_loss_segments: int = 16,
-) -> SqueezingSpectrumResult:
+    return_coherence: bool = False,
+):
     """Sideband squeezing spectrum of a propagated field by truncated-
     Wigner Monte Carlo: the fluctuation relative to the noise-free
     mean-field lane is resolved into unitary-DFT sidebands, and each
     (+Omega, -Omega) pair's two-mode homodyne ellipse is computed from
     the second moments (phase-insensitive power ``m`` and parametric
     correlation ``c = <a_+ a_->``).
+
+    ``return_coherence=True`` additionally reduces the SAME propagated
+    ensemble to the |g12| spectral coherence (no second solve) and
+    returns ``(SqueezingSpectrumResult, CoherenceResult)``.
 
     Oracles (tests/test_pulse_noise.py):
 
@@ -1528,7 +1533,7 @@ def pulse_squeezing_spectrum(
     with np.errstate(divide="ignore"):
         sq_db = 10.0 * np.log10(np.maximum(v_min, 1e-300) / 0.25)
         asq_db = 10.0 * np.log10(np.maximum(v_max, 1e-300) / 0.25)
-    return SqueezingSpectrumResult(
+    sp = SqueezingSpectrumResult(
         omega=np.asarray(grid.omega(), dtype=np.float64),
         v_min=v_min, v_max=v_max, theta_min=theta,
         squeezing_db=sq_db, antisqueezing_db=asq_db,
@@ -1538,6 +1543,9 @@ def pulse_squeezing_spectrum(
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,
     )
+    if not return_coherence:
+        return sp
+    return sp, _reduce_coherence(A_end, ok, scale, grid, elapsed)
 
 
 # ---------------------------------------------------------------------------
@@ -1602,7 +1610,12 @@ def pulse_coherence_monte_carlo(
         seed=seed, nl=nl, mesh=mesh, loss_model=loss_model,
         n_loss_segments=n_loss_segments,
     )
-    T = A0.shape[0]
+    return _reduce_coherence(A_end, ok, scale, grid, elapsed)
+
+
+def _reduce_coherence(A_end, ok, scale, grid, elapsed) -> CoherenceResult:
+    """All-pairs |g12| reduction of a propagated ensemble (noisy lanes)."""
+    T = A_end.shape[-1]
     a = np.fft.fft(A_end[1:][ok[1:]] * scale, axis=-1) / np.sqrt(T)
     B_ok = a.shape[0]
     S1 = a.sum(axis=0)

@@ -481,7 +481,7 @@ def test_squeezing_spectrum_oracles():
     assert (r2.v_min[inband] < 0.25).all()
     np.testing.assert_allclose(r2.uncertainty_product[inband], 1.0 / 16.0,
                                rtol=0.1)
-    assert r2.best_index == k or True  # repr smoke
+    assert r2.best_index == int(np.nanargmin(r2.squeezing_db))
     assert "SqueezingSpectrumResult" in repr(r2)
 
 
