@@ -1,0 +1,187 @@
+"""Differentiable solver surface and gradient-based parameter calibration.
+
+The solvers in this framework are pure jax programs (``lax.scan`` RK4 over
+:func:`~..ops.rhs.rhs_yaman`), so the output power is DIFFERENTIABLE in
+every physics coefficient -- a capability the reference's NumPy loop
+fundamentally cannot offer (its only inverse tool is grid search,
+``scan_mismtach.py``).  This module exposes that surface:
+
+- :func:`make_gain_model` -- a jittable, vmappable, ``jax.grad``-able
+  ``gain_db(RHSCoeffs)`` scalar function for a fixed launch condition;
+- :func:`fit_gain_curve` -- calibrate ``(gamma, alpha, delta_beta
+  offset)`` against a measured gain-vs-mismatch curve by full-gradient
+  descent THROUGH the integrator (optax adam), the practical inverse
+  problem of fiber characterization.
+
+Gradients flow through thousands of RK4 steps; the forward pass is the
+same ``integrate_reduce`` program the sweep engine runs, with
+``check_nan=False`` (the NaN bookkeeping's ``lax.cond`` freeze is
+pointless under differentiation -- a diverged fit step shows up as a
+non-finite loss, which the fit loop reports).
+
+Oracles (tests/test_calibrate.py): the gradient matches central finite
+differences to ~1e-6 relative; a synthetic 16-point gain curve recovers
+(gamma, alpha, dbeta offset) to <=1e-3 relative from a 30%-off start.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimulationConfig, validate_config
+from ..models.fwm4 import make_initial_amplitudes
+from ..ops.integrators import integrate_reduce
+from ..ops.rhs import RHSCoeffs, make_rhs_yaman
+
+
+def make_gain_model(
+    cfg: SimulationConfig,
+    *,
+    p_in,
+    phase_in=None,
+    frame: str = "rotating",
+    wave: int = 2,
+):
+    """Build a differentiable ``gain_db(coeffs: RHSCoeffs) -> dB`` for the
+    launch condition ``(p_in, phase_in)``: signal-power gain at the END of
+    the span (``cfg.z_max``/``cfg.dz`` in meters, every step integrated).
+    Pure jax -- compose freely with ``jax.jit`` / ``jax.vmap`` /
+    ``jax.grad``.  ``frame='rotating'`` (autonomous) is the natural gauge
+    for differentiation; powers are frame-invariant."""
+    validate_config(cfg)
+    A0 = jnp.asarray(np.asarray(
+        make_initial_amplitudes(p_in, phase_in), dtype=np.complex128))
+    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+    f = make_rhs_yaman(frame=frame)
+    p0 = float(np.abs(np.asarray(A0)[wave]) ** 2)
+    if p0 <= 0.0:
+        raise ValueError(f"wave {wave} carries no input power")
+
+    def gain_db(coeffs: RHSCoeffs):
+        res = integrate_reduce(
+            f, A0, coeffs, z0=0.0, dz=float(cfg.dz), n_steps=n_steps,
+            save_every=n_steps, reduce_init=0.0,
+            reduce_fn=lambda acc, y: acc, check_nan=False,
+        )
+        p_out = jnp.abs(res.y_final[..., wave]) ** 2
+        return 10.0 * jnp.log10(p_out / p0)
+
+    return gain_db
+
+
+@dataclasses.dataclass(frozen=True)
+class FitResult:
+    """Gradient-descent calibration result (host scalars/arrays)."""
+
+    params: Dict[str, float]       # fitted gamma, alpha, dbeta_offset
+    loss_db2: float                # final mean squared residual [dB^2]
+    loss_history: np.ndarray       # (n_steps+1,)
+    gain_db: np.ndarray            # model curve at the fitted parameters
+    n_steps: int
+
+    def __repr__(self) -> str:
+        p = ", ".join(f"{k}={v:.6g}" for k, v in self.params.items())
+        return f"FitResult({p}, rms={np.sqrt(self.loss_db2):.4g} dB)"
+
+
+def fit_gain_curve(
+    cfg: SimulationConfig,
+    *,
+    delta_beta_grid,
+    measured_gain_db,
+    p_in,
+    phase_in=None,
+    init: Optional[Dict[str, float]] = None,
+    steps: int = 600,
+    learning_rate: float = 0.05,
+    tol_db: float = 1e-4,
+    wave: int = 2,
+) -> FitResult:
+    """Calibrate ``gamma`` [1/(W m)], ``alpha`` [1/m] and a constant
+    phase-mismatch offset [1/m] against a measured gain-vs-mismatch curve
+    (the fiber-characterization inverse problem): full-batch adam on the
+    mean squared dB residual, with gradients through the whole RK4 solve
+    at every grid point (one vmapped XLA program per step); stops early
+    when the rms residual drops below ``tol_db``.
+
+    Parameters are optimized in NORMALIZED coordinates so adam's uniform
+    step size is meaningful: log gamma (positivity), alpha * z_max (total
+    nepers) and dbeta_offset * z_max (total mismatch phase) are all O(1)
+    for realistic fibers.  ``init`` defaults to ``{'gamma': 1e-2,
+    'alpha': 0.0, 'dbeta_offset': 0.0}`` (physical units)."""
+    import optax
+
+    db_grid = jnp.asarray(np.asarray(delta_beta_grid, dtype=np.float64))
+    target = jnp.asarray(np.asarray(measured_gain_db, dtype=np.float64))
+    if db_grid.shape != target.shape or db_grid.ndim != 1:
+        raise ValueError("delta_beta_grid and measured_gain_db must be "
+                         "matching 1-D arrays")
+    init = dict(init or {})
+    g0 = float(init.pop("gamma", 1e-2))
+    a0 = float(init.pop("alpha", 0.0))
+    o0 = float(init.pop("dbeta_offset", 0.0))
+    if init:
+        raise ValueError(f"unknown init keys: {sorted(init)}")
+    if g0 <= 0.0:
+        raise ValueError("init gamma must be positive")
+
+    z_span = float(cfg.z_max)
+    gain_fn = make_gain_model(cfg, p_in=p_in, phase_in=phase_in, wave=wave)
+    gain_curve = jax.vmap(
+        lambda db, th: gain_fn(RHSCoeffs(
+            gamma=jnp.exp(th["log_gamma"]),
+            alpha=th["alpha_nep"] / z_span,
+            delta_beta=db + th["dphi"] / z_span,
+        )),
+        in_axes=(0, None),
+    )
+
+    def loss_fn(th):
+        return jnp.mean((gain_curve(db_grid, th) - target) ** 2)
+
+    theta = {
+        "log_gamma": jnp.asarray(np.log(g0)),
+        "alpha_nep": jnp.asarray(a0 * z_span),
+        "dphi": jnp.asarray(o0 * z_span),
+    }
+    # cosine-decayed adam: the late small steps settle the nearly
+    # degenerate (gamma, alpha) valley instead of orbiting it
+    schedule = optax.cosine_decay_schedule(float(learning_rate),
+                                           max(int(steps), 1))
+    opt = optax.adam(schedule)
+    opt_state = opt.init(theta)
+
+    @jax.jit
+    def step(th, st):
+        loss, grads = jax.value_and_grad(loss_fn)(th)
+        updates, st = opt.update(grads, st, th)
+        return optax.apply_updates(th, updates), st, loss
+
+    history = [float(loss_fn(theta))]
+    for _ in range(int(steps)):
+        theta, opt_state, loss = step(theta, opt_state)
+        history.append(float(loss))
+        if not np.isfinite(history[-1]):
+            raise FloatingPointError(
+                f"fit diverged at step {len(history) - 1}; lower the "
+                f"learning rate or improve init"
+            )
+        if history[-1] < float(tol_db) ** 2:
+            break
+    fitted = {
+        "gamma": float(np.exp(theta["log_gamma"])),
+        "alpha": float(theta["alpha_nep"]) / z_span,
+        "dbeta_offset": float(theta["dphi"]) / z_span,
+    }
+    return FitResult(
+        params=fitted,
+        loss_db2=history[-1],
+        loss_history=np.asarray(history),
+        gain_db=np.asarray(gain_curve(db_grid, theta)),
+        n_steps=int(steps),
+    )
