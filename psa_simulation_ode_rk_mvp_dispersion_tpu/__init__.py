@@ -97,7 +97,13 @@ from .parallel import sweep as sweeps  # noqa: E402
 from .parallel import noise as noise  # noqa: E402
 from .parallel import calibrate as calibrate  # noqa: E402
 from .parallel import fluctuations as fluctuations  # noqa: E402
-from .parallel.calibrate import FitResult, fit_gain_curve, make_gain_model  # noqa: E402
+from .parallel.calibrate import (  # noqa: E402
+    FitResult,
+    fit_gain_curve,
+    fit_pulse_spectrum,
+    make_gain_model,
+    make_pulse_model,
+)
 from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # noqa: E402
 from .parallel.noise import (  # noqa: E402
     CoherenceResult,
