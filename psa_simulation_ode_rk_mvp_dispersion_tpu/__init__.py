@@ -127,6 +127,7 @@ from .parallel.noise import (  # noqa: E402
     pulse_squeezing_monte_carlo,
     pulse_squeezing_spectrum,
     vector_pulse_photon_statistics,
+    vector_pulse_squeezing_evolution,
     vector_pulse_squeezing_monte_carlo,
     quadrature_stats,
 )

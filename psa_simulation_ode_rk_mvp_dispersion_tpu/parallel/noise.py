@@ -1008,7 +1008,16 @@ def pulse_squeezing_evolution(
     if ok[1:].sum() < 16:
         raise FloatingPointError("too few lanes survived for statistics")
 
-    lanes = A_traj[1:][ok[1:]]                     # (B_ok, S+1, T)
+    return _evolution_from_traj(z, np.asarray(A_traj, dtype=np.complex128),
+                                ok, A0, scale, lo_mode, elapsed)
+
+
+def _evolution_from_traj(z, A_traj, ok, A0, scale, lo_mode,
+                         elapsed) -> PulseSqueezingEvolution:
+    """Per-saved-z homodyne ellipses from a trajectory ensemble
+    ``A_traj (B+1, S+1, ...)`` (lane 0 mean field; scalar or (2, T)
+    vector states -- the LO/projection helpers handle both)."""
+    lanes = A_traj[1:][ok[1:]]
     S1 = z.shape[0]
     sq = np.empty(S1)
     asq = np.empty(S1)
@@ -1035,6 +1044,73 @@ def pulse_squeezing_evolution(
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,
     )
+
+
+def vector_pulse_squeezing_evolution(
+    cfg: SimulationConfig,
+    coeffs,
+    A0: np.ndarray,
+    grid,
+    *,
+    omega0: float,
+    n_samples: int = 2048,
+    seed: int = 0,
+    lo_mode="mean-output",
+    nl=None,
+    loss_model: str = "deterministic",
+) -> PulseSqueezingEvolution:
+    """Vector (polarization-resolved) squeezing-vs-distance curve: the
+    :func:`vector_pulse_squeezing_monte_carlo` measurement at every saved
+    z from ONE trajectory solve
+    (``models.vgnlse.solve_vgnlse_batch_trajectories``, unsharded by
+    design).  ``lo_mode`` is the Jones-resolved LO of the vector MC.
+    ``loss_model='langevin'`` injects on the saved grid; with the same
+    seed and matching segment count the endpoint equals the single-shot
+    vector MC bitwise."""
+    from ..models.vgnlse import (
+        solve_vgnlse_batch,
+        solve_vgnlse_batch_trajectories,
+    )
+
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2 or A0.shape[0] != 2:
+        raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
+    T = A0.shape[1]
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    dt = float(grid.dt_s)
+    scale = np.sqrt(dt / (hbar * float(omega0)))
+    sigma2 = 0.5 * hbar * float(omega0) / dt
+    rng = np.random.default_rng(seed)
+    xi = (rng.standard_normal((B, 2, T)) +
+          1j * rng.standard_normal((B, 2, T)))
+    xi *= np.sqrt(sigma2 / 2.0)
+    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+
+    t0 = time.perf_counter()
+    if loss_model == "langevin":
+        n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+        n_chunks = n_steps // int(cfg.save_every)
+        _, ok, outs, z = _propagate_langevin_gnlse(
+            cfg, coeffs, A_batch, sigma2=sigma2, n_segments=max(n_chunks, 1),
+            rng=rng, nl=nl, mesh=None, boundaries=True,
+            solve_fn=solve_vgnlse_batch,
+        )
+        A_traj = np.stack(outs, axis=1)            # (B, S+1, 2, T)
+    else:
+        z, A_traj, ok = solve_vgnlse_batch_trajectories(cfg, coeffs,
+                                                        A_batch, nl=nl)
+    elapsed = time.perf_counter() - t0
+    ok = np.asarray(ok, dtype=bool)
+    if not ok[0]:
+        raise FloatingPointError("the noise-free mean-field lane diverged")
+    if ok[1:].sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+    return _evolution_from_traj(z, np.asarray(A_traj, dtype=np.complex128),
+                                ok, A0, scale, lo_mode, elapsed)
 
 
 def vector_pulse_squeezing_monte_carlo(

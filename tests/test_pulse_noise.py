@@ -517,3 +517,27 @@ def test_spectral_coherence_g12():
     assert r.g12[0] > 0.99                     # pump line coherent
     assert r.mean_photons[band].min() > 1e4    # band IS amplified...
     assert r.g12[band].max() < 0.05            # ...and incoherent
+
+
+def test_vector_squeezing_evolution():
+    """Vector evolution: endpoint bit-matches the vector single-shot MC at
+    the same seed; the +45-degree Manakov CW mode deepens its squeezing
+    monotonically along z (rotated-basis scalar Kerr)."""
+    grid = _grid(64)
+    G, P, z = 2e-3, 1.0, 500.0
+    co = psa.make_vgnlse_coeffs(grid, None, gamma_W_m=G, coupling="manakov")
+    A0 = np.stack([np.full(64, np.sqrt(P / 2)),
+                   np.full(64, np.sqrt(P / 2))]).astype(complex)
+    cfg = psa.custom_simulation_config(z_max=z, dz=z / 8, save_every=2)
+    ev = psa.vector_pulse_squeezing_evolution(cfg, co, A0, grid,
+                                              omega0=OM0, n_samples=512,
+                                              seed=7)
+    r = psa.vector_pulse_squeezing_monte_carlo(cfg, co, A0, grid,
+                                               omega0=OM0, n_samples=512,
+                                               seed=7)
+    np.testing.assert_allclose(ev.squeezing_db[-1], r.stats.squeezing_db,
+                               rtol=0, atol=0)
+    assert ev.z_m.shape == (5,)
+    se = 0.25 * np.sqrt(2.0 / 512)
+    assert abs(0.5 * (ev.v_min[0] + ev.v_max[0]) - 0.25) < 5 * se
+    assert np.all(np.diff(ev.squeezing_db[1:]) < 0)   # deepens with z
