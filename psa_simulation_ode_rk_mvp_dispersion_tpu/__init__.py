@@ -126,6 +126,7 @@ from .parallel.noise import (  # noqa: E402
     pulse_squeezing_evolution,
     pulse_squeezing_monte_carlo,
     pulse_squeezing_spectrum,
+    vector_pulse_coherence_monte_carlo,
     vector_pulse_photon_statistics,
     vector_pulse_squeezing_evolution,
     vector_pulse_squeezing_monte_carlo,

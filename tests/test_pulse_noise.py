@@ -541,3 +541,40 @@ def test_vector_squeezing_evolution():
     se = 0.25 * np.sqrt(2.0 / 512)
     assert abs(0.5 * (ev.v_min[0] + ev.v_max[0]) - 0.25) < 5 * se
     assert np.all(np.diff(ev.squeezing_db[1:]) < 0)   # deepens with z
+
+
+def test_vector_spectral_coherence():
+    """Vector |g12|: both polarization carriers coherent under linear
+    birefringent propagation; a Manakov-MI-amplified band on the strong
+    polarization decoheres while its carrier stays coherent."""
+    grid = _grid(64)
+    om = grid.omega()
+    disp = psa.DispersionParams.from_betas(OM0, beta2=BETA2)
+    co_lin = psa.make_vgnlse_coeffs(grid, disp, gamma_W_m=0.0,
+                                    dbeta0_1_m=0.3, coupling="manakov")
+    A0 = np.stack([np.full(64, 2.0 + 0j), np.full(64, 1.0 + 0j)])
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=1.0, save_every=20)
+    r = psa.vector_pulse_coherence_monte_carlo(cfg, co_lin, A0, grid,
+                                               omega0=OM0, n_samples=128,
+                                               seed=0)
+    assert r.g12.shape == (2 * 64,)
+    occ = r.mean_photons > 1e4
+    assert occ.sum() == 2
+    assert r.g12[occ].min() > 0.99
+
+    co = psa.make_vgnlse_coeffs(grid, disp, gamma_W_m=GAMMA,
+                                coupling="manakov")
+    P = 4.0
+    A0m = np.stack([np.full(64, np.sqrt(P)), np.zeros(64)]).astype(complex)
+    z = 8.0 / ((8.0 / 9.0) * GAMMA * P)
+    cfgm = psa.custom_simulation_config(z_max=z, dz=z / 800, save_every=800)
+    rm = psa.vector_pulse_coherence_monte_carlo(cfgm, co, A0m, grid,
+                                                omega0=OM0, n_samples=128,
+                                                seed=1)
+    gx = rm.g12[:64]
+    nx = rm.mean_photons[:64]
+    Oc = np.sqrt(4.0 * (8.0 / 9.0) * GAMMA * P / abs(BETA2))
+    band = (np.abs(om) > 0.3 * Oc) & (np.abs(om) < 0.9 * Oc)
+    assert gx[0] > 0.99                  # carrier coherent
+    assert nx[band].min() > 1e3          # band amplified from vacuum...
+    assert gx[band].max() < 0.1          # ...and incoherent
