@@ -102,7 +102,9 @@ from .parallel.calibrate import (  # noqa: E402
     fit_gain_curve,
     fit_pulse_spectrum,
     make_gain_model,
+    make_launch_gain_model,
     make_pulse_model,
+    power_transfer_db_per_db,
 )
 from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # noqa: E402
 from .parallel.noise import (  # noqa: E402
@@ -115,6 +117,7 @@ from .parallel.noise import (  # noqa: E402
     PulseSqueezingEvolution,
     PulseSqueezingResult,
     QuadratureStats,
+    RINTransferResult,
     SqueezingSpectrumResult,
     comb_photon_statistics,
     epr_inseparability_monte_carlo,
@@ -122,6 +125,7 @@ from .parallel.noise import (  # noqa: E402
     noise_figure_spectrum,
     psa_squeezing_monte_carlo,
     pulse_coherence_monte_carlo,
+    pump_rin_transfer_monte_carlo,
     pulse_photon_statistics,
     pulse_squeezing_evolution,
     pulse_squeezing_monte_carlo,

@@ -353,3 +353,67 @@ def fit_pulse_spectrum(
         gain_db=np.asarray(spectrum_db(theta_n)),
         n_steps=len(history) - 1,
     )
+
+
+def make_launch_gain_model(
+    cfg: SimulationConfig,
+    *,
+    phase_in=None,
+    frame: str = "rotating",
+    wave: int = 2,
+):
+    """Like :func:`make_gain_model` but differentiable in the LAUNCH
+    POWERS too: returns ``gain_db(p_in (4,), coeffs: RHSCoeffs)`` with the
+    initial amplitudes built in-trace (``sqrt(p) e^{i phase}``) -- the
+    surface behind pump-RIN transfer sensitivities
+    (``d gain_dB / d pump_dB`` by one ``jax.grad``)."""
+    validate_config(cfg)
+    ph = jnp.asarray(np.zeros(4) if phase_in is None
+                     else np.asarray(phase_in, dtype=np.float64))
+    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+    f = make_rhs_yaman(frame=frame)
+
+    def gain_db(p_in, coeffs: RHSCoeffs):
+        p = jnp.asarray(p_in)
+        # the tiny floor keeps d sqrt/dp finite at exactly-zero launches
+        # (vacuum idler): the dB-transfer of a zero-power wave is 0 anyway
+        A0 = jnp.sqrt(jnp.maximum(p, 1e-300)) * jax.lax.complex(
+            jnp.cos(ph), jnp.sin(ph))
+        res = integrate_reduce(
+            f, A0, coeffs, z0=0.0, dz=float(cfg.dz), n_steps=n_steps,
+            save_every=n_steps, reduce_init=0.0,
+            reduce_fn=lambda acc, y: acc, check_nan=False,
+        )
+        p_out = jnp.abs(res.y_final[..., wave]) ** 2
+        return 10.0 * jnp.log10(p_out / p[wave])
+
+    return gain_db
+
+
+def power_transfer_db_per_db(
+    cfg: SimulationConfig,
+    *,
+    gamma: float,
+    alpha: float,
+    delta_beta: float,
+    p_in,
+    phase_in=None,
+    wave: int = 2,
+) -> np.ndarray:
+    """EXACT small-signal transfer of each launch power to the measured
+    gain, in dB-per-dB (``d gain_dB / d P_j_dB``), by one reverse-mode
+    gradient through the solver: the pump-RIN transfer coefficients of
+    the amplifier.  Oracle: the Monte-Carlo regression
+    (``noise.pump_rin_transfer_monte_carlo``) reproduces these slopes
+    within its standard errors."""
+    gain = make_launch_gain_model(cfg, phase_in=phase_in, wave=wave)
+    coeffs = RHSCoeffs(gamma=jnp.asarray(float(gamma)),
+                       alpha=jnp.asarray(float(alpha)),
+                       delta_beta=jnp.asarray(float(delta_beta)))
+    p = np.asarray(p_in, dtype=np.float64).reshape(4)
+    if p[wave] <= 0.0:
+        raise ValueError(f"wave {wave} carries no input power")
+    g = np.asarray(jax.grad(lambda pv: gain(pv, coeffs))(jnp.asarray(p)))
+    # dG/d(10 log10 P_j) = dG/dP_j * P_j ln(10)/10; exactly-zero launches
+    # have zero dB-transfer by definition
+    return np.where(p > 0.0, g * p * (np.log(10.0) / 10.0), 0.0)

@@ -1880,3 +1880,115 @@ def vector_pulse_coherence_monte_carlo(
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pump-RIN transfer
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RINTransferResult:
+    """Pump-RIN -> signal-gain transfer: Monte-Carlo regression slopes of
+    the measured gain [dB] on each jittered launch power [dB], against
+    the EXACT autodiff sensitivities
+    (``calibrate.power_transfer_db_per_db``) -- a relative-intensity-
+    noise budget for the amplifier."""
+
+    transfer_db_per_db: np.ndarray     # (4,) MC regression slopes
+    transfer_se: np.ndarray            # (4,) slope standard errors
+    transfer_autodiff: np.ndarray      # (4,) exact gradient reference
+    gain_std_db: float                 # induced gain spread at rel_sigma
+    rel_sigma: float
+    n_samples: int
+
+    def __repr__(self) -> str:
+        rows = ", ".join(
+            f"{n}={t:+.2f}" for n, t in
+            zip(("p1", "p2", "s", "i"), self.transfer_db_per_db))
+        return (f"RINTransferResult({rows} dB/dB, "
+                f"gain_std={self.gain_std_db:.4f} dB)")
+
+
+def pump_rin_transfer_monte_carlo(
+    cfg: SimulationConfig,
+    *,
+    gamma: float,
+    alpha: float,
+    delta_beta: float,
+    p_in,
+    phase_in=None,
+    rel_sigma: float = 1e-3,
+    n_samples: int = 4096,
+    seed: int = 0,
+    wave: int = 2,
+    mesh=None,
+    engine: str = "auto",
+) -> RINTransferResult:
+    """How pump relative-intensity noise maps into signal-gain noise:
+    every lane's launch POWERS get independent log-normal jitter of
+    relative width ``rel_sigma`` (each wave separately; zero-power waves
+    stay zero), the batch rides ``sweep.solve_batch``, and the measured
+    gain [dB] is regressed on each launch power [dB] jointly (ordinary
+    least squares over the jittered designs).  Small-signal oracle: the
+    slopes equal the autodiff sensitivities of
+    :func:`~.calibrate.power_transfer_db_per_db` within the regression
+    standard errors (tests/test_calibrate.py)."""
+    from .calibrate import power_transfer_db_per_db
+
+    p_in = np.asarray(p_in, dtype=np.float64).reshape(4)
+    if p_in[wave] <= 0.0:
+        raise ValueError(f"wave {wave} carries no input power")
+    B = int(n_samples)
+    if B < 64:
+        raise ValueError("n_samples must be >= 64 for the regression")
+    if not 0.0 < float(rel_sigma) < 0.5:
+        raise ValueError("rel_sigma must be in (0, 0.5)")
+    rng = np.random.default_rng(seed)
+    live = p_in > 0.0
+    jitter = np.exp(rng.standard_normal((B, 4)) * float(rel_sigma))
+    jitter[:, ~live] = 1.0
+    P = p_in[None, :] * jitter
+
+    phase = np.zeros(4) if phase_in is None else np.asarray(phase_in,
+                                                            dtype=np.float64)
+    A0 = np.sqrt(P) * np.exp(1j * phase)[None, :]
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, float(gamma)),
+        alpha=np.full(B, float(alpha)),
+        delta_beta=np.full(B, float(delta_beta)),
+    )
+    res = solve_batch(cfg, coeffs, A0, mesh=mesh, engine=engine)
+    ok = np.asarray(res.ok, dtype=bool)
+    if ok.sum() < 64:
+        raise FloatingPointError("too few lanes survived for regression")
+    g_db = 10.0 * np.log10(np.abs(np.asarray(res.A_end)[ok, wave]) ** 2
+                           / P[ok, wave])
+
+    # joint OLS of gain on the live launch powers [dB] + intercept
+    cols = np.where(live)[0]
+    X = np.concatenate(
+        [10.0 * np.log10(P[ok][:, cols]), np.ones((int(ok.sum()), 1))],
+        axis=1,
+    )
+    beta, _, _, _ = np.linalg.lstsq(X, g_db, rcond=None)
+    resid = g_db - X @ beta
+    dof = X.shape[0] - X.shape[1]
+    cov = (np.linalg.inv(X.T @ X)
+           * float((resid ** 2).sum() / max(dof, 1)))
+    slopes = np.zeros(4)
+    ses = np.zeros(4)
+    slopes[cols] = beta[:-1]
+    ses[cols] = np.sqrt(np.diag(cov)[:-1])
+
+    auto = power_transfer_db_per_db(
+        cfg, gamma=gamma, alpha=alpha, delta_beta=delta_beta, p_in=p_in,
+        phase_in=phase_in, wave=wave,
+    )
+    return RINTransferResult(
+        transfer_db_per_db=slopes,
+        transfer_se=ses,
+        transfer_autodiff=np.asarray(auto),
+        gain_std_db=float(g_db.std(ddof=1)),
+        rel_sigma=float(rel_sigma),
+        n_samples=int(ok.sum()),
+    )

@@ -119,3 +119,29 @@ def jnp_abs0(y):
     import jax.numpy as jnp
 
     return jnp.abs(y[0]) ** 2
+
+
+def test_pump_rin_transfer_matches_autodiff():
+    """The MC regression of gain [dB] on jittered launch powers [dB]
+    reproduces the exact autodiff transfer sensitivities (measured
+    0.8639/0.8640 vs 0.864 dB/dB); gamma = 0 transfers are all zero; the
+    signal's own-power transfer vanishes in the undepleted regime."""
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=0.5, save_every=20)
+    kw = dict(gamma=0.0115, alpha=2e-4, delta_beta=-3e-3,
+              p_in=[0.5, 0.5, 1e-5, 0.0])
+    r = psa.pump_rin_transfer_monte_carlo(cfg, n_samples=4096, seed=0, **kw)
+    dev = np.abs(r.transfer_db_per_db - r.transfer_autodiff)
+    assert np.all(dev < np.maximum(4.0 * r.transfer_se, 2e-3))
+    assert r.transfer_autodiff[0] > 0.5            # pumps drive the gain
+    assert abs(r.transfer_autodiff[2]) < 1e-3      # undepleted signal
+    assert r.transfer_db_per_db[3] == 0.0          # zero-power idler
+    assert r.gain_std_db > 0.0
+
+    r0 = psa.pump_rin_transfer_monte_carlo(
+        cfg, n_samples=1024, seed=1, gamma=0.0, alpha=2e-4,
+        delta_beta=0.0, p_in=[0.5, 0.5, 1e-5, 0.0])
+    assert np.all(np.abs(r0.transfer_autodiff) < 1e-9)
+    assert np.all(np.abs(r0.transfer_db_per_db) < 1e-6)
+    with pytest.raises(ValueError, match="rel_sigma"):
+        psa.pump_rin_transfer_monte_carlo(cfg, n_samples=64, rel_sigma=0.9,
+                                          **kw)
