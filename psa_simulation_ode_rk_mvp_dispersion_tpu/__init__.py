@@ -104,6 +104,7 @@ from .parallel.calibrate import (  # noqa: E402
     make_gain_model,
     make_launch_gain_model,
     make_pulse_model,
+    phase_transfer_db_per_rad,
     power_transfer_db_per_db,
 )
 from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # noqa: E402

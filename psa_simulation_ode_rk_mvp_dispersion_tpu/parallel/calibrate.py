@@ -358,23 +358,21 @@ def fit_pulse_spectrum(
 def make_launch_gain_model(
     cfg: SimulationConfig,
     *,
-    phase_in=None,
     frame: str = "rotating",
     wave: int = 2,
 ):
     """Like :func:`make_gain_model` but differentiable in the LAUNCH
-    POWERS too: returns ``gain_db(p_in (4,), coeffs: RHSCoeffs)`` with the
-    initial amplitudes built in-trace (``sqrt(p) e^{i phase}``) -- the
-    surface behind pump-RIN transfer sensitivities
-    (``d gain_dB / d pump_dB`` by one ``jax.grad``)."""
+    CONDITION too: returns ``gain_db(p_in (4,), phase_in (4,), coeffs)``
+    with the initial amplitudes built in-trace (``sqrt(p) e^{i phase}``)
+    -- the surface behind the pump-noise budget (``d gain_dB /
+    d pump_dB`` and ``d gain_dB / d phase`` by one ``jax.grad`` each)."""
     validate_config(cfg)
-    ph = jnp.asarray(np.zeros(4) if phase_in is None
-                     else np.asarray(phase_in, dtype=np.float64))
     n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
     f = make_rhs_yaman(frame=frame)
 
-    def gain_db(p_in, coeffs: RHSCoeffs):
+    def gain_db(p_in, phase_in, coeffs: RHSCoeffs):
         p = jnp.asarray(p_in)
+        ph = jnp.asarray(phase_in)
         # the tiny floor keeps d sqrt/dp finite at exactly-zero launches
         # (vacuum idler): the dB-transfer of a zero-power wave is 0 anyway
         A0 = jnp.sqrt(jnp.maximum(p, 1e-300)) * jax.lax.complex(
@@ -406,14 +404,44 @@ def power_transfer_db_per_db(
     the amplifier.  Oracle: the Monte-Carlo regression
     (``noise.pump_rin_transfer_monte_carlo``) reproduces these slopes
     within its standard errors."""
-    gain = make_launch_gain_model(cfg, phase_in=phase_in, wave=wave)
+    gain = make_launch_gain_model(cfg, wave=wave)
     coeffs = RHSCoeffs(gamma=jnp.asarray(float(gamma)),
                        alpha=jnp.asarray(float(alpha)),
                        delta_beta=jnp.asarray(float(delta_beta)))
     p = np.asarray(p_in, dtype=np.float64).reshape(4)
+    ph = jnp.asarray(np.zeros(4) if phase_in is None
+                     else np.asarray(phase_in, dtype=np.float64))
     if p[wave] <= 0.0:
         raise ValueError(f"wave {wave} carries no input power")
-    g = np.asarray(jax.grad(lambda pv: gain(pv, coeffs))(jnp.asarray(p)))
+    g = np.asarray(jax.grad(lambda pv: gain(pv, ph, coeffs))(jnp.asarray(p)))
     # dG/d(10 log10 P_j) = dG/dP_j * P_j ln(10)/10; exactly-zero launches
     # have zero dB-transfer by definition
     return np.where(p > 0.0, g * p * (np.log(10.0) / 10.0), 0.0)
+
+
+def phase_transfer_db_per_rad(
+    cfg: SimulationConfig,
+    *,
+    gamma: float,
+    alpha: float,
+    delta_beta: float,
+    p_in,
+    phase_in=None,
+    wave: int = 2,
+) -> np.ndarray:
+    """EXACT transfer of each launch PHASE to the measured gain
+    [dB/rad] by one reverse-mode gradient -- zero for a phase-insensitive
+    amplifier (signal-only seed: the PIA gain cannot depend on any
+    absolute phase), large for the PSA near its max-gain phase crossing
+    (the phase-noise budget of phase-sensitive operation)."""
+    gain = make_launch_gain_model(cfg, wave=wave)
+    coeffs = RHSCoeffs(gamma=jnp.asarray(float(gamma)),
+                       alpha=jnp.asarray(float(alpha)),
+                       delta_beta=jnp.asarray(float(delta_beta)))
+    p = jnp.asarray(np.asarray(p_in, dtype=np.float64).reshape(4))
+    ph0 = np.zeros(4) if phase_in is None else np.asarray(phase_in,
+                                                          dtype=np.float64)
+    if float(p[wave]) <= 0.0:
+        raise ValueError(f"wave {wave} carries no input power")
+    g = jax.grad(lambda phv: gain(p, phv, coeffs))(jnp.asarray(ph0))
+    return np.asarray(g)

@@ -145,3 +145,25 @@ def test_pump_rin_transfer_matches_autodiff():
     with pytest.raises(ValueError, match="rel_sigma"):
         psa.pump_rin_transfer_monte_carlo(cfg, n_samples=64, rel_sigma=0.9,
                                           **kw)
+
+
+def test_phase_transfer_gauge_structure():
+    """Phase-noise transfer: a PIA (signal-only seed) is invariant to
+    every absolute launch phase (all transfers exactly 0); the PSA's
+    transfers realize the pure phi_s + phi_i - phi_p1 - phi_p2
+    combination (equal magnitudes, signs (-,-,+,+)) with the global
+    phase exactly null -- the gauge structure of parametric gain."""
+    cfg = psa.custom_simulation_config(z_max=100.0, dz=0.5, save_every=20)
+    t_pia = psa.phase_transfer_db_per_rad(
+        cfg, gamma=0.0115, alpha=2e-4, delta_beta=-3e-3,
+        p_in=[0.5, 0.5, 1e-5, 0.0])
+    assert np.all(np.abs(t_pia) < 1e-9)
+
+    t = psa.phase_transfer_db_per_rad(
+        cfg, gamma=0.0115, alpha=2e-4, delta_beta=-3e-3,
+        p_in=[0.5, 0.5, 5e-6, 5e-6], phase_in=[0, 0, 0.8, 0])
+    assert abs(t.sum()) < 1e-9                      # global phase is gauge
+    assert t[2] > 0.1                               # phase-sensitive
+    np.testing.assert_allclose(t[2], t[3], rtol=1e-9)
+    np.testing.assert_allclose(t[0], t[1], rtol=1e-9)
+    np.testing.assert_allclose(t[0], -t[2], rtol=1e-9)
