@@ -19,6 +19,15 @@ same ``integrate_reduce`` program the sweep engine runs, with
 pointless under differentiation -- a diverged fit step shows up as a
 non-finite loss, which the fit loop reports).
 
+SCOPE: this is a CPU (x64) surface -- its state is complex128, which the
+axon TPU attachment cannot transfer (CLAUDE.md: H2D c64 raises
+UNIMPLEMENTED and poisons the process) and the f64-less v5e cannot hold.
+The model builders raise in a non-CPU-default process; fit workflows are
+host-side by nature (per-step python loop).  Measurement convention: the
+models measure at the LAST SAVED grid point
+(``floor(n_steps/save_every)*save_every`` steps, chunked exactly like
+the production solvers), so they are bitwise-comparable to the engines.
+
 Oracles (tests/test_calibrate.py): the gradient matches central finite
 differences to ~1e-6 relative; a synthetic 16-point gain curve recovers
 (gamma, alpha, dbeta offset) to <=1e-3 relative from a 30%-off start.
@@ -39,6 +48,28 @@ from ..ops.integrators import integrate_reduce
 from ..ops.rhs import RHSCoeffs, make_rhs_yaman
 
 
+def _require_cpu_backend(what: str) -> None:
+    if jax.default_backend() != "cpu":
+        raise RuntimeError(
+            f"{what} runs complex128/f64 jax programs (CPU x64 surface); "
+            "this process defaults to a TPU backend, which cannot transfer "
+            "complex buffers -- run the calibration in a JAX_PLATFORMS='' "
+            "process"
+        )
+
+
+def _observed_steps(cfg: SimulationConfig) -> int:
+    """Steps to the last SAVED grid point (framework convention)."""
+    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+    n_obs = (n_steps // int(cfg.save_every)) * int(cfg.save_every)
+    if n_obs < 1:
+        raise ValueError(
+            f"no saved grid points: {n_steps} steps with "
+            f"save_every={cfg.save_every}"
+        )
+    return n_obs
+
+
 def make_gain_model(
     cfg: SimulationConfig,
     *,
@@ -48,15 +79,17 @@ def make_gain_model(
     wave: int = 2,
 ):
     """Build a differentiable ``gain_db(coeffs: RHSCoeffs) -> dB`` for the
-    launch condition ``(p_in, phase_in)``: signal-power gain at the END of
-    the span (``cfg.z_max``/``cfg.dz`` in meters, every step integrated).
-    Pure jax -- compose freely with ``jax.jit`` / ``jax.vmap`` /
-    ``jax.grad``.  ``frame='rotating'`` (autonomous) is the natural gauge
-    for differentiation; powers are frame-invariant."""
+    launch condition ``(p_in, phase_in)``: signal-power gain at the LAST
+    SAVED grid point (the framework measurement convention -- the same
+    point ``sweep.solve_batch`` reports as ``A_end``).  Pure jax --
+    compose freely with ``jax.jit`` / ``jax.vmap`` / ``jax.grad``.
+    ``frame='rotating'`` (autonomous) is the natural gauge for
+    differentiation; powers are frame-invariant."""
     validate_config(cfg)
+    _require_cpu_backend("make_gain_model")
     A0 = jnp.asarray(np.asarray(
         make_initial_amplitudes(p_in, phase_in), dtype=np.complex128))
-    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+    n_steps = _observed_steps(cfg)
     f = make_rhs_yaman(frame=frame)
     p0 = float(np.abs(np.asarray(A0)[wave]) ** 2)
     if p0 <= 0.0:
@@ -178,12 +211,15 @@ def fit_gain_curve(
         "alpha": float(theta["alpha_nep"]) / z_span,
         "dbeta_offset": float(theta["dphi"]) / z_span,
     }
+    curve = np.asarray(gain_curve(db_grid, theta))
+    # loss AT the returned parameters (step() reports the pre-update loss)
+    loss_final = float(np.mean((curve - np.asarray(target)) ** 2))
     return FitResult(
         params=fitted,
-        loss_db2=history[-1],
+        loss_db2=loss_final,
         loss_history=np.asarray(history),
-        gain_db=np.asarray(gain_curve(db_grid, theta)),
-        n_steps=int(steps),
+        gain_db=curve,
+        n_steps=len(history) - 1,
     )
 
 
@@ -196,14 +232,17 @@ def make_pulse_model(
     alpha_1_m: float = 0.0,
 ):
     """Differentiable GNLSE propagation on the PRODUCTION SSFM stepper
-    (``models.gnlse._chunk_stepper`` -- the same fused symmetric
-    split-step the batched engine scans, so the forward pass is
-    bit-identical to the solver): returns ``field(theta) -> (T,) complex``
-    output at ``cfg.z_max`` with ``theta = {'gamma': 1/(W m),
-    'beta2': s^2/m[, 'beta3': s^3/m, ...]}``.  Pure jax -- jit / vmap /
-    grad-able in every parameter, including the dispersion orders (the
-    frequency-domain phase is built in-trace)."""
+    (``models.gnlse._chunk_stepper`` scanned in ``cfg.save_every``-sized
+    chunks exactly like the batched engine, so the forward pass is
+    bit-identical to ``solve_gnlse_batch``'s ``A_last`` for finite
+    trajectories -- including the last-saved-point measurement
+    convention): returns ``field(theta) -> (T,) complex`` with
+    ``theta = {'gamma': 1/(W m), 'beta2': s^2/m[, 'beta3': ...]}``.
+    Pure jax -- jit / vmap / grad-able in every parameter, including the
+    dispersion orders (the frequency-domain phase is built in-trace)."""
     import math
+
+    from jax import lax
 
     from ..models.gnlse import (
         GNLSECoeffs,
@@ -213,17 +252,19 @@ def make_pulse_model(
     )
 
     validate_config(cfg)
+    _require_cpu_backend("make_pulse_model")
     om = jnp.asarray(np.asarray(grid.omega(), dtype=np.float64))
     A0c = jnp.asarray(np.asarray(A0, dtype=np.complex128).reshape(-1))
     if A0c.shape[0] != om.shape[0]:
         raise ValueError(
             f"A0 has {A0c.shape[0]} samples but the grid has {om.shape[0]}"
         )
-    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+    save_every = int(cfg.save_every)
+    n_chunks = _observed_steps(cfg) // save_every
     h = float(cfg.dz)
     rdt = om.dtype
     nl_c = _cast_nl(nl, rdt)
-    step = _chunk_stepper(n_steps)
+    stepper = _chunk_stepper(save_every)
 
     def field(theta):
         lin = jnp.zeros_like(om)
@@ -240,8 +281,13 @@ def make_pulse_model(
                              lin_phase=lin)
         Lh = _lin_factor(coeffs, 0.5 * h, rdt)
         Lf = _lin_factor(coeffs, h, rdt)
-        return step(A0c, Lh, Lf, coeffs.gamma, jnp.asarray(h, dtype=rdt),
-                    nl_c)
+        hj = jnp.asarray(h, dtype=rdt)
+
+        def chunk(y, _):
+            return stepper(y, Lh, Lf, coeffs.gamma, hj, nl_c), None
+
+        y, _ = lax.scan(chunk, A0c, None, length=n_chunks)
+        return y
 
     return field
 
@@ -311,8 +357,15 @@ def fit_pulse_spectrum(
         S = jnp.abs(jnp.fft.fft(y)) ** 2
         return 10.0 * jnp.log10(jnp.maximum(S, 1e-300))
 
+    def _offset(model_db):
+        # free dB intercept: 'any reference level' means the fit matches
+        # the spectral SHAPE; the optimal constant offset is the masked
+        # mean residual, solved analytically per evaluation
+        return ((target - model_db) * mask).sum() / mask.sum()
+
     def loss_fn(theta_n):
-        r = jnp.where(mask, spectrum_db(theta_n) - target, 0.0)
+        m_db = spectrum_db(theta_n)
+        r = jnp.where(mask, m_db + _offset(m_db) - target, 0.0)
         return (r ** 2).sum() / mask.sum()
 
     theta_n = {"log_gamma": jnp.asarray(np.log(float(init["gamma"])))}
@@ -346,11 +399,17 @@ def fit_pulse_spectrum(
     for n in orders:
         fitted[f"beta{n}"] = (float(theta_n[f"beta{n}_n"])
                               / scales[f"beta{n}"])
+    m_db = spectrum_db(theta_n)
+    model_db = np.asarray(m_db + _offset(m_db))
+    loss_final = float(
+        (((model_db - np.asarray(target)) * np.asarray(mask)) ** 2).sum()
+        / np.asarray(mask).sum()
+    )
     return FitResult(
         params=fitted,
-        loss_db2=history[-1],
+        loss_db2=loss_final,
         loss_history=np.asarray(history),
-        gain_db=np.asarray(spectrum_db(theta_n)),
+        gain_db=model_db,
         n_steps=len(history) - 1,
     )
 
@@ -365,9 +424,11 @@ def make_launch_gain_model(
     CONDITION too: returns ``gain_db(p_in (4,), phase_in (4,), coeffs)``
     with the initial amplitudes built in-trace (``sqrt(p) e^{i phase}``)
     -- the surface behind the pump-noise budget (``d gain_dB /
-    d pump_dB`` and ``d gain_dB / d phase`` by one ``jax.grad`` each)."""
+    d pump_dB`` and ``d gain_dB / d phase`` by one ``jax.grad`` each).
+    Measures at the last saved grid point, like the batched engines."""
     validate_config(cfg)
-    n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+    _require_cpu_backend("make_launch_gain_model")
+    n_steps = _observed_steps(cfg)
     f = make_rhs_yaman(frame=frame)
 
     def gain_db(p_in, phase_in, coeffs: RHSCoeffs):

@@ -737,6 +737,32 @@ def _propagate_langevin_gnlse(cfg, coeffs, A_batch, *, sigma2: float,
 # Pulse-family (GNLSE) quantum noise: fiber Kerr / soliton squeezing
 # ---------------------------------------------------------------------------
 
+def _seed_wigner(A0, grid, *, omega0, n_samples, seed,
+                 vector: bool = False):
+    """Validate the launch state and build the Wigner ensemble: lane 0
+    noise-free, iid half-photon-per-time-bin vacuum on every component.
+    Returns ``(A0, A_batch (B+1, ...), scale, sigma2, rng)`` -- the one
+    seeding convention shared by every pulse-family measurement."""
+    if vector:
+        A0 = np.asarray(A0, dtype=np.complex128)
+        if A0.ndim != 2 or A0.shape[0] != 2:
+            raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
+    else:
+        A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    dt = float(grid.dt_s)
+    scale = np.sqrt(dt / (hbar * float(omega0)))   # W^1/2 -> photon units
+    sigma2 = 0.5 * hbar * float(omega0) / dt       # vacuum variance [W]
+    rng = np.random.default_rng(seed)
+    shape = (B,) + A0.shape
+    xi = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    xi *= np.sqrt(sigma2 / 2.0)
+    return A0, np.concatenate([A0[None], A0[None] + xi], axis=0), \
+        scale, sigma2, rng
+
+
 def _pulse_wigner_ensemble(cfg, coeffs, A0, grid, *, omega0, n_samples,
                            seed, nl, mesh, loss_model, n_loss_segments,
                            vector: bool = False):
@@ -751,25 +777,12 @@ def _pulse_wigner_ensemble(cfg, coeffs, A0, grid, *, omega0, n_samples,
         raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
     if vector:
         from ..models.vgnlse import solve_vgnlse_batch as solve_fn
-
-        A0 = np.asarray(A0, dtype=np.complex128)
-        if A0.ndim != 2 or A0.shape[0] != 2:
-            raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
     else:
         from ..models.gnlse import solve_gnlse_batch as solve_fn
 
-        A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
-    B = int(n_samples)
-    if B < 16:
-        raise ValueError("n_samples must be >= 16")
-    dt = float(grid.dt_s)
-    scale = np.sqrt(dt / (hbar * float(omega0)))   # W^1/2 -> photon units
-    sigma2 = 0.5 * hbar * float(omega0) / dt       # vacuum variance [W]
-    rng = np.random.default_rng(seed)
-    shape = (B,) + A0.shape
-    xi = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
-    xi *= np.sqrt(sigma2 / 2.0)
-    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+    A0, A_batch, scale, sigma2, rng = _seed_wigner(
+        A0, grid, omega0=omega0, n_samples=n_samples, seed=seed,
+        vector=vector)
 
     t0 = time.perf_counter()
     if loss_model == "langevin":
@@ -974,18 +987,8 @@ def pulse_squeezing_evolution(
 
     if loss_model not in _LOSS_MODELS:
         raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
-    A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
-    T = A0.shape[0]
-    B = int(n_samples)
-    if B < 16:
-        raise ValueError("n_samples must be >= 16")
-    dt = float(grid.dt_s)
-    scale = np.sqrt(dt / (hbar * float(omega0)))
-    sigma2 = 0.5 * hbar * float(omega0) / dt
-    rng = np.random.default_rng(seed)
-    xi = (rng.standard_normal((B, T)) + 1j * rng.standard_normal((B, T)))
-    xi *= np.sqrt(sigma2 / 2.0)
-    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+    A0, A_batch, scale, sigma2, rng = _seed_wigner(
+        A0, grid, omega0=omega0, n_samples=n_samples, seed=seed)
 
     t0 = time.perf_counter()
     if loss_model == "langevin":
@@ -1074,21 +1077,9 @@ def vector_pulse_squeezing_evolution(
 
     if loss_model not in _LOSS_MODELS:
         raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
-    A0 = np.asarray(A0, dtype=np.complex128)
-    if A0.ndim != 2 or A0.shape[0] != 2:
-        raise ValueError(f"A0 must have shape (2, T), got {A0.shape}")
-    T = A0.shape[1]
-    B = int(n_samples)
-    if B < 16:
-        raise ValueError("n_samples must be >= 16")
-    dt = float(grid.dt_s)
-    scale = np.sqrt(dt / (hbar * float(omega0)))
-    sigma2 = 0.5 * hbar * float(omega0) / dt
-    rng = np.random.default_rng(seed)
-    xi = (rng.standard_normal((B, 2, T)) +
-          1j * rng.standard_normal((B, 2, T)))
-    xi *= np.sqrt(sigma2 / 2.0)
-    A_batch = np.concatenate([A0[None], A0[None] + xi], axis=0)
+    A0, A_batch, scale, sigma2, rng = _seed_wigner(
+        A0, grid, omega0=omega0, n_samples=n_samples, seed=seed,
+        vector=True)
 
     t0 = time.perf_counter()
     if loss_model == "langevin":
@@ -1689,13 +1680,12 @@ def pulse_coherence_monte_carlo(
     return _reduce_coherence(A_end, ok, scale, grid, elapsed)
 
 
-def _reduce_coherence(A_end, ok, scale, grid, elapsed) -> CoherenceResult:
-    """All-pairs |g12| reduction of a propagated ensemble (noisy lanes)."""
-    T = A_end.shape[-1]
-    a = np.fft.fft(A_end[1:][ok[1:]] * scale, axis=-1) / np.sqrt(T)
-    B_ok = a.shape[0]
-    S1 = a.sum(axis=0)
-    S2 = (np.abs(a) ** 2).sum(axis=0)
+def _g12_from_modes(a_flat, omega, ok_fraction, elapsed) -> CoherenceResult:
+    """All-pairs |g12| over a (B_ok, M) mode matrix in photon units
+    (``omega`` is the matching (M,) coordinate of each mode)."""
+    B_ok = a_flat.shape[0]
+    S1 = a_flat.sum(axis=0)
+    S2 = (np.abs(a_flat) ** 2).sum(axis=0)
     with np.errstate(divide="ignore", invalid="ignore"):
         g12 = np.where(S2 > 0,
                        np.abs(np.abs(S1) ** 2 - S2) / ((B_ok - 1) * S2),
@@ -1705,12 +1695,19 @@ def _reduce_coherence(A_end, ok, scale, grid, elapsed) -> CoherenceResult:
     w = n_mean.sum()
     g12_avg = float((g12 * n_mean).sum() / w) if w > 0 else float("nan")
     return CoherenceResult(
-        omega=np.asarray(grid.omega(), dtype=np.float64),
-        g12=g12, mean_photons=n_mean, g12_avg=g12_avg,
+        omega=omega, g12=g12, mean_photons=n_mean, g12_avg=g12_avg,
         n_samples=int(B_ok),
-        ok_fraction=float(ok[1:].mean()),
+        ok_fraction=ok_fraction,
         elapsed_s=elapsed,
     )
+
+
+def _reduce_coherence(A_end, ok, scale, grid, elapsed) -> CoherenceResult:
+    """All-pairs |g12| reduction of a propagated ensemble (noisy lanes)."""
+    T = A_end.shape[-1]
+    a = np.fft.fft(A_end[1:][ok[1:]] * scale, axis=-1) / np.sqrt(T)
+    return _g12_from_modes(a, np.asarray(grid.omega(), dtype=np.float64),
+                           float(ok[1:].mean()), elapsed)
 
 
 # ---------------------------------------------------------------------------
@@ -1848,38 +1845,25 @@ def vector_pulse_coherence_monte_carlo(
 ) -> CoherenceResult:
     """Polarization-resolved shot-to-shot spectral coherence: the
     :func:`pulse_coherence_monte_carlo` measurement per polarization
-    component of the vector ensemble.  The per-bin arrays stack
+    component of the vector ensemble.  EVERY per-bin field stacks
     (2, T) -> (2T,) (x-polarization bins first, the vector photon-
-    statistics convention); ``g12_avg`` weights across both."""
+    statistics convention) -- including ``omega``, which tiles the grid
+    per polarization so the per-mode correspondence holds;
+    ``g12_avg`` weights across both."""
     A0, A_end, ok, scale, elapsed = _pulse_wigner_ensemble(
         cfg, coeffs, A0, grid, omega0=omega0, n_samples=n_samples,
         seed=seed, nl=nl, mesh=mesh, loss_model=loss_model,
         n_loss_segments=n_loss_segments, vector=True,
     )
     T = A_end.shape[-1]
-    # per-polarization unitary DFT, then the all-pairs estimator over the
-    # stacked (2T,) mode axis (same reduction as the scalar helper, which
-    # cannot be reused directly -- it would FFT across the stacked axis)
+    # per-polarization unitary DFT, then the shared all-pairs estimator
+    # over the stacked (2T,) mode axis; omega tiles per polarization so
+    # every field keeps its per-mode correspondence
     a2 = np.fft.fft(A_end[1:][ok[1:]] * scale, axis=-1) / np.sqrt(T)
-    B_ok = a2.shape[0]
-    a_flat = a2.reshape(B_ok, 2 * T)
-    S1 = a_flat.sum(axis=0)
-    S2 = (np.abs(a_flat) ** 2).sum(axis=0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        g12 = np.where(S2 > 0,
-                       np.abs(np.abs(S1) ** 2 - S2) / ((B_ok - 1) * S2),
-                       0.0)
-    g12 = np.clip(g12, 0.0, 1.0)
-    n_mean = np.maximum(S2 / B_ok - 0.5, 0.0)
-    w = n_mean.sum()
-    return CoherenceResult(
-        omega=np.asarray(grid.omega(), dtype=np.float64),
-        g12=g12, mean_photons=n_mean,
-        g12_avg=float((g12 * n_mean).sum() / w) if w > 0 else float("nan"),
-        n_samples=int(B_ok),
-        ok_fraction=float(ok[1:].mean()),
-        elapsed_s=elapsed,
-    )
+    om = np.asarray(grid.omega(), dtype=np.float64)
+    return _g12_from_modes(a2.reshape(a2.shape[0], 2 * T),
+                           np.concatenate([om, om]),
+                           float(ok[1:].mean()), elapsed)
 
 
 # ---------------------------------------------------------------------------
