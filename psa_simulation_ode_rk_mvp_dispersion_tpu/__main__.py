@@ -176,6 +176,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--nonlinear-lengths", type=float, default=3.0,
                    help="propagation distance in units of 1/(gamma P)")
 
+    s = sub.add_parser("fit-gain",
+                       help="calibrate (gamma, alpha, delta-beta offset) "
+                            "from a saved mismatch sweep NPZ by gradient "
+                            "descent through the solver")
+    s.add_argument("npz", help="mismatch_scan.npz artifact (gain_mode=end)")
+    s.add_argument("--p-pump", type=float, default=0.1,
+                   help="per-pump launch power [W] used in the sweep")
+    s.add_argument("--p-signal", type=float, default=1e-5)
+    s.add_argument("--init-gamma", type=float, default=8.0,
+                   help="starting gamma [1/(W km)]")
+    s.add_argument("--steps", type=int, default=500)
+    s.add_argument("--lr", type=float, default=0.05)
+
     s = sub.add_parser("bench", help="run the headline benchmark")
     return p
 
@@ -185,7 +198,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.integrator is not None and args.cmd in (
             "sbs", "bench", "noise-figure", "comb", "gain-ripple",
-            "squeezing", "soliton-squeezing", "mi-noise"):
+            "squeezing", "soliton-squeezing", "mi-noise", "fit-gain"):
         parser.error(
             f"--integrator is not honored by '{args.cmd}'"
             + (" (use --comb-integrator)" if args.cmd == "comb" else "")
@@ -283,6 +296,12 @@ def main(argv=None) -> int:
         ex.soliton_squeezing(
             n_samples=args.samples, periods=args.periods,
             points=args.points, mesh=mesh, verbose=verbose, **common,
+        )
+    elif args.cmd == "fit-gain":
+        ex.fit_gain(
+            args.npz, p_pump_W=args.p_pump, p_signal_W=args.p_signal,
+            init_gamma_km=args.init_gamma, steps=args.steps,
+            learning_rate=args.lr, verbose=verbose, **common,
         )
     elif args.cmd == "mi-noise":
         ex.mi_sideband_noise(

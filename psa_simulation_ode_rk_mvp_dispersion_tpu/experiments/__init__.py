@@ -26,6 +26,7 @@ from .fwm4 import (  # noqa: F401
     psa_phase_sweep,
     single_simulation,
 )
+from .fitting import fit_gain  # noqa: F401
 from .fluctuations import gain_ripple  # noqa: F401
 from .noise import (  # noqa: F401
     mi_sideband_noise,
@@ -47,5 +48,5 @@ __all__ = [
     "mismatch_scan", "psa_phase_sweep", "gain_map", "comb", "gnlse_pulse",
     "vector_pulse", "supercontinuum", "vector_supercontinuum",
     "noise_figure", "fwm_sbs", "gain_ripple", "squeezing",
-    "soliton_squeezing", "mi_sideband_noise",
+    "soliton_squeezing", "mi_sideband_noise", "fit_gain",
 ]

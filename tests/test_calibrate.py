@@ -167,3 +167,21 @@ def test_phase_transfer_gauge_structure():
     np.testing.assert_allclose(t[2], t[3], rtol=1e-9)
     np.testing.assert_allclose(t[0], t[1], rtol=1e-9)
     np.testing.assert_allclose(t[0], -t[2], rtol=1e-9)
+
+
+def test_fit_gain_experiment_roundtrip(tmp_path):
+    """mismatch sweep artifact -> fit-gain experiment: recovers the
+    sweep's own gamma (10 1/(W km)) and near-zero alpha/offset from the
+    saved NPZ alone (calibration 2026-08-18: exact gamma, rms 1.5e-4 dB,
+    early-stopped at 136/400 steps)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    ex.mismatch_scan(span=30, n_points=16, show=False,
+                     save_dir=str(tmp_path), verbose=False)
+    fit = ex.fit_gain(str(tmp_path / "mismatch_scan.npz"), steps=400,
+                      show=False, save_dir=str(tmp_path), verbose=True)
+    assert fit.params["gamma"] * 1e3 == pytest.approx(10.0, rel=0.02)
+    assert abs(fit.params["dbeta_offset"] * 1e3) < 0.5      # 1/km
+    assert np.sqrt(fit.loss_db2) < 0.01
+    assert (tmp_path / "fit_gain.npz").exists()
+    assert (tmp_path / "fit_gain.png").exists()
