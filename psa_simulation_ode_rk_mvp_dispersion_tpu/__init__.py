@@ -114,6 +114,7 @@ from .parallel.noise import (  # noqa: E402
     EPRResult,
     NoiseFigureResult,
     NoiseFigureSpectrumResult,
+    PulseMomentStatistics,
     PulsePhotonStatistics,
     PulseSqueezingEvolution,
     PulseSqueezingResult,
@@ -126,6 +127,7 @@ from .parallel.noise import (  # noqa: E402
     noise_figure_spectrum,
     psa_squeezing_monte_carlo,
     pulse_coherence_monte_carlo,
+    pulse_moment_statistics,
     pump_rin_transfer_monte_carlo,
     pulse_photon_statistics,
     pulse_squeezing_evolution,

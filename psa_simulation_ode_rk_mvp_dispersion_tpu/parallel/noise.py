@@ -1976,3 +1976,119 @@ def pump_rin_transfer_monte_carlo(
         rel_sigma=float(rel_sigma),
         n_samples=int(ok.sum()),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble moment statistics: energy / timing / frequency jitter
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PulseMomentStatistics:
+    """Shot-to-shot statistics of the pulse collective coordinates at
+    every saved z: photon number (energy), power-weighted temporal
+    centroid and spectral centroid -- the soliton jitter observables.
+
+    Exact NLSE theorems give oracles with no linearization: per lane the
+    photon number and the spectral centroid are conserved (lossless, no
+    Raman), and the temporal centroid drifts as ``dt_c/dz = beta2 f_c``
+    -- so ``Var_t(z) = Var_t(0) + 2 beta2 z Cov(t0, f) + (beta2 z)^2
+    Var_f`` holds EXACTLY, while distributed-loss vacuum injection
+    (``loss_model='langevin'``) adds frequency diffusion and the
+    super-quadratic Gordon-Haus timing jitter."""
+
+    z_m: np.ndarray             # (S+1,)
+    energy_mean: np.ndarray     # (S+1,) photons
+    energy_var: np.ndarray
+    t_mean: np.ndarray          # (S+1,) s
+    t_var: np.ndarray           # (S+1,) s^2
+    f_mean: np.ndarray          # (S+1,) rad/s (baseband)
+    f_var: np.ndarray           # (S+1,) (rad/s)^2
+    tf_cov: np.ndarray          # (S+1,) s * rad/s
+    n_samples: int
+    ok_fraction: float
+    elapsed_s: float
+
+    def __repr__(self) -> str:
+        return (
+            f"PulseMomentStatistics(sigma_t {np.sqrt(self.t_var[0]):.3g} -> "
+            f"{np.sqrt(self.t_var[-1]):.3g} s, sigma_f "
+            f"{np.sqrt(self.f_var[0]):.3g} -> {np.sqrt(self.f_var[-1]):.3g} "
+            f"rad/s, n_samples={self.n_samples})"
+        )
+
+
+def pulse_moment_statistics(
+    cfg: SimulationConfig,
+    coeffs,
+    A0: np.ndarray,
+    grid,
+    *,
+    omega0: float,
+    n_samples: int = 1024,
+    seed: int = 0,
+    nl=None,
+    mesh=None,
+    loss_model: str = "deterministic",
+) -> PulseMomentStatistics:
+    """Timing / frequency / energy jitter of a pulse ensemble along the
+    fiber (one trajectory solve; the measurement behind Gordon-Haus
+    analyses).  Per lane and saved z:
+
+        E   = sum |u|^2                (photons, unitary-DFT-consistent)
+        t_c = sum t |A|^2 / sum |A|^2  (power-weighted centroid)
+        f_c = sum w |Ã|^2 / sum |Ã|^2  (spectral centroid, baseband)
+
+    and the ensemble mean/variance (+ t-f covariance) of each.  Noisy
+    lanes only (lane 0 drives the solve but is excluded from statistics).
+    """
+    from ..models.gnlse import solve_gnlse_batch_trajectories
+
+    if loss_model not in _LOSS_MODELS:
+        raise ValueError(f"loss_model must be one of {_LOSS_MODELS}")
+    A0, A_batch, scale, sigma2, rng = _seed_wigner(
+        A0, grid, omega0=omega0, n_samples=n_samples, seed=seed)
+
+    t0 = time.perf_counter()
+    if loss_model == "langevin":
+        n_steps = int(round(float(cfg.z_max) / float(cfg.dz)))
+        n_chunks = n_steps // int(cfg.save_every)
+        _, ok, outs, z = _propagate_langevin_gnlse(
+            cfg, coeffs, A_batch, sigma2=sigma2, n_segments=max(n_chunks, 1),
+            rng=rng, nl=nl, mesh=mesh, boundaries=True,
+        )
+        A_traj = np.stack(outs, axis=1)
+    else:
+        z, A_traj, ok = solve_gnlse_batch_trajectories(cfg, coeffs, A_batch,
+                                                       nl=nl, mesh=mesh)
+    elapsed = time.perf_counter() - t0
+    ok = np.asarray(ok, dtype=bool)
+    if ok[1:].sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+
+    lanes = np.asarray(A_traj, dtype=np.complex128)[1:][ok[1:]]  # (B,S+1,T)
+    T = lanes.shape[-1]
+    t = np.asarray(grid.t(), dtype=np.float64)
+    om = np.asarray(grid.omega(), dtype=np.float64)
+    P = np.abs(lanes) ** 2                                       # (B,S+1,T)
+    Ptot = P.sum(axis=-1)
+    S = np.abs(np.fft.fft(lanes, axis=-1)) ** 2 / T
+    Stot = S.sum(axis=-1)
+    E = Ptot * (scale ** 2)                                      # photons
+    t_c = (P * t).sum(axis=-1) / Ptot
+    f_c = (S * om).sum(axis=-1) / Stot
+
+    def mv(x):
+        return x.mean(axis=0), x.var(axis=0, ddof=1)
+
+    e_m, e_v = mv(E)
+    t_m, t_v = mv(t_c)
+    f_m, f_v = mv(f_c)
+    cov = ((t_c - t_m) * (f_c - f_m)).sum(axis=0) / (t_c.shape[0] - 1)
+    return PulseMomentStatistics(
+        z_m=np.asarray(z, dtype=float),
+        energy_mean=e_m, energy_var=e_v,
+        t_mean=t_m, t_var=t_v, f_mean=f_m, f_var=f_v, tf_cov=cov,
+        n_samples=int(ok[1:].sum()),
+        ok_fraction=float(ok[1:].mean()),
+        elapsed_s=elapsed,
+    )
