@@ -121,6 +121,7 @@ from .parallel.noise import (  # noqa: E402
     QuadratureStats,
     RINTransferResult,
     SqueezingSpectrumResult,
+    comb_pair_squeezing_monte_carlo,
     comb_photon_statistics,
     epr_inseparability_monte_carlo,
     noise_figure_monte_carlo,

@@ -2092,3 +2092,58 @@ def pulse_moment_statistics(
         ok_fraction=float(ok[1:].mean()),
         elapsed_s=elapsed,
     )
+
+
+def comb_pair_squeezing_monte_carlo(
+    cfg: SimulationConfig,
+    coeffs,
+    grid,
+    A0: np.ndarray,
+    *,
+    pair,
+    t_mode_s: float = 1e-9,
+    n_samples: int = 8192,
+    seed: int = 0,
+    noisy_lines=None,
+    mesh=None,
+    engine: str = "auto",
+    coupling: str = "fft",
+) -> Tuple[QuadratureStats, QuadratureStats]:
+    """Two-mode squeezing of a comb line pair: the vacuum-seeded ensemble
+    of :func:`comb_photon_statistics`, measured as the noise ellipses of
+    the single line ``pair[0]`` and of the joint +45-degree superposition
+    ``(a_j + a_k)/sqrt(2)`` -- the comb generalization of
+    :func:`psa_squeezing_monte_carlo` (vacuum through a parametric comb:
+    the pair straddling two pumps squeezes below vacuum at minimum
+    uncertainty while each line alone is thermal).  Cross-family oracle:
+    on a 4-line comb in the 4-wave configuration this reproduces the
+    4-wave module's ellipses (tests/test_pulse_noise.py)."""
+    from ..models.nwave import solve_comb_batch
+
+    A0 = np.asarray(A0, dtype=np.complex128).reshape(-1)
+    N = A0.shape[0]
+    omega_abs = np.asarray(grid.omegas(), dtype=np.float64)
+    j, k = (int(pair[0]), int(pair[1]))
+    if not (0 <= j < N and 0 <= k < N):
+        raise ValueError(f"pair {pair} out of range for {N} lines")
+    B = int(n_samples)
+    if B < 16:
+        raise ValueError("n_samples must be >= 16")
+    noisy = (np.ones(N, dtype=bool) if noisy_lines is None
+             else np.asarray(noisy_lines, dtype=bool).reshape(N))
+    sigma2 = 0.5 * hbar * omega_abs / float(t_mode_s)
+    rng = np.random.default_rng(seed)
+    xi = (rng.standard_normal((B, N)) + 1j * rng.standard_normal((B, N)))
+    xi *= np.sqrt(sigma2 / 2.0)
+    xi[:, ~noisy] = 0.0
+
+    _pk, A_end, ok = solve_comb_batch(cfg, coeffs, A0[None] + xi, mesh=mesh,
+                                      engine=engine, coupling=coupling)
+    ok = np.asarray(ok, dtype=bool)
+    if ok.sum() < 16:
+        raise FloatingPointError("too few lanes survived for statistics")
+    A_end = np.asarray(A_end)[ok]
+    uj = A_end[:, j] * np.sqrt(t_mode_s / (hbar * omega_abs[j]))
+    uk = A_end[:, k] * np.sqrt(t_mode_s / (hbar * omega_abs[k]))
+    return (quadrature_stats_u(uj),
+            quadrature_stats_u((uj + uk) / np.sqrt(2.0)))

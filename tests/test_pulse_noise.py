@@ -615,3 +615,37 @@ def test_moment_statistics_jitter_laws():
     # frequency DIFFUSES under distributed-loss vacuum injection
     assert ml.f_var[-1] > 1.2 * ml.f_var[0]
     assert np.all(np.diff(ml.f_var) > 0)
+
+
+def test_comb_pair_squeezing_cross_family():
+    """Two-mode squeezing through the N-WAVE engine equals the 4-wave
+    module's measurement on the same physics (vacuum through a two-pump
+    parametric comb): joint +45-degree mode squeezed at the minimum-
+    uncertainty product, single line thermal (calibrated -6.34 vs
+    -6.43 dB at 8k samples)."""
+    import pytest
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+
+    grid = nw.CombGrid.centered(2 * np.pi * 193.1e12, 2 * np.pi * 100e9, 4)
+    cfg = psa.custom_simulation_config(z_max=150.0, dz=0.05, save_every=50)
+    co = nw.NWaveCoeffs(gamma=5e-3, alpha=0.0, beta_lin=np.zeros(4))
+    A0 = nw.seed_comb(grid, pump_lines={0: 0.5, 3: 0.5})
+    B = 8192
+    sig, joint = psa.comb_pair_squeezing_monte_carlo(
+        cfg, co, grid, A0, pair=(1, 2), n_samples=B, seed=0,
+        noisy_lines=[False, True, True, False])
+    assert joint.squeezing_db < -4.0
+    np.testing.assert_allclose(joint.uncertainty_product, 1.0 / 16.0,
+                               rtol=0.02)
+    assert sig.squeezing_db > 1.0                   # thermal single line
+
+    omega = np.asarray(grid.omegas())
+    _, joint4 = psa.psa_squeezing_monte_carlo(
+        cfg, gamma=5e-3, alpha=0.0, omega=omega[[0, 3, 1, 2]],
+        p_pump_W=0.5, n_samples=B, seed=0)
+    assert joint.squeezing_db == pytest.approx(joint4.squeezing_db,
+                                               abs=0.4)
+    with pytest.raises(ValueError, match="pair"):
+        psa.comb_pair_squeezing_monte_carlo(cfg, co, grid, A0, pair=(1, 7),
+                                            n_samples=64)
