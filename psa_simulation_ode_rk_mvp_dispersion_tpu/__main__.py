@@ -169,6 +169,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--points", type=int, default=24,
                    help="measurement distances along the fiber")
 
+    s = sub.add_parser("jitter",
+                       help="soliton timing/frequency jitter statistics: "
+                            "exact dispersive law vs Gordon-Haus onset "
+                            "under langevin loss")
+    s.add_argument("--samples", type=int, default=1024,
+                   help="Wigner ensemble size")
+    s.add_argument("--periods", type=float, default=3.0,
+                   help="propagation length in soliton periods")
+    s.add_argument("--points", type=int, default=16,
+                   help="measurement distances along the fiber")
+    s.add_argument("--alpha-db-km", type=float, default=8.7,
+                   help="distributed loss for the langevin run [dB/km]")
+
     s = sub.add_parser("mi-noise",
                        help="modulation-instability quantum sidebands: "
                             "squeezing spectrum + shot-to-shot coherence")
@@ -198,7 +211,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.integrator is not None and args.cmd in (
             "sbs", "bench", "noise-figure", "comb", "gain-ripple",
-            "squeezing", "soliton-squeezing", "mi-noise", "fit-gain"):
+            "squeezing", "soliton-squeezing", "jitter", "mi-noise",
+            "fit-gain"):
         parser.error(
             f"--integrator is not honored by '{args.cmd}'"
             + (" (use --comb-integrator)" if args.cmd == "comb" else "")
@@ -302,6 +316,12 @@ def main(argv=None) -> int:
             args.npz, p_pump_W=args.p_pump, p_signal_W=args.p_signal,
             init_gamma_km=args.init_gamma, steps=args.steps,
             learning_rate=args.lr, verbose=verbose, **common,
+        )
+    elif args.cmd == "jitter":
+        ex.soliton_jitter(
+            n_samples=args.samples, periods=args.periods,
+            points=args.points, alpha_db_km=args.alpha_db_km, mesh=mesh,
+            verbose=verbose, **common,
         )
     elif args.cmd == "mi-noise":
         ex.mi_sideband_noise(

@@ -438,3 +438,114 @@ def mi_sideband_noise(
         else f"{save_dir}/mi_coherence.png",
     )
     return sp, coh
+
+
+def soliton_jitter(
+    *,
+    t0_s: float = 1e-12,
+    beta2_s2_m: float = -2.0e-26,
+    gamma_W_m: float = 2e-3,
+    omega0_rad_s: float = 1.2e15,
+    alpha_db_km: float = 8.7,
+    periods: float = 3.0,
+    points: int = 16,
+    n_samples: int = 1024,
+    n_t: int = 256,
+    seed: int = 0,
+    mesh=None,
+    precision: str = "x64",
+    show: bool = True,
+    save_dir: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Soliton timing / frequency / energy jitter along the fiber
+    (``parallel/noise.pulse_moment_statistics``): a vacuum-seeded Wigner
+    ensemble of fundamental solitons is propagated twice -- lossless,
+    where exact per-lane NLSE theorems pin every curve (photon number
+    and spectral centroid conserved; the timing variance follows the
+    dispersive law Var_t(z) = Var_t(0) - 2 beta2 z Cov(t,f) +
+    (beta2 z)^2 Var_f with NO linearization), and with distributed loss
+    (``loss_model='langevin'``), where each loss segment injects fresh
+    vacuum that diffuses the soliton's center frequency -- the
+    Gordon-Haus timing-jitter mechanism (Gordon & Haus, Opt. Lett. 11,
+    665) that limits soliton links.  The reference's CW 4-wave solver
+    has no pulse, no quantum noise, and no loss-noise coupling to
+    express any of this."""
+    import numpy as _np
+
+    from ..models import gnlse as _gn
+    from ..models.gnlse import sech_pulse, soliton_peak_power
+    from ..ops.dispersion import DispersionParams
+    from ..parallel import noise as nz
+    from ..utils.units import alpha_db_per_km_to_1_m
+
+    grid = _gn.TimeGrid.for_pulse(t0_s, n_samples=n_t)
+    disp = DispersionParams.from_betas(omega0_rad_s, beta2=beta2_s2_m)
+    P0 = soliton_peak_power(beta2_s2_m, gamma_W_m, t0_s)
+    A0 = _np.asarray(sech_pulse(grid, peak_W=P0, t0_s=t0_s))
+    z_period = 0.5 * _np.pi * t0_s**2 / abs(beta2_s2_m)
+    z_max = float(periods) * z_period
+    save_every = 40
+    dz = z_max / (int(points) * save_every)
+    cfg = custom_simulation_config(z_max=z_max, dz=dz,
+                                   save_every=save_every,
+                                   precision=precision)
+    co = _gn.make_gnlse_coeffs(grid, disp, gamma_W_m=gamma_W_m,
+                               precision=precision)
+    ms = nz.pulse_moment_statistics(
+        cfg, co, A0, grid, omega0=omega0_rad_s, n_samples=n_samples,
+        seed=seed, mesh=mesh)
+    alpha = alpha_db_per_km_to_1_m(alpha_db_km)
+    col = _gn.make_gnlse_coeffs(grid, disp, gamma_W_m=gamma_W_m,
+                                alpha_1_m=alpha, precision=precision)
+    ml = nz.pulse_moment_statistics(
+        cfg, col, A0, grid, omega0=omega0_rad_s, n_samples=n_samples,
+        seed=seed, mesh=mesh, loss_model="langevin")
+    if verbose:
+        z = ms.z_m
+        pred = (ms.t_var[0] - 2.0 * beta2_s2_m * z * ms.tf_cov[0]
+                + (beta2_s2_m * z) ** 2 * ms.f_var[0])
+        law_err = float(_np.max(_np.abs(ms.t_var / pred - 1.0)))
+        print(
+            f"fundamental soliton: P0 = {P0*1e3:.3g} mW, period "
+            f"z0 = {z_period:.3g} m, N = {ms.n_samples} Wigner samples"
+        )
+        print(
+            f"lossless: energy conserved to "
+            f"{float(_np.max(_np.abs(ms.energy_mean/ms.energy_mean[0]-1))):.1e}, "
+            f"f_var flat to "
+            f"{float(_np.max(_np.abs(ms.f_var/ms.f_var[0]-1))):.1e}; "
+            f"timing spread {_np.sqrt(ms.t_var[0])*1e15:.2f} -> "
+            f"{_np.sqrt(ms.t_var[-1])*1e15:.2f} fs on the exact "
+            f"dispersive law (max dev {law_err:.1e})"
+        )
+        print(
+            f"langevin loss {alpha_db_km:g} dB/km: frequency diffusion "
+            f"Var_f x{float(ml.f_var[-1]/ml.f_var[0]):.2f} drives timing "
+            f"spread to {_np.sqrt(ml.t_var[-1])*1e15:.2f} fs "
+            f"(+{100*float(_np.sqrt(ml.t_var[-1]/ms.t_var[-1])-1):.0f}% "
+            f"over lossless -- the Gordon-Haus mechanism)"
+        )
+    if save_dir is not None:
+        from pathlib import Path
+
+        Path(save_dir).mkdir(parents=True, exist_ok=True)
+        _np.savez(
+            f"{save_dir}/soliton_jitter.npz",
+            z_m=ms.z_m, t_var=ms.t_var, f_var=ms.f_var,
+            tf_cov=ms.tf_cov, energy_mean=ms.energy_mean,
+            energy_var=ms.energy_var,
+            t_var_loss=ml.t_var, f_var_loss=ml.f_var,
+            tf_cov_loss=ml.tf_cov, energy_mean_loss=ml.energy_mean,
+            beta2_s2_m=beta2_s2_m, alpha_db_km=alpha_db_km,
+            z_period_m=z_period, peak_W=P0, n_samples=ms.n_samples,
+        )
+    plotting.plot_moment_statistics(
+        ms, ml, beta2_s2_m=beta2_s2_m,
+        labels=("lossless", f"langevin {alpha_db_km:g} dB/km"),
+        title="Soliton timing / frequency jitter (Gordon-Haus)",
+        show=show,
+        save_path=None if save_dir is None
+        else f"{save_dir}/soliton_jitter.png",
+    )
+    return ms, ml

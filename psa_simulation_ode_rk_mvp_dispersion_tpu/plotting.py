@@ -704,3 +704,53 @@ def plot_spectral_coherence(res, *,
     ax1.legend(lines, [ln.get_label() for ln in lines], fontsize=9,
                loc="center right")
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_moment_statistics(ms, ms_loss=None, *, beta2_s2_m=None,
+                           labels=("lossless", "langevin loss"),
+                           title="Pulse timing / frequency jitter",
+                           show=True, save_path=None):
+    """Soliton-jitter observables from
+    :class:`~.parallel.noise.PulseMomentStatistics`: the ensemble timing
+    spread sigma_t(z) (top) against the EXACT lossless dispersive law
+    ``Var_t(z) = Var_t(0) - 2 beta2 z Cov(t,f) + (beta2 z)^2 Var_f``
+    implied by the z=0 moments (dashed; the law needs no linearization),
+    and the frequency spread sigma_f(z) (bottom) -- flat for a lossless
+    fiber, diffusing under distributed-loss vacuum injection (the
+    Gordon-Haus mechanism).  Pass the langevin run as ``ms_loss`` to
+    overlay both."""
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(6.4, 5.6), sharex=True)
+    runs = [(ms, labels[0], "#4878cf")]
+    if ms_loss is not None:
+        runs.append((ms_loss, labels[1], "#d65f5f"))
+    for m, lab, color in runs:
+        z = np.asarray(m.z_m, dtype=float)
+        ax1.plot(z, np.sqrt(np.asarray(m.t_var, dtype=float)) * 1e15,
+                 color=color, lw=1.6, label=lab)
+        ax2.plot(z, np.sqrt(np.asarray(m.f_var, dtype=float)) / 1e9,
+                 color=color, lw=1.6, label=lab)
+    # exact dispersive law from the z=0 moments of the FIRST run; when
+    # beta2 is not given it is inferred from the measured covariance
+    # drift (lossless: cov(z) = cov0 - beta2 z Var_f, so the terminal
+    # slope pins beta2 without any physics input)
+    m = ms
+    z = np.asarray(m.z_m, dtype=float)
+    if z.shape[0] >= 2 and float(m.f_var[0]) > 0.0:
+        if beta2_s2_m is not None:
+            beta2 = float(beta2_s2_m)
+        else:
+            dcov = (float(m.tf_cov[-1]) - float(m.tf_cov[0]))
+            beta2 = (-dcov / (float(z[-1]) * float(m.f_var[0]))
+                     if z[-1] else 0.0)
+        pred = (float(m.t_var[0]) - 2.0 * beta2 * z * float(m.tf_cov[0])
+                + (beta2 * z) ** 2 * float(m.f_var[0]))
+        ax1.plot(z, np.sqrt(np.maximum(pred, 0.0)) * 1e15, color="0.4",
+                 ls="--", lw=1.2, label="exact dispersive law")
+    ax1.set_ylabel("timing spread $\\sigma_t$ (fs)")
+    ax2.set_ylabel("frequency spread $\\sigma_f$ (Grad/s)")
+    ax2.set_xlabel("z (m)")
+    ax1.legend(fontsize=9)
+    ax2.legend(fontsize=9)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)

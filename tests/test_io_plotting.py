@@ -398,6 +398,28 @@ def test_soliton_squeezing_experiment_artifacts(tmp_path):
     assert d["z_m"].shape == d["squeezing_db"].shape
 
 
+def test_soliton_jitter_experiment_artifacts(tmp_path):
+    """jitter experiment: lossless run rides the exact dispersive timing
+    law, the langevin run shows frequency diffusion, artifacts written."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    ms, ml = ex.soliton_jitter(
+        n_samples=256, periods=2.0, points=6, n_t=128,
+        show=False, save_dir=str(tmp_path), verbose=True,
+    )
+    beta2 = -2.0e-26
+    z = ms.z_m
+    pred = (ms.t_var[0] - 2.0 * beta2 * z * ms.tf_cov[0]
+            + (beta2 * z) ** 2 * ms.f_var[0])
+    np.testing.assert_allclose(ms.t_var, pred, rtol=2e-2)
+    np.testing.assert_allclose(ms.energy_mean, ms.energy_mean[0], rtol=1e-6)
+    assert ml.f_var[-1] > 1.1 * ml.f_var[0]
+    assert (tmp_path / "soliton_jitter.npz").exists()
+    assert (tmp_path / "soliton_jitter.png").exists()
+    d = np.load(tmp_path / "soliton_jitter.npz")
+    assert d["t_var"].shape == d["t_var_loss"].shape
+
+
 def test_plot_quantum_noise_figures(tmp_path):
     """Smoke the three quantum-noise figure functions on tiny ensembles."""
     from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
