@@ -108,6 +108,7 @@ from .parallel.calibrate import (  # noqa: E402
     power_transfer_db_per_db,
 )
 from .parallel.fluctuations import GainRippleResult, gain_ripple_monte_carlo  # noqa: E402
+from .parallel.link import pulse_link_monte_carlo, span_observed_length_m  # noqa: E402
 from .parallel.noise import (  # noqa: E402
     CoherenceResult,
     CombPhotonStatistics,

@@ -182,6 +182,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--alpha-db-km", type=float, default=8.7,
                    help="distributed loss for the langevin run [dB/km]")
 
+    s = sub.add_parser("link",
+                       help="soliton transmission over lossy spans + lumped "
+                            "amplifiers: Gordon-Haus jitter accumulation "
+                            "(ASE vs noiseless control)")
+    s.add_argument("--samples", type=int, default=2048,
+                   help="Wigner ensemble size")
+    s.add_argument("--spans", type=int, default=20,
+                   help="number of fiber spans / amplifiers")
+    s.add_argument("--span-m", type=float, default=50.0,
+                   help="span length [m]")
+    s.add_argument("--alpha-db-km", type=float, default=21.7,
+                   help="span loss [dB/km] (amp gain restores it)")
+    s.add_argument("--nsp", type=float, default=1.0,
+                   help="amplifier spontaneous factor (>= 1)")
+
     s = sub.add_parser("mi-noise",
                        help="modulation-instability quantum sidebands: "
                             "squeezing spectrum + shot-to-shot coherence")
@@ -211,7 +226,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.integrator is not None and args.cmd in (
             "sbs", "bench", "noise-figure", "comb", "gain-ripple",
-            "squeezing", "soliton-squeezing", "jitter", "mi-noise",
+            "squeezing", "soliton-squeezing", "jitter", "link", "mi-noise",
             "fit-gain"):
         parser.error(
             f"--integrator is not honored by '{args.cmd}'"
@@ -321,6 +336,12 @@ def main(argv=None) -> int:
         ex.soliton_jitter(
             n_samples=args.samples, periods=args.periods,
             points=args.points, alpha_db_km=args.alpha_db_km, mesh=mesh,
+            verbose=verbose, **common,
+        )
+    elif args.cmd == "link":
+        ex.soliton_link(
+            n_samples=args.samples, n_spans=args.spans, span_m=args.span_m,
+            alpha_db_km=args.alpha_db_km, n_sp=args.nsp, mesh=mesh,
             verbose=verbose, **common,
         )
     elif args.cmd == "mi-noise":

@@ -32,6 +32,7 @@ from .noise import (  # noqa: F401
     mi_sideband_noise,
     noise_figure,
     soliton_jitter,
+    soliton_link,
     soliton_squeezing,
     squeezing,
 )
@@ -49,5 +50,6 @@ __all__ = [
     "mismatch_scan", "psa_phase_sweep", "gain_map", "comb", "gnlse_pulse",
     "vector_pulse", "supercontinuum", "vector_supercontinuum",
     "noise_figure", "fwm_sbs", "gain_ripple", "squeezing",
-    "soliton_squeezing", "soliton_jitter", "mi_sideband_noise", "fit_gain",
+    "soliton_squeezing", "soliton_jitter", "soliton_link",
+    "mi_sideband_noise", "fit_gain",
 ]

@@ -549,3 +549,97 @@ def soliton_jitter(
         else f"{save_dir}/soliton_jitter.png",
     )
     return ms, ml
+
+
+def soliton_link(
+    *,
+    t0_s: float = 1e-12,
+    beta2_s2_m: float = -2.0e-26,
+    gamma_W_m: float = 2e-3,
+    omega0_rad_s: float = 1.2e15,
+    span_m: float = 50.0,
+    n_spans: int = 20,
+    alpha_db_km: float = 21.7,
+    n_sp: float = 1.0,
+    steps_per_span: int = 25,
+    n_samples: int = 2048,
+    n_t: int = 256,
+    seed: int = 0,
+    mesh=None,
+    precision: str = "x64",
+    show: bool = True,
+    save_dir: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Soliton transmission over a chain of lossy spans and lumped
+    amplifiers (``parallel/link.pulse_link_monte_carlo``): each
+    amplifier restores the span loss exactly but must inject ASE, whose
+    frequency kicks dispersion converts into the cubically accumulating
+    Gordon-Haus timing jitter (Gordon & Haus, Opt. Lett. 11, 665) -- the
+    fundamental bit-error floor of amplified soliton links.  The same
+    chain with the ASE (unphysically) switched off is run as the control:
+    its frequency spread stays frozen at the LAUNCH vacuum level, so its
+    timing jitter grows only by the quadratic dispersive conversion of
+    the launch noise -- the cubic ASE excess on top of it is the
+    Gordon-Haus signature."""
+    import numpy as _np
+
+    from ..models import gnlse as _gn
+    from ..models.gnlse import sech_pulse, soliton_peak_power
+    from ..ops.dispersion import DispersionParams
+    from ..parallel.link import pulse_link_monte_carlo, span_observed_length_m
+    from ..utils.units import alpha_db_per_km_to_1_m
+
+    grid = _gn.TimeGrid.for_pulse(t0_s, n_samples=n_t)
+    disp = DispersionParams.from_betas(omega0_rad_s, beta2=beta2_s2_m)
+    alpha = alpha_db_per_km_to_1_m(alpha_db_km)
+    co = _gn.make_gnlse_coeffs(grid, disp, gamma_W_m=gamma_W_m,
+                               alpha_1_m=alpha, precision=precision)
+    P0 = soliton_peak_power(beta2_s2_m, gamma_W_m, t0_s)
+    A0 = _np.asarray(sech_pulse(grid, peak_W=P0, t0_s=t0_s))
+    cfg = custom_simulation_config(
+        z_max=float(span_m), dz=float(span_m) / int(steps_per_span),
+        save_every=int(steps_per_span), precision=precision)
+    kw = dict(omega0=omega0_rad_s, n_spans=int(n_spans), n_sp=float(n_sp),
+              n_samples=n_samples, seed=seed, mesh=mesh)
+    ms = pulse_link_monte_carlo(cfg, co, A0, grid, **kw)
+    mc = pulse_link_monte_carlo(cfg, co, A0, grid, ase=False, **kw)
+    z_span = span_observed_length_m(cfg)
+    G_db = 10.0 * _np.log10(_np.exp(alpha * z_span))
+    if verbose:
+        z_period = 0.5 * _np.pi * t0_s**2 / abs(beta2_s2_m)
+        print(
+            f"soliton link: {n_spans} x {z_span:g} m spans "
+            f"({n_spans*z_span/z_period:.1f} soliton periods), span loss = "
+            f"amp gain = {G_db:.2f} dB, n_sp = {n_sp:g}, "
+            f"N = {ms.n_samples} Wigner samples"
+        )
+        print(
+            f"ASE frequency diffusion: Var_f x{float(ms.f_var[-1]/ms.f_var[0]):.1f} "
+            f"(control x{float(mc.f_var[-1]/mc.f_var[0]):.2f}); timing jitter "
+            f"{_np.sqrt(ms.t_var[0])*1e15:.2f} -> {_np.sqrt(ms.t_var[-1])*1e15:.2f} fs "
+            f"(control {_np.sqrt(mc.t_var[-1])*1e15:.2f} fs) -- the "
+            f"Gordon-Haus accumulation"
+        )
+    if save_dir is not None:
+        from pathlib import Path
+
+        Path(save_dir).mkdir(parents=True, exist_ok=True)
+        _np.savez(
+            f"{save_dir}/soliton_link.npz",
+            z_m=ms.z_m, t_var=ms.t_var, f_var=ms.f_var, tf_cov=ms.tf_cov,
+            energy_mean=ms.energy_mean, energy_var=ms.energy_var,
+            t_var_control=mc.t_var, f_var_control=mc.f_var,
+            span_m=z_span, n_spans=n_spans, amp_gain_db=G_db, n_sp=n_sp,
+            beta2_s2_m=beta2_s2_m, alpha_db_km=alpha_db_km,
+            peak_W=P0, n_samples=ms.n_samples,
+        )
+    plotting.plot_moment_statistics(
+        ms, mc, beta2_s2_m=beta2_s2_m,
+        labels=("amplified link (ASE)", "ASE off (control)"),
+        title="Soliton link: Gordon-Haus timing jitter",
+        show=show,
+        save_path=None if save_dir is None
+        else f"{save_dir}/soliton_link.png",
+    )
+    return ms, mc

@@ -2061,6 +2061,14 @@ def pulse_moment_statistics(
         z, A_traj, ok = solve_gnlse_batch_trajectories(cfg, coeffs, A_batch,
                                                        nl=nl, mesh=mesh)
     elapsed = time.perf_counter() - t0
+    return _moment_reduce(z, A_traj, ok, grid, scale, elapsed)
+
+
+def _moment_reduce(z, A_traj, ok, grid, scale, elapsed) -> PulseMomentStatistics:
+    """Collective-coordinate ensemble statistics from a stacked trajectory
+    ``A_traj (B+1, S+1, T)`` (lane 0 the noise-free mean field, excluded)
+    -- the shared reduction behind :func:`pulse_moment_statistics` and the
+    multi-span link measurement (``parallel/link.py``)."""
     ok = np.asarray(ok, dtype=bool)
     if ok[1:].sum() < 16:
         raise FloatingPointError("too few lanes survived for statistics")

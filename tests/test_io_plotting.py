@@ -420,6 +420,26 @@ def test_soliton_jitter_experiment_artifacts(tmp_path):
     assert d["t_var"].shape == d["t_var_loss"].shape
 
 
+def test_soliton_link_experiment_artifacts(tmp_path):
+    """link experiment: ASE drives frequency diffusion the control lacks;
+    timing jitter exceeds the control; artifacts written."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu import experiments as ex
+
+    ms, mc = ex.soliton_link(
+        n_samples=128, n_spans=6, span_m=50.0, steps_per_span=10, n_t=128,
+        show=False, save_dir=str(tmp_path), verbose=True,
+    )
+    assert ms.f_var[-1] > 1.5 * ms.f_var[0]
+    # discrete SSFM conserves the spectral centroid to ~1e-4 (exact in
+    # the continuum), same tolerance as the moment-statistics law test
+    np.testing.assert_allclose(mc.f_var, mc.f_var[0], rtol=1e-3)
+    assert ms.t_var[-1] > mc.t_var[-1]
+    assert (tmp_path / "soliton_link.npz").exists()
+    assert (tmp_path / "soliton_link.png").exists()
+    d = np.load(tmp_path / "soliton_link.npz")
+    assert d["t_var"].shape == d["t_var_control"].shape
+
+
 def test_plot_quantum_noise_figures(tmp_path):
     """Smoke the three quantum-noise figure functions on tiny ensembles."""
     from psa_simulation_ode_rk_mvp_dispersion_tpu.models import gnlse as gn
