@@ -6,9 +6,12 @@ Capability parity: reference ``config.py`` (``SimulationConfig`` :7-30,
 ``default_simulation_config`` :33-47, ``custom_simulation_config`` :49-70,
 ``validate_config`` :73-93).  Extensions over the reference:
 
-- ``integrator`` accepts ``'rk4'`` (fixed step) and ``'rk45'`` (embedded
-  adaptive Dormand-Prince) -- the reference validated the slot but only ever
-  dispatched rk4 (``config.py:89``).
+- ``integrator`` accepts ``'rk4'`` (fixed step), ``'rk45'`` (embedded
+  adaptive Dormand-Prince), and the fixed-step Adams throughput methods
+  ``'ab4'``/``'abm4'`` (4th order at 1 / 2 RHS evaluations per step vs
+  RK4's 4; supported by the comb engines -- families without a multistep
+  path raise instead of silently degrading) -- the reference validated the
+  slot but only ever dispatched rk4 (``config.py:89``).
 - ``precision`` selects the dtype tier (``'x64'`` reference-parity f64,
   ``'x32'`` TPU-native f32, ``'df32'`` compensated two-float32; see
   ``utils/precision.py``).
@@ -22,7 +25,19 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
-VALID_INTEGRATORS = ("rk4", "rk45")
+VALID_INTEGRATORS = ("rk4", "rk45", "ab4", "abm4")
+MULTISTEP_INTEGRATORS = ("ab4", "abm4")
+
+
+def reject_multistep(cfg: "SimulationConfig", where: str) -> None:
+    """Families without an Adams path must refuse loudly, not silently run
+    rk4 (the round-1 silent-integrator bug class)."""
+    if cfg.integrator.lower() in MULTISTEP_INTEGRATORS:
+        raise ValueError(
+            f"integrator={cfg.integrator!r} is not supported by {where}; "
+            "multistep (ab4/abm4) is available for the comb engines "
+            "(models/nwave.py) -- use 'rk4' or 'rk45' here"
+        )
 
 
 @dataclass(frozen=True)

@@ -31,7 +31,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import SimulationConfig, validate_config
+from ..config import SimulationConfig, validate_config, reject_multistep
 from ..ops.dispersion import DispersionParams
 from ..ops.frequency_plan import SymmetricPlan
 from ..ops.integrators import integrate_fixed_grid
@@ -427,6 +427,7 @@ def run_single_simulation(
     lab-frame phase continuity (z0 in ``length_unit``).
     """
     validate_config(cfg)
+    reject_multistep(cfg, "the 4-wave runner")
     if frame not in VALID_FRAMES:
         raise ValueError(f"frame must be one of {VALID_FRAMES}, got {frame!r}")
 

@@ -56,7 +56,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import SimulationConfig, validate_config
+from ..config import SimulationConfig, validate_config, reject_multistep
 from ..ops.dispersion import DispersionParams
 from ..utils.packing import (
     complex_to_ri,
@@ -852,6 +852,7 @@ def run_gnlse_simulation(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_multistep(cfg, "the GNLSE solvers")
     scale = length_scale_to_m(length_unit)
     prec = validate_precision(cfg.precision)
     rdt = real_dtype(prec)
@@ -1003,6 +1004,7 @@ def solve_gnlse_batch(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_multistep(cfg, "the GNLSE solvers")
     scale = length_scale_to_m(length_unit)
     prec = validate_precision(cfg.precision)
 
@@ -1178,6 +1180,7 @@ def solve_gnlse_batch_trajectories(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_multistep(cfg, "the GNLSE solvers")
     scale = length_scale_to_m(length_unit)
     prec = validate_precision(cfg.precision)
     z0 = float(z0)

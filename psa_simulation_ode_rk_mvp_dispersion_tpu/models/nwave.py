@@ -300,7 +300,7 @@ def seed_comb(
 
 @functools.lru_cache(maxsize=64)
 def _comb_fixed_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int,
-                       coupling: str = "fft"):
+                       coupling: str = "fft", method: str = "rk4"):
     rhs = make_rhs_nwave(coupling)
 
     def run(y0_ri, coeffs, dz):
@@ -309,7 +309,7 @@ def _comb_fixed_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
         res = integrate_fixed_grid(
             rhs, ri_to_complex(y0_ri), coeffs, z0=jnp.zeros((), dz.dtype),
             dz=dz, n_steps=n_steps, save_every=save_every, check_nan=check_nan,
-            unroll=unroll,
+            unroll=unroll, method=method,
         )
         return (
             res.z_saved,
@@ -385,7 +385,8 @@ def run_comb_simulation(
         z_out = z_grid / scale
     else:
         solver = _comb_fixed_solver(
-            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll, coupling
+            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll, coupling,
+            cfg.integrator.lower(),
         )
         z_dev, y_ri, ok_i = solver(
             jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(dz_m, dtype=rdt)
@@ -400,14 +401,14 @@ def run_comb_simulation(
 
 @functools.lru_cache(maxsize=64)
 def _comb_batch_traj_solver(n_steps: int, save_every: int, unroll: int,
-                            coupling: str):
+                            coupling: str, method: str = "rk4"):
     rhs = make_rhs_nwave(coupling)
 
     def one(y0, coeffs, dz):
         res = integrate_fixed_grid(
             rhs, y0, coeffs, z0=jnp.zeros((), dz.dtype), dz=dz,
             n_steps=n_steps, save_every=save_every, check_nan=True,
-            unroll=unroll,
+            unroll=unroll, method=method,
         )
         return complex_to_ri(res.y_saved), res.ok
 
@@ -500,7 +501,8 @@ def solve_comb_batch_trajectories(
         ys, ok = jax.block_until_ready(solver(y0_ri, coeffs_b, z_grid))
     else:
         solver = _comb_batch_traj_solver(
-            n_steps, int(cfg.save_every), int(unroll), coupling
+            n_steps, int(cfg.save_every), int(unroll), coupling,
+            cfg.integrator.lower(),
         )
         ys, ok = jax.block_until_ready(
             solver(y0_ri, coeffs_b, jnp.asarray(dz_m, dtype=rdt))
@@ -521,7 +523,7 @@ def comb_spectrum_db(A: np.ndarray, *, floor_dbw: float = -200.0) -> np.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: int,
-                       coupling: str = "fft"):
+                       coupling: str = "fft", method: str = "rk4"):
     rhs = make_rhs_nwave(coupling)
 
     def one(y0, coeffs, dz):
@@ -537,7 +539,7 @@ def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
             z0=jnp.zeros((), dz.dtype), dz=dz,
             n_steps=n_steps, save_every=save_every,
             reduce_init=(P0, y0), reduce_fn=red,
-            check_nan=check_nan, unroll=unroll,
+            check_nan=check_nan, unroll=unroll, method=method,
         )
         # A_final at the last SAVED grid point (framework-wide saved-grid
         # convention, matching the 4-wave sweep / df32 / pallas engines);
@@ -711,7 +713,8 @@ def solve_comb_batch(
         )
     else:
         solver = _comb_batch_solver(
-            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll, coupling
+            n_steps, int(cfg.save_every), bool(cfg.check_nan), unroll, coupling,
+            cfg.integrator.lower(),
         )
         out = jax.block_until_ready(
             solver(y0_ri, coeffs_dev, jnp.asarray(dz_m, dtype=rdt))

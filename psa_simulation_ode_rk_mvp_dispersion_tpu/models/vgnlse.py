@@ -44,7 +44,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import SimulationConfig, validate_config
+from ..config import SimulationConfig, validate_config, reject_multistep
 from ..ops.dispersion import DispersionParams
 from ..utils.packing import (
     complex_to_ri,
@@ -574,6 +574,7 @@ def run_vgnlse_simulation(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_multistep(cfg, "the vector GNLSE solvers")
     scale = length_scale_to_m(length_unit)
     prec = validate_precision(cfg.precision)
     rdt = real_dtype(prec)
@@ -704,6 +705,7 @@ def solve_vgnlse_batch(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_multistep(cfg, "the vector GNLSE solvers")
     scale = length_scale_to_m(length_unit)
     prec = validate_precision(cfg.precision)
 
@@ -891,6 +893,7 @@ def solve_vgnlse_batch_trajectories(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_multistep(cfg, "the vector GNLSE solvers")
     scale = length_scale_to_m(length_unit)
     prec = validate_precision(cfg.precision)
     A0 = np.asarray(A0, dtype=np.complex128)

@@ -40,7 +40,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import SimulationConfig, validate_config
+from ..config import SimulationConfig, validate_config, reject_multistep
 from ..constants import c as C0, TWO_PI
 from ..ops.dispersion import DispersionParams, delta_beta_from_omegas, delta_beta_symmetric
 from ..ops.adaptive import integrate_adaptive_reduce
@@ -270,6 +270,7 @@ def solve_batch(
     loop-dispatch overhead -- scan otherwise).
     """
     validate_config(cfg)
+    reject_multistep(cfg, "the 4-wave sweep engine")
     precision = validate_precision(cfg.precision)
     rdt = real_dtype(precision)
 
@@ -633,6 +634,7 @@ def solve_batch_trajectories(
     ``(z (S+1,), A (B, S+1, 4) complex, ok (B,))``.  Pass ``mesh`` to shard
     the batch axis (trajectories gather back to the host)."""
     validate_config(cfg)
+    reject_multistep(cfg, "the 4-wave sweep engine")
     precision = validate_precision(cfg.precision)
     rdt = real_dtype(precision)
     A0 = np.asarray(A0)
@@ -807,6 +809,7 @@ def gain_and_dbeta_spectrum(
     shard the batch over devices.
     """
     validate_config(cfg)
+    reject_multistep(cfg, "the 4-wave sweep engine")
     gu = _norm_gain_unit(gain_unit)
     if gain_mode not in VALID_GAIN_MODES:
         raise ValueError(f"Unknown gain_mode={gain_mode!r}. Use 'end' or 'max'.")
@@ -944,6 +947,7 @@ def mismatch_scan(
     idler seed may be zero).
     """
     validate_config(cfg)
+    reject_multistep(cfg, "the 4-wave sweep engine")
     gu = _norm_gain_unit(gain_unit)
     if gain_mode not in VALID_GAIN_MODES:
         raise ValueError(f"Unknown gain_mode={gain_mode!r}. Use 'end' or 'max'.")
@@ -1013,6 +1017,7 @@ def psa_phase_sweep(
     seed: A3(0) = sqrt(P3) e^{i phi}.  Batched like every other sweep.
     """
     validate_config(cfg)
+    reject_multistep(cfg, "the 4-wave sweep engine")
     gu = _norm_gain_unit(gain_unit)
     phases = np.asarray(list(signal_phases), dtype=float)
     if phases.ndim != 1 or phases.size == 0:
@@ -1096,6 +1101,7 @@ def gain_map_power_wavelength(
     ``io_fwm.save_gain_map_npz``.
     """
     validate_config(cfg)
+    reject_multistep(cfg, "the 4-wave sweep engine")
     gu = _norm_gain_unit(gain_unit)
     lam3 = np.asarray(list(lambda_signal_m), dtype=float)
     pows = np.asarray(list(pump_powers_W), dtype=float)

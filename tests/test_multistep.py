@@ -1,0 +1,284 @@
+"""Adams multistep integrators (ab4 / abm4): order, save-grid contract,
+NaN-freeze semantics, and the comb engine wiring.
+
+The multistep path exists for TPU throughput (1-2 RHS evals/step vs RK4's
+4 -- the RHS evaluation is the MXU/VMEM cost); these tests pin the numerics
+on CPU x64: 4th-order convergence, trajectory agreement with RK4 far below
+the x32 rounding floor, and the exact reference save-decimation contract
+(row 0 + every save_every-th step; trailing partial steps integrated but
+unsaved) for every bootstrap/save_every alignment.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.integrators import (
+    integrate_fixed_grid,
+    integrate_reduce,
+)
+
+
+# ---------------------------------------------------------------------------
+# Oracle: plain-numpy AB4/ABM4 with RK4 bootstrap (independent op order)
+# ---------------------------------------------------------------------------
+
+def _np_rk4_step(f, z, y, h):
+    k1 = f(z, y)
+    k2 = f(z + 0.5 * h, y + 0.5 * h * k1)
+    k3 = f(z + 0.5 * h, y + 0.5 * h * k2)
+    k4 = f(z + h, y + h * k3)
+    return y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def _np_ms(f, y0, h, n_steps, save_every, correct):
+    y = np.asarray(y0, dtype=complex)
+    rows = [y.copy()]
+    hist = []
+    for step in range(n_steps):
+        z = step * h
+        if step < 3:
+            hist.append(f(z, y))
+            y = _np_rk4_step(f, z, y, h)
+        else:
+            f0 = f(z, y)
+            yp = y + (h / 24.0) * (
+                55 * f0 - 59 * hist[-1] + 37 * hist[-2] - 9 * hist[-3]
+            )
+            if correct:
+                fp = f(z + h, yp)
+                y = y + (h / 24.0) * (9 * fp + 19 * f0 - 5 * hist[-1] + hist[-2])
+            else:
+                y = yp
+            hist.append(f0)
+        if (step + 1) % save_every == 0:
+            rows.append(y.copy())
+    return np.stack(rows[: n_steps // save_every + 1]), y
+
+
+# Stiff-ish nonlinear test problem: damped rotation + cubic self-coupling
+def _rhs_np(z, y):
+    return (0.3j - 0.05) * y + 0.2j * y * np.abs(y) ** 2
+
+
+def _rhs_jax(z, y, params):
+    return (0.3j - 0.05) * y + 0.2j * y * jnp.abs(y) ** 2
+
+
+Y0 = np.array([1.0 + 0.2j, 0.5 - 0.1j, -0.3 + 0.8j])
+
+
+@pytest.mark.parametrize("method", ["ab4", "abm4"])
+def test_fourth_order_convergence(method):
+    """Halving dz must shrink the error ~16x (order 4)."""
+    z_end = 2.0
+    ref = integrate_fixed_grid(
+        _rhs_jax, Y0, None, z0=0.0, dz=z_end / 4096, n_steps=4096,
+        save_every=4096, method="rk4",
+    ).y_final
+    errs = []
+    for n in (64, 128, 256):
+        res = integrate_fixed_grid(
+            _rhs_jax, Y0, None, z0=0.0, dz=z_end / n, n_steps=n,
+            save_every=n, method=method,
+        )
+        errs.append(float(np.max(np.abs(np.asarray(res.y_final) - np.asarray(ref)))))
+    r1 = errs[0] / errs[1]
+    r2 = errs[1] / errs[2]
+    assert 10.0 < r1 < 24.0, (errs, r1)
+    assert 10.0 < r2 < 24.0, (errs, r2)
+
+
+@pytest.mark.parametrize("method", ["ab4", "abm4"])
+def test_close_to_rk4(method):
+    """At a well-resolved dz the Adams trajectory matches RK4 to ~truncation
+    (far below x32 rounding)."""
+    n = 500
+    kw = dict(z0=0.0, dz=2.0 / n, n_steps=n, save_every=50)
+    a = integrate_fixed_grid(_rhs_jax, Y0, None, method=method, **kw)
+    r = integrate_fixed_grid(_rhs_jax, Y0, None, method="rk4", **kw)
+    assert np.allclose(np.asarray(a.y_final), np.asarray(r.y_final),
+                       rtol=1e-9, atol=1e-12)
+    assert np.allclose(np.asarray(a.y_saved), np.asarray(r.y_saved),
+                       rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("method,correct", [("ab4", False), ("abm4", True)])
+@pytest.mark.parametrize("n_steps,save_every", [
+    (0, 1), (1, 1), (2, 1), (3, 1), (3, 2), (4, 1), (4, 2), (4, 4), (5, 5),
+    (7, 2), (7, 3), (7, 5), (10, 2), (10, 3), (12, 4), (13, 5), (9, 100),
+])
+def test_save_grid_contract_vs_oracle(method, correct, n_steps, save_every):
+    """Exact agreement with an independent numpy implementation of the same
+    scheme across every bootstrap/save_every alignment (rows, z grid,
+    y_final with trailing unsaved steps)."""
+    h = 0.05
+    res = integrate_fixed_grid(
+        _rhs_jax, Y0, None, z0=0.0, dz=h, n_steps=n_steps,
+        save_every=save_every, method=method,
+    )
+    rows_np, y_fin_np = _np_ms(_rhs_np, Y0, h, n_steps, save_every, correct)
+    assert res.y_saved.shape == rows_np.shape
+    np.testing.assert_allclose(np.asarray(res.y_saved), rows_np,
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(res.y_final), y_fin_np,
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(res.z_saved),
+        np.arange(n_steps // save_every + 1) * save_every * h,
+        rtol=1e-13,
+    )
+
+
+@pytest.mark.parametrize("method", ["ab4", "abm4"])
+def test_reduce_matches_fixed_grid(method):
+    """Reduce-mode saved-sample folds see exactly the trajectory rows."""
+    n, se = 23, 4
+    kw = dict(z0=0.0, dz=0.05, n_steps=n, save_every=se)
+    grid = integrate_fixed_grid(_rhs_jax, Y0, None, method=method, **kw)
+
+    def red(acc, y):
+        count, pmax = acc
+        return count + 1, jnp.maximum(pmax, jnp.abs(y))
+
+    r = integrate_reduce(
+        _rhs_jax, Y0, None, reduce_init=(0, jnp.zeros(3)), reduce_fn=red,
+        method=method, **kw,
+    )
+    count, pmax = r.reduction
+    assert int(count) == n // se + 1
+    np.testing.assert_allclose(
+        np.asarray(pmax),
+        np.max(np.abs(np.asarray(grid.y_saved)), axis=0), rtol=1e-13,
+    )
+    np.testing.assert_allclose(np.asarray(r.y_final),
+                               np.asarray(grid.y_final), rtol=1e-13)
+    assert bool(r.ok) and int(r.bad_step) == -1
+
+
+@pytest.mark.parametrize("method", ["ab4", "abm4"])
+def test_nan_freeze(method):
+    """A blow-up freezes the state at the last good step and records the
+    first bad index (same contract as the RK4 path)."""
+
+    def rhs(z, y, params):
+        # finite-time blow-up: y' = y^2 from y=1 diverges at z=1
+        return y * y
+
+    y0 = jnp.asarray([1.0])
+    res = integrate_fixed_grid(
+        rhs, y0, None, z0=0.0, dz=0.5, n_steps=40, save_every=40,
+        method=method,
+    )
+    assert not bool(res.ok)
+    assert int(res.bad_step) >= 0
+    assert np.all(np.isfinite(np.asarray(res.y_final)))
+
+
+def test_bad_method_raises():
+    with pytest.raises(ValueError, match="method"):
+        integrate_fixed_grid(
+            _rhs_jax, Y0, None, z0=0.0, dz=0.1, n_steps=4, save_every=1,
+            method="euler",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Comb engine wiring + family guards
+# ---------------------------------------------------------------------------
+
+def _comb_setup(B=3):
+    import psa_tpu as psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+
+    omega_c = 2.0 * np.pi * 193.1e12
+    grid = nw.CombGrid.centered(omega_c, 2.0 * np.pi * 50e9, 16)
+    disp = psa.DispersionParams.from_betas(omega_c, beta2=-1.0e-27)
+    c1 = nw.make_comb_coeffs(grid, disp, gamma_W_m=10e-3, alpha_1_m=5e-5,
+                             precision="x64")
+    A0 = nw.seed_comb(grid, pump_lines={6: 0.4, 10: 0.4},
+                      noise_floor_W=1e-9, seed=1)
+    coeffs = nw.NWaveCoeffs(
+        gamma=np.linspace(8e-3, 12e-3, B), alpha=np.full(B, 5e-5),
+        beta_lin=np.broadcast_to(np.asarray(c1.beta_lin, float), (B, 16)),
+    )
+    return nw, np.broadcast_to(A0, (B, 16)).copy(), coeffs
+
+
+@pytest.mark.parametrize("integrator", ["ab4", "abm4"])
+def test_comb_batch_multistep_matches_rk4(integrator):
+    import psa_tpu as psa
+
+    nw, A0, coeffs = _comb_setup()
+    kw = dict(z_max=200.0, dz=0.5, save_every=25, precision="x64")
+    cfg4 = psa.custom_simulation_config(**kw)
+    cfgm = psa.custom_simulation_config(integrator=integrator, **kw)
+    P4, A4, ok4 = nw.solve_comb_batch(cfg4, coeffs, A0, coupling="dft")
+    Pm, Am, okm = nw.solve_comb_batch(cfgm, coeffs, A0, coupling="dft")
+    assert ok4.all() and okm.all()
+    np.testing.assert_allclose(Am, A4, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(Pm, P4, rtol=1e-6, atol=1e-12)
+
+
+def test_comb_trajectories_multistep():
+    import psa_tpu as psa
+
+    nw, A0, coeffs = _comb_setup()
+    kw = dict(z_max=100.0, dz=0.5, save_every=20, precision="x64")
+    z4, A4, ok4 = nw.solve_comb_batch_trajectories(
+        psa.custom_simulation_config(**kw), coeffs, A0)
+    zm, Am, okm = nw.solve_comb_batch_trajectories(
+        psa.custom_simulation_config(integrator="abm4", **kw), coeffs, A0)
+    assert ok4.all() and okm.all()
+    np.testing.assert_allclose(zm, z4)
+    np.testing.assert_allclose(Am, A4, rtol=1e-7, atol=1e-12)
+
+
+def test_run_comb_simulation_multistep():
+    import psa_tpu as psa
+
+    nw, A0, coeffs = _comb_setup(B=1)
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.nwave import NWaveCoeffs
+    c1 = NWaveCoeffs(gamma=10e-3, alpha=5e-5,
+                     beta_lin=np.asarray(coeffs.beta_lin[0]))
+    kw = dict(z_max=100.0, dz=0.5, save_every=20, precision="x64")
+    z4, A4 = nw.run_comb_simulation(psa.custom_simulation_config(**kw), c1, A0[0])
+    za, Aa = nw.run_comb_simulation(
+        psa.custom_simulation_config(integrator="ab4", **kw), c1, A0[0])
+    np.testing.assert_allclose(za, z4)
+    np.testing.assert_allclose(Aa, A4, rtol=1e-6, atol=1e-12)
+
+
+def test_unsupported_families_raise():
+    """Families without a multistep path refuse loudly (no silent rk4)."""
+    import psa_tpu as psa
+
+    cfg = psa.custom_simulation_config(z_max=0.5, dz=1e-3, integrator="ab4")
+    omega = np.asarray(psa.plan_from_wavelengths(1550e-9, 1560e-9, 1555e-9))
+    with pytest.raises(ValueError, match="multistep|ab4"):
+        psa.run_single_simulation(
+            cfg, gamma=0.0115, alpha=0.0, omega=omega,
+            p_in=np.array([0.5, 0.5, 1e-5, 1e-5]), phase_in=np.zeros(4),
+            beta_legacy=[0.0, 0.0, 0.0, 0.0], length_unit="m",
+        )
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
+        run_gnlse_simulation, make_gnlse_coeffs, TimeGrid,
+    )
+    tg = TimeGrid(n_samples=64, t_window_s=64e-13)
+    co = make_gnlse_coeffs(tg, gamma_W_m=1e-3, precision="x64")
+    with pytest.raises(ValueError, match="multistep|ab4"):
+        run_gnlse_simulation(
+            psa.custom_simulation_config(z_max=1.0, dz=0.1, integrator="ab4"),
+            co, np.ones(64, complex),
+        )
+
+
+def test_df32_and_pallas_engines_reject_multistep():
+    import psa_tpu as psa
+
+    nw, A0, coeffs = _comb_setup()
+    cfg = psa.custom_simulation_config(
+        z_max=10.0, dz=0.5, save_every=5, precision="df32", integrator="ab4")
+    with pytest.raises(ValueError, match="rk4"):
+        nw.solve_comb_batch(cfg, coeffs, A0)
