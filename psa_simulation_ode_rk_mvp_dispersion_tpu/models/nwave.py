@@ -665,8 +665,11 @@ def solve_comb_batch(
         return r.P_max, r.A_end, r.ok
     if engine == "pallas":
         on_tpu = jax.default_backend() == "tpu"
-        if cfg.integrator.lower() != "rk4":
-            raise ValueError("engine='pallas' comb solver implements rk4 only")
+        if cfg.integrator.lower() not in ("rk4", "ab4", "abm4"):
+            raise ValueError(
+                "engine='pallas' comb solver implements the fixed-step "
+                "integrators (rk4/ab4/abm4) only"
+            )
         if precision != "x32":
             raise ValueError("engine='pallas' comb solver is x32 only")
         from ..ops.pallas_comb import solve_batch_pallas_comb_result
@@ -674,7 +677,7 @@ def solve_comb_batch(
         return solve_batch_pallas_comb_result(
             A0, gamma, alpha, beta, dz_m=dz_m, n_steps=n_steps,
             save_every=int(cfg.save_every), interpret=not on_tpu, mesh=mesh,
-            mxu_precision=mxu_precision,
+            mxu_precision=mxu_precision, integrator=cfg.integrator.lower(),
         )
 
     n_orig = B

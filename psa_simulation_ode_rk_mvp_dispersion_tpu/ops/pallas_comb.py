@@ -95,11 +95,18 @@ def _dft_weight_stacked(n: int):
 
 
 def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
-                 mxu_precision: str = "highest", variant: str = DEFAULT_VARIANT):
+                 mxu_precision: str = "highest", variant: str = DEFAULT_VARIANT,
+                 integrator: str = "rk4"):
     dz = float(dz)
     c_half = np.float32(0.5 * dz)
     c_full = np.float32(dz)
     c_sixth = np.float32(dz / 6.0)
+    c_24 = np.float32(dz / 24.0)
+    if integrator not in ("rk4", "ab4", "abm4"):
+        raise ValueError(
+            f"integrator must be 'rk4', 'ab4' or 'abm4', got {integrator!r}"
+        )
+    multistep = integrator != "rk4"
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
 
@@ -258,41 +265,107 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
         rhs = {"fused": rhs_fused, "block": rhs_block,
                "karatsuba": rhs_karatsuba}[variant]
 
-        def rk4(u):
+        def rk4_with_f(u):
             k1 = rhs(u)
             k2 = rhs(u + c_half * k1)
             k3 = rhs(u + c_half * k2)
             k4 = rhs(u + c_full * k3)
-            return u + c_sixth * (k1 + np.float32(2.0) * (k2 + k3) + k4)
+            return u + c_sixth * (k1 + np.float32(2.0) * (k2 + k3) + k4), k1
 
-        def step(_i, carry):
-            u, ok = carry
-            u_new = rk4(u)
+        def freeze(u, u_new, ok):
             # one fused reduction: NaN compares false against the f32-max
             # bound, so this is the same flag as the explicit ==/abs pair
             fin = jnp.all(jnp.abs(u_new) < np.float32(3.4e38),
                           axis=0, keepdims=True)
             ok_n = ok * fin.astype(f32)
-            u_o = jnp.where(ok_n > np.float32(0.0), u_new, u)
-            return (u_o, ok_n)
+            return jnp.where(ok_n > np.float32(0.0), u_new, u), ok_n
+
+        def step(_i, carry):
+            u, ok = carry
+            u_new, _ = rk4_with_f(u)
+            return freeze(u, u_new, ok)
+
+        def ms_step(_i, carry):
+            # AB4 (optionally AM4 PECE-corrected): ONE (or two) RHS evals per
+            # step vs RK4's four -- the Adams history planes ride the carry
+            u, ok, f1, f2, f3 = carry
+            f0 = rhs(u)
+            u_new = u + c_24 * (
+                np.float32(55.0) * f0 - np.float32(59.0) * f1
+                + np.float32(37.0) * f2 - np.float32(9.0) * f3
+            )
+            if integrator == "abm4":
+                fp = rhs(u_new)
+                u_new = u + c_24 * (
+                    np.float32(9.0) * fp + np.float32(19.0) * f0
+                    - np.float32(5.0) * f1 + f2
+                )
+            u_o, ok_n = freeze(u, u_new, ok)
+            return (u_o, ok_n, f0, f1, f2)
+
+        def observe(u, pmax):
+            P = u[0:n, :] * u[0:n, :] + u[n:2 * n, :] * u[n:2 * n, :]
+            return jnp.where(P > pmax, P, pmax)
 
         pmax0 = u0[0:n, :] * u0[0:n, :] + u0[n:2 * n, :] * u0[n:2 * n, :]
         ok0 = jnp.ones_like(u0[0:1, :])
 
-        def chunk(_c, carry):
-            u, ok, pmax, last = carry
-            u2, ok2 = lax.fori_loop(0, save_every, step, (u, ok))
-            P = u2[0:n, :] * u2[0:n, :] + u2[n:2 * n, :] * u2[n:2 * n, :]
-            pmax = jnp.where(P > pmax, P, pmax)
-            return (u2, ok2, pmax, u2)
+        if not multistep:
+            def chunk(_c, carry):
+                u, ok, pmax, last = carry
+                u2, ok2 = lax.fori_loop(0, save_every, step, (u, ok))
+                return (u2, ok2, observe(u2, pmax), u2)
 
-        u, ok, pmax, last = lax.fori_loop(
-            0, n_chunks, chunk, (u0, ok0, pmax0, u0)
-        )
-        if remainder > 0:
-            # trailing partial steps: integrated (they can flip ok) but
-            # unobserved (framework saved-grid convention)
-            _u, ok = lax.fori_loop(0, remainder, step, (u, ok))
+            u, ok, pmax, last = lax.fori_loop(
+                0, n_chunks, chunk, (u0, ok0, pmax0, u0)
+            )
+            if remainder > 0:
+                # trailing partial steps: integrated (they can flip ok) but
+                # unobserved (framework saved-grid convention)
+                _u, ok = lax.fori_loop(0, remainder, step, (u, ok))
+        else:
+            # --- Adams driver: 3-step RK4 bootstrap (statically unrolled,
+            # recording f at each pre-step state = the RK4 k1), then chunked
+            # AB4/ABM4 with identical save-grid / freeze bookkeeping ---
+            n_boot = min(3, n_steps)
+            u, ok, pmax, last = u0, ok0, pmax0, u0
+            fs = []
+            for b in range(n_boot):
+                u_new, f0 = rk4_with_f(u)
+                u, ok = freeze(u, u_new, ok)
+                fs.append(f0)
+                if (b + 1) % save_every == 0:
+                    pmax = observe(u, pmax)
+                    last = u
+            if n_steps > 3:
+                carry = (u, ok, fs[2], fs[1], fs[0])
+                S = n_steps // save_every
+                boot_saved = n_boot // save_every
+                if boot_saved < S:
+                    nb = (boot_saved + 1) * save_every
+                    carry = lax.fori_loop(0, nb - n_boot, ms_step, carry)
+                    pmax = observe(carry[0], pmax)
+                    last = carry[0]
+                    n_full = S - boot_saved - 1
+                    if n_full > 0:
+                        def ms_chunk(_c, big):
+                            u, ok, f1, f2, f3, pmax, last = big
+                            u2, ok2, g1, g2, g3 = lax.fori_loop(
+                                0, save_every, ms_step, (u, ok, f1, f2, f3)
+                            )
+                            return (u2, ok2, g1, g2, g3,
+                                    observe(u2, pmax), u2)
+
+                        u, ok, f1, f2, f3, pmax, last = lax.fori_loop(
+                            0, n_full, ms_chunk, (*carry, pmax, last)
+                        )
+                        carry = (u, ok, f1, f2, f3)
+                    cur = S * save_every
+                else:
+                    cur = n_boot
+                if n_steps - cur > 0:
+                    carry = lax.fori_loop(0, n_steps - cur, ms_step, carry)
+                u, ok = carry[0], carry[1]
         pmax_ref[:, :] = pmax
         ylast_ref[:, :] = last
         ok_ref[:, :] = ok
@@ -303,6 +376,7 @@ def _kernel_body(n_steps: int, save_every: int, n: int, L: int, dz: float,
 def _make_comb_call(
     n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
     mxu_precision: str = "highest", variant: str = DEFAULT_VARIANT,
+    integrator: str = "rk4",
 ):
     from jax.experimental import pallas as pl
 
@@ -325,7 +399,7 @@ def _make_comb_call(
             f"variant must be 'fused', 'block' or 'karatsuba', got {variant!r}"
         )
     kernel = _kernel_body(n_steps, save_every, n, L, dz, mxu_precision,
-                          variant)
+                          variant, integrator)
 
     def call(beta, gamma, alpha, y0):
         B = y0.shape[1]
@@ -370,9 +444,11 @@ def _make_comb_call(
 def _pallas_comb_solver(
     n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
     mxu_precision: str = "highest", variant: str = DEFAULT_VARIANT,
+    integrator: str = "rk4",
 ):
     call = _make_comb_call(
-        n_steps, save_every, n, dz, interpret, block, mxu_precision, variant
+        n_steps, save_every, n, dz, interpret, block, mxu_precision, variant,
+        integrator,
     )
 
     def fused(bt, g, a, y0):
@@ -388,13 +464,14 @@ def _pallas_comb_solver(
 def _pallas_comb_solver_sharded(
     n_steps: int, save_every: int, n: int, dz: float, interpret: bool, block: int,
     mxu_precision: str, mesh, variant: str = DEFAULT_VARIANT,
+    integrator: str = "rk4",
 ):
     """shard_map-wrapped comb kernel: lane (batch) axis split over the mesh;
     the DFT weight planes are closure constants, replicated to every shard."""
     from jax.sharding import PartitionSpec
 
     call = _make_comb_call(n_steps, save_every, n, dz, interpret, block,
-                           mxu_precision, variant)
+                           mxu_precision, variant, integrator)
 
     def fused(bt, g, a, y0):
         pmax, y_last, ok = call(bt, g, a, y0)
@@ -425,6 +502,7 @@ def solve_comb_batch_pallas(
     block: int = BLOCK,
     mxu_precision: str = "highest",
     variant: str = DEFAULT_VARIANT,
+    integrator: str = "rk4",
     mesh=None,
 ):
     """Fused-kernel comb solve; contract mirrors ``nwave.solve_comb_batch``
@@ -464,7 +542,9 @@ def solve_comb_batch_pallas(
     cap = 1024 if L <= 128 else 256
     w_floats = 12 * L * n if variant == "karatsuba" else 8 * L * n
     budget = 14 * 1024 * 1024 - w_floats * 4
-    blk_fit = (budget // (24 * L * 4)) // LANES * LANES
+    # the Adams history (f1..f3, three (2N, B) planes) rides the loop carry
+    planes = 24 if integrator == "rk4" else 30
+    blk_fit = (budget // (planes * L * 4)) // LANES * LANES
     if blk_fit < LANES:
         raise ValueError(
             f"comb too wide for the fused kernel (N={n}, L={L}): weight + "
@@ -492,7 +572,7 @@ def solve_comb_batch_pallas(
     if mesh is None:
         solver = _pallas_comb_solver(
             int(n_steps), int(save_every), int(n), float(dz_m), bool(interpret),
-            int(block), str(mxu_precision), str(variant),
+            int(block), str(mxu_precision), str(variant), str(integrator),
         )
         args = (jnp.asarray(bt), jnp.asarray(g), jnp.asarray(a), jnp.asarray(y0))
         with jax.enable_x64(False):
@@ -506,7 +586,7 @@ def solve_comb_batch_pallas(
 
         solver, spec = _pallas_comb_solver_sharded(
             int(n_steps), int(save_every), int(n), float(dz_m), bool(interpret),
-            int(block), str(mxu_precision), mesh, str(variant),
+            int(block), str(mxu_precision), mesh, str(variant), str(integrator),
         )
         sh = NamedSharding(mesh, spec)
         args = tuple(put_global(x, sh) for x in (bt, g, a, y0))
@@ -526,11 +606,11 @@ def solve_comb_batch_pallas(
 
 def solve_batch_pallas_comb_result(
     A0, gamma, alpha, beta_lin, *, dz_m, n_steps, save_every, interpret=False,
-    mesh=None, mxu_precision="highest",
+    mesh=None, mxu_precision="highest", integrator="rk4",
 ):
     """``nwave.solve_comb_batch``-shaped wrapper: (P_max, A_final, ok)."""
     return solve_comb_batch_pallas(
         A0, gamma, alpha, beta_lin,
         dz_m=dz_m, n_steps=n_steps, save_every=save_every, interpret=interpret,
-        mesh=mesh, mxu_precision=mxu_precision,
+        mesh=mesh, mxu_precision=mxu_precision, integrator=integrator,
     )

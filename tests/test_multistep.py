@@ -282,3 +282,58 @@ def test_df32_and_pallas_engines_reject_multistep():
         z_max=10.0, dz=0.5, save_every=5, precision="df32", integrator="ab4")
     with pytest.raises(ValueError, match="rk4"):
         nw.solve_comb_batch(cfg, coeffs, A0)
+
+
+# ---------------------------------------------------------------------------
+# Fused pallas kernel: interpret-mode parity with the scan engine
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("integrator", ["ab4", "abm4"])
+@pytest.mark.parametrize("save_every", [20, 3, 1])
+def test_pallas_comb_multistep_interpret_parity(integrator, save_every):
+    """Kernel Adams driver == scan Adams engine (x32, interpret mode on CPU)
+    across bootstrap/save alignments, incl. boundaries inside the 3-step
+    RK4 bootstrap."""
+    import psa_tpu as psa
+
+    nw, A0, coeffs = _comb_setup(B=5)
+    kw = dict(z_max=30.0, dz=0.5, save_every=save_every, precision="x32")
+    cfg = psa.custom_simulation_config(integrator=integrator, **kw)
+    P1, A1, ok1 = nw.solve_comb_batch(cfg, coeffs, A0, coupling="dft")
+    P2, A2, ok2 = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+    assert ok1.all() and ok2.all()
+    np.testing.assert_allclose(A2, A1, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(P2, P1, rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_comb_multistep_trailing_remainder():
+    """Trailing partial steps: integrated but unsaved (kernel == scan)."""
+    import psa_tpu as psa
+
+    nw, A0, coeffs = _comb_setup(B=3)
+    # 47 steps, save_every=10 -> 7 trailing unsaved steps
+    kw = dict(z_max=23.5, dz=0.5, save_every=10, precision="x32",
+              integrator="abm4")
+    cfg = psa.custom_simulation_config(**kw)
+    P1, A1, ok1 = nw.solve_comb_batch(cfg, coeffs, A0, coupling="dft")
+    P2, A2, ok2 = nw.solve_comb_batch(cfg, coeffs, A0, engine="pallas")
+    np.testing.assert_allclose(A2, A1, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(P2, P1, rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_comb_multistep_nan_freeze():
+    """A blown-up lane freezes + masks identically to the scan engine."""
+    import psa_tpu as psa
+
+    nw, A0, coeffs = _comb_setup(B=4)
+    gamma = np.asarray(coeffs.gamma).copy()
+    gamma[2] = 1e6          # drive lane 2 to blow up
+    bad = nw.NWaveCoeffs(gamma=gamma, alpha=coeffs.alpha,
+                         beta_lin=coeffs.beta_lin)
+    cfg = psa.custom_simulation_config(
+        z_max=30.0, dz=0.5, save_every=10, precision="x32", integrator="ab4")
+    P1, A1, ok1 = nw.solve_comb_batch(cfg, bad, A0, coupling="dft")
+    P2, A2, ok2 = nw.solve_comb_batch(cfg, bad, A0, engine="pallas")
+    np.testing.assert_array_equal(ok2, ok1)
+    assert not ok1[2] and ok1[[0, 1, 3]].all()
+    np.testing.assert_allclose(A2[ok1], A1[ok1], rtol=2e-5, atol=1e-7)
