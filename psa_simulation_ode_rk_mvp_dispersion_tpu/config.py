@@ -9,9 +9,20 @@ Capability parity: reference ``config.py`` (``SimulationConfig`` :7-30,
 - ``integrator`` accepts ``'rk4'`` (fixed step), ``'rk45'`` (embedded
   adaptive Dormand-Prince), and the fixed-step Adams throughput methods
   ``'ab4'``/``'abm4'`` (4th order at 1 / 2 RHS evaluations per step vs
-  RK4's 4; supported by the comb engines -- families without a multistep
-  path raise instead of silently degrading) -- the reference validated the
-  slot but only ever dispatched rk4 (``config.py:89``).
+  RK4's 4; supported by the comb engines (models/nwave.py incl. the fused
+  pallas kernel) and the 4-wave family (runner, sweeps incl. the df32
+  scan + grouped pallas engines); the SSFM families (GNLSE/vector) raise
+  instead of silently degrading) -- the reference validated the slot but
+  only ever dispatched rk4 (``config.py:89``).  NOTE on accuracy: a
+  different stepper at the same dz is a different trajectory (AB4's error
+  constant is ~40x RK4's); the <=1e-9 matched-tolerance claim is
+  *same-method* parity (df32-ab4 vs x64-ab4), not vs the reference's rk4.
+- ``integrator='rk4ip'`` (interaction-picture RK4, Hult 2007) is the
+  4th-order fixed-step method for the split-step families (GNLSE +
+  vector; scalar/vector, scan paths, batch + sharded): O(dz^4) vs the
+  Strang split's O(dz^2) at ~2x the per-step transform cost -- the
+  equal-accuracy throughput integrator for pulse runs.  ODE families
+  (4-wave, comb, SBS) refuse it loudly (``reject_non_ode``).
 - ``precision`` selects the dtype tier (``'x64'`` reference-parity f64,
   ``'x32'`` TPU-native f32, ``'df32'`` compensated two-float32; see
   ``utils/precision.py``).
@@ -25,18 +36,34 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
-VALID_INTEGRATORS = ("rk4", "rk45", "ab4", "abm4")
+VALID_INTEGRATORS = ("rk4", "rk45", "ab4", "abm4", "rk4ip")
 MULTISTEP_INTEGRATORS = ("ab4", "abm4")
+SSFM_INTEGRATORS = ("rk4ip",)   # split-step families only
 
 
 def reject_multistep(cfg: "SimulationConfig", where: str) -> None:
     """Families without an Adams path must refuse loudly, not silently run
-    rk4 (the round-1 silent-integrator bug class)."""
-    if cfg.integrator.lower() in MULTISTEP_INTEGRATORS:
+    rk4 (the round-1 silent-integrator bug class).  Also refuses 'rk4ip'
+    when the caller is not a split-step family (the SSFM-only method)."""
+    integ = cfg.integrator.lower()
+    if integ in MULTISTEP_INTEGRATORS:
         raise ValueError(
             f"integrator={cfg.integrator!r} is not supported by {where}; "
             "multistep (ab4/abm4) is available for the comb engines "
-            "(models/nwave.py) -- use 'rk4' or 'rk45' here"
+            "(models/nwave.py) and the 4-wave family (models/fwm4.py, "
+            "parallel/sweep.py) -- use 'rk4' or 'rk45' here"
+        )
+
+
+def reject_non_ode(cfg: "SimulationConfig", where: str) -> None:
+    """ODE families (4-wave, comb, SBS): refuse the split-step-only
+    'rk4ip' loudly -- it has no meaning without a linear/nonlinear split."""
+    if cfg.integrator.lower() in SSFM_INTEGRATORS:
+        raise ValueError(
+            f"integrator={cfg.integrator!r} is not supported by {where}; "
+            "rk4ip (interaction-picture RK4) applies to the split-step "
+            "families (models/gnlse.py, models/vgnlse.py) -- use 'rk4', "
+            "'rk45' or ab4/abm4 here"
         )
 
 

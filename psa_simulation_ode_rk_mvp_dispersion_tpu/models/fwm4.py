@@ -31,7 +31,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import SimulationConfig, validate_config, reject_multistep
+from ..config import SimulationConfig, validate_config, reject_non_ode
 from ..ops.dispersion import DispersionParams
 from ..ops.frequency_plan import SymmetricPlan
 from ..ops.integrators import integrate_fixed_grid
@@ -332,7 +332,8 @@ def lower_params(params: ModelParams, *, precision: str = "x64") -> RHSCoeffs:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _fixed_solver(n_steps: int, save_every: int, check_nan: bool, frame: str, unroll: int):
+def _fixed_solver(n_steps: int, save_every: int, check_nan: bool, frame: str, unroll: int,
+                  method: str = "rk4"):
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 
     def run(y0_ri, coeffs, z0, dz):
@@ -342,6 +343,7 @@ def _fixed_solver(n_steps: int, save_every: int, check_nan: bool, frame: str, un
             rhs, ri_to_complex(y0_ri), coeffs,
             z0=z0, dz=dz, n_steps=n_steps,
             save_every=save_every, check_nan=check_nan, unroll=unroll,
+            method=method,
         )
         y_saved = res.y_saved
         if frame == "rotating":
@@ -427,7 +429,7 @@ def run_single_simulation(
     lab-frame phase continuity (z0 in ``length_unit``).
     """
     validate_config(cfg)
-    reject_multistep(cfg, "the 4-wave runner")
+    reject_non_ode(cfg, "the 4-wave runner")
     if frame not in VALID_FRAMES:
         raise ValueError(f"frame must be one of {VALID_FRAMES}, got {frame!r}")
 
@@ -510,7 +512,7 @@ def run_single_simulation(
         A0 = A0.copy()
         A0[:2] *= np.exp(-0.5j * db0 * z0_m)
 
-    if cfg.integrator.lower() != "rk4":
+    if cfg.integrator.lower() == "rk45":
         from ..ops.adaptive import run_adaptive_trajectory
 
         return run_adaptive_trajectory(
@@ -520,7 +522,8 @@ def run_single_simulation(
             z0_m=z0_m,
         )
 
-    solver = _fixed_solver(n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, 4)
+    solver = _fixed_solver(n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, 4,
+                           cfg.integrator.lower())
     y_ri, ok_i, bad_i = solver(
         jnp.asarray(ri_pack_host(A0, rdt)),
         coeffs,

@@ -44,7 +44,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import SimulationConfig, validate_config
+from ..config import SimulationConfig, validate_config, reject_non_ode
 from ..ops.adaptive import integrate_adaptive_grid
 from ..ops.dispersion import DispersionParams, beta_taylor
 from ..ops.integrators import integrate_fixed_grid, integrate_reduce
@@ -354,6 +354,7 @@ def run_comb_simulation(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_non_ode(cfg, "the comb engines")
     scale = length_scale_to_m(length_unit)
     precision = validate_precision(cfg.precision)
     rdt = real_dtype(precision)
@@ -461,6 +462,7 @@ def solve_comb_batch_trajectories(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_non_ode(cfg, "the comb engines")
     scale = length_scale_to_m(length_unit)
     precision = validate_precision(cfg.precision)
     if precision == "df32":
@@ -625,6 +627,7 @@ def solve_comb_batch(
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
+    reject_non_ode(cfg, "the comb engines")
     scale = length_scale_to_m(length_unit)
     precision = validate_precision(cfg.precision)
     rdt = real_dtype(precision)

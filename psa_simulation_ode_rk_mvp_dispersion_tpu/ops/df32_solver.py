@@ -41,6 +41,7 @@ from .twofloat import (
     ctf_scale_f32,
     tf_add,
     tf_from_f64,
+    tf_max,
     tf_mul,
     tf_mul_f32,
     tf_sub,
@@ -162,6 +163,58 @@ def rk4_step_df32(y: CTF, consts: StepConsts, c: DF32Coeffs) -> CTF:
     return ctf_add(y, ctf_mul_real(incr, consts.dz_over_6))
 
 
+class AdamsConsts(NamedTuple):
+    """Adams step weights as two-float scalars: ``coef * dz / 24`` split
+    exactly from f64 on the host (an in-kernel f32 ``55/24`` would leak a
+    2^-25-relative weight error into every step).
+
+    ``b*`` are the AB4 predictor weights (55, -59, 37, -9), ``m*`` the AM4
+    corrector weights (9, 19, -5, 1); see ``ops/integrators._ms_chunk``
+    (the x64 semantics this mirrors).
+    """
+
+    b1: TF
+    b2: TF
+    b3: TF
+    b4: TF
+    m0: TF
+    m1: TF
+    m2: TF
+    m3: TF
+
+
+def make_adams_consts(dz: float) -> AdamsConsts:
+    dz = float(dz)
+    return AdamsConsts(*(
+        tf_from_f64(k * dz / 24.0)
+        for k in (55.0, -59.0, 37.0, -9.0, 9.0, 19.0, -5.0, 1.0)
+    ))
+
+
+def ab4_step_df32(y: CTF, f1: CTF, f2: CTF, f3: CTF, adams: AdamsConsts,
+                  c: DF32Coeffs, *, correct: bool):
+    """One Adams step in two-float arithmetic.
+
+    AB4 (``correct=False``): one RHS evaluation per step (vs RK4's 4);
+    ABM4 (``correct=True``): AB4 predictor + AM4 corrector, two evaluations.
+    Returns ``(y_new, f0)`` with ``f0 = rhs(y)`` for the history shift.
+    """
+    f0 = rhs4_df32(y, c)
+    incr = ctf_add(
+        ctf_add(ctf_mul_real(f0, adams.b1), ctf_mul_real(f1, adams.b2)),
+        ctf_add(ctf_mul_real(f2, adams.b3), ctf_mul_real(f3, adams.b4)),
+    )
+    y_new = ctf_add(y, incr)
+    if correct:
+        fp = rhs4_df32(y_new, c)
+        incr = ctf_add(
+            ctf_add(ctf_mul_real(fp, adams.m0), ctf_mul_real(f0, adams.m1)),
+            ctf_add(ctf_mul_real(f1, adams.m2), ctf_mul_real(f2, adams.m3)),
+        )
+        y_new = ctf_add(y, incr)
+    return y_new, f0
+
+
 # ---------------------------------------------------------------------------
 # Chunked scan solver with on-device reductions (sweep backend)
 # ---------------------------------------------------------------------------
@@ -201,11 +254,9 @@ def _df32_solver(n_steps: int, save_every: int, unroll: int):
         def chunk(carry: _Carry, _):
             carry, _ = lax.scan(inner, carry, None, length=save_every,
                                 unroll=min(unroll, save_every))
-            P = ctf_abs2(carry.y)
-            pmax = TF(
-                jnp.where(P.hi + P.lo > carry.pmax.hi + carry.pmax.lo, P.hi, carry.pmax.hi),
-                jnp.where(P.hi + P.lo > carry.pmax.hi + carry.pmax.lo, P.lo, carry.pmax.lo),
-            )
+            # exact two-float compare (tf_gt): a collapsed hi+lo compare has
+            # only f32 resolution and can keep the wrong near-tied sample
+            pmax = tf_max(ctf_abs2(carry.y), carry.pmax)
             return _Carry(carry.y, carry.ok, pmax, carry.y), None
 
         carry = init
@@ -216,6 +267,105 @@ def _df32_solver(n_steps: int, save_every: int, unroll: int):
         return carry
 
     def batch(y0: CTF, coeffs: DF32Coeffs, consts: StepConsts):
+        out = jax.vmap(run_one, in_axes=(0, 0, None))(y0, coeffs, consts)
+        return (
+            out.pmax.hi, out.pmax.lo,
+            out.y_last.re.hi, out.y_last.re.lo,
+            out.y_last.im.hi, out.y_last.im.lo,
+            out.ok.astype(jnp.int32),
+        )
+
+    return jax.jit(batch)
+
+
+class _MSCarry(NamedTuple):
+    y: CTF
+    ok: jax.Array
+    pmax: TF
+    y_last: CTF
+    f1: CTF   # rhs at step n-1
+    f2: CTF   # rhs at step n-2
+    f3: CTF   # rhs at step n-3
+
+
+@functools.lru_cache(maxsize=128)
+def _df32_solver_ms(n_steps: int, save_every: int, unroll: int, correct: bool):
+    """Adams (AB4/ABM4) variant of :func:`_df32_solver`: same save-grid /
+    NaN-freeze contract, 3 RK4 bootstrap steps then 1 (AB4) or 2 (ABM4) RHS
+    evaluations per step.  Mirrors ``ops/integrators._integrate_fixed_grid_ms``
+    semantics in two-float arithmetic."""
+    n_boot = min(3, n_steps)
+    n_chunks = n_steps // save_every
+
+    def run_one(y0: CTF, coeffs: DF32Coeffs, consts):
+        step_consts, adams = consts
+        pmax = ctf_abs2(y0)
+        y, ok, y_last = y0, jnp.asarray(True), y0
+        fs = []
+        for b in range(n_boot):    # static RK4 bootstrap, recording k1 = f(y)
+            f0 = rhs4_df32(y, coeffs)
+            k2 = rhs4_df32(
+                ctf_add(y, ctf_mul_real(f0, step_consts.half_dz)), coeffs)
+            k3 = rhs4_df32(
+                ctf_add(y, ctf_mul_real(k2, step_consts.half_dz)), coeffs)
+            k4 = rhs4_df32(
+                ctf_add(y, ctf_mul_real(k3, step_consts.dz)), coeffs)
+            incr = ctf_add(
+                ctf_add(f0, k4),
+                ctf_scale_f32(ctf_add(k2, k3), jnp.float32(2.0)),
+            )
+            y_new = ctf_add(y, ctf_mul_real(incr, step_consts.dz_over_6))
+            ok_new = ok & _finite(y_new)
+            y = _freeze(ok_new, y_new, y)
+            ok = ok_new
+            fs.append(f0)
+            if (b + 1) % save_every == 0:   # static save-boundary check
+                pmax = tf_max(ctf_abs2(y), pmax)
+                y_last = y
+
+        if n_steps <= n_boot:
+            return _Carry(y=y, ok=ok, pmax=pmax, y_last=y_last)
+
+        carry = _MSCarry(y=y, ok=ok, pmax=pmax, y_last=y_last,
+                         f1=fs[2], f2=fs[1], f3=fs[0])
+
+        def inner(c: _MSCarry, _):
+            y_new, f0 = ab4_step_df32(
+                c.y, c.f1, c.f2, c.f3, adams, coeffs, correct=correct)
+            ok_new = c.ok & _finite(y_new)
+            y_out = _freeze(ok_new, y_new, c.y)
+            return _MSCarry(y_out, ok_new, c.pmax, c.y_last,
+                            f0, c.f1, c.f2), None
+
+        def save_update(c: _MSCarry) -> _MSCarry:
+            return c._replace(pmax=tf_max(ctf_abs2(c.y), c.pmax), y_last=c.y)
+
+        done = n_boot
+        boundaries = [k * save_every for k in range(1, n_chunks + 1)
+                      if k * save_every > n_boot]
+        if boundaries:
+            b0 = boundaries[0]
+            carry, _ = lax.scan(inner, carry, None, length=b0 - done,
+                                unroll=min(unroll, b0 - done))
+            carry = save_update(carry)
+            n_full = len(boundaries) - 1
+            if n_full > 0:
+                def chunk(c: _MSCarry, _):
+                    c, _ = lax.scan(inner, c, None, length=save_every,
+                                    unroll=min(unroll, save_every))
+                    return save_update(c), None
+
+                carry, _ = lax.scan(chunk, carry, None, length=n_full)
+            done = boundaries[-1]
+        rem = n_steps - done
+        if rem > 0:
+            # trailing partial steps: integrated (can flip ok), unsaved
+            carry, _ = lax.scan(inner, carry, None, length=rem,
+                                unroll=min(unroll, rem))
+        return _Carry(y=carry.y, ok=carry.ok, pmax=carry.pmax,
+                      y_last=carry.y_last)
+
+    def batch(y0: CTF, coeffs: DF32Coeffs, consts):
         out = jax.vmap(run_one, in_axes=(0, 0, None))(y0, coeffs, consts)
         return (
             out.pmax.hi, out.pmax.lo,
@@ -245,11 +395,16 @@ def solve_batch_df32(
     save_every: int,
     unroll: int = 1,
     mesh=None,
+    method: str = "rk4",
 ) -> DF32BatchResult:
     """Batched rotating-frame df32 solve; inputs in per-meter f64 units.
 
     Returns f64 per-instance summaries (P_max over saved samples incl. z=0,
     lab-frame last-saved state) -- the df32 backend for ``sweep.solve_batch``.
+
+    ``method``: ``'rk4'`` (reference-parity stepper) or ``'ab4'``/``'abm4'``
+    (Adams multistep, 1 / 2 RHS evals per step; same-method x64 parity only
+    -- a different stepper is a different trajectory at fixed dz).
     """
     A0 = np.asarray(A0, dtype=np.complex128)
     if A0.ndim != 2 or A0.shape[1] != 4:
@@ -272,9 +427,15 @@ def solve_batch_df32(
         alpha_c, _ = pad_batch(alpha, ndev)
         dbeta_c, _ = pad_batch(dbeta, ndev)
 
+    method = method.lower()
+    if method not in ("rk4", "ab4", "abm4"):
+        raise ValueError(f"method must be 'rk4', 'ab4' or 'abm4', got {method!r}")
+
     y0 = ctf_from_c128(A0_c)
     coeffs = make_df32_coeffs(gamma_c, alpha_c, dbeta_c)
     consts = make_step_consts(dz_m)
+    if method != "rk4":
+        consts = (consts, make_adams_consts(dz_m))
     if mesh is not None:
         from ..parallel.mesh import put_global_tree
 
@@ -285,7 +446,11 @@ def solve_batch_df32(
         y0 = put_global_tree(jax.tree_util.tree_map(np.asarray, y0), sh)
         coeffs = put_global_tree(jax.tree_util.tree_map(np.asarray, coeffs), sh)
 
-    solver = _df32_solver(int(n_steps), int(save_every), int(unroll))
+    if method == "rk4":
+        solver = _df32_solver(int(n_steps), int(save_every), int(unroll))
+    else:
+        solver = _df32_solver_ms(int(n_steps), int(save_every), int(unroll),
+                                 method == "abm4")
     out = jax.block_until_ready(solver(y0, coeffs, consts))
     if mesh is not None:
         from ..parallel.mesh import fetch_global

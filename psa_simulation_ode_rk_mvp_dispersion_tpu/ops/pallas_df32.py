@@ -46,6 +46,7 @@ from .twofloat import (
     ctf_mul_real,
     ctf_scale_f32,
     tf_add,
+    tf_gt,
     tf_mul,
     tf_mul_f32,
     tf_sub,
@@ -173,7 +174,7 @@ def _kernel_body(n_steps: int, save_every: int):
             y, y_last, pmax, ok = carry
             y, ok = lax.fori_loop(0, save_every, step, (y, ok))
             P = powers_tf(y)
-            better = (P.hi + P.lo) > (pmax.hi + pmax.lo)
+            better = tf_gt(P, pmax)  # exact two-float compare
             pmax = TF(
                 jnp.where(better, P.hi, pmax.hi),
                 jnp.where(better, P.lo, pmax.lo),
@@ -288,6 +289,7 @@ def solve_batch_df32_pallas(
     block: int = None,
     mesh=None,
     group: int = GROUP,
+    integrator: str = "rk4",
 ):
     """Fused-kernel counterpart of ``df32_solver.solve_batch_df32``; same
     contract and :class:`~.df32_solver.DF32BatchResult` result type.
@@ -309,6 +311,11 @@ def solve_batch_df32_pallas(
     alpha = np.broadcast_to(np.asarray(alpha, dtype=np.float64), (B,))
     dbeta = np.broadcast_to(np.asarray(delta_beta, dtype=np.float64), (B,))
 
+    integrator = str(integrator).lower()
+    if integrator not in ("rk4", "ab4", "abm4"):
+        raise ValueError(
+            f"integrator must be 'rk4', 'ab4' or 'abm4', got {integrator!r}"
+        )
     if block is None:
         block = BLOCK_GROUPED if group > 1 else BLOCK
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
@@ -316,7 +323,12 @@ def solve_batch_df32_pallas(
         return _solve_grouped(
             A0, gamma, alpha, dbeta, dz_m=dz_m, n_steps=n_steps,
             save_every=save_every, interpret=interpret, block=block,
-            mesh=mesh, ndev=ndev, g=int(group),
+            mesh=mesh, ndev=ndev, g=int(group), integrator=integrator,
+        )
+    if integrator != "rk4":
+        raise ValueError(
+            "Adams multistep is implemented in the grouped kernel only "
+            "(group > 1, the default)"
         )
     # per-shard lane count must be a whole number of pallas blocks
     mult = ndev * (block if B >= ndev * block else LANES)
@@ -408,8 +420,10 @@ def solve_batch_df32_pallas(
 # host-expanded to full (4g, B/g) row resolution; per-member reductions
 # (total power, finite mask) are products/sums of 4 contiguous slices.
 
-def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
+def _kernel_body_grouped(n_steps: int, save_every: int, g: int,
+                         integrator: str = "rk4"):
     G = 4 * g
+    correct = integrator == "abm4"
 
     def kernel(coef_ref, y0_ref, pmax_ref, ylast_ref, ok_ref):
         coef = coef_ref[:, :]
@@ -421,6 +435,14 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
         half_dz = _row_tf(coef, base, base + 1)
         dz = _row_tf(coef, base + 2, base + 3)
         dz_over_6 = _row_tf(coef, base + 4, base + 5)
+        if integrator != "rk4":
+            # Adams weights coef*dz/24 as host-split two-float scalars
+            # (rows base+6..base+21): AB4 predictor b1..b4, AM4 corrector
+            # m0..m3 (see df32_solver.AdamsConsts)
+            ms = base + 6
+            b1, b2, b3, b4, m0, m1, m2, m3 = (
+                _row_tf(coef, ms + 2 * k, ms + 2 * k + 1) for k in range(8)
+            )
 
         y0_all = y0_ref[:, :]
         y0 = CTF(
@@ -461,7 +483,7 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
             fwm = ctf_mul_i_real(t, two_gamma)
             return ctf_add(ctf_add(loss, kerr), ctf_add(fwm, det))
 
-        def rk4(y: CTF) -> CTF:
+        def rk4(y: CTF):
             k1 = rhs(y)
             k2 = rhs(ctf_add(y, ctf_mul_real(k1, half_dz)))
             k3 = rhs(ctf_add(y, ctf_mul_real(k2, half_dz)))
@@ -469,7 +491,7 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
             incr = ctf_add(
                 ctf_add(k1, k4), ctf_scale_f32(ctf_add(k2, k3), jnp.float32(2.0))
             )
-            return ctf_add(y, ctf_mul_real(incr, dz_over_6))
+            return ctf_add(y, ctf_mul_real(incr, dz_over_6)), k1
 
         def memall(p):
             # (4g, B) boolean plane -> (g, B) all-waves-of-member reduction
@@ -478,9 +500,11 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
         pmax0 = ctf_abs2(y0)
         ok0 = jnp.ones_like(y0.re.hi[0:g, :])
 
-        def step(i, carry):
-            y, y_last, pmax, ok = carry
-            y_new = rk4(y)
+        def bookkeep(i, y, y_new, y_last, pmax, ok):
+            """Shared per-step tail: NaN freeze + saved-grid pmax/y_last.
+
+            ``i`` may be a traced i32 (fori_loop) or a static Python int
+            (the multistep RK4 bootstrap)."""
             fin = memall(
                 (y_new.re.hi == y_new.re.hi)
                 & (y_new.im.hi == y_new.im.hi)
@@ -500,7 +524,7 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
             )
             at_save = ((i + jnp.int32(1)) % jnp.int32(save_every)) == jnp.int32(0)
             P = ctf_abs2(y_out)
-            better = (P.hi + P.lo) > (pmax.hi + pmax.lo)
+            better = tf_gt(P, pmax)  # exact two-float compare
             upd = jnp.logical_and(at_save, better)
             pmax_out = TF(
                 jnp.where(upd, P.hi, pmax.hi), jnp.where(upd, P.lo, pmax.lo)
@@ -513,7 +537,54 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
             )
             return (y_out, y_last_out, pmax_out, ok_new)
 
-        y, y_last, pmax, ok = lax.fori_loop(0, n_steps, step, (y0, y0, pmax0, ok0))
+        def step(i, carry):
+            y, y_last, pmax, ok = carry
+            y_new, _k1 = rk4(y)
+            return bookkeep(i, y, y_new, y_last, pmax, ok)
+
+        if integrator == "rk4":
+            y, y_last, pmax, ok = lax.fori_loop(
+                0, n_steps, step, (y0, y0, pmax0, ok0)
+            )
+        else:
+            # Adams multistep: 3 statically-unrolled RK4 bootstrap steps
+            # recording f = k1 at each pre-step state, then 1 (ab4) / 2
+            # (abm4) RHS evals per step -- identical save/freeze contract
+            # (mirrors df32_solver._df32_solver_ms)
+            n_boot = min(3, n_steps)
+            y, y_last, pmax, ok = y0, y0, pmax0, ok0
+            fs = []
+            for b in range(n_boot):
+                y_new, k1 = rk4(y)
+                fs.append(k1)
+                y, y_last, pmax, ok = bookkeep(b, y, y_new, y_last, pmax, ok)
+
+            if n_steps > n_boot:
+                def ms_step(i, carry):
+                    y, y_last, pmax, ok, f1, f2, f3 = carry
+                    f0 = rhs(y)
+                    incr = ctf_add(
+                        ctf_add(ctf_mul_real(f0, b1), ctf_mul_real(f1, b2)),
+                        ctf_add(ctf_mul_real(f2, b3), ctf_mul_real(f3, b4)),
+                    )
+                    y_new = ctf_add(y, incr)
+                    if correct:
+                        fp = rhs(y_new)
+                        incr = ctf_add(
+                            ctf_add(ctf_mul_real(fp, m0),
+                                    ctf_mul_real(f0, m1)),
+                            ctf_add(ctf_mul_real(f1, m2),
+                                    ctf_mul_real(f2, m3)),
+                        )
+                        y_new = ctf_add(y, incr)
+                    y, y_last, pmax, ok = bookkeep(i, y, y_new, y_last,
+                                                   pmax, ok)
+                    return (y, y_last, pmax, ok, f0, f1, f2)
+
+                y, y_last, pmax, ok, *_ = lax.fori_loop(
+                    n_boot, n_steps, ms_step,
+                    (y, y_last, pmax, ok, fs[2], fs[1], fs[0]),
+                )
         pmax_ref[:, :] = jnp.concatenate([pmax.hi, pmax.lo], axis=0)
         ylast_ref[:, :] = jnp.concatenate(
             [y_last.re.hi, y_last.re.lo, y_last.im.hi, y_last.im.lo], axis=0
@@ -524,11 +595,12 @@ def _kernel_body_grouped(n_steps: int, save_every: int, g: int):
 
 
 def _make_call_grouped(n_steps: int, save_every: int, interpret: bool, block: int,
-                       g: int):
+                       g: int, integrator: str = "rk4"):
     from jax.experimental import pallas as pl
 
-    kernel = _kernel_body_grouped(n_steps, save_every, g)
+    kernel = _kernel_body_grouped(n_steps, save_every, g, integrator)
     G = 4 * g
+    n_coef = 8 * G + 6 + (16 if integrator != "rk4" else 0)
 
     def call(coef, y0):
         B = y0.shape[1]
@@ -540,7 +612,7 @@ def _make_call_grouped(n_steps: int, save_every: int, interpret: bool, block: in
 
             spec_kwargs = {"memory_space": pltpu.VMEM}
         in_specs = [
-            pl.BlockSpec((8 * G + 6, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((n_coef, blk), lambda i: (0, i), **spec_kwargs),
             pl.BlockSpec((4 * G, blk), lambda i: (0, i), **spec_kwargs),
         ]
         out_specs = (
@@ -566,8 +638,9 @@ def _make_call_grouped(n_steps: int, save_every: int, interpret: bool, block: in
 
 @functools.lru_cache(maxsize=64)
 def _pallas_df32_solver_grouped(n_steps: int, save_every: int, interpret: bool,
-                                block: int, g: int):
-    call = _make_call_grouped(n_steps, save_every, interpret, block, g)
+                                block: int, g: int, integrator: str = "rk4"):
+    call = _make_call_grouped(n_steps, save_every, interpret, block, g,
+                              integrator)
 
     def fused(coef, y0):
         # one stacked output buffer: each device->host fetch costs a full
@@ -581,10 +654,12 @@ def _pallas_df32_solver_grouped(n_steps: int, save_every: int, interpret: bool,
 
 @functools.lru_cache(maxsize=16)
 def _pallas_df32_solver_grouped_sharded(n_steps: int, save_every: int,
-                                        interpret: bool, block: int, g: int, mesh):
+                                        interpret: bool, block: int, g: int, mesh,
+                                        integrator: str = "rk4"):
     from jax.sharding import PartitionSpec
 
-    call = _make_call_grouped(n_steps, save_every, interpret, block, g)
+    call = _make_call_grouped(n_steps, save_every, interpret, block, g,
+                              integrator)
 
     def fused(coef, y0):
         pmax, y_last, ok = call(coef, y0)
@@ -609,7 +684,7 @@ def _split_rows_f64(x):
 
 
 def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
-                   interpret, block, mesh, ndev, g):
+                   interpret, block, mesh, ndev, g, integrator="rk4"):
     from .df32_solver import DF32BatchResult
     from .lane_groups import grouped_pad_target, pad_rows, plane_state, rows_scalar, unplane
 
@@ -626,7 +701,8 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
         [-0.5 * db, -0.5 * db, np.zeros(Bp), np.zeros(Bp)], axis=-1
     )  # (Bp, 4)
 
-    coef = np.zeros((8 * G + 6, Bl), dtype=np.float32)
+    n_coef = 8 * G + 6 + (16 if integrator != "rk4" else 0)
+    coef = np.zeros((n_coef, Bl), dtype=np.float32)
     for k, rows in enumerate(
         (rows_scalar(ga, g), rows_scalar(2.0 * ga, g), rows_scalar(-0.5 * al, g),
          plane_state(det_inst, g))
@@ -635,7 +711,12 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
         coef[2 * k * G:(2 * k + 1) * G] = hi
         coef[(2 * k + 1) * G:(2 * k + 2) * G] = lo
     base = 8 * G
-    for k, cst in enumerate((0.5 * dz_m, float(dz_m), dz_m / 6.0)):
+    consts = [0.5 * dz_m, float(dz_m), dz_m / 6.0]
+    if integrator != "rk4":
+        # Adams weights coef*dz/24, split exactly from f64 on the host
+        consts += [k * float(dz_m) / 24.0
+                   for k in (55.0, -59.0, 37.0, -9.0, 9.0, 19.0, -5.0, 1.0)]
+    for k, cst in enumerate(consts):
         hi = np.float32(cst)
         coef[base + 2 * k] = hi
         coef[base + 2 * k + 1] = np.float32(np.float64(cst) - np.float64(hi))
@@ -646,7 +727,8 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
 
     if mesh is None:
         solver = _pallas_df32_solver_grouped(
-            int(n_steps), int(save_every), bool(interpret), int(block), g
+            int(n_steps), int(save_every), bool(interpret), int(block), g,
+            integrator,
         )
         coef_dev, y0_dev = jnp.asarray(coef), jnp.asarray(y0)
         with jax.enable_x64(False):
@@ -659,7 +741,8 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
         from ..parallel.mesh import put_global
 
         solver, spec = _pallas_df32_solver_grouped_sharded(
-            int(n_steps), int(save_every), bool(interpret), int(block), g, mesh
+            int(n_steps), int(save_every), bool(interpret), int(block), g, mesh,
+            integrator,
         )
         sh = NamedSharding(mesh, spec)
         coef_dev = put_global(coef, sh)

@@ -240,9 +240,24 @@ def ctf_freeze(ok, new: CTF, old: CTF) -> CTF:
     )
 
 
+def tf_gt(a: TF, b: TF) -> jax.Array:
+    """Exact elementwise ``a > b`` for normalized two-float values.
+
+    A collapsed ``(a.hi + a.lo) > (b.hi + b.lo)`` compare has only f32
+    resolution: ``hi + lo`` rounds straight back to ``hi`` (normalization
+    means ``|lo| <= ulp(hi)/2``), so candidates within ~2^-24 relative of
+    each other compare as equal and a running max can keep the wrong one
+    (a ~3e-8 P_max error observed in practice).  The lexicographic
+    (hi, then lo) compare is exact: normalization gives ``hi = fl(hi+lo)``
+    and ``fl`` is monotone, so ``a.hi > b.hi`` implies ``a > b``, while
+    equal ``hi`` reduces the compare to the exact f32 ``lo`` difference.
+    """
+    return (a.hi > b.hi) | ((a.hi == b.hi) & (a.lo > b.lo))
+
+
 def tf_max(a: TF, b: TF) -> TF:
-    """Elementwise max of two TF values (compared on the collapsed hi+lo)."""
-    take_a = (a.hi + a.lo) > (b.hi + b.lo)
+    """Elementwise max of two TF values (exact two-float compare)."""
+    take_a = tf_gt(a, b)
     return TF(jnp.where(take_a, a.hi, b.hi), jnp.where(take_a, a.lo, b.lo))
 
 

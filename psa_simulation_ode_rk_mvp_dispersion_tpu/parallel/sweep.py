@@ -40,7 +40,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import SimulationConfig, validate_config, reject_multistep
+from ..config import SimulationConfig, validate_config, reject_non_ode
 from ..constants import c as C0, TWO_PI
 from ..ops.dispersion import DispersionParams, delta_beta_from_omegas, delta_beta_symmetric
 from ..ops.adaptive import integrate_adaptive_reduce
@@ -48,7 +48,7 @@ from ..ops.integrators import integrate_fixed_grid, integrate_reduce
 from ..ops.phase_matching import PhaseMatchingConfig, PhaseMatchingMethod
 from ..ops.rhs import RHSCoeffs, rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
 from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex, ri_unpack_host
-from ..utils.precision import real_dtype, validate_precision
+from ..utils.precision import real_dtype, require_non_df32, validate_precision
 from ..utils.units import length_scale_to_m, wavelength_scale
 from ..models.fwm4 import _to_power_array, _to_phase_array
 
@@ -139,6 +139,7 @@ def _batch_solver(
     check_nan: bool,
     frame: str,
     unroll: int,
+    method: str = "rk4",
 ):
     """Jitted vmapped reduce-mode solver.
 
@@ -160,7 +161,7 @@ def _batch_solver(
             rhs, y0, coeffs,
             z0=z0, dz=dz, n_steps=n_steps, save_every=save_every,
             reduce_init=(P0, y0), reduce_fn=red,
-            check_nan=check_nan, unroll=unroll,
+            check_nan=check_nan, unroll=unroll, method=method,
         )
         pmax, y_last = res.reduction
         n_chunks = n_steps // save_every
@@ -270,7 +271,7 @@ def solve_batch(
     loop-dispatch overhead -- scan otherwise).
     """
     validate_config(cfg)
-    reject_multistep(cfg, "the 4-wave sweep engine")
+    reject_non_ode(cfg, "the 4-wave sweep engine")
     precision = validate_precision(cfg.precision)
     rdt = real_dtype(precision)
 
@@ -372,6 +373,8 @@ def solve_batch(
             n_steps=n_steps, frame=frame, mesh=mesh, rdt=rdt,
         )
 
+    multistep = integrator in ("ab4", "abm4")
+
     if precision == "df32":
         # compensated two-float32 backend (rotating frame only): <=1e-12
         # parity on f64-less TPUs; see ops/df32_solver.py.  On TPU the fused
@@ -392,6 +395,7 @@ def solve_batch(
                 A0, gamma, alpha, dbeta,
                 dz_m=float(cfg.dz), n_steps=n_steps,
                 save_every=int(cfg.save_every), mesh=mesh,
+                integrator=integrator,
             )
         else:
             from ..ops.df32_solver import solve_batch_df32
@@ -400,6 +404,7 @@ def solve_batch(
                 A0, gamma, alpha, dbeta,
                 dz_m=float(cfg.dz), n_steps=n_steps,
                 save_every=int(cfg.save_every), mesh=mesh,
+                method=integrator,
             )
         return _result(r, time.perf_counter() - t0)
 
@@ -409,10 +414,17 @@ def solve_batch(
             engine == "auto"
             and precision == "x32"
             and frame == "rotating"
+            and not multistep
             and jax.default_backend() == "tpu"
         )
     )
     if use_pallas and precision == "x32" and frame == "rotating":
+        if multistep:
+            raise ValueError(
+                "engine='pallas' with precision='x32' implements rk4 only; "
+                "use engine='scan'/'auto' for ab4/abm4 (the df32 pallas "
+                "kernel supports multistep)"
+            )
         from ..ops.pallas_solver import solve_batch_pallas
 
         t0 = time.perf_counter()
@@ -430,7 +442,8 @@ def solve_batch(
             "frame='rotating'"
         )
     solver = _batch_solver(
-        n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
+        n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll,
+        integrator,
     )
 
     y0_dev = jnp.asarray(ri_pack_host(A0, rdt))
@@ -599,13 +612,15 @@ def _batch_adaptive_traj_solver(frame: str, rtol: float, atol: float, max_steps:
 
 
 @functools.lru_cache(maxsize=64)
-def _batch_traj_solver(n_steps: int, save_every: int, check_nan: bool, frame: str, unroll: int):
+def _batch_traj_solver(n_steps: int, save_every: int, check_nan: bool, frame: str, unroll: int,
+                       method: str = "rk4"):
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 
     def one(y0, coeffs, z0, dz):
         res = integrate_fixed_grid(
             rhs, y0, coeffs, z0=z0, dz=dz, n_steps=n_steps,
             save_every=save_every, check_nan=check_nan, unroll=unroll,
+            method=method,
         )
         y_saved = res.y_saved
         if frame == "rotating":
@@ -632,10 +647,15 @@ def solve_batch_trajectories(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched solve returning full decimated trajectories
     ``(z (S+1,), A (B, S+1, 4) complex, ok (B,))``.  Pass ``mesh`` to shard
-    the batch axis (trajectories gather back to the host)."""
+    the batch axis (trajectories gather back to the host).
+
+    ``cfg.integrator`` may be 'rk4', 'rk45' or Adams multistep 'ab4'/'abm4'
+    (x64/x32 scan path; same-method parity only -- see docs/PERF.md)."""
     validate_config(cfg)
-    reject_multistep(cfg, "the 4-wave sweep engine")
-    precision = validate_precision(cfg.precision)
+    reject_non_ode(cfg, "the 4-wave sweep engine")
+    precision = validate_precision(
+        require_non_df32(cfg.precision, family="4-wave trajectory mode")
+    )
     rdt = real_dtype(precision)
     A0 = np.asarray(A0)
     B = A0.shape[0]
@@ -651,7 +671,8 @@ def solve_batch_trajectories(
         )
     else:
         solver = _batch_traj_solver(
-            n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll
+            n_steps, int(cfg.save_every), bool(cfg.check_nan), frame, unroll,
+            cfg.integrator.lower(),
         )
     gamma = np.broadcast_to(np.asarray(coeffs.gamma, float), (B,))
     alpha = np.broadcast_to(np.asarray(coeffs.alpha, float), (B,))
@@ -809,7 +830,7 @@ def gain_and_dbeta_spectrum(
     shard the batch over devices.
     """
     validate_config(cfg)
-    reject_multistep(cfg, "the 4-wave sweep engine")
+    reject_non_ode(cfg, "the 4-wave sweep engine")
     gu = _norm_gain_unit(gain_unit)
     if gain_mode not in VALID_GAIN_MODES:
         raise ValueError(f"Unknown gain_mode={gain_mode!r}. Use 'end' or 'max'.")
@@ -947,7 +968,7 @@ def mismatch_scan(
     idler seed may be zero).
     """
     validate_config(cfg)
-    reject_multistep(cfg, "the 4-wave sweep engine")
+    reject_non_ode(cfg, "the 4-wave sweep engine")
     gu = _norm_gain_unit(gain_unit)
     if gain_mode not in VALID_GAIN_MODES:
         raise ValueError(f"Unknown gain_mode={gain_mode!r}. Use 'end' or 'max'.")
@@ -1017,7 +1038,7 @@ def psa_phase_sweep(
     seed: A3(0) = sqrt(P3) e^{i phi}.  Batched like every other sweep.
     """
     validate_config(cfg)
-    reject_multistep(cfg, "the 4-wave sweep engine")
+    reject_non_ode(cfg, "the 4-wave sweep engine")
     gu = _norm_gain_unit(gain_unit)
     phases = np.asarray(list(signal_phases), dtype=float)
     if phases.ndim != 1 or phases.size == 0:
@@ -1101,7 +1122,7 @@ def gain_map_power_wavelength(
     ``io_fwm.save_gain_map_npz``.
     """
     validate_config(cfg)
-    reject_multistep(cfg, "the 4-wave sweep engine")
+    reject_non_ode(cfg, "the 4-wave sweep engine")
     gu = _norm_gain_unit(gain_unit)
     lam3 = np.asarray(list(lambda_signal_m), dtype=float)
     pows = np.asarray(list(pump_powers_W), dtype=float)

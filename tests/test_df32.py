@@ -283,6 +283,117 @@ def test_pallas_df32_bit_identical_to_scan_df32():
     np.testing.assert_array_equal(r_pl.ok, r_sc.ok)
 
 
+def _np_adams_rotating(A0, gamma, alpha, dbeta, dz, n_steps, save_every,
+                       correct):
+    """Host f64 oracle of the SAME Adams scheme on the rotating-frame RHS
+    (3 RK4 bootstrap steps recording k1, then AB4 / ABM4)."""
+    def rhs(a):
+        P = np.abs(a) ** 2
+        F = 2 * P.sum() - P
+        s34, s12 = a[2] * a[3], a[0] * a[1]
+        fwm = 2j * gamma * np.array(
+            [np.conj(a[1]) * s34, np.conj(a[0]) * s34,
+             np.conj(a[3]) * s12, np.conj(a[2]) * s12])
+        det = -0.5j * dbeta * np.array([a[0], a[1], 0, 0])
+        return -0.5 * alpha * a + 1j * gamma * F * a + fwm + det
+
+    y = A0.astype(complex).copy()
+    saved, hist = [y.copy()], []
+    for n in range(n_steps):
+        if n < 3:
+            k1 = rhs(y)
+            k2 = rhs(y + 0.5 * dz * k1)
+            k3 = rhs(y + 0.5 * dz * k2)
+            k4 = rhs(y + dz * k3)
+            hist.append(k1)
+            y = y + (dz / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+        else:
+            f0 = rhs(y)
+            yp = y + (dz / 24) * (55 * f0 - 59 * hist[-1] + 37 * hist[-2]
+                                  - 9 * hist[-3])
+            if correct:
+                fp = rhs(yp)
+                y = y + (dz / 24) * (9 * fp + 19 * f0 - 5 * hist[-1]
+                                     + hist[-2])
+            else:
+                y = yp
+            hist.append(f0)
+        if (n + 1) % save_every == 0:
+            saved.append(y.copy())
+    saved = np.array(saved)
+    return np.max(np.abs(saved) ** 2, axis=0), saved[-1]
+
+
+@scan_solver
+@pytest.mark.parametrize("method", ["ab4", "abm4"])
+def test_df32_multistep_parity_with_x64_oracle(method):
+    """Adams df32 scan solver vs a host-f64 oracle of the SAME scheme:
+    same-method parity far inside 1e-9 (the multistep analog of the RK4
+    parity test above).  The oracle runs on the host, so this is the lane
+    that validates the engine ON TPU (measured 1e-14 there, 2026-08-18).
+
+    CPU tolerance note: the XLA:CPU-jitted two-float ms program shows a
+    ~3e-8 artifact the TPU backend does not (eager CPU df32 steps are
+    clean at 1e-12, tests/test_multistep.py) -- the opt-in CPU lane runs
+    at a documented looser tolerance."""
+    B = 4
+    rng = np.random.default_rng(11)
+    A0 = np.broadcast_to(np.sqrt([0.1, 0.1, 1e-7, 0.0]).astype(np.complex128),
+                         (B, 4)).copy()
+    gamma = np.full(B, 0.115)
+    alpha = np.full(B, 1.15e-3)
+    dbeta = rng.uniform(-0.1, 0.1, B)
+    dz, n_steps, save_every = 0.2, 120, 10
+
+    r32 = dfs.solve_batch_df32(
+        A0, gamma, alpha, dbeta, dz_m=dz, n_steps=n_steps,
+        save_every=save_every, method=method,
+    )
+    assert np.all(r32.ok)
+
+    P64 = np.zeros((B, 4))
+    A64 = np.zeros((B, 4), complex)
+    for b in range(B):
+        P64[b], A64[b] = _np_adams_rotating(
+            A0[b], gamma[b], alpha[b], dbeta[b], dz, n_steps, save_every,
+            method == "abm4")
+    A64[:, :2] *= np.exp(0.5j * dbeta[:, None] * dz * n_steps)
+
+    tol = 1e-9 if ON_TPU else 1e-7
+    rel_P = np.max(np.abs(r32.P_max - P64) / np.maximum(P64, 1e-30))
+    rel_A = np.max(np.abs(r32.A_end - A64) / np.maximum(np.abs(A64), 1e-30))
+    assert rel_P < tol, rel_P
+    assert rel_A < tol, rel_A
+
+
+@tpu_only
+@pytest.mark.parametrize("method", ["ab4", "abm4"])
+def test_pallas_df32_multistep_matches_scan(method):
+    """The grouped pallas kernel's Adams path vs the scan df32 solver of
+    the same scheme (both two-float; 1e-12-class agreement like the RK4
+    kernel test -- not bitwise, the kernel bootstraps with its own fused
+    RK4 op order)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import pallas_df32 as pdf
+
+    B = 6
+    rng = np.random.default_rng(4)
+    A0 = np.broadcast_to(np.sqrt([0.1, 0.1, 1e-6, 0]).astype(np.complex128),
+                         (B, 4)).copy()
+    gamma = np.full(B, 1.5)
+    alpha = np.full(B, 1.15e-2)
+    dbeta = rng.uniform(-1, 1, B)
+    kw = dict(dz_m=0.2, n_steps=23, save_every=10)
+    r_pl = pdf.solve_batch_df32_pallas(A0, gamma, alpha, dbeta,
+                                       integrator=method, **kw)
+    r_sc = dfs.solve_batch_df32(A0, gamma, alpha, dbeta, method=method, **kw)
+    np.testing.assert_allclose(r_pl.P_max, r_sc.P_max, rtol=1e-12, atol=0)
+    np.testing.assert_allclose(r_pl.A_end, r_sc.A_end, rtol=1e-12, atol=1e-20)
+    np.testing.assert_array_equal(r_pl.ok, r_sc.ok)
+    # and both differ from rk4 (the dispatch is real, not a silent fallback)
+    r_rk = dfs.solve_batch_df32(A0, gamma, alpha, dbeta, **kw)
+    assert np.max(np.abs(r_rk.A_end - r_sc.A_end)) > 1e-9
+
+
 @tpu_only
 def test_pallas_df32_sharded_bit_identical():
     """The shard_map-wrapped fused kernel on a device mesh must be

@@ -253,15 +253,6 @@ def test_unsupported_families_raise():
     """Families without a multistep path refuse loudly (no silent rk4)."""
     import psa_tpu as psa
 
-    cfg = psa.custom_simulation_config(z_max=0.5, dz=1e-3, integrator="ab4")
-    omega = np.asarray(psa.plan_from_wavelengths(1550e-9, 1560e-9, 1555e-9))
-    with pytest.raises(ValueError, match="multistep|ab4"):
-        psa.run_single_simulation(
-            cfg, gamma=0.0115, alpha=0.0, omega=omega,
-            p_in=np.array([0.5, 0.5, 1e-5, 1e-5]), phase_in=np.zeros(4),
-            beta_legacy=[0.0, 0.0, 0.0, 0.0], length_unit="m",
-        )
-
     from psa_simulation_ode_rk_mvp_dispersion_tpu.models.gnlse import (
         run_gnlse_simulation, make_gnlse_coeffs, TimeGrid,
     )
@@ -337,3 +328,179 @@ def test_pallas_comb_multistep_nan_freeze():
     np.testing.assert_array_equal(ok2, ok1)
     assert not ok1[2] and ok1[[0, 1, 3]].all()
     np.testing.assert_allclose(A2[ok1], A1[ok1], rtol=2e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# 4-wave family wiring (runner, sweeps, df32 engines)
+# ---------------------------------------------------------------------------
+
+def _fwm_kwargs():
+    import psa_tpu as psa
+
+    omega = np.asarray(psa.plan_from_wavelengths(1550e-9, 1560e-9, 1555e-9))
+    return dict(
+        gamma=0.0115, alpha=2e-4, omega=omega,
+        p_in=np.array([0.5, 0.5, 1e-5, 1e-5]), phase_in=np.zeros(4),
+        beta_legacy=[0.0, 0.0, 1e-3, -2e-3], length_unit="m",
+    )
+
+
+@pytest.mark.parametrize("integrator", ["ab4", "abm4"])
+def test_run_single_simulation_multistep_vs_oracle(integrator):
+    """Runner Adams trajectory == the independent numpy oracle of the same
+    scheme on the 4-wave lab-frame RHS (save contract included)."""
+    import psa_tpu as psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.rhs import (
+        RHSCoeffs, rhs_yaman,
+    )
+
+    kw = _fwm_kwargs()
+    dz, n_steps, save_every = 0.05, 40, 7
+    cfg = psa.custom_simulation_config(
+        z_max=dz * n_steps, dz=dz, save_every=save_every,
+        integrator=integrator,
+    )
+    z, A = psa.run_single_simulation(cfg, frame="lab", **kw)
+
+    b = kw["beta_legacy"]
+    dbeta = (b[2] + b[3]) - (b[0] + b[1])
+    co = RHSCoeffs(gamma=jnp.asarray(kw["gamma"]),
+                   alpha=jnp.asarray(kw["alpha"]),
+                   delta_beta=jnp.asarray(dbeta))
+
+    def f(zz, y):
+        return np.asarray(rhs_yaman(jnp.asarray(zz), jnp.asarray(y), co))
+
+    A0 = np.sqrt(kw["p_in"]).astype(complex)
+    rows, _yfin = _np_ms(f, A0, dz, n_steps, save_every,
+                         integrator == "abm4")
+    assert A.shape == rows.shape
+    np.testing.assert_allclose(A, rows, rtol=1e-11, atol=1e-14)
+    np.testing.assert_allclose(
+        z, np.arange(n_steps // save_every + 1) * save_every * dz, rtol=1e-13)
+
+
+@pytest.mark.parametrize("integrator", ["ab4", "abm4"])
+def test_solve_batch_multistep_matches_trajectories(integrator):
+    """Reduce-mode Adams summaries == trajectory-mode Adams rows, and both
+    frames agree (powers are frame-invariant)."""
+    import psa_tpu as psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import sweep as sw
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.rhs import RHSCoeffs
+
+    cfg = psa.custom_simulation_config(
+        z_max=50.0, dz=0.1, save_every=10, integrator=integrator)
+    B = 5
+    rng = np.random.default_rng(3)
+    coeffs = RHSCoeffs(
+        gamma=np.full(B, 0.01), alpha=np.full(B, 1e-4),
+        delta_beta=rng.uniform(-0.5, 0.5, B),
+    )
+    A0 = (np.sqrt(np.array([0.3, 0.3, 1e-5, 0.0]))[None, :]
+          * np.ones((B, 1))).astype(np.complex128)
+    z, A, ok = sw.solve_batch_trajectories(cfg, coeffs, A0, frame="lab")
+    assert ok.all()
+    res = sw.solve_batch(cfg, coeffs, A0, frame="lab")
+    np.testing.assert_allclose(
+        res.P_max, np.max(np.abs(A) ** 2, axis=1), rtol=1e-12)
+    np.testing.assert_allclose(res.A_end, A[:, -1], rtol=1e-12)
+    rot = sw.solve_batch(cfg, coeffs, A0, frame="rotating")
+    # frame equivalence holds for the exact ODE, not the discrete stepper:
+    # the two frames integrate different (equivalent) equations, so at
+    # fixed dz their trajectories agree only to truncation/rounding --
+    # ~1e-15 absolute here, which on a ~1e-8 W idler is ~1e-7 relative.
+    np.testing.assert_allclose(rot.P_max, res.P_max, rtol=1e-9, atol=1e-13)
+
+
+def test_gain_spectrum_multistep_close_to_rk4():
+    """Public sweep with integrator='ab4': same gains to ~truncation (the
+    Adams trajectory is a different 4th-order approximation, not rk4)."""
+    import psa_tpu as psa
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import sweep as sw
+
+    lam3 = np.linspace(1548e-9, 1562e-9, 9)
+    disp = psa.dispersion_params_from_D_S(
+        lambda_ref_m=1552.5e-9, D=0.5, S=0.02, dSdlmbd=0,
+        D_units="ps/nm/km", S_units="ps/nm^2/km", dSdlmbd_units="ps/nm^3/km",
+    )
+    kw = dict(
+        lambda_p1_m=1550e-9, lambda_p2_m=1555e-9, lambda_signal_m=lam3,
+        gamma=11.5e-3, alpha=1e-4, p_in=np.array([0.5, 0.5, 1e-7, 1e-7]),
+        phase_in=np.zeros(4), dispersion=disp, length_unit="m",
+    )
+    g4 = sw.gain_spectrum(
+        cfg=psa.custom_simulation_config(z_max=50.0, dz=0.2), **kw)
+    ga = sw.gain_spectrum(
+        cfg=psa.custom_simulation_config(z_max=50.0, dz=0.2,
+                                         integrator="ab4"), **kw)
+    assert ga.ok.all()
+    np.testing.assert_allclose(ga.gain, g4.gain, rtol=1e-7, atol=1e-7)
+
+
+def test_df32_eager_ab4_steps_match_f64_ab4():
+    """Eager (scan-free) df32 Adams steps vs an f64 NumPy implementation of
+    the same scheme -- the CPU-runnable validation of the df32 multistep
+    path (the jitted df32 solver is TPU/opt-in, CLAUDE.md #4)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import df32_solver as dfs
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import twofloat as tfm
+
+    gamma, alpha, dbeta, dz = 1.5, 0.02, 0.8, 0.05
+    A0 = np.sqrt(np.array([0.3, 0.25, 1e-4, 0.0])).astype(np.complex128)
+
+    def rhs64(a):
+        P = np.abs(a) ** 2
+        F = 2 * P.sum() - P
+        s34, s12 = a[2] * a[3], a[0] * a[1]
+        fwm = 2j * gamma * np.array(
+            [np.conj(a[1]) * s34, np.conj(a[0]) * s34,
+             np.conj(a[3]) * s12, np.conj(a[2]) * s12])
+        det = -0.5j * dbeta * np.array([a[0], a[1], 0, 0])
+        return -0.5 * alpha * a + 1j * gamma * F * a + fwm + det
+
+    # f64: 3 RK4 bootstrap steps + 3 AB4 + 3 ABM4 continuation
+    y64 = A0.copy()
+    hist = []
+    for _ in range(3):
+        k1 = rhs64(y64)
+        hist.append(k1)
+        k2 = rhs64(y64 + 0.5 * dz * k1)
+        k3 = rhs64(y64 + 0.5 * dz * k2)
+        k4 = rhs64(y64 + dz * k3)
+        y64 = y64 + (dz / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    y64_ab = y64.copy()
+    h_ab = list(hist)
+    for _ in range(3):
+        f0 = rhs64(y64_ab)
+        y64_ab = y64_ab + (dz / 24.0) * (
+            55 * f0 - 59 * h_ab[-1] + 37 * h_ab[-2] - 9 * h_ab[-3])
+        h_ab.append(f0)
+    y64_abm = y64.copy()
+    h_am = list(hist)
+    for _ in range(3):
+        f0 = rhs64(y64_abm)
+        yp = y64_abm + (dz / 24.0) * (
+            55 * f0 - 59 * h_am[-1] + 37 * h_am[-2] - 9 * h_am[-3])
+        fp = rhs64(yp)
+        y64_abm = y64_abm + (dz / 24.0) * (
+            9 * fp + 19 * f0 - 5 * h_am[-1] + h_am[-2])
+        h_am.append(f0)
+
+    c = dfs.make_df32_coeffs(np.float64(gamma), np.float64(alpha),
+                             np.float64(dbeta))
+    consts = dfs.make_step_consts(dz)
+    adams = dfs.make_adams_consts(dz)
+    y = tfm.ctf_from_c128(A0)
+    fs = []
+    for _ in range(3):
+        fs.append(dfs.rhs4_df32(y, c))
+        y = dfs.rk4_step_df32(y, consts, c)
+
+    for correct, ref in ((False, y64_ab), (True, y64_abm)):
+        yy, hh = y, list(fs)
+        for _ in range(3):
+            yy, f0 = dfs.ab4_step_df32(yy, hh[-1], hh[-2], hh[-3], adams, c,
+                                       correct=correct)
+            hh.append(f0)
+        got = tfm.ctf_to_c128(yy)
+        rel = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-20))
+        assert rel < 1e-12, (correct, rel)
