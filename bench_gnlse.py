@@ -151,6 +151,39 @@ def main() -> None:
             "ok_fraction": float(np.mean(ok)),
         }
 
+    # --- rk4ip lanes (4th-order interaction-picture RK4; reported but
+    # EXCLUDED from the Kerr best-engine headline/floor: per-step transform
+    # cost is ~2x Strang's and the method's value is equal-ACCURACY
+    # throughput -- O(dz^4) lets it take ~5-10x larger steps at the same
+    # error, which a fixed-step-count rate cannot express) -------------------
+    import dataclasses as _dc
+
+    cfg_ip = _dc.replace(cfg, integrator="rk4ip")
+    for name, nl_terms in (("rk4ip_kerr", None), ("rk4ip_raman", nl)):
+        try:
+            gn.solve_gnlse_batch(cfg_ip, co, A0, nl=nl_terms)  # warm-up
+            reps = []
+            for _ in range(N_REPS):
+                t0 = time.perf_counter()
+                _, _, okk = gn.solve_gnlse_batch(cfg_ip, co, A0, nl=nl_terms)
+                reps.append(time.perf_counter() - t0)
+            el = float(np.median(reps))
+            results[name] = {
+                "elapsed_s": round(el, 4),
+                "rep_times_s": [round(r, 4) for r in reps],
+                "instance_steps_per_s": round(BATCH * N_STEPS / el),
+                "ok_fraction": float(np.mean(okk)),
+                "integrator": "rk4ip",
+                "note": (
+                    "O(dz^4) interaction-picture RK4: steps/s not "
+                    "comparable to the Strang rows (different per-step "
+                    "cost AND equal-accuracy step count); excluded from "
+                    "the best-engine floor"
+                ),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} lane skipped: {e}", file=sys.stderr)
+
     # --- fused pallas SSFM kernel (VMEM-resident, MXU group-split DFTs) -----
     if backend == "tpu":
         from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import pallas_gnlse

@@ -440,16 +440,18 @@ def _finite_mask(y):
 
 
 @functools.lru_cache(maxsize=64)
-def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
+def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str,
+                  method: str = "strang"):
     """Jitted batched SSFM: (B, T, 2) real pack -> saved trajectory pack.
 
     Returns ``(y_saved (S+1, B, T, 2), y_final (B, T, 2), ok (B,) i32)``;
-    chunk-fused symmetric split-step, per-instance NaN freeze at chunk
-    boundaries.
+    chunk-fused symmetric split-step (or RK4IP when ``method='rk4ip'``),
+    per-instance NaN freeze at chunk boundaries.
     """
     rdt = jnp.dtype(rdt_name)
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
+    make_stepper = _STEPPERS[method]
 
     def solve(y0_ri, coeffs: GNLSECoeffs, dz, nl):
         y0 = ri_to_complex(y0_ri)  # (B, T) complex
@@ -462,7 +464,7 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
         Lf = _lin_factor(coeffs, h, rdt)
 
         ok0 = _finite_mask(y0)
-        stepper = _chunk_stepper(save_every)
+        stepper = make_stepper(save_every)
 
         def chunk(carry, _):
             y, ok = carry
@@ -483,7 +485,7 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
         # y_final stays at the last SAVED grid point (the framework-wide
         # saved-grid convention, matching _gnlse_reduce_solver)
         if remainder > 0:
-            y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h, nl)
+            y_new = make_stepper(remainder)(y, Lh, Lf, gamma, h, nl)
             ok = ok & _finite_mask(y_new)
         y_final = complex_to_ri(y)
         return y_saved.astype(rdt), y_final.astype(rdt), ok.astype(jnp.int32)
@@ -492,7 +494,8 @@ def _gnlse_solver(n_steps: int, save_every: int, rdt_name: str):
 
 
 @functools.lru_cache(maxsize=64)
-def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
+def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str,
+                         method: str = "strang"):
     """Reduce-mode SSFM for large sweeps: no trajectory materialization.
 
     Returns ONE stacked ``(B, 1 + 2T + 1)`` rdt buffer
@@ -504,6 +507,7 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
     rdt = jnp.dtype(rdt_name)
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
+    make_stepper = _STEPPERS[method]
 
     def peak(y):
         return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
@@ -518,7 +522,7 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
         Lh = _lin_factor(coeffs, 0.5 * h, rdt)
         Lf = _lin_factor(coeffs, h, rdt)
 
-        stepper = _chunk_stepper(save_every)
+        stepper = make_stepper(save_every)
         ok0 = _finite_mask(y0)
 
         def chunk(carry, _):
@@ -538,7 +542,7 @@ def _gnlse_reduce_solver(n_steps: int, save_every: int, rdt_name: str):
         # trailing partial steps: integrated (they can flip ok) but unsaved;
         # y stays at the last saved grid point (saved-grid convention)
         if remainder > 0:
-            y_new = _chunk_stepper(remainder)(y, Lh, Lf, gamma, h, nl)
+            y_new = make_stepper(remainder)(y, Lh, Lf, gamma, h, nl)
             ok = ok & _finite_mask(y_new)
         y_ri = complex_to_ri(y).astype(rdt)
         # ONE stacked output: each device->host fetch costs a ~30 ms tunnel
@@ -569,6 +573,64 @@ def _chunk_stepper(k: int):
         return jnp.fft.ifft(Lh * jnp.fft.fft(y, axis=-1), axis=-1)
 
     return run
+
+
+def _kerr_rhs(y, gamma):
+    """Kerr-only nonlinear operator N(A) = i gamma |A|^2 A (the derivative
+    form of :func:`_kerr_step`'s exact rotation -- RK4IP needs N itself)."""
+    P = y.real * y.real + y.imag * y.imag
+    return _times_i(gamma * P * y)
+
+
+def _chunk_stepper_rk4ip(k: int):
+    """k fused RK4IP steps (interaction-picture RK4; Hult, J. Lightwave
+    Technol. 25(12):3770, 2007): change frame to the dispersion interaction
+    picture at the step midpoint and run classic RK4 on the transformed
+    nonlinear operator.  Global error is O(dz^4) vs Strang's O(dz^2), at
+    4 half-step linear applications + 4 N evaluations per step -- an
+    equal-accuracy throughput integrator for well-resolved pulse runs
+    (``cfg.integrator='rk4ip'``).
+
+    Same ``run`` signature as :func:`_chunk_stepper`; the IP change of
+    frame needs only the half-step factor ``Lh`` (``Lf`` is unused).
+    """
+
+    def run(y, Lh, Lf, gamma, h, nl=None):
+        if k == 0:
+            return y
+
+        def lin(a):  # exp(D h/2) in the frequency domain
+            return jnp.fft.ifft(Lh * jnp.fft.fft(a, axis=-1), axis=-1)
+
+        def N(a):
+            return _kerr_rhs(a, gamma) if nl is None else _nl_rhs(a, gamma, nl)
+
+        def body(carry, _):
+            y = carry
+            a_i = lin(y)
+            k1 = lin(h * N(y))
+            k2 = h * N(a_i + 0.5 * k1)
+            k3 = h * N(a_i + 0.5 * k2)
+            k4 = h * N(lin(a_i + k3))
+            y = lin(a_i + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
+                + (1.0 / 6.0) * k4
+            return y, None
+
+        y, _ = lax.scan(body, y, None, length=k)
+        return y
+
+    return run
+
+
+_STEPPERS = {"strang": _chunk_stepper, "rk4ip": _chunk_stepper_rk4ip}
+
+
+def _ssfm_method(cfg) -> str:
+    """Map ``cfg.integrator`` to the fixed-step SSFM stepper family
+    ('rk4' is the reference-parity Strang split; 'rk4ip' the 4th-order
+    interaction-picture RK4).  'rk45' is handled by the adaptive branch
+    before this is consulted."""
+    return "rk4ip" if cfg.integrator.lower() == "rk4ip" else "strang"
 
 
 # ---------------------------------------------------------------------------
@@ -890,8 +952,8 @@ def run_gnlse_simulation(
         # matched-tolerance two-float trajectory solve (ops/df32_gnlse.py)
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
-                "precision='df32' GNLSE solves are fixed-step rk4 only "
-                "(use x32 for the adaptive split-step, or x64 on CPU)"
+                "precision='df32' GNLSE solves are fixed-step rk4 (Strang) "
+                "only (use x32 for rk45/rk4ip, or x64 on CPU)"
             )
         from ..utils.precision import require_f64_leaves
 
@@ -950,7 +1012,8 @@ def run_gnlse_simulation(
             )
         return z0 + z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0, :]
 
-    solver = _gnlse_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name)
+    solver = _gnlse_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name,
+                           _ssfm_method(cfg))
     ys, yf, ok = jax.block_until_ready(
         solver(ri_pack_host(A0[None], rdt), coeffs, jnp.asarray(dz_m, dtype=rdt), nl)
     )
@@ -1024,8 +1087,8 @@ def solve_gnlse_batch(
         # the x64 solver over 10^3 steps on the f64-less v5e)
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
-                "precision='df32' GNLSE solves are fixed-step rk4 only "
-                "(use x32 for the adaptive split-step, or x64 on CPU)"
+                "precision='df32' GNLSE solves are fixed-step rk4 (Strang) "
+                "only (use x32 for rk45/rk4ip, or x64 on CPU)"
             )
         from ..utils.precision import require_f64_leaves
 
@@ -1049,7 +1112,8 @@ def solve_gnlse_batch(
     if engine == "pallas":
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
-                "engine='pallas' SSFM kernel is fixed-step only"
+                "engine='pallas' SSFM kernel implements the fixed-step "
+                "Strang split (integrator='rk4') only"
             )
         if validate_precision(cfg.precision) != "x32":
             raise ValueError("engine='pallas' SSFM kernel is x32 only")
@@ -1118,7 +1182,8 @@ def solve_gnlse_batch(
             pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, T, counters=True)
         else:
             solver = _gnlse_reduce_solver(
-                n_steps, int(cfg.save_every), np.dtype(rdt).name
+                n_steps, int(cfg.save_every), np.dtype(rdt).name,
+                _ssfm_method(cfg),
             )
             out = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), coeffs_b, jnp.asarray(dz_m, dtype=rdt), nl)
@@ -1147,7 +1212,7 @@ def solve_gnlse_batch(
         else:
             solver = _gnlse_reduce_solver_sharded(
                 n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
-                alpha.ndim,
+                alpha.ndim, _ssfm_method(cfg),
             )
             out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt), nl)
@@ -1198,8 +1263,8 @@ def solve_gnlse_batch_trajectories(
         # unsharded -- trajectory mode is a small-batch inspection API)
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
-                "precision='df32' GNLSE solves are fixed-step rk4 only "
-                "(use x32 for the adaptive split-step, or x64 on CPU)"
+                "precision='df32' GNLSE solves are fixed-step rk4 (Strang) "
+                "only (use x32 for rk45/rk4ip, or x64 on CPU)"
             )
         if mesh is not None:
             raise ValueError(
@@ -1279,7 +1344,7 @@ def solve_gnlse_batch_trajectories(
             )
         else:
             solver = _gnlse_solver(n_steps, int(cfg.save_every),
-                                   np.dtype(rdt).name)
+                                   np.dtype(rdt).name, _ssfm_method(cfg))
             ys, _yf, ok = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), cof,
                        jnp.asarray(dz_m, dtype=rdt), nl)
@@ -1309,7 +1374,7 @@ def solve_gnlse_batch_trajectories(
         else:
             solver = _gnlse_traj_solver_sharded_fixed(
                 n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
-                alpha.ndim,
+                alpha.ndim, _ssfm_method(cfg),
             )
             out = jax.block_until_ready(
                 solver(y0_dev, cof, jnp.asarray(dz_m, dtype=rdt), nl)
@@ -1322,12 +1387,13 @@ def solve_gnlse_batch_trajectories(
 
 @functools.lru_cache(maxsize=16)
 def _gnlse_traj_solver_sharded_fixed(n_steps: int, save_every: int,
-                                     rdt_name: str, mesh, alpha_rank: int = 1):
+                                     rdt_name: str, mesh, alpha_rank: int = 1,
+                                     method: str = "strang"):
     """shard_map wrapper of the fixed-step trajectory solver (batch axis on
     axis 1 of the stacked output)."""
     from jax.sharding import PartitionSpec
 
-    inner = _gnlse_solver(n_steps, save_every, rdt_name)
+    inner = _gnlse_solver(n_steps, save_every, rdt_name, method)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     b = PartitionSpec(ax)
@@ -1386,13 +1452,14 @@ def _gnlse_traj_solver_sharded(rdt_name: str, rtol: float, atol: float,
 
 @functools.lru_cache(maxsize=16)
 def _gnlse_reduce_solver_sharded(n_steps: int, save_every: int, rdt_name: str,
-                                 mesh, alpha_rank: int = 1):
+                                 mesh, alpha_rank: int = 1,
+                                 method: str = "strang"):
     """shard_map-wrapped reduce solver: batch axis split over the mesh; the
     per-shard FFTs run on local (unsharded) buffers, so the XLA:CPU sharded-
     FFT limitation does not apply."""
     from jax.sharding import PartitionSpec
 
-    inner = _gnlse_reduce_solver(n_steps, save_every, rdt_name)
+    inner = _gnlse_reduce_solver(n_steps, save_every, rdt_name, method)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     b = PartitionSpec(ax)

@@ -53,7 +53,8 @@ from ..utils.packing import (
     ri_unpack_host,
 )
 from ..utils.precision import real_dtype, require_non_df32, validate_precision
-from .gnlse import NLTerms, TimeGrid, _lane_finite, _split_reduce_pack
+from .gnlse import (NLTerms, TimeGrid, _lane_finite, _split_reduce_pack,
+                    _ssfm_method)
 
 XPM_LINEAR_BIREFRINGENT = 2.0 / 3.0
 MANAKOV_GAMMA_FACTOR = 8.0 / 9.0
@@ -323,9 +324,47 @@ def _chunk_stepper_v(k: int, coherent: float = 0.0):
     return run
 
 
+def _chunk_stepper_v_rk4ip(k: int, coherent: float = 0.0):
+    """k fused RK4IP steps over (B, 2, T) state -- the vector counterpart
+    of ``gnlse._chunk_stepper_rk4ip`` (Hult 2007; O(dz^4) vs Strang's
+    O(dz^2)).  Same ``run`` signature as :func:`_chunk_stepper_v`; only
+    the half-step linear factor ``Lh`` is used."""
+
+    def run(y, Lh, Lf, gamma, b, h, nl=None):
+        if k == 0:
+            return y
+
+        def lin(a):
+            return jnp.fft.ifft(Lh * jnp.fft.fft(a, axis=-1), axis=-1)
+
+        def N(a):
+            if nl is not None:
+                return _v_nl_rhs_gen(a, gamma, b, coherent, nl)
+            return _v_nl_rhs(a, gamma, b, coherent)
+
+        def body(carry, _):
+            y = carry
+            a_i = lin(y)
+            k1 = lin(h * N(y))
+            k2 = h * N(a_i + 0.5 * k1)
+            k3 = h * N(a_i + 0.5 * k2)
+            k4 = h * N(lin(a_i + k3))
+            y = lin(a_i + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
+                + (1.0 / 6.0) * k4
+            return y, None
+
+        y, _ = lax.scan(body, y, None, length=k)
+        return y
+
+    return run
+
+
+_STEPPERS_V = {"strang": _chunk_stepper_v, "rk4ip": _chunk_stepper_v_rk4ip}
+
+
 @functools.lru_cache(maxsize=64)
 def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
-                   reduce_mode: bool):
+                   reduce_mode: bool, method: str = "strang"):
     """Jitted batched vector SSFM over (B, 2, T, 2) packs.
 
     reduce_mode=True returns ONE stacked ``(B, 2 + 4T + 1)`` rdt buffer
@@ -337,6 +376,7 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
     rdt = jnp.dtype(rdt_name)
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
+    make_stepper = _STEPPERS_V[method]
 
     def peak(y):
         return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)  # (B, 2)
@@ -354,7 +394,7 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
         Lh = _lin_factor_v(coeffs, 0.5 * h, rdt)
         Lf = _lin_factor_v(coeffs, h, rdt)
         ok0 = _lane_finite(y0)
-        stepper = _chunk_stepper_v(save_every, coeffs.coherent)
+        stepper = make_stepper(save_every, coeffs.coherent)
 
         def chunk(carry, _):
             y, pk, ok = carry
@@ -378,7 +418,7 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
         # y_final stays at the last SAVED grid point in both modes (the
         # framework-wide saved-grid convention)
         if remainder > 0:
-            y_new = _chunk_stepper_v(remainder, coeffs.coherent)(
+            y_new = make_stepper(remainder, coeffs.coherent)(
                 y, Lh, Lf, gamma, b, h, nl)
             ok = ok & _lane_finite(y_new)
         y_final = complex_to_ri(y).astype(rdt)
@@ -517,10 +557,11 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
 def _vgnlse_reduce_solver_sharded(n_steps: int, save_every: int,
                                   rdt_name: str, mesh,
                                   coherent: float = 0.0,
-                                  has_nl: bool = False):
+                                  has_nl: bool = False,
+                                  method: str = "strang"):
     from jax.sharding import PartitionSpec
 
-    inner = _vgnlse_solver(n_steps, save_every, rdt_name, True)
+    inner = _vgnlse_solver(n_steps, save_every, rdt_name, True, method)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     # leading-axis spec: covers flat (B,) and spectral (B, 2, T) alpha alike
@@ -601,7 +642,7 @@ def run_vgnlse_simulation(
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
-                "only (use x32 for the adaptive split-step, or x64 on CPU)"
+                "(Strang) only (use x32 for rk45/rk4ip, or x64 on CPU)"
             )
         from ..utils.precision import require_f64_leaves
 
@@ -654,7 +695,7 @@ def run_vgnlse_simulation(
         return z0 + z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0]
 
     solver = _vgnlse_solver(n_steps, int(cfg.save_every),
-                            np.dtype(rdt).name, False)
+                            np.dtype(rdt).name, False, _ssfm_method(cfg))
     ys, yf, ok = jax.block_until_ready(
         solver(ri_pack_host(A0[None], rdt), coeffs,
                jnp.asarray(dz_m, dtype=rdt), nl)
@@ -750,7 +791,7 @@ def solve_vgnlse_batch(
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
-                "only (use x32 for the adaptive split-step, or x64 on CPU)"
+                "(Strang) only (use x32 for rk45/rk4ip, or x64 on CPU)"
             )
         from ..utils.precision import require_f64_leaves
 
@@ -827,7 +868,8 @@ def solve_vgnlse_batch(
                                                         counters=True)
         else:
             solver = _vgnlse_solver(n_steps, int(cfg.save_every),
-                                    np.dtype(rdt).name, True)
+                                    np.dtype(rdt).name, True,
+                                    _ssfm_method(cfg))
             out = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), cof,
                        jnp.asarray(dz_m, dtype=rdt), nl)
@@ -861,7 +903,7 @@ def solve_vgnlse_batch(
         else:
             solver = _vgnlse_reduce_solver_sharded(
                 n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
-                float(coeffs.coherent), nl is not None,
+                float(coeffs.coherent), nl is not None, _ssfm_method(cfg),
             )
             out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, jnp.asarray(dz_m, dtype=rdt),
@@ -909,7 +951,7 @@ def solve_vgnlse_batch_trajectories(
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
                 "precision='df32' vector-GNLSE solves are fixed-step rk4 "
-                "only (use x32 for the adaptive split-step, or x64 on CPU)"
+                "(Strang) only (use x32 for rk45/rk4ip, or x64 on CPU)"
             )
         from ..utils.precision import require_f64_leaves
 
@@ -968,7 +1010,8 @@ def solve_vgnlse_batch_trajectories(
         )
     else:
         solver = _vgnlse_solver(n_steps, int(cfg.save_every),
-                                np.dtype(rdt).name, False)
+                                np.dtype(rdt).name, False,
+                                _ssfm_method(cfg))
         ys, _yf, ok = jax.block_until_ready(
             solver(jnp.asarray(y0_ri), cof, jnp.asarray(dz_m, dtype=rdt), nl)
         )
