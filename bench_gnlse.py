@@ -318,6 +318,31 @@ def main() -> None:
     _, _, ok45 = gn.solve_gnlse_batch(cfg45, co, A0[:B45])
     el45 = time.perf_counter() - t0
 
+    # --- adaptive equal-ACCURACY A/B: rk45 (2nd-order Strang doubling) vs
+    # rk4ip45 (4th-order interaction-picture doubling) at the SAME
+    # rtol/atol -- the honest comparison for adaptive methods (the
+    # 4th-order controller converges in far fewer accepted steps)
+    adaptive_ab = None
+    try:
+        cfg_ip45 = psa.custom_simulation_config(
+            z_max=10.0, dz=10.0 / N_STEPS, save_every=SAVE_EVERY,
+            precision=precision, integrator="rk4ip45",
+            rtol=cfg45.rtol, atol=cfg45.atol,
+        )
+        gn.solve_gnlse_batch(cfg_ip45, co, A0[:B45])    # warm-up
+        t0 = time.perf_counter()
+        _, _, ok_ip = gn.solve_gnlse_batch(cfg_ip45, co, A0[:B45])
+        el_ip = time.perf_counter() - t0
+        adaptive_ab = {
+            "rtol": cfg45.rtol,
+            "rk45_envelopes_per_s": round(B45 / el45, 1),
+            "rk4ip45_envelopes_per_s": round(B45 / el_ip, 1),
+            "rk4ip45_speedup": round(el45 / el_ip, 2),
+            "rk4ip45_ok_fraction": float(np.mean(ok_ip)),
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"# rk4ip45 adaptive A/B skipped: {e}", file=sys.stderr)
+
     # --- accuracy: subset vs x64 CPU (fixed-step, Kerr) ---------------------
     # two thresholds: the pulse core (>= 1% of peak power) and the deep
     # tails (>= 1e-6 of peak, where f32 absolute roundoff dominates)
@@ -363,6 +388,7 @@ def main() -> None:
         "paths": results,
         "rk45_envelopes_per_s": round(B45 / el45, 1),
         "rk45_ok_fraction": float(np.mean(ok45)),
+        "adaptive_equal_accuracy_ab": adaptive_ab,
         "subset_max_rel_power_err_vs_x64": max_rel_err,
         "subset_core_rel_power_err_vs_x64": core_rel_err,
         "flops_note": "algorithmic real-FLOPs (5 t log2 t per complex FFT)",

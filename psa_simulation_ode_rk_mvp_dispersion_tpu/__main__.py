@@ -24,10 +24,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--precision", default="x64", choices=("x64", "x32", "df32"),
                    help="dtype tier (x64 = reference parity; x32/df32 = TPU)")
-    p.add_argument("--integrator", default=None, choices=("rk4", "rk45"),
-                   help="ODE stepper (default: rk4, except supercontinuum "
-                        "which defaults to rk45; commands that cannot honor "
-                        "an explicit choice raise)")
+    p.add_argument("--integrator", default=None,
+                   choices=("rk4", "rk45", "ab4", "abm4", "rk4ip", "rk4ip45"),
+                   help="stepper (default: rk4, except supercontinuum which "
+                        "defaults to rk45; ab4/abm4 = Adams multistep, ODE "
+                        "families; rk4ip/rk4ip45 = fixed/adaptive "
+                        "interaction-picture RK4, split-step families; "
+                        "commands/families that cannot honor an explicit "
+                        "choice raise)")
     p.add_argument("--shard", action="store_true",
                    help="shard the batch over all local devices (default_mesh)")
     p.add_argument("--save-dir", default=None, help="write result bundles here")
@@ -60,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("comb", help="N-wave cascaded FWM comb generation")
     s.add_argument("--lines", type=int, default=64)
     s.add_argument("--z-max", type=float, default=100.0, help="fiber length [m]")
-    s.add_argument("--comb-integrator", default="rk45", choices=("rk4", "rk45"))
+    s.add_argument("--comb-integrator", default="rk45",
+                   choices=("rk4", "rk45", "ab4", "abm4"))
     s.add_argument("--coupling", default="fft", choices=("fft", "dft", "einsum"),
                    help="cubic-sum evaluation (dft = dense MXU matmuls)")
 

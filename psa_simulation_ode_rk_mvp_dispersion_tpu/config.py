@@ -23,6 +23,12 @@ Capability parity: reference ``config.py`` (``SimulationConfig`` :7-30,
   Strang split's O(dz^2) at ~2x the per-step transform cost -- the
   equal-accuracy throughput integrator for pulse runs.  ODE families
   (4-wave, comb, SBS) refuse it loudly (``reject_non_ode``).
+- ``integrator='rk4ip45'`` is the ADAPTIVE interaction-picture RK4 for
+  the same families: step-doubling local-error control at
+  ``rtol``/``atol`` (like ``'rk45'``) but on the 4th-order RK4IP step --
+  O(h^5) local error, controller exponent 1/5, order-4 Richardson
+  acceptance state.  At tight tolerances it takes far larger steps than
+  the 2nd-order Strang controller.
 - ``precision`` selects the dtype tier (``'x64'`` reference-parity f64,
   ``'x32'`` TPU-native f32, ``'df32'`` compensated two-float32; see
   ``utils/precision.py``).
@@ -36,9 +42,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
-VALID_INTEGRATORS = ("rk4", "rk45", "ab4", "abm4", "rk4ip")
+VALID_INTEGRATORS = ("rk4", "rk45", "ab4", "abm4", "rk4ip", "rk4ip45")
 MULTISTEP_INTEGRATORS = ("ab4", "abm4")
-SSFM_INTEGRATORS = ("rk4ip",)   # split-step families only
+SSFM_INTEGRATORS = ("rk4ip", "rk4ip45")   # split-step families only
+ADAPTIVE_INTEGRATORS = ("rk45", "rk4ip45")  # use cfg.rtol/atol/max_steps
 
 
 def reject_multistep(cfg: "SimulationConfig", where: str) -> None:
@@ -61,9 +68,9 @@ def reject_non_ode(cfg: "SimulationConfig", where: str) -> None:
     if cfg.integrator.lower() in SSFM_INTEGRATORS:
         raise ValueError(
             f"integrator={cfg.integrator!r} is not supported by {where}; "
-            "rk4ip (interaction-picture RK4) applies to the split-step "
-            "families (models/gnlse.py, models/vgnlse.py) -- use 'rk4', "
-            "'rk45' or ab4/abm4 here"
+            "rk4ip/rk4ip45 (interaction-picture RK4, fixed/adaptive) apply "
+            "to the split-step families (models/gnlse.py, models/vgnlse.py) "
+            "-- use 'rk4', 'rk45' or ab4/abm4 here"
         )
 
 
@@ -151,9 +158,10 @@ def validate_config(cfg: SimulationConfig) -> None:
 
     validate_precision(cfg.precision)
 
-    if cfg.integrator.lower() == "rk45":
+    if cfg.integrator.lower() in ADAPTIVE_INTEGRATORS:
         if cfg.rtol <= 0.0 or cfg.atol < 0.0:
-            raise ValueError("rk45 requires rtol > 0 and atol >= 0")
+            raise ValueError(
+                f"{cfg.integrator} requires rtol > 0 and atol >= 0")
         if cfg.max_steps <= 0:
             raise ValueError("max_steps must be positive")
 

@@ -671,6 +671,52 @@ def _doubling_attempt(y, coeffs, gamma, hb, nl, rdt):
     return yc, yf
 
 
+def _doubling_attempt_rk4ip(y, coeffs, gamma, hb, nl, rdt):
+    """Step-doubling attempt on the RK4IP step (``integrator='rk4ip45'``):
+    one coarse h step and two fused fine h/2 steps of the 4th-order
+    interaction-picture RK4 (:func:`_chunk_stepper_rk4ip`'s body).  Local
+    error is O(h^5), so the controller runs with ``order=4`` (exponent
+    1/5, Richardson weight 16/15).  The coarse and fine first stages
+    share N(y) (both need the nonlinear operator at the current state)."""
+    def lfft(L, a):
+        return jnp.fft.ifft(L * jnp.fft.fft(a, axis=-1), axis=-1)
+
+    def N(a):
+        return _kerr_rhs(a, gamma) if nl is None else _nl_rhs(a, gamma, nl)
+
+    def ip_step(y, L, h, Ny):
+        a = lfft(L, y)
+        k1 = lfft(L, h * Ny)
+        k2 = h * N(a + 0.5 * k1)
+        k3 = h * N(a + 0.5 * k2)
+        k4 = h * N(lfft(L, a + k3))
+        return lfft(L, a + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
+            + (1.0 / 6.0) * k4
+
+    Lc = _lin_factor(coeffs, 0.5 * hb, rdt)    # exp(L h/2)
+    Lf = _lin_factor(coeffs, 0.25 * hb, rdt)   # exp(L h/4)
+    Ny = N(y)
+    yc = ip_step(y, Lc, hb, Ny)
+    yf = ip_step(y, Lf, 0.5 * hb, Ny)
+    yf = ip_step(yf, Lf, 0.5 * hb, N(yf))
+    return yc, yf
+
+
+# (attempt builder, method order p) per adaptive scheme: local error is
+# O(h^{p+1}), the controller exponent -1/(p+1), and the accepted state the
+# Richardson pair (2^p yf - yc)/(2^p - 1)
+_ADAPTIVE_ATTEMPTS = {
+    "strang": (_doubling_attempt, 2),
+    "rk4ip": (_doubling_attempt_rk4ip, 4),
+}
+
+
+def _adaptive_method(cfg) -> str:
+    """Map ``cfg.integrator`` to the step-doubling attempt family
+    ('rk45' -> Strang, 'rk4ip45' -> interaction-picture RK4)."""
+    return "rk4ip" if cfg.integrator.lower() == "rk4ip45" else "strang"
+
+
 def _lane_rms2(a):
     """Per-lane mean |a|^2 over every non-batch axis of a (B, ...) state."""
     return jnp.mean(a.real * a.real + a.imag * a.imag,
@@ -700,17 +746,24 @@ def _ssfm_error_norm(yc, yf, y_old, *, rtol, atol):
 
 
 def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, attempt,
-                           rdt, *, rtol, atol, max_steps):
+                           rdt, *, rtol, atol, max_steps, order: int = 2):
     """Adaptively advance all lanes from z (>= z_start) to the shared
     ``z_end``; returns (y, z, dt, ok, n_accepted, n_rejected).
 
     State-rank-generic (any (B, ...) complex state): ``attempt(y, hb)``
     returns the (coarse, fine-doubled) pair for per-lane steps ``hb``
     already broadcast to the state rank.  Shared by the scalar GNLSE and
-    the vector (two-polarization) solver."""
+    the vector (two-polarization) solver.
+
+    ``order`` is the method order p of the underlying step (2 for the
+    Strang split, 4 for RK4IP): the step-doubling local error is
+    O(h^{p+1}), so the controller exponent is -1/(p+1) and the accepted
+    state the Richardson extrapolation (2^p yf - yc)/(2^p - 1)."""
     span = z_end - z_start + jnp.asarray(1.0, rdt)
     dt_min = jnp.asarray(1e-12, rdt) * span
     n0 = jnp.zeros(z.shape, jnp.int32)
+    err_exp = -1.0 / (order + 1.0)
+    rich = float(2 ** order)
 
     def cond(state):
         y_, z_, dt_, ok_, na_, nr_, it = state
@@ -727,7 +780,7 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, attempt,
         finite = jnp.isfinite(enorm) & _lane_finite(yf) & _lane_finite(yc)
 
         accept = active & finite & (enorm <= 1.0)
-        y_new = (4.0 * yf - yc) / 3.0                  # local extrapolation
+        y_new = (rich * yf - yc) / (rich - 1.0)        # local extrapolation
         # Runaway-gain escape: for a purely linear blowup the split error is
         # exactly zero at ANY step size, so the controller is blind to it --
         # a lane whose mean power passes 1e30 W is unrecoverable (refinement
@@ -738,7 +791,7 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, attempt,
         factor = jnp.where(
             finite,
             jnp.clip(
-                _SSFM_SAFETY * jnp.power(jnp.maximum(enorm, 1e-16), -1.0 / 3.0),
+                _SSFM_SAFETY * jnp.power(jnp.maximum(enorm, 1e-16), err_exp),
                 _SSFM_MIN_FACTOR, _SSFM_MAX_FACTOR,
             ),
             jnp.asarray(0.5, rdt),
@@ -769,15 +822,20 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, attempt,
 
 @functools.lru_cache(maxsize=64)
 def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
-                           max_steps: int, reduce_mode: bool):
+                           max_steps: int, reduce_mode: bool,
+                           method: str = "strang"):
     """Jitted adaptive SSFM over a save grid: (B, T, 2) pack + (S+1,) grid.
 
     reduce_mode=True returns ONE stacked ``(B, 1 + 2T + 3)`` rdt buffer
     ``[peak_max | y_final flat | ok | n_accepted | n_rejected]`` (split with
     ``_split_reduce_pack(counters=True)``); reduce_mode=False returns the
     trajectory tuple ``(y_saved (S+1, B, T, 2), y_final, ok, na, nr)``.
+
+    ``method``: 'strang' (integrator='rk45', 2nd-order split) or 'rk4ip'
+    (integrator='rk4ip45', 4th-order interaction-picture RK4).
     """
     rdt = jnp.dtype(rdt_name)
+    attempt_fn, order = _ADAPTIVE_ATTEMPTS[method]
 
     def solve(y0_ri, coeffs: GNLSECoeffs, z_grid, dt0, nl):
         y0 = ri_to_complex(y0_ri)                      # (B, T)
@@ -791,7 +849,7 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
         n0 = jnp.zeros((B,), jnp.int32)
 
         def attempt(y, hb):
-            return _doubling_attempt(y, coeffs, gamma, hb, nl, rdt)
+            return attempt_fn(y, coeffs, gamma, hb, nl, rdt)
 
         def peak(y):
             return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
@@ -802,7 +860,7 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             z = jnp.full((B,), z_a, dtype=rdt)
             y, _z, dt, ok, na_s, nr_s = _gnlse_advance_segment(
                 y, z, dt, ok, z_a, z_b, attempt, rdt,
-                rtol=rtol, atol=atol, max_steps=max_steps,
+                rtol=rtol, atol=atol, max_steps=max_steps, order=order,
             )
             pk = jnp.maximum(pk, peak(y))
             out = None if reduce_mode else complex_to_ri(y)
@@ -848,12 +906,14 @@ def _split_reduce_pack(out, T, *, counters):
 @functools.lru_cache(maxsize=16)
 def _gnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                                           atol: float, max_steps: int, mesh,
-                                          alpha_rank: int = 1):
+                                          alpha_rank: int = 1,
+                                          method: str = "strang"):
     """shard_map wrapper of the adaptive reduce solver (batch axis over the
     mesh; grid/dt0/nl replicated)."""
     from jax.sharding import PartitionSpec
 
-    inner = _gnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
+    inner = _gnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True,
+                                   method)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     b = PartitionSpec(ax)
@@ -982,7 +1042,7 @@ def run_gnlse_simulation(
         ) / scale
         return z, A_saved[:, 0, :]
 
-    if cfg.integrator.lower() == "rk45":
+    if cfg.integrator.lower() in ("rk45", "rk4ip45"):
         # adaptive split-step on the same decimated save grid (rk4-path
         # output contract, mirroring ops/adaptive.run_adaptive_trajectory)
         if n_chunks == 0:
@@ -998,7 +1058,7 @@ def run_gnlse_simulation(
         )
         solver = _gnlse_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False,
+            int(cfg.max_steps), False, _adaptive_method(cfg),
         )
         ys, yf, ok, _na, _nr = jax.block_until_ready(
             solver(ri_pack_host(A0[None], rdt), coeffs,
@@ -1007,8 +1067,8 @@ def run_gnlse_simulation(
         )
         if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
             raise FloatingPointError(
-                "NaN/Inf or step-size underflow during adaptive (rk45) "
-                "GNLSE integration"
+                "NaN/Inf or step-size underflow during adaptive "
+                f"({cfg.integrator}) GNLSE integration"
             )
         return z0 + z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0, :]
 
@@ -1150,7 +1210,7 @@ def solve_gnlse_batch(
 
     y0_ri = ri_pack_host(A0, rdt)
 
-    use_rk45 = cfg.integrator.lower() == "rk45"
+    use_rk45 = cfg.integrator.lower() in ("rk45", "rk4ip45")
     if use_rk45:
         n_chunks = n_steps // int(cfg.save_every)
         if n_chunks == 0:
@@ -1174,7 +1234,7 @@ def solve_gnlse_batch(
         if use_rk45:
             solver = _gnlse_adaptive_solver(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), True,
+                int(cfg.max_steps), True, _adaptive_method(cfg),
             )
             out = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), coeffs_b, z_grid, dt0, nl)
@@ -1203,7 +1263,7 @@ def solve_gnlse_batch(
         if use_rk45:
             solver = _gnlse_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), mesh, alpha.ndim,
+                int(cfg.max_steps), mesh, alpha.ndim, _adaptive_method(cfg),
             )
             out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, z_grid, dt0, nl)
@@ -1318,7 +1378,7 @@ def solve_gnlse_batch_trajectories(
     z = z0 + np.arange(n_chunks + 1, dtype=np.float64) * (
         int(cfg.save_every) * dz_m
     ) / scale
-    use_rk45 = cfg.integrator.lower() == "rk45"
+    use_rk45 = cfg.integrator.lower() in ("rk45", "rk4ip45")
     if use_rk45 and n_chunks == 0:
         ok0 = np.isfinite(A0[:n_orig]).all(axis=-1)
         return z, A0[:n_orig, None, :].copy(), ok0
@@ -1336,7 +1396,7 @@ def solve_gnlse_batch_trajectories(
                 * (int(cfg.save_every) * dz_m), dtype=rdt)
             solver = _gnlse_adaptive_solver(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), False,
+                int(cfg.max_steps), False, _adaptive_method(cfg),
             )
             ys, _yf, ok, _na, _nr = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), cof, z_grid,
@@ -1366,6 +1426,7 @@ def solve_gnlse_batch_trajectories(
             solver = _gnlse_traj_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), mesh, True, alpha.ndim,
+                _adaptive_method(cfg),
             )
             out = jax.block_until_ready(
                 solver(y0_dev, cof, z_grid, jnp.asarray(dz_m, dtype=rdt), nl)
@@ -1421,11 +1482,12 @@ def _gnlse_traj_solver_sharded_fixed(n_steps: int, save_every: int,
 @functools.lru_cache(maxsize=16)
 def _gnlse_traj_solver_sharded(rdt_name: str, rtol: float, atol: float,
                                max_steps: int, mesh, _traj: bool,
-                               alpha_rank: int = 1):
+                               alpha_rank: int = 1, method: str = "strang"):
     """shard_map wrapper of the adaptive trajectory solver."""
     from jax.sharding import PartitionSpec
 
-    inner = _gnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, False)
+    inner = _gnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, False,
+                                   method)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     b = PartitionSpec(ax)

@@ -53,8 +53,8 @@ from ..utils.packing import (
     ri_unpack_host,
 )
 from ..utils.precision import real_dtype, require_non_df32, validate_precision
-from .gnlse import (NLTerms, TimeGrid, _lane_finite, _split_reduce_pack,
-                    _ssfm_method)
+from .gnlse import (NLTerms, TimeGrid, _adaptive_method, _lane_finite,
+                    _split_reduce_pack, _ssfm_method)
 
 XPM_LINEAR_BIREFRINGENT = 2.0 / 3.0
 MANAKOV_GAMMA_FACTOR = 8.0 / 9.0
@@ -453,16 +453,57 @@ def _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt, nl=None):
     return yc, lfft(Lf, yf)
 
 
+def _v_doubling_attempt_rk4ip(y, coeffs, gamma, b, hb, rdt, nl=None):
+    """Vector step-doubling attempt on the RK4IP step
+    (``integrator='rk4ip45'``) -- the (B, 2, T) counterpart of
+    ``gnlse._doubling_attempt_rk4ip``; controller runs with order=4."""
+    def lfft(L, a):
+        return jnp.fft.ifft(L * jnp.fft.fft(a, axis=-1), axis=-1)
+
+    coh = coeffs.coherent
+
+    def N(a):
+        if nl is not None:
+            return _v_nl_rhs_gen(a, gamma, b, coh, nl)
+        return _v_nl_rhs(a, gamma, b, coh)
+
+    def ip_step(y, L, h, Ny):
+        a = lfft(L, y)
+        k1 = lfft(L, h * Ny)
+        k2 = h * N(a + 0.5 * k1)
+        k3 = h * N(a + 0.5 * k2)
+        k4 = h * N(lfft(L, a + k3))
+        return lfft(L, a + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
+            + (1.0 / 6.0) * k4
+
+    Lc = _lin_factor_v(coeffs, 0.5 * hb, rdt)
+    Lf = _lin_factor_v(coeffs, 0.25 * hb, rdt)
+    Ny = N(y)
+    yc = ip_step(y, Lc, hb, Ny)
+    yf = ip_step(y, Lf, 0.5 * hb, Ny)
+    yf = ip_step(yf, Lf, 0.5 * hb, N(yf))
+    return yc, yf
+
+
+_V_ADAPTIVE_ATTEMPTS = {
+    "strang": (_v_doubling_attempt, 2),
+    "rk4ip": (_v_doubling_attempt_rk4ip, 4),
+}
+
+
 @functools.lru_cache(maxsize=64)
 def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
-                            max_steps: int, reduce_mode: bool):
+                            max_steps: int, reduce_mode: bool,
+                            method: str = "strang"):
     """Adaptive vector SSFM over a save grid: (B, 2, T, 2) pack + (S+1,)
     grid.  reduce_mode=True returns ONE stacked ``(B, 2 + 4T + 3)`` buffer
     ``[peak_max | y_final flat | ok | n_accepted | n_rejected]``;
-    reduce_mode=False the trajectory tuple."""
+    reduce_mode=False the trajectory tuple.  ``method``: 'strang'
+    (integrator='rk45') or 'rk4ip' (integrator='rk4ip45')."""
     from .gnlse import _gnlse_advance_segment
 
     rdt = jnp.dtype(rdt_name)
+    attempt_fn, order = _V_ADAPTIVE_ATTEMPTS[method]
 
     def solve(y0_ri, coeffs: VGNLSECoeffs, z_grid, dt0, nl=None):
         from .gnlse import _cast_nl
@@ -479,7 +520,7 @@ def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
         n0 = jnp.zeros((B,), jnp.int32)
 
         def attempt(y, hb):
-            return _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt, nl)
+            return attempt_fn(y, coeffs, gamma, b, hb, rdt, nl)
 
         def peak(y):
             return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
@@ -490,7 +531,7 @@ def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             z = jnp.full((B,), z_a, dtype=rdt)
             y, _z, dt, ok, na_s, nr_s = _gnlse_advance_segment(
                 y, z, dt, ok, z_a, z_b, attempt, rdt,
-                rtol=rtol, atol=atol, max_steps=max_steps,
+                rtol=rtol, atol=atol, max_steps=max_steps, order=order,
             )
             pk = jnp.maximum(pk, peak(y))
             out = None if reduce_mode else complex_to_ri(y)
@@ -527,10 +568,12 @@ def _nl_replicated_spec():
 def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                                            atol: float, max_steps: int, mesh,
                                            coherent: float = 0.0,
-                                           has_nl: bool = False):
+                                           has_nl: bool = False,
+                                           method: str = "strang"):
     from jax.sharding import PartitionSpec
 
-    inner = _vgnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
+    inner = _vgnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True,
+                                    method)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     # a leading-axis spec shards axis 0 and replicates the rest, so it
@@ -668,7 +711,7 @@ def run_vgnlse_simulation(
         ) / scale
         return z, A_saved[:, 0]
 
-    if cfg.integrator.lower() == "rk45":
+    if cfg.integrator.lower() in ("rk45", "rk4ip45"):
         if n_chunks == 0:
             if cfg.check_nan and not np.all(np.isfinite(A0)):
                 raise FloatingPointError(
@@ -680,7 +723,7 @@ def run_vgnlse_simulation(
         )
         solver = _vgnlse_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False,
+            int(cfg.max_steps), False, _adaptive_method(cfg),
         )
         ys, yf, ok, _na, _nr = jax.block_until_ready(
             solver(ri_pack_host(A0[None], rdt), coeffs,
@@ -689,8 +732,8 @@ def run_vgnlse_simulation(
         )
         if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
             raise FloatingPointError(
-                "NaN/Inf or step-size underflow during adaptive (rk45) "
-                "vector-GNLSE integration"
+                "NaN/Inf or step-size underflow during adaptive "
+                f"({cfg.integrator}) vector-GNLSE integration"
             )
         return z0 + z_grid / scale, ri_unpack_host(np.asarray(ys))[:, 0]
 
@@ -834,7 +877,7 @@ def solve_vgnlse_batch(
 
     y0_ri = ri_pack_host(A0, rdt)
 
-    use_rk45 = cfg.integrator.lower() == "rk45"
+    use_rk45 = cfg.integrator.lower() in ("rk45", "rk4ip45")
     if use_rk45:
         n_chunks = n_steps // int(cfg.save_every)
         if n_chunks == 0:
@@ -859,7 +902,7 @@ def solve_vgnlse_batch(
         if use_rk45:
             solver = _vgnlse_adaptive_solver(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), True,
+                int(cfg.max_steps), True, _adaptive_method(cfg),
             )
             out = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), cof, z_grid, dt0, nl)
@@ -893,7 +936,7 @@ def solve_vgnlse_batch(
             solver = _vgnlse_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), mesh, float(coeffs.coherent),
-                nl is not None,
+                nl is not None, _adaptive_method(cfg),
             )
             out = fetch_global(jax.block_until_ready(
                 solver(y0_dev, cof_dev, z_grid, dt0, *nl_args)
@@ -993,7 +1036,7 @@ def solve_vgnlse_batch_trajectories(
         int(cfg.save_every) * dz_m
     ) / scale
     y0_ri = ri_pack_host(A0, rdt)
-    if cfg.integrator.lower() == "rk45":
+    if cfg.integrator.lower() in ("rk45", "rk4ip45"):
         if n_chunks == 0:
             ok0 = np.isfinite(A0).all(axis=(-2, -1))
             return z, A0[:, None].copy(), ok0
@@ -1002,7 +1045,7 @@ def solve_vgnlse_batch_trajectories(
             * (int(cfg.save_every) * dz_m), dtype=rdt)
         solver = _vgnlse_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False,
+            int(cfg.max_steps), False, _adaptive_method(cfg),
         )
         ys, _yf, ok, _na, _nr = jax.block_until_ready(
             solver(jnp.asarray(y0_ri), cof, z_grid,
