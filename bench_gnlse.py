@@ -339,6 +339,13 @@ def main() -> None:
             "rk4ip45_envelopes_per_s": round(B45 / el_ip, 1),
             "rk4ip45_speedup": round(el45 / el_ip, 2),
             "rk4ip45_ok_fraction": float(np.mean(ok_ip)),
+            "note": (
+                "regime-dependent: the 4th-order controller wins at TIGHT "
+                "tolerances (rtol 1e-9: 8.4x fewer accepted steps, "
+                "docs/PERF.md) -- at the loose x32 tolerance used on TPU "
+                "the 2nd-order Strang attempt's 2.4x-lower per-attempt "
+                "cost dominates"
+            ),
         }
     except Exception as e:  # noqa: BLE001
         print(f"# rk4ip45 adaptive A/B skipped: {e}", file=sys.stderr)

@@ -171,7 +171,17 @@ from .ops.integrators import (  # noqa: E402
     integrate_reduce,
     rk4_step,
 )
-from .models import fwm4, gnlse, nwave, sbs, vgnlse  # noqa: E402
+from .models import fwm4, gnlse, lle, nwave, sbs, vgnlse  # noqa: E402
+from .models.lle import (  # noqa: E402
+    LLECoeffs,
+    cw_steady_states,
+    detuning_scan,
+    make_lle_coeffs,
+    run_lle_ramp,
+    run_lle_simulation,
+    soliton_ansatz,
+    solve_lle_batch,
+)
 from .models.sbs import SBSCoeffs, SBSResult, run_sbs_batch, run_sbs_simulation  # noqa: E402
 from .models.gnlse import (  # noqa: E402
     GNLSECoeffs,

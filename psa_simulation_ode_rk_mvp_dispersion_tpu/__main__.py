@@ -69,6 +69,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--coupling", default="fft", choices=("fft", "dft", "einsum"),
                    help="cubic-sum evaluation (dft = dense MXU matmuls)")
 
+    s = sub.add_parser("kerr-cavity",
+                       help="LLE microresonator soliton comb (laser-scan "
+                            "protocol, normalized units)")
+    s.add_argument("--pump", type=float, default=2.0,
+                   help="normalized pump amplitude F")
+    s.add_argument("--det-start", type=float, default=-2.0)
+    s.add_argument("--det-end", type=float, default=4.5,
+                   help="final detuning (soliton existence needs Delta <= pi^2 F^2 / 8)")
+    s.add_argument("--lifetimes", type=float, default=150.0,
+                   help="ramp duration [photon lifetimes]")
+    s.add_argument("--samples", type=int, default=256,
+                   help="fast-time samples (comb lines)")
+    s.add_argument("--d2", type=float, default=-1.0,
+                   help="normalized GVD (negative = anomalous)")
+
     s = sub.add_parser("gnlse", help="GNLSE pulse propagation (split-step Fourier)")
     s.add_argument("--t0", type=float, default=1.0, help="pulse duration T0 [ps]")
     s.add_argument("--n-soliton", type=float, default=3.0,
@@ -232,7 +247,7 @@ def main(argv=None) -> int:
     if args.integrator is not None and args.cmd in (
             "sbs", "bench", "noise-figure", "comb", "gain-ripple",
             "squeezing", "soliton-squeezing", "jitter", "link", "mi-noise",
-            "fit-gain"):
+            "fit-gain", "kerr-cavity"):
         parser.error(
             f"--integrator is not honored by '{args.cmd}'"
             + (" (use --comb-integrator)" if args.cmd == "comb" else "")
@@ -274,6 +289,12 @@ def main(argv=None) -> int:
         ex.comb(n_lines=args.lines, z_max_m=args.z_max,
                 integrator=args.comb_integrator, coupling=args.coupling,
                 verbose=verbose, **common)
+    elif args.cmd == "kerr-cavity":
+        ex.kerr_cavity(
+            pump=args.pump, detuning_start=args.det_start,
+            detuning_end=args.det_end, lifetimes=args.lifetimes,
+            n_samples=args.samples, d2=args.d2, verbose=verbose, **common,
+        )
     elif args.cmd == "gnlse":
         ex.gnlse_pulse(
             t0_ps=args.t0, n_soliton=args.n_soliton, beta2_ps2_km=args.beta2,

@@ -18,6 +18,7 @@ re-exports here.
 
 from ._shared import _PM_DEFAULT, _dispersion_at_pump_center  # noqa: F401
 from .comb import comb  # noqa: F401
+from .lle import kerr_cavity  # noqa: F401
 from .fwm4 import (  # noqa: F401
     gain_map,
     gain_spectrum,

@@ -1,0 +1,695 @@
+"""Lugiato-Lefever equation (LLE): driven-damped Kerr-cavity combs.
+
+The mean-field model of a CW-pumped Kerr microresonator (or fiber ring
+cavity) -- the driven, damped, detuned cousin of the GNLSE that the comb
+(``models/nwave.py``) and pulse (``models/gnlse.py``) families already
+cover.  In the standard normalization (photon-lifetime slow time ``t``,
+fast time ``tau`` around the resonator; Coen & Erkintalo, Opt. Lett. 38,
+1790 (2013); Chembo & Menyuk, PRA 87, 053852 (2013)):
+
+    dpsi/dt = -(1 + i Delta) psi + i |psi|^2 psi + i phi_d(omega_hat) psi + F
+
+with ``Delta`` the pump-resonance detuning (in half-linewidths), ``F`` the
+(real, CW) normalized pump amplitude and ``phi_d(omega) = sum_{n>=2}
+d_n omega^n / n!`` the cavity dispersion operator in the SAME sign
+convention as the GNLSE family's ``lin_phase`` (``d2 < 0`` = anomalous,
+bright solitons).  Physical units map onto this by measuring slow time in
+photon lifetimes ``2/kappa``, field in ``sqrt(2 gamma L / kappa)`` units
+and fast time in the ``d2`` normalization -- the equation itself is the
+universal object, so the framework solves the normalized form and leaves
+unit bookkeeping to the caller (classmethod on :class:`LLECoeffs` docs the
+mapping).
+
+Capability lineage: the reference stops at single-pass waveguide FWM
+(/root/reference/simulation.py run_single_simulation; cascaded-comb
+roadmap gesture in tests.py) -- the LLE is the resonator-closed version of
+exactly that physics and reuses this framework's split-step machinery.
+
+TPU architecture notes (same rules as ``models/gnlse.py``):
+
+- The linear+drive step is EXACT and affine: in the frequency domain
+  ``dA^/dt = Lam(omega) A^ + F^`` with ``F`` constant in tau, so only the
+  DC bin is driven and the exact one-step update is
+  ``A <- ifft(e^{Lam h} fft(A)) + F (e^{Lam0 h} - 1)/Lam0`` with
+  ``Lam0 = Lam(0) = -(1 + i Delta)`` -- a constant (in tau) complex offset
+  added in the time domain.  No inhomogeneous-term splitting error beyond
+  the Strang commutator.
+- Kerr substep is the exact rotation ``exp(i |psi|^2 h)``.
+- ``integrator='rk4'`` is the Strang split (reference-parity slot name);
+  ``'rk4ip'`` runs interaction-picture RK4 with the drive folded into the
+  nonlinear operator ``N(a) = i |a|^2 a + F - (drive handled exactly by
+  the IP change of frame applying only to the linear part)``.
+- Detuning RAMPS (the experimental soliton-generation protocol: scan the
+  laser across the resonance) cost nothing extra: the per-step linear
+  factor is the fixed dispersion factor times the SCALAR phase
+  ``e^{-i Delta_j h}``, recomputed per step from an i32 scan index.
+- Batch axis = the detuning/pump scan (``solve_lle_batch`` /
+  ``detuning_scan``), sharded over a device mesh via ``shard_map`` with
+  per-shard local FFTs; jit boundaries are f32/i32-packed (axon transfer
+  rules, ``utils/packing.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SimulationConfig, validate_config
+from ..utils.packing import (
+    complex_to_ri,
+    ri_pack_host,
+    ri_to_complex,
+    ri_unpack_host,
+)
+from ..utils.precision import real_dtype, require_non_df32, validate_precision
+from .gnlse import TimeGrid, _finite_mask, _split_reduce_pack, _times_i
+
+
+# ---------------------------------------------------------------------------
+# Coefficients
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LLECoeffs:
+    """Normalized LLE coefficients (broadcastable over a leading B axis).
+
+    ``detuning`` and ``pump`` are the scan axes (scalar or (B,));
+    ``lin_phase`` is the DISPERSION-ONLY frequency-domain phase rate
+    ``phi_d(omega)`` on the fft-ordered grid ((T,) or (B, T)) -- the
+    detuning is kept separate so ramps stay a scalar per-step phase.
+    ``pump`` may be complex-valued via its (re, im) pair ``(pump_re,
+    pump_im)`` -- a real CW pump has ``pump_im = 0``.
+    """
+
+    detuning: jax.Array   # () or (B,)
+    pump_re: jax.Array    # () or (B,)
+    pump_im: jax.Array    # () or (B,)
+    lin_phase: jax.Array  # (T,) or (B, T)
+
+
+def make_lle_coeffs(
+    grid: TimeGrid,
+    *,
+    detuning,
+    pump,
+    d2: Optional[float] = None,
+    dispersion_coeffs=None,
+    precision: str = "x64",
+) -> LLECoeffs:
+    """Build :class:`LLECoeffs` on ``grid`` (fast-time window = one
+    resonator round trip in normalized units).
+
+    ``detuning`` (Delta) and ``pump`` (F, real or complex) broadcast over a
+    leading batch axis.  Dispersion: either a bare ``d2`` (second order
+    only; ``d2 < 0`` = anomalous) or explicit ``dispersion_coeffs``
+    ``[d2, d3, ...]`` starting at order 2, combined as
+    ``phi_d = sum d_n omega^n / n!`` like :func:`gnlse.make_gnlse_coeffs`.
+    """
+    import math
+
+    prec = validate_precision(precision)
+    rdt = real_dtype(require_non_df32(precision, family="LLE"))
+    om = grid.omega()
+    phase = np.zeros_like(om)
+    if d2 is not None and dispersion_coeffs is not None:
+        raise ValueError("pass d2 OR dispersion_coeffs, not both")
+    if d2 is not None:
+        dispersion_coeffs = [float(d2)]
+    if dispersion_coeffs is not None:
+        for n, dn in enumerate(np.asarray(dispersion_coeffs, dtype=float),
+                               start=2):
+            phase = phase + (dn / math.factorial(n)) * om ** n
+    if not np.all(np.isfinite(phase)):
+        raise ValueError("dispersion phase must be finite on the grid")
+    det = np.asarray(detuning, dtype=np.float64)
+    F = np.asarray(pump, dtype=np.complex128)
+    if det.ndim > 1 or F.ndim > 1:
+        raise ValueError("detuning/pump must be scalar or (B,)")
+    return LLECoeffs(
+        detuning=jnp.asarray(det, dtype=rdt),
+        pump_re=jnp.asarray(F.real, dtype=rdt),
+        pump_im=jnp.asarray(F.imag, dtype=rdt),
+        lin_phase=jnp.asarray(phase, dtype=rdt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic CW (homogeneous) solutions -- oracles and seeds
+# ---------------------------------------------------------------------------
+
+def cw_steady_states(detuning: float, pump: float) -> np.ndarray:
+    """Intracavity powers ``rho = |psi_s|^2`` of the homogeneous steady
+    states: real roots of ``rho^3 - 2 Delta rho^2 + (1 + Delta^2) rho =
+    F^2`` (1 or 3 of them; bistable for ``Delta > sqrt(3)``).  Host f64."""
+    d, f2 = float(detuning), float(pump) ** 2
+    r = np.roots([1.0, -2.0 * d, 1.0 + d * d, -f2])
+    r = r[np.abs(r.imag) < 1e-9 * np.maximum(1.0, np.abs(r.real))].real
+    return np.sort(r[r >= 0.0])
+
+
+def cw_state(detuning: float, pump: float, rho: float) -> complex:
+    """The complex CW field ``psi_s = F / (1 + i (Delta - rho))`` on the
+    branch with intracavity power ``rho`` (a root of
+    :func:`cw_steady_states`)."""
+    return complex(pump) / (1.0 + 1j * (float(detuning) - float(rho)))
+
+
+def soliton_ansatz(grid: TimeGrid, detuning: float, pump: float,
+                   d2: float, *, t0: float = 0.0) -> np.ndarray:
+    """Approximate bright dissipative-soliton seed for ``Delta >> 1``
+    (anomalous ``d2 < 0``): CW lower branch + ``sqrt(2 Delta)
+    sech(sqrt(2 Delta / |d2|) (tau - t0)) e^{i phi0}``,
+    ``cos phi0 = sqrt(8 Delta) / (pi F)`` (Herr et al., Nat. Photon. 8,
+    145 (2014)).  A seed, not an exact solution -- propagate to converge."""
+    if d2 >= 0:
+        raise ValueError("bright solitons need anomalous dispersion (d2 < 0)")
+    rho = cw_steady_states(detuning, pump)[0]
+    psi0 = cw_state(detuning, pump, rho)
+    arg = np.sqrt(8.0 * detuning) / (np.pi * pump)
+    if not (0.0 < arg <= 1.0):
+        raise ValueError(
+            f"no soliton at detuning={detuning}, pump={pump}: "
+            f"cos(phi0) = {arg:.3f} outside (0, 1]"
+        )
+    phi0 = np.arccos(arg)
+    tau = grid.t()
+    sech = 1.0 / np.cosh(np.sqrt(2.0 * detuning / abs(d2)) * (tau - t0))
+    return psi0 + np.sqrt(2.0 * detuning) * sech * np.exp(1j * phi0)
+
+
+def mi_gain_peak(detuning: float, rho: float) -> Tuple[float, float]:
+    """Modulation-instability peak of a CW state with power ``rho``:
+    returns ``(growth_rate, phi_d_at_peak)`` -- the MI growth rate
+    ``rho - 1`` (positive above the universal ``rho = 1`` threshold) at
+    the resonant sideband where ``phi_d(k) = 2 rho - Delta`` (reachable in
+    anomalous dispersion when ``2 rho > Delta``)."""
+    return float(rho) - 1.0, 2.0 * float(rho) - float(detuning)
+
+
+# ---------------------------------------------------------------------------
+# Steppers
+# ---------------------------------------------------------------------------
+
+def _lle_lin_factor(coeffs: LLECoeffs, h, rdt):
+    """Dispersion+loss one-step factor ``exp((-1 + i phi_d) h)`` (detuning
+    excluded -- applied as a scalar phase so ramps stay cheap)."""
+    ph = jnp.asarray(coeffs.lin_phase, dtype=rdt)
+    decay = jnp.exp(jnp.asarray(-h, dtype=rdt))
+    ang = ph * h
+    return lax.complex(decay * jnp.cos(ang), decay * jnp.sin(ang))
+
+
+def _det_phase(det, h, rdt):
+    """Scalar detuning factor ``exp(-i Delta h)`` (per-instance)."""
+    ang = -jnp.asarray(det, dtype=rdt) * h
+    return lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def _drive_offset(coeffs: LLECoeffs, det, h, rdt):
+    """Exact affine drive term ``F (e^{Lam0 h} - 1) / Lam0`` with
+    ``Lam0 = -(1 + i Delta)`` -- the DC-bin response of the linear step."""
+    one = jnp.asarray(1.0, rdt)
+    lam0 = lax.complex(-one, -jnp.asarray(det, dtype=rdt) * one)
+    F = lax.complex(jnp.asarray(coeffs.pump_re, dtype=rdt),
+                    jnp.asarray(coeffs.pump_im, dtype=rdt))
+    return F * (jnp.exp(lam0 * h) - 1.0) / lam0
+
+
+def _kerr_rot(y, h):
+    """Exact Kerr rotation ``exp(i |psi|^2 h)`` (unit gamma -- normalized)."""
+    P = y.real * y.real + y.imag * y.imag
+    ang = P * h
+    return y * lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def _bcast_tail(x, y):
+    """Broadcast a per-instance () / (B,) leaf against the (.., T) state."""
+    x = jnp.asarray(x)
+    return x[..., None] if x.ndim else x
+
+
+def _lle_chunk_strang(k: int):
+    """k fused Strang steps: exact affine half linear, exact Kerr, exact
+    affine half linear (fused across the chunk interior like the GNLSE
+    stepper: L(h/2) L(h/2) = L(h) between Kerr rotations would NOT hold for
+    the affine term, so the half steps are kept explicit -- the drive
+    offset is exact per half step either way)."""
+
+    def run(y, Lh, det_ph_h, dF_h, h):
+        # Lh: dispersion+loss factor for h/2; det_ph_h: detuning phase for
+        # h/2 (per-instance scalar); dF_h: exact drive offset for h/2.
+        if k == 0:
+            return y
+        dp = _bcast_tail(det_ph_h, y)
+        dF = _bcast_tail(dF_h, y)
+
+        def lin_half(a):
+            return jnp.fft.ifft(Lh * jnp.fft.fft(a, axis=-1), axis=-1) \
+                * dp + dF
+
+        def body(carry, _):
+            y = carry
+            y = lin_half(y)
+            y = _kerr_rot(y, h)
+            y = lin_half(y)
+            return y, None
+
+        y, _ = lax.scan(body, y, None, length=k)
+        return y
+
+    return run
+
+
+def _lle_chunk_rk4ip(k: int):
+    """k fused RK4IP steps: the IP frame absorbs dispersion+loss+detuning
+    (all linear); the nonlinear operator ``N(a) = i|a|^2 a + F`` carries
+    the drive (Hult 2007 structure, O(h^4))."""
+
+    def run(y, Lh, det_ph_h, dF_h, h, F):
+        if k == 0:
+            return y
+        dp = _bcast_tail(det_ph_h, y)
+        Fb = _bcast_tail(F, y)
+
+        def lin(a):   # exp((D - 1 - i Delta) h/2), NO drive (it lives in N)
+            return jnp.fft.ifft(Lh * jnp.fft.fft(a, axis=-1), axis=-1) * dp
+
+        def N(a):
+            P = a.real * a.real + a.imag * a.imag
+            return _times_i(P * a) + Fb
+
+        def body(carry, _):
+            y = carry
+            a_i = lin(y)
+            k1 = lin(h * N(y))
+            k2 = h * N(a_i + 0.5 * k1)
+            k3 = h * N(a_i + 0.5 * k2)
+            k4 = h * N(lin(a_i + k3))
+            y = lin(a_i + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
+                + (1.0 / 6.0) * k4
+            return y, None
+
+        y, _ = lax.scan(body, y, None, length=k)
+        return y
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Solvers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _lle_solver(n_steps: int, save_every: int, rdt_name: str, method: str,
+                reduce_mode: bool):
+    """Jitted batched LLE evolution: (B, T, 2) pack -> trajectory or ONE
+    stacked reduce buffer ``(B, 1 + 2T + 1)`` ``[peak | psi_last | ok]``
+    (same contracts as the GNLSE solvers; NaN lanes freeze at chunk
+    boundaries)."""
+    rdt = jnp.dtype(rdt_name)
+    n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
+
+    def solve(y0_ri, coeffs: LLECoeffs, dt):
+        y0 = ri_to_complex(y0_ri)           # (B, T)
+        h = jnp.asarray(dt, dtype=rdt)
+        det = jnp.asarray(coeffs.detuning, dtype=rdt)
+        Lh = _lle_lin_factor(coeffs, 0.5 * h, rdt)
+        dp_h = _det_phase(det, 0.5 * h, rdt)
+        dF_h = _drive_offset(coeffs, det, 0.5 * h, rdt)
+        F = lax.complex(jnp.asarray(coeffs.pump_re, dtype=rdt),
+                        jnp.asarray(coeffs.pump_im, dtype=rdt))
+        ok0 = _finite_mask(y0)
+        if method == "rk4ip":
+            stepper = _lle_chunk_rk4ip(save_every)
+            args = (Lh, dp_h, dF_h, h, F)
+            rem_args = args
+            rem_stepper = _lle_chunk_rk4ip(remainder)
+        else:
+            stepper = _lle_chunk_strang(save_every)
+            args = (Lh, dp_h, dF_h, h)
+            rem_args = args
+            rem_stepper = _lle_chunk_strang(remainder)
+
+        def peak(y):
+            return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
+
+        def chunk(carry, _):
+            y, pk, ok = carry
+            y_new = stepper(y, *args)
+            ok_new = ok & _finite_mask(y_new)
+            keep = ok_new[:, None]
+            y_out = jnp.where(keep, y_new, y)
+            pk = jnp.maximum(pk, peak(y_out))
+            out = None if reduce_mode else complex_to_ri(y_out).astype(rdt)
+            return (y_out, pk, ok_new), out
+
+        (y, pk, ok), ys = lax.scan(
+            chunk, (y0, peak(y0), ok0), None, length=n_chunks)
+        if remainder > 0:
+            y_new = rem_stepper(y, *rem_args)
+            ok = ok & _finite_mask(y_new)
+        y_ri = complex_to_ri(y).astype(rdt)
+        if reduce_mode:
+            return jnp.concatenate(
+                [pk.astype(rdt)[:, None], y_ri.reshape(y_ri.shape[0], -1),
+                 ok.astype(rdt)[:, None]], axis=1)
+        first = complex_to_ri(y0).astype(rdt)[None]
+        ys = first if n_chunks == 0 else jnp.concatenate([first, ys], axis=0)
+        return ys, ok.astype(jnp.int32)
+
+    return jax.jit(solve)
+
+
+@functools.lru_cache(maxsize=16)
+def _lle_ramp_solver(n_steps: int, save_every: int, rdt_name: str):
+    """Detuning-ramp evolution (Strang): ``Delta_j = start + j (end -
+    start)/n_steps`` recomputed per step from the i32 index -- the
+    dispersion factor is fixed, only the scalar detuning phase and the
+    drive offset change.  Returns the saved trajectory + the saved
+    detuning grid (host-reconstructable, but returned for convenience)
+    + ok."""
+    rdt = jnp.dtype(rdt_name)
+    n_chunks = n_steps // save_every
+
+    def solve(y0_ri, coeffs: LLECoeffs, dt, det_start, det_step):
+        y0 = ri_to_complex(y0_ri)
+        h = jnp.asarray(dt, dtype=rdt)
+        Lh = _lle_lin_factor(coeffs, 0.5 * h, rdt)
+        F = lax.complex(jnp.asarray(coeffs.pump_re, dtype=rdt),
+                        jnp.asarray(coeffs.pump_im, dtype=rdt))
+        ok0 = _finite_mask(y0)
+
+        def step(carry, j):
+            y, ok = carry
+            det = det_start + det_step * j.astype(rdt)
+            dp = _det_phase(det, 0.5 * h, rdt)
+            one = jnp.asarray(1.0, rdt)
+            lam0 = lax.complex(-one, -det * one)
+            dF = F * (jnp.exp(lam0 * (0.5 * h)) - 1.0) / lam0
+
+            def lin_half(a):
+                return jnp.fft.ifft(Lh * jnp.fft.fft(a, axis=-1),
+                                    axis=-1) * dp + dF
+
+            y_new = lin_half(_kerr_rot(lin_half(y), h))
+            ok_new = ok & _finite_mask(y_new)
+            y_out = jnp.where(ok_new[:, None], y_new, y)
+            return (y_out, ok_new), None
+
+        def chunk(carry, c):
+            j0 = c * jnp.int32(save_every)
+            carry, _ = lax.scan(
+                step, carry, j0 + jnp.arange(save_every, dtype=jnp.int32))
+            y, ok = carry
+            return carry, complex_to_ri(y).astype(rdt)
+
+        (y, ok), ys = lax.scan(
+            chunk, (y0, ok0), jnp.arange(n_chunks, dtype=jnp.int32))
+        first = complex_to_ri(y0).astype(rdt)[None]
+        ys = first if n_chunks == 0 else jnp.concatenate([first, ys], axis=0)
+        return ys, ok.astype(jnp.int32)
+
+    return jax.jit(solve)
+
+
+@functools.lru_cache(maxsize=16)
+def _lle_reduce_solver_sharded(n_steps: int, save_every: int, rdt_name: str,
+                               mesh, method: str, phase_rank: int):
+    """shard_map wrapper of the reduce-mode solver (batch axis over the
+    mesh; per-shard local FFTs)."""
+    from jax.sharding import PartitionSpec
+
+    inner = _lle_solver(n_steps, save_every, rdt_name, method, True)
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    b = PartitionSpec(ax)
+    spec = LLECoeffs(
+        detuning=b, pump_re=b, pump_im=b,
+        lin_phase=(PartitionSpec(ax, None) if phase_rank == 2
+                   else PartitionSpec()),
+    )
+    return jax.jit(
+        jax.shard_map(
+            lambda y0, c, dt: inner(y0, c, dt),
+            mesh=mesh,
+            in_specs=(PartitionSpec(ax, None, None), spec, PartitionSpec()),
+            out_specs=PartitionSpec(ax, None),
+            check_vma=False,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def _lle_method(cfg: SimulationConfig) -> str:
+    integ = cfg.integrator.lower()
+    if integ == "rk4":
+        return "strang"
+    if integ == "rk4ip":
+        return "rk4ip"
+    raise ValueError(
+        f"integrator={cfg.integrator!r} is not supported by the LLE solvers; "
+        "use 'rk4' (Strang split, exact affine drive) or 'rk4ip' "
+        "(interaction-picture RK4)"
+    )
+
+
+def _norm_batch(coeffs: LLECoeffs, B: int, T: int, rdt):
+    det = np.broadcast_to(np.asarray(coeffs.detuning, dtype=float), (B,))
+    fr = np.broadcast_to(np.asarray(coeffs.pump_re, dtype=float), (B,))
+    fi = np.broadcast_to(np.asarray(coeffs.pump_im, dtype=float), (B,))
+    ph = np.broadcast_to(np.asarray(coeffs.lin_phase, dtype=float), (B, T))
+    return det, fr, fi, ph
+
+
+def run_lle_simulation(
+    cfg: SimulationConfig,
+    coeffs: LLECoeffs,
+    psi0: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evolve one intracavity field over ``cfg.z_max`` photon lifetimes of
+    slow time (``cfg.dz`` = slow-time step, ``cfg.save_every`` decimation;
+    the config's z slot IS the LLE slow time -- normalized units).  Returns
+    host ``(t_saved, psi_saved (S+1, T))``.
+
+    Raises ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan``
+    (eager single-run parity with the other families)."""
+    validate_config(cfg)
+    method = _lle_method(cfg)
+    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE"))
+    psi0 = np.asarray(psi0, dtype=np.complex128)
+    if psi0.ndim != 1:
+        raise ValueError(f"psi0 must be a 1-D field (T,), got {psi0.shape}")
+    dt = float(cfg.dz)
+    n_steps = int(round(float(cfg.z_max) / dt))
+    n_chunks = n_steps // int(cfg.save_every)
+    solver = _lle_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name,
+                         method, False)
+    ys, ok = jax.block_until_ready(
+        solver(ri_pack_host(psi0[None], rdt), coeffs,
+               jnp.asarray(dt, dtype=rdt))
+    )
+    if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
+        raise FloatingPointError("NaN or Inf detected during LLE evolution")
+    t = np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dt)
+    return t, ri_unpack_host(np.asarray(ys))[:, 0, :]
+
+
+def solve_lle_batch(
+    cfg: SimulationConfig,
+    coeffs: LLECoeffs,
+    psi0: np.ndarray,
+    *,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Evolve B fields in one XLA program (reduce mode): returns host
+    ``(peak_max (B,), psi_last (B, T), ok (B,))`` -- the detuning/pump scan
+    engine.  Pass ``mesh`` to shard the batch axis (``shard_map``)."""
+    validate_config(cfg)
+    method = _lle_method(cfg)
+    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE"))
+    psi0 = np.asarray(psi0, dtype=np.complex128)
+    if psi0.ndim != 2:
+        raise ValueError(f"psi0 must have shape (B, T), got {psi0.shape}")
+    B, T = psi0.shape
+    dt = float(cfg.dz)
+    n_steps = int(round(float(cfg.z_max) / dt))
+
+    det, fr, fi, ph = _norm_batch(coeffs, B, T, rdt)
+    n_orig = B
+    if mesh is None:
+        cof = LLECoeffs(
+            detuning=jnp.asarray(det, dtype=rdt),
+            pump_re=jnp.asarray(fr, dtype=rdt),
+            pump_im=jnp.asarray(fi, dtype=rdt),
+            lin_phase=jnp.asarray(ph, dtype=rdt),
+        )
+        solver = _lle_solver(n_steps, int(cfg.save_every),
+                             np.dtype(rdt).name, method, True)
+        out = jax.block_until_ready(
+            solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
+                   jnp.asarray(dt, dtype=rdt))
+        )
+    else:
+        from ..parallel.mesh import (
+            batch_sharding, fetch_global, pad_batch, put_global,
+        )
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        psi0_p, n_orig = pad_batch(psi0, ndev)
+        det_p, _ = pad_batch(det, ndev)
+        fr_p, _ = pad_batch(fr, ndev)
+        fi_p, _ = pad_batch(fi, ndev)
+        ph_p, _ = pad_batch(ph, ndev)
+        sh = batch_sharding(mesh)
+        cof = LLECoeffs(
+            detuning=put_global(det_p.astype(rdt), sh),
+            pump_re=put_global(fr_p.astype(rdt), sh),
+            pump_im=put_global(fi_p.astype(rdt), sh),
+            lin_phase=put_global(ph_p.astype(rdt), sh),
+        )
+        solver = _lle_reduce_solver_sharded(
+            n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh, method, 2)
+        out = fetch_global(jax.block_until_ready(
+            solver(put_global(ri_pack_host(psi0_p, rdt), sh), cof,
+                   jnp.asarray(dt, dtype=rdt))
+        ))
+    pk, y_ri, ok = _split_reduce_pack(out, T, counters=False)
+    return (np.asarray(pk[:, 0], dtype=np.float64)[:n_orig],
+            ri_unpack_host(np.asarray(y_ri))[:n_orig],
+            np.asarray(ok)[:n_orig].astype(bool))
+
+
+def solve_lle_batch_trajectories(
+    cfg: SimulationConfig,
+    coeffs: LLECoeffs,
+    psi0: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched evolution returning decimated trajectories
+    ``(t (S+1,), psi (B, S+1, T), ok (B,))``."""
+    validate_config(cfg)
+    method = _lle_method(cfg)
+    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE"))
+    psi0 = np.asarray(psi0, dtype=np.complex128)
+    if psi0.ndim != 2:
+        raise ValueError(f"psi0 must have shape (B, T), got {psi0.shape}")
+    B, T = psi0.shape
+    dt = float(cfg.dz)
+    n_steps = int(round(float(cfg.z_max) / dt))
+    n_chunks = n_steps // int(cfg.save_every)
+    det, fr, fi, ph = _norm_batch(coeffs, B, T, rdt)
+    cof = LLECoeffs(
+        detuning=jnp.asarray(det, dtype=rdt),
+        pump_re=jnp.asarray(fr, dtype=rdt),
+        pump_im=jnp.asarray(fi, dtype=rdt),
+        lin_phase=jnp.asarray(ph, dtype=rdt),
+    )
+    solver = _lle_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name,
+                         method, False)
+    ys, ok = jax.block_until_ready(
+        solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
+               jnp.asarray(dt, dtype=rdt))
+    )
+    t = np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dt)
+    A = ri_unpack_host(np.asarray(ys)).transpose(1, 0, 2)
+    return t, A, np.asarray(ok).astype(bool)
+
+
+def run_lle_ramp(
+    cfg: SimulationConfig,
+    coeffs: LLECoeffs,
+    psi0: np.ndarray,
+    *,
+    detuning_start: float,
+    detuning_end: float,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Laser-scan protocol: evolve with the detuning ramped linearly from
+    ``detuning_start`` to ``detuning_end`` over ``cfg.z_max`` lifetimes
+    (``coeffs.detuning`` is ignored).  Returns ``(t_saved, detuning_saved,
+    psi_saved (S+1, T))`` -- the soliton-step trace is
+    ``mean |psi_saved|^2`` vs ``detuning_saved``.
+
+    Strang only (the ramp stepper recomputes the scalar detuning phase per
+    step; the dispersion factor stays fixed)."""
+    validate_config(cfg)
+    if cfg.integrator.lower() != "rk4":
+        raise ValueError("the LLE ramp protocol is integrator='rk4' only")
+    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE"))
+    psi0 = np.asarray(psi0, dtype=np.complex128)
+    if psi0.ndim != 1:
+        raise ValueError(f"psi0 must be a 1-D field (T,), got {psi0.shape}")
+    dt = float(cfg.dz)
+    n_steps = int(round(float(cfg.z_max) / dt))
+    n_chunks = n_steps // int(cfg.save_every)
+    det_step = (float(detuning_end) - float(detuning_start)) / max(n_steps, 1)
+    solver = _lle_ramp_solver(n_steps, int(cfg.save_every),
+                              np.dtype(rdt).name)
+    ys, ok = jax.block_until_ready(
+        solver(ri_pack_host(psi0[None], rdt), coeffs,
+               jnp.asarray(dt, dtype=rdt),
+               jnp.asarray(float(detuning_start), dtype=rdt),
+               jnp.asarray(det_step, dtype=rdt))
+    )
+    if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
+        raise FloatingPointError("NaN or Inf detected during LLE ramp")
+    steps = np.arange(n_chunks + 1, dtype=np.float64) * int(cfg.save_every)
+    t = steps * dt
+    det = float(detuning_start) + det_step * steps
+    return t, det, ri_unpack_host(np.asarray(ys))[:, 0, :]
+
+
+def detuning_scan(
+    cfg: SimulationConfig,
+    grid: TimeGrid,
+    *,
+    detunings,
+    pump: float,
+    d2: float,
+    psi0: Optional[np.ndarray] = None,
+    seed: Optional[int] = 0,
+    noise_amplitude: float = 1e-3,
+    mesh=None,
+    precision: Optional[str] = None,
+):
+    """Batched steady-state scan over a detuning grid at fixed pump: each
+    lane evolves independently for ``cfg.z_max`` lifetimes from ``psi0``
+    (default: the CW lower branch + small complex noise to let MI/solitons
+    develop).  Returns ``(detunings, mean_power (B,), peak_power (B,),
+    psi_last (B, T), ok (B,))``."""
+    det = np.asarray(list(detunings), dtype=float)
+    if det.ndim != 1 or det.size == 0:
+        raise ValueError("detunings must be a non-empty 1-D grid")
+    prec = precision if precision is not None else cfg.precision
+    coeffs = make_lle_coeffs(grid, detuning=det, pump=pump, d2=d2,
+                             precision=prec)
+    if psi0 is None:
+        rho = np.array([cw_steady_states(d, pump)[0] for d in det])
+        base = np.array([cw_state(d, pump, r) for d, r in zip(det, rho)])
+        rng = np.random.default_rng(seed)
+        T = int(grid.n_samples)
+        noise = noise_amplitude * (rng.standard_normal((det.size, T))
+                                   + 1j * rng.standard_normal((det.size, T)))
+        psi0 = base[:, None] + noise
+    pk, psi_last, ok = solve_lle_batch(cfg, coeffs, psi0, mesh=mesh)
+    mean_p = np.mean(np.abs(psi_last) ** 2, axis=-1)
+    return det, mean_p, pk, psi_last, ok
+
+
+def comb_spectrum(psi: np.ndarray) -> np.ndarray:
+    """Comb line powers ``|fft(psi)|^2 / T^2`` (line 0 = pump; fft order --
+    pair with ``TimeGrid.omega()`` for the frequency axis)."""
+    psi = np.asarray(psi)
+    T = psi.shape[-1]
+    return np.abs(np.fft.fft(psi, axis=-1) / T) ** 2

@@ -754,3 +754,18 @@ def plot_moment_statistics(ms, ms_loss=None, *, beta2_s2_m=None,
     ax1.legend(fontsize=9)
     ax2.legend(fontsize=9)
     _finish(plt, fig, title=title, save_path=save_path, show=show)
+
+
+def plot_lle_scan(detuning, mean_power, *,
+                  title="LLE laser scan: MI peak and soliton step",
+                  show=True, save_path=None):
+    """Intracavity mean power vs detuning from the LLE ramp protocol
+    (``models/lle.run_lle_ramp``): the MI/chaotic peak inside the
+    resonance followed by the characteristic soliton step."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(np.asarray(detuning), np.asarray(mean_power))
+    ax.set_xlabel("detuning $\\Delta$ [half-linewidths]")
+    ax.set_ylabel("intracavity power $\\langle|\\psi|^2\\rangle$")
+    ax.grid(True, alpha=0.3)
+    _finish(plt, fig, title=title, save_path=save_path, show=show)
