@@ -212,3 +212,40 @@ def test_pulse_squeezing_on_chip():
         n_samples=2048, seed=1, loss_model="langevin", n_loss_segments=10)
     v = 0.5 * (rl.stats.v_min + rl.stats.v_max)
     assert abs(v - 0.25) < 4 * 0.25 * np.sqrt(2.0 / 2048)
+
+
+def test_lle_soliton_and_rk4ip_on_chip():
+    """LLE on the real chip: soliton persistence at x32 (peak ~ 2 Delta,
+    power balance), the detuning-batch reduce path, and Strang-vs-rk4ip
+    cross-engine agreement."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import lle
+
+    grid = lle.TimeGrid(n_samples=256, t_window_s=20.0)
+    det, F = 4.0, 2.0
+    seed = lle.soliton_ansatz(grid, det, F, -1.0)
+    co = lle.make_lle_coeffs(grid, detuning=det, pump=F, d2=-1.0,
+                             precision="x32")
+    cfg = psa.custom_simulation_config(z_max=20.0, dz=0.01, save_every=2000,
+                                       precision="x32")
+    t, psi = lle.run_lle_simulation(cfg, co, seed)
+    pk = float(np.max(np.abs(psi[-1]) ** 2))
+    bg = lle.cw_steady_states(det, F)[0]
+    assert abs(pk - 2 * det) / (2 * det) < 0.15 and pk > 10 * bg
+    m = np.mean(np.abs(psi[-1]) ** 2)
+    drv = np.real(F * np.mean(np.conj(psi[-1])))
+    assert m == pytest.approx(drv, rel=1e-3)
+    # batched detuning scan (reduce mode) agrees with the trajectory run
+    det_b = np.array([det, det])
+    co_b = lle.make_lle_coeffs(grid, detuning=det_b, pump=F, d2=-1.0,
+                               precision="x32")
+    pk_b, Al, ok = lle.solve_lle_batch(cfg, co_b, np.stack([seed, seed]))
+    assert ok.all()
+    np.testing.assert_allclose(np.abs(Al[0]), np.abs(psi[-1]), rtol=2e-4,
+                               atol=1e-6)
+    # rk4ip engine lands on the same attractor
+    cfg_ip = psa.custom_simulation_config(z_max=20.0, dz=0.01,
+                                          save_every=2000, precision="x32",
+                                          integrator="rk4ip")
+    _, psi_ip = lle.run_lle_simulation(cfg_ip, co, seed)
+    assert float(np.max(np.abs(psi_ip[-1]) ** 2)) == pytest.approx(pk,
+                                                                   rel=1e-2)
