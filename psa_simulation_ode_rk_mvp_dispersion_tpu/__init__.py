@@ -174,9 +174,11 @@ from .ops.integrators import (  # noqa: E402
 from .models import fwm4, gnlse, lle, nwave, sbs, vgnlse  # noqa: E402
 from .models.lle import (  # noqa: E402
     LLECoeffs,
+    LLENormalization,
     cw_steady_states,
     detuning_scan,
     make_lle_coeffs,
+    normalize_ring_cavity,
     run_lle_ramp,
     run_lle_simulation,
     soliton_ansatz,

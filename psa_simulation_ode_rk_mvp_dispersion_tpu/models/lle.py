@@ -14,11 +14,11 @@ with ``Delta`` the pump-resonance detuning (in half-linewidths), ``F`` the
 d_n omega^n / n!`` the cavity dispersion operator in the SAME sign
 convention as the GNLSE family's ``lin_phase`` (``d2 < 0`` = anomalous,
 bright solitons).  Physical units map onto this by measuring slow time in
-photon lifetimes ``2/kappa``, field in ``sqrt(2 gamma L / kappa)`` units
-and fast time in the ``d2`` normalization -- the equation itself is the
-universal object, so the framework solves the normalized form and leaves
-unit bookkeeping to the caller (classmethod on :class:`LLECoeffs` docs the
-mapping).
+photon lifetimes, field in nonlinear units and fast time in the ``d2``
+normalization -- the equation itself is the universal object, so the
+framework solves the normalized form; :func:`normalize_ring_cavity` maps
+physical fiber-ring / microresonator parameters onto it (and back, via
+the unit scales it returns).
 
 Capability lineage: the reference stops at single-pass waveguide FWM
 (/root/reference/simulation.py run_single_simulation; cascaded-comb
@@ -115,7 +115,6 @@ def make_lle_coeffs(
     import math
 
     prec = validate_precision(precision)
-    rdt = real_dtype(require_non_df32(precision, family="LLE"))
     om = grid.omega()
     phase = np.zeros_like(om)
     if d2 is not None and dispersion_coeffs is not None:
@@ -132,6 +131,15 @@ def make_lle_coeffs(
     F = np.asarray(pump, dtype=np.complex128)
     if det.ndim > 1 or F.ndim > 1:
         raise ValueError("detuning/pump must be scalar or (B,)")
+    if prec == "df32":
+        # matched-tolerance tier: keep HOST f64 leaves -- the two-float
+        # engine (ops/df32_lle.py) splits them exactly on the host (and
+        # f64 jnp arrays cannot be created in a TPU-default process)
+        return LLECoeffs(
+            detuning=det, pump_re=F.real.copy(), pump_im=F.imag.copy(),
+            lin_phase=phase,
+        )
+    rdt = real_dtype(prec)
     return LLECoeffs(
         detuning=jnp.asarray(det, dtype=rdt),
         pump_re=jnp.asarray(F.real, dtype=rdt),
@@ -143,6 +151,78 @@ def make_lle_coeffs(
 # ---------------------------------------------------------------------------
 # Analytic CW (homogeneous) solutions -- oracles and seeds
 # ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LLENormalization:
+    """Normalized LLE parameters + the unit scales that map the solution
+    back to a physical fiber-ring / microresonator cavity (host f64).
+
+    The physical mean-field ring equation (Leo et al., Nat. Photon. 4,
+    471 (2010); Coen & Erkintalo, Opt. Lett. 38, 1790 (2013))
+
+        t_R dE/dt = [-alpha - i delta0 - i (beta2 L / 2) d^2/dtau_p^2
+                     + i gamma L |E|^2] E + sqrt(theta) E_in
+
+    maps onto the framework's normalized form via ``t' = alpha t / t_R``
+    (slow time in photon lifetimes ``t_R/alpha``), ``tau = tau_p /
+    tau_scale_s`` with ``tau_scale_s = sqrt(|beta2| L / alpha)``,
+    ``psi = E / field_scale_sqrtW`` with ``field_scale_sqrtW =
+    sqrt(alpha / (gamma L))``, ``Delta = delta0/alpha``,
+    ``F = sqrt(gamma L theta P_in / alpha^3)`` and ``d2 = sign(beta2)``.
+    """
+
+    detuning: float           # Delta = delta0 / alpha
+    pump: float               # F = sqrt(gamma L theta P_in / alpha^3)
+    d2: float                 # sign(beta2): -1 anomalous, +1 normal
+    photon_lifetime_s: float  # t_R / alpha (one unit of slow time)
+    tau_scale_s: float        # sqrt(|beta2| L / alpha) (one unit of tau)
+    field_scale_sqrtW: float  # sqrt(alpha / (gamma L)): E = psi * this
+
+
+def normalize_ring_cavity(
+    *,
+    round_trip_length_m: float,
+    t_roundtrip_s: float,
+    gamma_W_m: float,
+    beta2_s2_m: float,
+    alpha_half_loss: float,
+    coupling_theta: float,
+    detuning_phase_rad: float,
+    pump_power_W: float,
+) -> LLENormalization:
+    """Physical ring-cavity parameters -> :class:`LLENormalization`.
+
+    ``alpha_half_loss`` is half the total round-trip power loss including
+    the coupler (``alpha = (alpha_i L + theta) / 2``), ``coupling_theta``
+    the input coupler power transmission, ``detuning_phase_rad`` the
+    round-trip phase detuning ``delta0`` (positive = red-detuned in the
+    soliton convention).  Consistency oracle: mapping the normalized cubic
+    roots back to physical powers reproduces the physical bistability
+    relation ``(alpha^2 + (delta0 - gamma L P)^2) P = theta P_in`` exactly
+    (tests/test_lle.py)."""
+    L = float(round_trip_length_m)
+    a = float(alpha_half_loss)
+    g = float(gamma_W_m)
+    b2 = float(beta2_s2_m)
+    th = float(coupling_theta)
+    for name, v in (("round_trip_length_m", L), ("t_roundtrip_s",
+                    float(t_roundtrip_s)), ("gamma_W_m", g),
+                    ("alpha_half_loss", a), ("coupling_theta", th)):
+        if not (v > 0.0 and np.isfinite(v)):
+            raise ValueError(f"{name} must be positive and finite")
+    if b2 == 0.0:
+        raise ValueError("beta2_s2_m must be nonzero (sets the tau scale)")
+    if float(pump_power_W) < 0.0:
+        raise ValueError("pump_power_W must be >= 0")
+    return LLENormalization(
+        detuning=float(detuning_phase_rad) / a,
+        pump=float(np.sqrt(g * L * th * float(pump_power_W) / a ** 3)),
+        d2=float(np.sign(b2)),
+        photon_lifetime_s=float(t_roundtrip_s) / a,
+        tau_scale_s=float(np.sqrt(abs(b2) * L / a)),
+        field_scale_sqrtW=float(np.sqrt(a / (g * L))),
+    )
+
 
 def cw_steady_states(detuning: float, pump: float) -> np.ndarray:
     """Intracavity powers ``rho = |psi_s|^2`` of the homogeneous steady
@@ -464,6 +544,38 @@ def _lle_method(cfg: SimulationConfig) -> str:
     )
 
 
+def _lle_df32_args(cfg, coeffs: LLECoeffs, method: str):
+    """Validate + unpack the matched-tolerance tier: Strang only, host f64
+    coefficient leaves required (``make_lle_coeffs(precision='df32')``)."""
+    from ..utils.precision import require_f64_leaves
+
+    if method != "strang":
+        raise ValueError(
+            "precision='df32' LLE solves are fixed-step Strang "
+            "(integrator='rk4') only (use x32/x64 for rk4ip)"
+        )
+    require_f64_leaves(
+        "LLE df32", detuning=coeffs.detuning, pump_re=coeffs.pump_re,
+        pump_im=coeffs.pump_im, lin_phase=coeffs.lin_phase)
+    det = np.asarray(coeffs.detuning, dtype=np.float64)
+    F = (np.asarray(coeffs.pump_re, dtype=np.float64)
+         + 1j * np.asarray(coeffs.pump_im, dtype=np.float64))
+    ph = np.asarray(coeffs.lin_phase, dtype=np.float64)
+    return det, F, ph
+
+
+def _lle_df32_traj(cfg, coeffs: LLECoeffs, psi0: np.ndarray, method: str):
+    from ..ops.df32_lle import run_lle_traj_df32
+
+    det, F, ph = _lle_df32_args(cfg, coeffs, method)
+    dt = float(cfg.dz)
+    return run_lle_traj_df32(
+        psi0, det, F, ph, dt=dt,
+        n_steps=int(round(float(cfg.z_max) / dt)),
+        save_every=int(cfg.save_every),
+    )
+
+
 def _norm_batch(coeffs: LLECoeffs, B: int, T: int, rdt):
     det = np.broadcast_to(np.asarray(coeffs.detuning, dtype=float), (B,))
     fr = np.broadcast_to(np.asarray(coeffs.pump_re, dtype=float), (B,))
@@ -486,13 +598,21 @@ def run_lle_simulation(
     (eager single-run parity with the other families)."""
     validate_config(cfg)
     method = _lle_method(cfg)
-    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE"))
     psi0 = np.asarray(psi0, dtype=np.complex128)
     if psi0.ndim != 1:
         raise ValueError(f"psi0 must be a 1-D field (T,), got {psi0.shape}")
     dt = float(cfg.dz)
     n_steps = int(round(float(cfg.z_max) / dt))
     n_chunks = n_steps // int(cfg.save_every)
+    t = np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dt)
+    if validate_precision(cfg.precision) == "df32":
+        psi_saved, ok = _lle_df32_traj(cfg, coeffs, psi0[None], method)
+        if cfg.check_nan and not bool(ok[0]):
+            raise FloatingPointError(
+                "NaN or Inf detected during LLE evolution")
+        return t, psi_saved[:, 0, :]
+    rdt = real_dtype(cfg.precision)
     solver = _lle_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name,
                          method, False)
     ys, ok = jax.block_until_ready(
@@ -501,8 +621,6 @@ def run_lle_simulation(
     )
     if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
         raise FloatingPointError("NaN or Inf detected during LLE evolution")
-    t = np.arange(n_chunks + 1, dtype=np.float64) * (
-        int(cfg.save_every) * dt)
     return t, ri_unpack_host(np.asarray(ys))[:, 0, :]
 
 
@@ -515,16 +633,28 @@ def solve_lle_batch(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Evolve B fields in one XLA program (reduce mode): returns host
     ``(peak_max (B,), psi_last (B, T), ok (B,))`` -- the detuning/pump scan
-    engine.  Pass ``mesh`` to shard the batch axis (``shard_map``)."""
+    engine.  Pass ``mesh`` to shard the batch axis (``shard_map``).
+
+    ``cfg.precision='df32'`` dispatches the matched-tolerance two-float
+    engine (``ops/df32_lle.py``, <=1e-9 vs the x64 solver on f64-less
+    TPUs; build coeffs with ``make_lle_coeffs(precision='df32')``)."""
     validate_config(cfg)
     method = _lle_method(cfg)
-    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE"))
     psi0 = np.asarray(psi0, dtype=np.complex128)
     if psi0.ndim != 2:
         raise ValueError(f"psi0 must have shape (B, T), got {psi0.shape}")
     B, T = psi0.shape
     dt = float(cfg.dz)
     n_steps = int(round(float(cfg.z_max) / dt))
+    if validate_precision(cfg.precision) == "df32":
+        from ..ops.df32_lle import solve_lle_batch_df32
+
+        det, F, ph = _lle_df32_args(cfg, coeffs, method)
+        return solve_lle_batch_df32(
+            psi0, det, F, ph, dt=dt, n_steps=n_steps,
+            save_every=int(cfg.save_every), mesh=mesh,
+        )
+    rdt = real_dtype(cfg.precision)
 
     det, fr, fi, ph = _norm_batch(coeffs, B, T, rdt)
     n_orig = B
@@ -580,7 +710,6 @@ def solve_lle_batch_trajectories(
     ``(t (S+1,), psi (B, S+1, T), ok (B,))``."""
     validate_config(cfg)
     method = _lle_method(cfg)
-    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE"))
     psi0 = np.asarray(psi0, dtype=np.complex128)
     if psi0.ndim != 2:
         raise ValueError(f"psi0 must have shape (B, T), got {psi0.shape}")
@@ -588,6 +717,12 @@ def solve_lle_batch_trajectories(
     dt = float(cfg.dz)
     n_steps = int(round(float(cfg.z_max) / dt))
     n_chunks = n_steps // int(cfg.save_every)
+    if validate_precision(cfg.precision) == "df32":
+        psi_saved, ok = _lle_df32_traj(cfg, coeffs, psi0, method)
+        t = np.arange(n_chunks + 1, dtype=np.float64) * (
+            int(cfg.save_every) * dt)
+        return t, np.swapaxes(psi_saved, 0, 1), ok
+    rdt = real_dtype(cfg.precision)
     det, fr, fi, ph = _norm_batch(coeffs, B, T, rdt)
     cof = LLECoeffs(
         detuning=jnp.asarray(det, dtype=rdt),
@@ -626,7 +761,7 @@ def run_lle_ramp(
     validate_config(cfg)
     if cfg.integrator.lower() != "rk4":
         raise ValueError("the LLE ramp protocol is integrator='rk4' only")
-    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE"))
+    rdt = real_dtype(require_non_df32(cfg.precision, family="LLE ramp"))
     psi0 = np.asarray(psi0, dtype=np.complex128)
     if psi0.ndim != 1:
         raise ValueError(f"psi0 must be a 1-D field (T,), got {psi0.shape}")

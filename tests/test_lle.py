@@ -269,9 +269,23 @@ def test_rejects_unsupported_integrators_and_precision():
     cfg = _cfg(1.0, 0.01, 25, integrator="rk4ip")
     with pytest.raises(ValueError, match="rk4"):
         lle.run_lle_ramp(cfg, co, psi0, detuning_start=0.0, detuning_end=1.0)
+    # the df32 tier is Strang-only, ramp-free, and requires host-f64 coeffs
+    co_df = lle.make_lle_coeffs(GRID, detuning=1.0, pump=1.0, d2=-1.0,
+                                precision="df32")
+    assert isinstance(co_df.lin_phase, np.ndarray)   # host leaves kept
+    cfg_df = _cfg(1.0, 0.01, 25, integrator="rk4ip", precision="df32")
     with pytest.raises(ValueError, match="df32"):
-        lle.make_lle_coeffs(GRID, detuning=1.0, pump=1.0, d2=-1.0,
-                            precision="df32")
+        lle.run_lle_simulation(cfg_df, co_df, psi0)
+    cfg_df_ramp = _cfg(1.0, 0.01, 25, precision="df32")
+    with pytest.raises(ValueError, match="df32"):
+        lle.run_lle_ramp(cfg_df_ramp, co_df, psi0,
+                         detuning_start=0.0, detuning_end=1.0)
+    with pytest.raises(ValueError, match="f64|df32|x64"):
+        # f32-built coeffs into the df32 tier: refused, not silently x32
+        co32 = lle.make_lle_coeffs(GRID, detuning=1.0, pump=1.0, d2=-1.0,
+                                   precision="x32")
+        lle.run_lle_simulation(_cfg(1.0, 0.01, 25, precision="df32"),
+                               co32, psi0)
 
 
 def test_soliton_ansatz_validation():
@@ -279,3 +293,38 @@ def test_soliton_ansatz_validation():
         lle.soliton_ansatz(GRID, 4.0, 2.0, 1.0)
     with pytest.raises(ValueError, match="no soliton"):
         lle.soliton_ansatz(GRID, 4.0, 0.5, -1.0)    # pump below existence
+
+
+def test_physical_normalization_consistency():
+    """normalize_ring_cavity: the normalized cubic roots, mapped back to
+    physical intracavity powers, satisfy the PHYSICAL bistability relation
+    (alpha^2 + (delta0 - gamma L P)^2) P = theta P_in exactly -- the
+    algebra of the unit mapping, checked end to end."""
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        L = float(rng.uniform(10.0, 200.0))           # m
+        g = float(rng.uniform(1e-3, 20e-3))           # 1/(W m)
+        b2 = float(rng.uniform(-30e-27, -1e-27))      # s^2/m, anomalous
+        a = float(rng.uniform(0.05, 0.3))             # half round-trip loss
+        th = float(rng.uniform(0.02, 2 * a))          # coupler
+        d0 = float(rng.uniform(-0.2, 0.8))            # rad
+        P_in = float(rng.uniform(0.01, 5.0))          # W
+        nm = lle.normalize_ring_cavity(
+            round_trip_length_m=L, t_roundtrip_s=L / 2e8, gamma_W_m=g,
+            beta2_s2_m=b2, alpha_half_loss=a, coupling_theta=th,
+            detuning_phase_rad=d0, pump_power_W=P_in)
+        assert nm.d2 == -1.0
+        roots = lle.cw_steady_states(nm.detuning, nm.pump)
+        assert roots.size in (1, 3)
+        for rho in roots:
+            P = rho * nm.field_scale_sqrtW ** 2       # physical |E|^2 [W]
+            lhs = (a ** 2 + (d0 - g * L * P) ** 2) * P
+            np.testing.assert_allclose(lhs, th * P_in, rtol=1e-10)
+    # photon lifetime and tau scale carry the right dimensions
+    assert nm.photon_lifetime_s == (L / 2e8) / a
+    np.testing.assert_allclose(nm.tau_scale_s, np.sqrt(abs(b2) * L / a))
+    with pytest.raises(ValueError, match="beta2"):
+        lle.normalize_ring_cavity(
+            round_trip_length_m=L, t_roundtrip_s=L / 2e8, gamma_W_m=g,
+            beta2_s2_m=0.0, alpha_half_loss=a, coupling_theta=th,
+            detuning_phase_rad=d0, pump_power_W=P_in)

@@ -139,7 +139,9 @@ def test_rk45_trajectories_reject_df32():
     )
     coeffs = RHSCoeffs(gamma=np.ones(2), alpha=np.zeros(2), delta_beta=np.zeros(2))
     A0 = np.ones((2, 4), dtype=np.complex128)
-    with pytest.raises(ValueError, match="rk45"):
+    # trajectory mode has no two-float engine at ANY integrator, so the
+    # generic df32 refusal fires (before the rk45-specific check)
+    with pytest.raises(ValueError, match="df32"):
         sw.solve_batch_trajectories(cfg, coeffs, A0)
 
 
