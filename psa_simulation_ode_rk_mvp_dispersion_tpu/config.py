@@ -50,8 +50,9 @@ ADAPTIVE_INTEGRATORS = ("rk45", "rk4ip45")  # use cfg.rtol/atol/max_steps
 
 def reject_multistep(cfg: "SimulationConfig", where: str) -> None:
     """Families without an Adams path must refuse loudly, not silently run
-    rk4 (the round-1 silent-integrator bug class).  Also refuses 'rk4ip'
-    when the caller is not a split-step family (the SSFM-only method)."""
+    rk4 (the round-1 silent-integrator bug class).  This guard covers ONLY
+    ab4/abm4 — a non-split-step family must ALSO call
+    :func:`reject_non_ode` to refuse rk4ip/rk4ip45."""
     integ = cfg.integrator.lower()
     if integ in MULTISTEP_INTEGRATORS:
         raise ValueError(

@@ -58,6 +58,7 @@ from jax import lax
 
 from ..config import SimulationConfig, validate_config, reject_multistep
 from ..ops.dispersion import DispersionParams
+from ..ops.integrators import rk4ip_step
 from ..utils.packing import (
     complex_to_ri,
     ri_pack_host,
@@ -606,15 +607,7 @@ def _chunk_stepper_rk4ip(k: int):
             return _kerr_rhs(a, gamma) if nl is None else _nl_rhs(a, gamma, nl)
 
         def body(carry, _):
-            y = carry
-            a_i = lin(y)
-            k1 = lin(h * N(y))
-            k2 = h * N(a_i + 0.5 * k1)
-            k3 = h * N(a_i + 0.5 * k2)
-            k4 = h * N(lin(a_i + k3))
-            y = lin(a_i + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
-                + (1.0 / 6.0) * k4
-            return y, None
+            return rk4ip_step(lin, N, carry, h), None
 
         y, _ = lax.scan(body, y, None, length=k)
         return y
@@ -685,13 +678,7 @@ def _doubling_attempt_rk4ip(y, coeffs, gamma, hb, nl, rdt):
         return _kerr_rhs(a, gamma) if nl is None else _nl_rhs(a, gamma, nl)
 
     def ip_step(y, L, h, Ny):
-        a = lfft(L, y)
-        k1 = lfft(L, h * Ny)
-        k2 = h * N(a + 0.5 * k1)
-        k3 = h * N(a + 0.5 * k2)
-        k4 = h * N(lfft(L, a + k3))
-        return lfft(L, a + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
-            + (1.0 / 6.0) * k4
+        return rk4ip_step(lambda a: lfft(L, a), N, y, h, Ny)
 
     Lc = _lin_factor(coeffs, 0.5 * hb, rdt)    # exp(L h/2)
     Lf = _lin_factor(coeffs, 0.25 * hb, rdt)   # exp(L h/4)

@@ -61,6 +61,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import SimulationConfig, validate_config
+from ..ops.integrators import rk4ip_step
 from ..utils.packing import (
     complex_to_ri,
     ri_pack_host,
@@ -316,32 +317,43 @@ def _bcast_tail(x, y):
 
 
 def _lle_chunk_strang(k: int):
-    """k fused Strang steps: exact affine half linear, exact Kerr, exact
-    affine half linear (fused across the chunk interior like the GNLSE
-    stepper: L(h/2) L(h/2) = L(h) between Kerr rotations would NOT hold for
-    the affine term, so the half steps are kept explicit -- the drive
-    offset is exact per half step either way)."""
+    """k fused Strang steps: exact affine half linear, exact Kerr, then
+    k-1 interior (Kerr, exact affine FULL linear) pairs, closing with the
+    trailing half.  The half-step affine maps compose EXACTLY into the
+    full-step map (the drive lives only in the DC bin and ``phi_d(0)=0``:
+    ``M_h(M_h a + dF_h) + dF_h = M_{2h} a + dF_{2h}`` bin-by-bin), so the
+    interior fusion — same trick as the GNLSE stepper — halves the FFT
+    round trips per step (k+1 transforms instead of 2k)."""
 
-    def run(y, Lh, det_ph_h, dF_h, h):
-        # Lh: dispersion+loss factor for h/2; det_ph_h: detuning phase for
-        # h/2 (per-instance scalar); dF_h: exact drive offset for h/2.
+    def run(y, Lh, det_ph_h, dF_h, Lf, det_ph_f, dF_f, h):
+        # (Lh, det_ph_h, dF_h): dispersion+loss factor, per-instance scalar
+        # detuning phase and exact drive offset for h/2; (Lf, det_ph_f,
+        # dF_f): the same for the full step h.
         if k == 0:
             return y
-        dp = _bcast_tail(det_ph_h, y)
-        dF = _bcast_tail(dF_h, y)
+        dp_h = _bcast_tail(det_ph_h, y)
+        dF_hb = _bcast_tail(dF_h, y)
+        dp_f = _bcast_tail(det_ph_f, y)
+        dF_fb = _bcast_tail(dF_f, y)
 
         def lin_half(a):
             return jnp.fft.ifft(Lh * jnp.fft.fft(a, axis=-1), axis=-1) \
-                * dp + dF
+                * dp_h + dF_hb
+
+        def lin_full(a):
+            return jnp.fft.ifft(Lf * jnp.fft.fft(a, axis=-1), axis=-1) \
+                * dp_f + dF_fb
 
         def body(carry, _):
             y = carry
-            y = lin_half(y)
             y = _kerr_rot(y, h)
-            y = lin_half(y)
+            y = lin_full(y)
             return y, None
 
-        y, _ = lax.scan(body, y, None, length=k)
+        y = lin_half(y)
+        y, _ = lax.scan(body, y, None, length=k - 1)
+        y = _kerr_rot(y, h)
+        y = lin_half(y)
         return y
 
     return run
@@ -366,15 +378,7 @@ def _lle_chunk_rk4ip(k: int):
             return _times_i(P * a) + Fb
 
         def body(carry, _):
-            y = carry
-            a_i = lin(y)
-            k1 = lin(h * N(y))
-            k2 = h * N(a_i + 0.5 * k1)
-            k3 = h * N(a_i + 0.5 * k2)
-            k4 = h * N(lin(a_i + k3))
-            y = lin(a_i + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
-                + (1.0 / 6.0) * k4
-            return y, None
+            return rk4ip_step(lin, N, carry, h), None
 
         y, _ = lax.scan(body, y, None, length=k)
         return y
@@ -413,8 +417,11 @@ def _lle_solver(n_steps: int, save_every: int, rdt_name: str, method: str,
             rem_args = args
             rem_stepper = _lle_chunk_rk4ip(remainder)
         else:
+            Lf = _lle_lin_factor(coeffs, h, rdt)
+            dp_f = _det_phase(det, h, rdt)
+            dF_f = _drive_offset(coeffs, det, h, rdt)
             stepper = _lle_chunk_strang(save_every)
-            args = (Lh, dp_h, dF_h, h)
+            args = (Lh, dp_h, dF_h, Lf, dp_f, dF_f, h)
             rem_args = args
             rem_stepper = _lle_chunk_strang(remainder)
 
@@ -455,9 +462,12 @@ def _lle_ramp_solver(n_steps: int, save_every: int, rdt_name: str):
     dispersion factor is fixed, only the scalar detuning phase and the
     drive offset change.  Returns the saved trajectory + the saved
     detuning grid (host-reconstructable, but returned for convenience)
-    + ok."""
+    + ok.  Trailing ``n_steps % save_every`` partial steps are integrated
+    but unsaved (the framework-wide save-decimation contract), so the ramp
+    always reaches ``detuning_end`` and NaNs there still flip ``ok``."""
     rdt = jnp.dtype(rdt_name)
     n_chunks = n_steps // save_every
+    remainder = n_steps - n_chunks * save_every
 
     def solve(y0_ri, coeffs: LLECoeffs, dt, det_start, det_step):
         y0 = ri_to_complex(y0_ri)
@@ -493,6 +503,11 @@ def _lle_ramp_solver(n_steps: int, save_every: int, rdt_name: str):
 
         (y, ok), ys = lax.scan(
             chunk, (y0, ok0), jnp.arange(n_chunks, dtype=jnp.int32))
+        if remainder > 0:
+            j0 = jnp.int32(n_chunks * save_every)
+            (y, ok), _ = lax.scan(
+                step, (y, ok),
+                j0 + jnp.arange(remainder, dtype=jnp.int32))
         first = complex_to_ri(y0).astype(rdt)[None]
         ys = first if n_chunks == 0 else jnp.concatenate([first, ys], axis=0)
         return ys, ok.astype(jnp.int32)
@@ -807,6 +822,12 @@ def detuning_scan(
     if det.ndim != 1 or det.size == 0:
         raise ValueError("detunings must be a non-empty 1-D grid")
     prec = precision if precision is not None else cfg.precision
+    # The override must govern BOTH coefficient construction and engine
+    # dispatch (solve_lle_batch dispatches on cfg.precision) — otherwise
+    # precision='df32' with an x32 cfg would silently run the x32 engine
+    # on df32-layout coeffs.
+    if precision is not None:
+        cfg = dataclasses.replace(cfg, precision=prec)
     coeffs = make_lle_coeffs(grid, detuning=det, pump=pump, d2=d2,
                              precision=prec)
     if psi0 is None:

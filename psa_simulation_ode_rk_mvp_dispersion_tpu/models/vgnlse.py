@@ -46,6 +46,7 @@ from jax import lax
 
 from ..config import SimulationConfig, validate_config, reject_multistep
 from ..ops.dispersion import DispersionParams
+from ..ops.integrators import rk4ip_step
 from ..utils.packing import (
     complex_to_ri,
     ri_pack_host,
@@ -343,15 +344,7 @@ def _chunk_stepper_v_rk4ip(k: int, coherent: float = 0.0):
             return _v_nl_rhs(a, gamma, b, coherent)
 
         def body(carry, _):
-            y = carry
-            a_i = lin(y)
-            k1 = lin(h * N(y))
-            k2 = h * N(a_i + 0.5 * k1)
-            k3 = h * N(a_i + 0.5 * k2)
-            k4 = h * N(lin(a_i + k3))
-            y = lin(a_i + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
-                + (1.0 / 6.0) * k4
-            return y, None
+            return rk4ip_step(lin, N, carry, h), None
 
         y, _ = lax.scan(body, y, None, length=k)
         return y
@@ -468,13 +461,7 @@ def _v_doubling_attempt_rk4ip(y, coeffs, gamma, b, hb, rdt, nl=None):
         return _v_nl_rhs(a, gamma, b, coh)
 
     def ip_step(y, L, h, Ny):
-        a = lfft(L, y)
-        k1 = lfft(L, h * Ny)
-        k2 = h * N(a + 0.5 * k1)
-        k3 = h * N(a + 0.5 * k2)
-        k4 = h * N(lfft(L, a + k3))
-        return lfft(L, a + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
-            + (1.0 / 6.0) * k4
+        return rk4ip_step(lambda a: lfft(L, a), N, y, h, Ny)
 
     Lc = _lin_factor_v(coeffs, 0.5 * hb, rdt)
     Lf = _lin_factor_v(coeffs, 0.25 * hb, rdt)

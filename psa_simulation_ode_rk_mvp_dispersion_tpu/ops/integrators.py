@@ -51,6 +51,31 @@ def rk4_step(f: RHSFunction, z, y, dz, params):
     return y + (dz / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
 
+def rk4ip_step(lin, N, y, h, Ny=None):
+    """One 4th-order interaction-picture RK4 step (Hult 2007, J. Lightwave
+    Technol. 25:3770) shared by every SSFM family (scalar/vector GNLSE and
+    the LLE cavity — fixed-step chunk steppers and the step-doubling
+    adaptive attempts).
+
+    ``lin(a)`` applies the HALF-step linear propagator ``exp(L h/2)``
+    (frequency-domain factor wrapped by the caller); ``N(a)`` is the
+    nonlinear operator (``i γ |a|² a`` variants, plus the drive term for
+    the driven cavity).  ``Ny`` optionally supplies a precomputed
+    ``N(y)`` so step-doubling attempts can share the first stage between
+    the coarse and fine steps.  Note the k4 term is added OUTSIDE the
+    final linear application — the defining subtlety of the scheme.
+    """
+    if Ny is None:
+        Ny = N(y)
+    a = lin(y)
+    k1 = lin(h * Ny)
+    k2 = h * N(a + 0.5 * k1)
+    k3 = h * N(a + 0.5 * k2)
+    k4 = h * N(lin(a + k3))
+    return lin(a + (1.0 / 6.0) * (k1 + 2.0 * (k2 + k3))) \
+        + (1.0 / 6.0) * k4
+
+
 def _all_finite(y) -> jax.Array:
     """Scalar bool: every element of (possibly complex) y is finite.
 

@@ -244,6 +244,48 @@ def test_ramp_soliton_step():
     assert contrast > 4.0
 
 
+def test_ramp_integrates_trailing_partial_steps():
+    """Save-decimation contract on the ramp: the trailing
+    ``n_steps % save_every`` steps are integrated (a NaN there flips
+    ``ok``) even though they are unsaved.  With ``save_every > n_steps``
+    EVERY step is trailing — a diverging psi0 must still raise, and a
+    healthy ramp with a remainder must still run clean."""
+    co = lle.make_lle_coeffs(GRID, detuning=0.0, pump=1.0, d2=-1.0)
+    # n_steps=5, save_every=10 -> n_chunks=0, remainder=5.  |psi0| ~ 1e20
+    # overflows the x32 Kerr power (1e40 -> inf -> NaN rotation) at the
+    # very first (trailing) step.
+    cfg = psa.custom_simulation_config(z_max=0.05, dz=0.01, save_every=10,
+                                       precision="x32")
+    with pytest.raises(FloatingPointError):
+        lle.run_lle_ramp(cfg, co, np.full(GRID.n_samples, 1e20 + 0j),
+                         detuning_start=0.0, detuning_end=1.0)
+    # healthy ramp with a remainder (105 steps, save_every=10 -> 5
+    # trailing) runs clean and keeps the decimated grid contract
+    cfg2 = psa.custom_simulation_config(z_max=1.05, dz=0.01, save_every=10)
+    t, det, psi = lle.run_lle_ramp(cfg2, co,
+                                   np.zeros(GRID.n_samples, complex),
+                                   detuning_start=0.0, detuning_end=2.1)
+    assert t.shape == (11,) and psi.shape == (11, GRID.n_samples)
+    np.testing.assert_allclose(t[-1], 1.0)
+    np.testing.assert_allclose(det[-1], 2.0)   # last SAVED detuning
+
+
+def test_strang_interior_fusion_is_exact():
+    """The fused interior full-step affine map must equal the composition
+    of the two half-step maps it replaces (drive is DC-only and
+    ``phi_d(0)=0``, so the affine maps compose exactly): a decimated run
+    (fused interiors) matches a save_every=1 run (pure half steps) to
+    rounding."""
+    det, F = 3.0, 1.6
+    co = lle.make_lle_coeffs(GRID, detuning=det, pump=F, d2=-1.0)
+    psi0 = lle.soliton_ansatz(GRID, det, F, -1.0)
+    cfg_f = _cfg(2.0, 0.01, 40)    # fused: 39 interior full steps/chunk
+    cfg_u = _cfg(2.0, 0.01, 1)     # unfused: half steps only
+    _, psi_f = lle.run_lle_simulation(cfg_f, co, psi0)
+    _, psi_u = lle.run_lle_simulation(cfg_u, co, psi0)
+    assert np.max(np.abs(psi_f[-1] - psi_u[-1])) < 1e-12
+
+
 def test_nan_freeze_and_check_nan():
     det, F = 1.0, 1.1
     co = lle.make_lle_coeffs(GRID, detuning=np.array([det, det]), pump=F,
