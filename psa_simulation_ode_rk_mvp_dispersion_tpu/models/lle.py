@@ -645,10 +645,16 @@ def solve_lle_batch(
     psi0: np.ndarray,
     *,
     mesh=None,
+    engine: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Evolve B fields in one XLA program (reduce mode): returns host
     ``(peak_max (B,), psi_last (B, T), ok (B,))`` -- the detuning/pump scan
     engine.  Pass ``mesh`` to shard the batch axis (``shard_map``).
+
+    ``engine``: 'scan' (XLA loop, any integrator/precision), 'pallas'
+    (fused single-launch VMEM-resident SSFM kernel, ``ops/pallas_lle.py``:
+    Strang/x32 only, T a multiple of 128 up to 2048), or 'auto' (scan; the
+    kernel is opt-in, same policy as the GNLSE family).
 
     ``cfg.precision='df32'`` dispatches the matched-tolerance two-float
     engine (``ops/df32_lle.py``, <=1e-9 vs the x64 solver on f64-less
@@ -661,6 +667,29 @@ def solve_lle_batch(
     B, T = psi0.shape
     dt = float(cfg.dz)
     n_steps = int(round(float(cfg.z_max) / dt))
+    if engine not in ("auto", "scan", "pallas"):
+        raise ValueError(
+            f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}"
+        )
+    if engine == "pallas":
+        if method != "strang":
+            raise ValueError(
+                "engine='pallas' LLE kernel implements the fixed-step "
+                "Strang split (integrator='rk4') only"
+            )
+        if validate_precision(cfg.precision) != "x32":
+            raise ValueError("engine='pallas' LLE kernel is x32 only")
+        from ..ops.pallas_lle import solve_lle_batch_pallas
+
+        return solve_lle_batch_pallas(
+            psi0,
+            np.asarray(coeffs.detuning, dtype=float),
+            np.asarray(coeffs.pump_re, dtype=float),
+            np.asarray(coeffs.pump_im, dtype=float),
+            np.asarray(coeffs.lin_phase, dtype=float),
+            dt=dt, n_steps=n_steps, save_every=int(cfg.save_every),
+            interpret=jax.default_backend() != "tpu", mesh=mesh,
+        )
     if validate_precision(cfg.precision) == "df32":
         from ..ops.df32_lle import solve_lle_batch_df32
 

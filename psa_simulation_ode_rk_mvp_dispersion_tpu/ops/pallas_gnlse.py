@@ -118,6 +118,33 @@ def _group_perm(t: int, m: int) -> np.ndarray:
     return q * r + g
 
 
+def _pack_grouped(A0p: np.ndarray, t: int, m: int) -> np.ndarray:
+    """(Bp, T) complex -> the kernel's grouped-stacked (2T, Bp) f32 layout:
+    row 2*g*m + q -> Re A[q*r+g], row (2*g+1)*m + q -> Im A[q*r+g]."""
+    perm = _group_perm(t, m)
+    r = t // m
+    ar = A0p.real.T.astype(np.float32)[perm]
+    ai = A0p.imag.T.astype(np.float32)[perm]
+    rows = []
+    for gg in range(r):
+        rows.append(ar[gg * m:(gg + 1) * m])
+        rows.append(ai[gg * m:(gg + 1) * m])
+    return np.concatenate(rows, axis=0)
+
+
+def _unpack_grouped(yl: np.ndarray, t: int, m: int, b: int) -> np.ndarray:
+    """Inverse of :func:`_pack_grouped`: (2T, Bp) planes -> (b, T) c128."""
+    r = t // m
+    perm = _group_perm(t, m)
+    ar = np.concatenate([yl[2 * gg * m:(2 * gg + 1) * m] for gg in range(r)],
+                        axis=0)
+    ai = np.concatenate([yl[(2 * gg + 1) * m:2 * (gg + 1) * m]
+                         for gg in range(r)], axis=0)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(t)
+    return (ar[inv] + 1j * ai[inv]).T[:b]
+
+
 def _scalar_fma(acc_r, acc_i, wr: float, wi: float, xr, xi):
     """acc += (wr + i wi) * (xr + i xi) with +-1 / +-i fast paths."""
     f = np.float32
@@ -324,7 +351,8 @@ def _make_dft_ops(t: int, m: int, x3: bool, wfr, wfi, wir, wii, twiddle):
 
 def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                  interpret: bool = False,
-                 nl_static: "tuple[float, float] | None" = None):
+                 nl_static: "tuple[float, float] | None" = None,
+                 affine: bool = False):
     r = t // m
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
@@ -338,6 +366,8 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
         f_r, inv_w0 = (float(nl_static[0]), float(nl_static[1]))
     has_raman = nl_static is not None and f_r > 0.0
     has_steep = nl_static is not None and inv_w0 != 0.0
+    if affine and nl_static is not None:
+        raise ValueError("the affine (LLE) linear substep is Kerr-only")
 
     # Mosaic's dot lowering takes only a (Precision, Precision) pair -- no
     # DotAlgorithmPreset.  'x6' is plain HIGHEST (6 bf16 passes, f32-class).
@@ -352,6 +382,13 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
     def kernel(*refs):
         (wfr_ref, wfi_ref, wir_ref, wii_ref, lh_ref, gam_ref) = refs[:6]
         i = 6
+        aff_ref = None
+        if affine:
+            # (8, blk) per-instance affine rows: [dp_h re | dp_h im | dF_h
+            # re | dF_h im | dp_f ... | dF_f ...] -- the scalar detuning
+            # phase and exact drive offset for the half and full steps
+            aff_ref = refs[i]
+            i += 1
         hrc_ref = om_ref = None
         if nl_static is not None:
             hrc_ref, om_ref = refs[i:i + 2]
@@ -412,13 +449,20 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
         fwd_cplx, fwd_real, inv_cplx, inv_real, _pmm, _smm = _make_dft_ops(
             t, m, x3, wfr, wfi, wir, wii, _twiddle)
 
-        def lin(src, dst, fac_ref):
+        def lin(src, dst, fac_ref, aff_off=0):
             """One linear substep dst = IDFT( fac * DFT(src) ), group layout.
 
             ``fac_ref`` holds natural-k-order stacked (2T, blk) factor
             planes (re rows 0..T, im rows T..2T).  The spectrum is streamed
             through r (m, blk) accumulators; the inverse writes straight
-            into ``dst`` slices -- no (2T, blk) temporaries."""
+            into ``dst`` slices -- no (2T, blk) temporaries.
+
+            With ``affine`` (the LLE driven-damped substep), each inverse
+            write is followed by the per-instance scalar detuning rotation
+            and the exact constant drive offset ``dst = out * dp + dF``
+            (``models/lle._lle_chunk_strang``'s lin_half/lin_full);
+            ``aff_off`` selects the half-step (0) or full-step (4) rows of
+            the affine input."""
             Sr, Si = fwd_cplx(lambda g: src[2 * g * m:2 * (g + 1) * m, :])
             # natural-order spectrum: apply the linear factor in place
             for c in range(r):
@@ -427,9 +471,21 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
                 Sr[c], Si[c] = (Sr[c] * fr_c - Si[c] * fi_c,
                                 Sr[c] * fi_c + Si[c] * fr_c)
 
-            def write(g, or_, oi):
-                dst[2 * g * m:(2 * g + 1) * m, :] = or_
-                dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = oi
+            if affine:
+                dpr = aff_ref[aff_off:aff_off + 1, :]
+                dpi = aff_ref[aff_off + 1:aff_off + 2, :]
+                dfr = aff_ref[aff_off + 2:aff_off + 3, :]
+                dfi = aff_ref[aff_off + 3:aff_off + 4, :]
+
+                def write(g, or_, oi):
+                    dst[2 * g * m:(2 * g + 1) * m, :] = \
+                        or_ * dpr - oi * dpi + dfr
+                    dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = \
+                        or_ * dpi + oi * dpr + dfi
+            else:
+                def write(g, or_, oi):
+                    dst[2 * g * m:(2 * g + 1) * m, :] = or_
+                    dst[(2 * g + 1) * m:2 * (g + 1) * m, :] = oi
 
             inv_cplx(Sr, Si, write)
 
@@ -534,18 +590,21 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
 
         def steps_refs(k):
             """k fused symmetric split steps (``_chunk_stepper`` mirror):
-            u -> v, ping-ponging through the scratch pair."""
-            lin(u_ref, v_ref, lh_ref)
+            u -> v, ping-ponging through the scratch pair.  The affine
+            half-step maps compose exactly into the full-step map, so the
+            interior fusion is valid for the LLE variant too
+            (``models/lle._lle_chunk_strang``)."""
+            lin(u_ref, v_ref, lh_ref, 0)
 
             def body(_i, c):
                 nl_sub(v_ref, u_ref)
-                lin(u_ref, v_ref, lf_ref)
+                lin(u_ref, v_ref, lf_ref, 4)
                 return c
 
             if k > 1:
                 lax.fori_loop(0, k - 1, body, jnp.int32(0))
             nl_sub(v_ref, u_ref)
-            lin(u_ref, v_ref, lh_ref)
+            lin(u_ref, v_ref, lh_ref, 0)
 
         def v_finite():
             v = v_ref[:, :]
@@ -584,7 +643,8 @@ def _kernel_body(n_steps: int, save_every: int, t: int, m: int, dz: float,
 
 def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
                      interpret: bool, block: int,
-                     nl_static: "tuple[float, float] | None" = None):
+                     nl_static: "tuple[float, float] | None" = None,
+                     affine: bool = False):
     from jax.experimental import pallas as pl
 
     m = M_SUB if t >= M_SUB else t
@@ -592,11 +652,12 @@ def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
     # normalization folds into the IDFT_m matmul weights instead
     inv_extra = float(t // m) if _use_fft(t, m) else 1.0
     wfr, wfi, wir, wii = _dft_weight_blocks(m, inv_extra)
-    kernel = _kernel_body(n_steps, save_every, t, m, dz, interpret, nl_static)
+    kernel = _kernel_body(n_steps, save_every, t, m, dz, interpret, nl_static,
+                          affine)
     weights = [jnp.asarray(w) for w in (wfr, wfi, wir, wii)]
     has_nl = nl_static is not None
 
-    def call(lh, gam, y0, hrc=None, om=None):
+    def call(lh, gam, y0, hrc=None, om=None, aff=None):
         from jax.experimental.pallas import tpu as pltpu
 
         B = y0.shape[1]
@@ -632,6 +693,10 @@ def _make_gnlse_call(n_steps: int, save_every: int, t: int, dz: float,
             pl.BlockSpec((1, blk), lambda i: (0, i), **spec_kwargs),       # gam
         ]
         args = [lh, gam]
+        if affine:
+            per_b.append(
+                pl.BlockSpec((8, blk), lambda i: (0, i), **spec_kwargs))   # aff
+            args.append(aff)
         if has_nl:
             per_b += [
                 pl.BlockSpec((2 * t, 1), lambda i: (0, 0), **spec_kwargs),  # hrc
@@ -822,17 +887,7 @@ def solve_gnlse_batch_pallas(
     if lh.shape[1] != 1:
         lh = padded(lh, axis=1)
 
-    # pack into the grouped-stacked layout: row 2*g*m + q -> Re A[q*r+g],
-    # row (2*g+1)*m + q -> Im A[q*r+g]
-    perm = _group_perm(T, m)
-    r = T // m
-    ar = A0p.real.T.astype(np.float32)[perm]        # (T, Bp) grouped
-    ai = A0p.imag.T.astype(np.float32)[perm]
-    rows = []
-    for gg in range(r):
-        rows.append(ar[gg * m:(gg + 1) * m])
-        rows.append(ai[gg * m:(gg + 1) * m])
-    y0 = np.concatenate(rows, axis=0)               # (2T, Bp)
+    y0 = _pack_grouped(A0p, T, m)                   # (2T, Bp)
 
     if mesh is None:
         solver = _pallas_gnlse_solver(
@@ -865,14 +920,6 @@ def solve_gnlse_batch_pallas(
         out = np.asarray(fetch_global(fused_out), np.float64)
 
     pk = out[0, :B]
-    yl = out[1:1 + 2 * T]
     ok = out[1 + 2 * T, :B] > 0.0
-    # unpack the grouped layout
-    ar = np.concatenate([yl[2 * gg * m:(2 * gg + 1) * m] for gg in range(r)],
-                        axis=0)
-    ai = np.concatenate([yl[(2 * gg + 1) * m:2 * (gg + 1) * m]
-                         for gg in range(r)], axis=0)
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(T)
-    A_last = (ar[inv] + 1j * ai[inv]).T[:B]
+    A_last = _unpack_grouped(out[1:1 + 2 * T], T, m, B)
     return pk, A_last, ok
