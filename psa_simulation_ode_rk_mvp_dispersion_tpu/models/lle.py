@@ -841,6 +841,7 @@ def detuning_scan(
     noise_amplitude: float = 1e-3,
     mesh=None,
     precision: Optional[str] = None,
+    engine: str = "auto",
 ):
     """Batched steady-state scan over a detuning grid at fixed pump: each
     lane evolves independently for ``cfg.z_max`` lifetimes from ``psi0``
@@ -867,7 +868,8 @@ def detuning_scan(
         noise = noise_amplitude * (rng.standard_normal((det.size, T))
                                    + 1j * rng.standard_normal((det.size, T)))
         psi0 = base[:, None] + noise
-    pk, psi_last, ok = solve_lle_batch(cfg, coeffs, psi0, mesh=mesh)
+    pk, psi_last, ok = solve_lle_batch(cfg, coeffs, psi0, mesh=mesh,
+                                       engine=engine)
     mean_p = np.mean(np.abs(psi_last) ** 2, axis=-1)
     return det, mean_p, pk, psi_last, ok
 
