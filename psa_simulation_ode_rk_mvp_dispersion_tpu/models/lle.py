@@ -387,6 +387,134 @@ def _lle_chunk_rk4ip(k: int):
 
 
 # ---------------------------------------------------------------------------
+# Adaptive split-step (integrator='rk45'): step-doubling local-error control
+# on the driven-damped Strang step -- the LLE realization of the GNLSE
+# family's Sinkin controller (models/gnlse._gnlse_advance_segment is
+# state-rank-generic and shared; only the attempt differs).
+# ---------------------------------------------------------------------------
+
+def _lle_affine_lin(ph, det_b, F_b, y, s, rdt):
+    """Exact affine linear map for a per-lane step ``s`` (rank-matched
+    ``(B, 1)``): frequency-domain multiply by ``exp((-1 + i ph) s)``, then
+    the scalar detuning rotation ``exp(-i Delta s)`` and the exact drive
+    offset ``F (e^{Lam0 s} - 1)/Lam0`` in the time domain (the per-lane-h
+    generalization of ``_lle_lin_factor``/``_det_phase``/``_drive_offset``)."""
+    decay = jnp.exp(-s)
+    ang = ph * s
+    L = lax.complex(decay * jnp.cos(ang), decay * jnp.sin(ang))
+    angd = -det_b * s
+    dp = lax.complex(jnp.cos(angd), jnp.sin(angd))
+    lam0 = lax.complex(-jnp.ones_like(det_b), -det_b)
+    dF = F_b * (jnp.exp(lam0 * s) - 1.0) / lam0
+    return jnp.fft.ifft(L * jnp.fft.fft(y, axis=-1), axis=-1) * dp + dF
+
+
+def _lle_doubling_attempt(y, ph, det_b, F_b, hb, rdt):
+    """One step-doubling attempt on the LLE Strang step: (coarse h, two
+    fused fine h/2 steps) -- the two middle fine quarter-linears compose
+    EXACTLY into one half-step affine map (drive lives in the DC bin), the
+    same fusion as the fixed-step chunk."""
+    def lin(a, s):
+        return _lle_affine_lin(ph, det_b, F_b, a, s, rdt)
+
+    half = 0.5 * hb
+    quarter = 0.25 * hb
+    yc = lin(_kerr_rot(lin(y, half), hb), half)
+    yf = _kerr_rot(lin(y, quarter), half)
+    yf = _kerr_rot(lin(yf, half), half)
+    yf = lin(yf, quarter)
+    return yc, yf
+
+
+@functools.lru_cache(maxsize=32)
+def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
+                         max_steps: int, reduce_mode: bool):
+    """Jitted adaptive LLE evolution over a save grid (same contracts as
+    ``gnlse._gnlse_adaptive_solver``: reduce mode returns ONE stacked
+    ``(B, 1 + 2T + 3)`` buffer ``[peak | psi_final | ok | n_acc | n_rej]``,
+    trajectory mode the ``(y_saved, y_final, ok, na, nr)`` tuple)."""
+    from .gnlse import _gnlse_advance_segment
+
+    rdt = jnp.dtype(rdt_name)
+
+    def solve(y0_ri, coeffs: LLECoeffs, t_grid, dt0):
+        y0 = ri_to_complex(y0_ri)                      # (B, T)
+        det = jnp.asarray(coeffs.detuning, dtype=rdt)
+        det_b = _bcast_tail(det, y0)
+        F_b = _bcast_tail(
+            lax.complex(jnp.asarray(coeffs.pump_re, dtype=rdt),
+                        jnp.asarray(coeffs.pump_im, dtype=rdt)), y0)
+        ph = jnp.asarray(coeffs.lin_phase, dtype=rdt)
+        B = y0.shape[0]
+        ok0 = _finite_mask(y0)
+        dt_init = jnp.full((B,), dt0, dtype=rdt)
+        n0 = jnp.zeros((B,), jnp.int32)
+
+        def attempt(y, hb):
+            return _lle_doubling_attempt(y, ph, det_b, F_b, hb, rdt)
+
+        def peak(y):
+            return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
+
+        def seg(carry, t_pair):
+            y, dt, ok, pk, na, nr = carry
+            t_a, t_b = t_pair
+            t = jnp.full((B,), t_a, dtype=rdt)
+            y, _t, dt, ok, na_s, nr_s = _gnlse_advance_segment(
+                y, t, dt, ok, t_a, t_b, attempt, rdt,
+                rtol=rtol, atol=atol, max_steps=max_steps, order=2,
+            )
+            pk = jnp.maximum(pk, peak(y))
+            out = None if reduce_mode else complex_to_ri(y)
+            return (y, dt, ok, pk, na + na_s, nr + nr_s), out
+
+        (y, dt, ok, pk, na, nr), ys = lax.scan(
+            seg, (y0, dt_init, ok0, peak(y0), n0, n0),
+            (t_grid[:-1], t_grid[1:]),
+        )
+        y_final = complex_to_ri(y).astype(rdt)
+        if reduce_mode:
+            return jnp.concatenate(
+                [pk.astype(rdt)[:, None],
+                 y_final.reshape(y_final.shape[0], -1),
+                 ok.astype(rdt)[:, None], na.astype(rdt)[:, None],
+                 nr.astype(rdt)[:, None]], axis=1)
+        first = jnp.concatenate([complex_to_ri(y0)[None], ys], axis=0)
+        return first, y_final, ok.astype(jnp.int32), na, nr
+
+    return jax.jit(solve)
+
+
+@functools.lru_cache(maxsize=16)
+def _lle_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
+                                        atol: float, max_steps: int, mesh,
+                                        phase_rank: int):
+    """shard_map wrapper of the adaptive reduce-mode solver (batch axis
+    over the mesh; the save grid is replicated)."""
+    from jax.sharding import PartitionSpec
+
+    inner = _lle_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    b = PartitionSpec(ax)
+    spec = LLECoeffs(
+        detuning=b, pump_re=b, pump_im=b,
+        lin_phase=(PartitionSpec(ax, None) if phase_rank == 2
+                   else PartitionSpec()),
+    )
+    return jax.jit(
+        jax.shard_map(
+            lambda y0, c, tg, dt0: inner(y0, c, tg, dt0),
+            mesh=mesh,
+            in_specs=(PartitionSpec(ax, None, None), spec, PartitionSpec(),
+                      PartitionSpec()),
+            out_specs=PartitionSpec(ax, None),
+            check_vma=False,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Solvers
 # ---------------------------------------------------------------------------
 
@@ -552,10 +680,12 @@ def _lle_method(cfg: SimulationConfig) -> str:
         return "strang"
     if integ == "rk4ip":
         return "rk4ip"
+    if integ == "rk45":
+        return "rk45"
     raise ValueError(
         f"integrator={cfg.integrator!r} is not supported by the LLE solvers; "
-        "use 'rk4' (Strang split, exact affine drive) or 'rk4ip' "
-        "(interaction-picture RK4)"
+        "use 'rk4' (Strang split, exact affine drive), 'rk4ip' "
+        "(interaction-picture RK4) or 'rk45' (adaptive step-doubling Strang)"
     )
 
 
@@ -567,7 +697,7 @@ def _lle_df32_args(cfg, coeffs: LLECoeffs, method: str):
     if method != "strang":
         raise ValueError(
             "precision='df32' LLE solves are fixed-step Strang "
-            "(integrator='rk4') only (use x32/x64 for rk4ip)"
+            "(integrator='rk4') only (use x32/x64 for rk4ip/rk45)"
         )
     require_f64_leaves(
         "LLE df32", detuning=coeffs.detuning, pump_re=coeffs.pump_re,
@@ -628,6 +758,23 @@ def run_lle_simulation(
                 "NaN or Inf detected during LLE evolution")
         return t, psi_saved[:, 0, :]
     rdt = real_dtype(cfg.precision)
+    if method == "rk45":
+        if n_chunks == 0:
+            # saved grid is row 0 only: nothing observable to integrate
+            return t, psi0[None, :].copy()
+        solver = _lle_adaptive_solver(
+            np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+            int(cfg.max_steps), False)
+        ys, _yf, ok, _na, _nr = jax.block_until_ready(
+            solver(ri_pack_host(psi0[None], rdt), coeffs,
+                   jnp.asarray(t, dtype=rdt), jnp.asarray(dt, dtype=rdt))
+        )
+        if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
+            raise FloatingPointError(
+                "NaN/Inf or step-size underflow during adaptive (rk45) "
+                "LLE evolution"
+            )
+        return t, ri_unpack_host(np.asarray(ys))[:, 0, :]
     solver = _lle_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name,
                          method, False)
     ys, ok = jax.block_until_ready(
@@ -700,6 +847,19 @@ def solve_lle_batch(
         )
     rdt = real_dtype(cfg.precision)
 
+    use_rk45 = method == "rk45"
+    if use_rk45:
+        n_chunks = n_steps // int(cfg.save_every)
+        if n_chunks == 0:
+            # saved grid is row 0 only: nothing observable to integrate
+            pk0 = (np.abs(psi0) ** 2).max(axis=-1)
+            ok0 = np.isfinite(psi0).all(axis=-1)
+            return pk0, psi0.copy(), ok0
+        t_grid = jnp.asarray(
+            np.arange(n_chunks + 1, dtype=np.float64)
+            * (int(cfg.save_every) * dt), dtype=rdt)
+        dt0 = jnp.asarray(dt, dtype=rdt)
+
     det, fr, fi, ph = _norm_batch(coeffs, B, T, rdt)
     n_orig = B
     if mesh is None:
@@ -709,12 +869,21 @@ def solve_lle_batch(
             pump_im=jnp.asarray(fi, dtype=rdt),
             lin_phase=jnp.asarray(ph, dtype=rdt),
         )
-        solver = _lle_solver(n_steps, int(cfg.save_every),
-                             np.dtype(rdt).name, method, True)
-        out = jax.block_until_ready(
-            solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
-                   jnp.asarray(dt, dtype=rdt))
-        )
+        if use_rk45:
+            solver = _lle_adaptive_solver(
+                np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+                int(cfg.max_steps), True)
+            out = jax.block_until_ready(
+                solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
+                       t_grid, dt0)
+            )
+        else:
+            solver = _lle_solver(n_steps, int(cfg.save_every),
+                                 np.dtype(rdt).name, method, True)
+            out = jax.block_until_ready(
+                solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
+                       jnp.asarray(dt, dtype=rdt))
+            )
     else:
         from ..parallel.mesh import (
             batch_sharding, fetch_global, pad_batch, put_global,
@@ -733,13 +902,26 @@ def solve_lle_batch(
             pump_im=put_global(fi_p.astype(rdt), sh),
             lin_phase=put_global(ph_p.astype(rdt), sh),
         )
-        solver = _lle_reduce_solver_sharded(
-            n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh, method, 2)
-        out = fetch_global(jax.block_until_ready(
-            solver(put_global(ri_pack_host(psi0_p, rdt), sh), cof,
-                   jnp.asarray(dt, dtype=rdt))
-        ))
-    pk, y_ri, ok = _split_reduce_pack(out, T, counters=False)
+        if use_rk45:
+            solver = _lle_adaptive_reduce_solver_sharded(
+                np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+                int(cfg.max_steps), mesh, 2)
+            out = fetch_global(jax.block_until_ready(
+                solver(put_global(ri_pack_host(psi0_p, rdt), sh), cof,
+                       t_grid, dt0)
+            ))
+        else:
+            solver = _lle_reduce_solver_sharded(
+                n_steps, int(cfg.save_every), np.dtype(rdt).name, mesh,
+                method, 2)
+            out = fetch_global(jax.block_until_ready(
+                solver(put_global(ri_pack_host(psi0_p, rdt), sh), cof,
+                       jnp.asarray(dt, dtype=rdt))
+            ))
+    if use_rk45:
+        pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, T, counters=True)
+    else:
+        pk, y_ri, ok = _split_reduce_pack(out, T, counters=False)
     return (np.asarray(pk[:, 0], dtype=np.float64)[:n_orig],
             ri_unpack_host(np.asarray(y_ri))[:n_orig],
             np.asarray(ok)[:n_orig].astype(bool))
@@ -774,14 +956,27 @@ def solve_lle_batch_trajectories(
         pump_im=jnp.asarray(fi, dtype=rdt),
         lin_phase=jnp.asarray(ph, dtype=rdt),
     )
+    t = np.arange(n_chunks + 1, dtype=np.float64) * (
+        int(cfg.save_every) * dt)
+    if method == "rk45":
+        if n_chunks == 0:
+            ok0 = np.isfinite(psi0).all(axis=-1)
+            return t, psi0[:, None, :].copy(), ok0
+        solver = _lle_adaptive_solver(
+            np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
+            int(cfg.max_steps), False)
+        ys, _yf, ok, _na, _nr = jax.block_until_ready(
+            solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
+                   jnp.asarray(t, dtype=rdt), jnp.asarray(dt, dtype=rdt))
+        )
+        A = ri_unpack_host(np.asarray(ys)).transpose(1, 0, 2)
+        return t, A, np.asarray(ok).astype(bool)
     solver = _lle_solver(n_steps, int(cfg.save_every), np.dtype(rdt).name,
                          method, False)
     ys, ok = jax.block_until_ready(
         solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
                jnp.asarray(dt, dtype=rdt))
     )
-    t = np.arange(n_chunks + 1, dtype=np.float64) * (
-        int(cfg.save_every) * dt)
     A = ri_unpack_host(np.asarray(ys)).transpose(1, 0, 2)
     return t, A, np.asarray(ok).astype(bool)
 

@@ -301,10 +301,56 @@ def test_nan_freeze_and_check_nan():
                                np.full(GRID.n_samples, np.nan + 0j))
 
 
+def test_rk45_adaptive_matches_fixed_step():
+    """integrator='rk45' (step-doubling Strang, Sinkin controller) lands on
+    the same saved grid and matches a fine fixed-step solution on the
+    soliton workload; single-run and batch agree at the endpoint."""
+    det, F = 4.0, 2.0
+    seed = lle.soliton_ansatz(GRID, det, F, -1.0)
+    co = lle.make_lle_coeffs(GRID, detuning=det, pump=F, d2=-1.0)
+    ref_cfg = _cfg(1.0, 0.001, 500)
+    _, psi_ref = lle.run_lle_simulation(ref_cfg, co, seed)
+    cfg = _cfg(1.0, 0.05, 10, integrator="rk45", rtol=1e-8, atol=1e-10)
+    t, psi = lle.run_lle_simulation(cfg, co, seed)
+    assert psi.shape == psi_ref.shape and np.allclose(t[-1], 1.0)
+    err = (np.max(np.abs(psi[-1] - psi_ref[-1]))
+           / np.max(np.abs(psi_ref[-1])))
+    # rtol bounds the LOCAL step error; the accumulated global error over
+    # ~10^2 accepted steps is measured at 2.5e-5 here
+    assert err < 1e-4, err
+    # batch reduce mode: endpoint equals the trajectory's last saved row
+    pk, psi_last, ok = lle.solve_lle_batch(cfg, co, seed[None])
+    assert ok[0]
+    np.testing.assert_allclose(psi_last[0], psi[-1], rtol=0,
+                               atol=1e-12 * np.max(np.abs(psi[-1])))
+    assert pk[0] == pytest.approx(np.max(np.abs(psi) ** 2), rel=1e-9)
+    # trajectory batch mode matches the single run bitwise
+    t2, A2, ok2 = lle.solve_lle_batch_trajectories(cfg, co, seed[None])
+    np.testing.assert_array_equal(A2[0], psi)
+
+
+def test_rk45_sharded_matches_unsharded():
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel.mesh import (
+        default_mesh,
+    )
+
+    dets = np.linspace(3.5, 4.5, 6)
+    co = lle.make_lle_coeffs(GRID, detuning=dets, pump=2.2, d2=-1.0)
+    psi0 = np.stack([lle.soliton_ansatz(GRID, d, 2.2, -1.0) for d in dets])
+    cfg = _cfg(0.5, 0.05, 5, integrator="rk45", rtol=1e-7, atol=1e-10)
+    pk, Af, ok = lle.solve_lle_batch(cfg, co, psi0)
+    pk_s, Af_s, ok_s = lle.solve_lle_batch(cfg, co, psi0,
+                                           mesh=default_mesh())
+    assert ok.all() and np.array_equal(ok, ok_s)
+    np.testing.assert_allclose(Af_s, Af, rtol=0,
+                               atol=1e-9 * np.max(np.abs(Af)))
+    np.testing.assert_allclose(pk_s, pk, rtol=1e-9)
+
+
 def test_rejects_unsupported_integrators_and_precision():
     co = lle.make_lle_coeffs(GRID, detuning=1.0, pump=1.0, d2=-1.0)
     psi0 = np.zeros(GRID.n_samples, complex)
-    for integ in ("rk45", "ab4", "abm4", "rk4ip45"):
+    for integ in ("ab4", "abm4", "rk4ip45"):
         cfg = _cfg(1.0, 0.01, 25, integrator=integ)
         with pytest.raises(ValueError):
             lle.run_lle_simulation(cfg, co, psi0)
