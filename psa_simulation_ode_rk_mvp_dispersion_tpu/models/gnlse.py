@@ -810,7 +810,7 @@ def _gnlse_advance_segment(y, z, dt, ok, z_start, z_end, attempt,
 @functools.lru_cache(maxsize=64)
 def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
                            max_steps: int, reduce_mode: bool,
-                           method: str = "strang"):
+                           method: str = "strang", has_tail: bool = False):
     """Jitted adaptive SSFM over a save grid: (B, T, 2) pack + (S+1,) grid.
 
     reduce_mode=True returns ONE stacked ``(B, 1 + 2T + 3)`` rdt buffer
@@ -820,11 +820,17 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
 
     ``method``: 'strang' (integrator='rk45', 2nd-order split) or 'rk4ip'
     (integrator='rk4ip45', 4th-order interaction-picture RK4).
+
+    ``has_tail`` realizes the save-decimation contract for the trailing
+    ``n_steps % save_every`` partial span: one extra unsaved segment
+    ``[z_grid[-1], z_end]`` is integrated and folded into ``ok``/``n_acc``/
+    ``n_rej`` ONLY — saved rows, ``y_final`` and ``peak`` stay at the last
+    saved grid point, exactly like the fixed-step remainder block.
     """
     rdt = jnp.dtype(rdt_name)
     attempt_fn, order = _ADAPTIVE_ATTEMPTS[method]
 
-    def solve(y0_ri, coeffs: GNLSECoeffs, z_grid, dt0, nl):
+    def solve(y0_ri, coeffs: GNLSECoeffs, z_grid, dt0, nl, z_end=None):
         y0 = ri_to_complex(y0_ri)                      # (B, T)
         gamma = jnp.asarray(coeffs.gamma, dtype=rdt)
         if gamma.ndim:
@@ -858,6 +864,14 @@ def _gnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             (z_grid[:-1], z_grid[1:]),
         )
         y_final = complex_to_ri(y).astype(rdt)
+        if has_tail:
+            z = jnp.full((B,), z_grid[-1], dtype=rdt)
+            _yt, _zt, _dtt, ok, na_t, nr_t = _gnlse_advance_segment(
+                y, z, dt, ok, z_grid[-1], z_end, attempt, rdt,
+                rtol=rtol, atol=atol, max_steps=max_steps, order=order,
+            )
+            na = na + na_t
+            nr = nr + nr_t
         if reduce_mode:
             # ONE stacked output (docs/PERF.md rule 7); counters ride the
             # rdt buffer (f32 is integer-exact to 2^24; beyond that na/nr
@@ -894,13 +908,14 @@ def _split_reduce_pack(out, T, *, counters):
 def _gnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                                           atol: float, max_steps: int, mesh,
                                           alpha_rank: int = 1,
-                                          method: str = "strang"):
+                                          method: str = "strang",
+                                          has_tail: bool = False):
     """shard_map wrapper of the adaptive reduce solver (batch axis over the
     mesh; grid/dt0/nl replicated)."""
     from jax.sharding import PartitionSpec
 
     inner = _gnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True,
-                                   method)
+                                   method, has_tail)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     b = PartitionSpec(ax)
@@ -908,13 +923,14 @@ def _gnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
     btr = PartitionSpec(ax, None, None)
     return jax.jit(
         jax.shard_map(
-            lambda y0, c, zg, dt0, nl: inner(y0, c, zg, dt0, nl),
+            lambda y0, c, zg, dt0, nl, ze: inner(y0, c, zg, dt0, nl, ze),
             mesh=mesh,
             in_specs=(btr,
                       GNLSECoeffs(gamma=b,
                                   alpha=(bt if alpha_rank == 2 else b),
                                   lin_phase=bt),
-                      PartitionSpec(), PartitionSpec(), PartitionSpec()),
+                      PartitionSpec(), PartitionSpec(), PartitionSpec(),
+                      PartitionSpec()),
             out_specs=bt,
             check_vma=False,
         )
@@ -1031,26 +1047,22 @@ def run_gnlse_simulation(
 
     if cfg.integrator.lower() in ("rk45", "rk4ip45"):
         # adaptive split-step on the same decimated save grid (rk4-path
-        # output contract, mirroring ops/adaptive.run_adaptive_trajectory)
-        if n_chunks == 0:
-            # saved grid is row 0 only -- but the check_nan contract must
-            # still hold for non-finite input, as on the rk4 path
-            if cfg.check_nan and not np.all(np.isfinite(A0)):
-                raise FloatingPointError(
-                    "NaN or Inf detected during GNLSE integration"
-                )
-            return np.full(1, z0), A0[None, :].copy()
+        # output contract, mirroring ops/adaptive.run_adaptive_trajectory);
+        # trailing n_steps % save_every partial span integrated but unsaved
+        # (folds into ok only -- the framework-wide decimation contract)
+        remainder = n_steps - n_chunks * int(cfg.save_every)
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * dz_m
         )
         solver = _gnlse_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False, _adaptive_method(cfg),
+            int(cfg.max_steps), False, _adaptive_method(cfg), remainder > 0,
         )
         ys, yf, ok, _na, _nr = jax.block_until_ready(
             solver(ri_pack_host(A0[None], rdt), coeffs,
                    jnp.asarray(z_grid, dtype=rdt),
-                   jnp.asarray(dz_m, dtype=rdt), nl)
+                   jnp.asarray(dz_m, dtype=rdt), nl,
+                   jnp.asarray(n_steps * dz_m, dtype=rdt))
         )
         if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
             raise FloatingPointError(
@@ -1200,17 +1212,14 @@ def solve_gnlse_batch(
     use_rk45 = cfg.integrator.lower() in ("rk45", "rk4ip45")
     if use_rk45:
         n_chunks = n_steps // int(cfg.save_every)
-        if n_chunks == 0:
-            # saved grid is row 0 only: nothing observable to integrate
-            pk0 = (np.abs(A0[:n_orig]) ** 2).max(axis=-1)
-            ok0 = np.isfinite(A0[:n_orig]).all(axis=-1)
-            return pk0, A0[:n_orig].copy(), ok0
+        rk45_tail = (n_steps - n_chunks * int(cfg.save_every)) > 0
         z_grid = jnp.asarray(
             np.arange(n_chunks + 1, dtype=np.float64)
             * (int(cfg.save_every) * dz_m),
             dtype=rdt,
         )
         dt0 = jnp.asarray(dz_m, dtype=rdt)
+        z_end = jnp.asarray(n_steps * dz_m, dtype=rdt)
 
     if mesh is None:
         coeffs_b = GNLSECoeffs(
@@ -1221,10 +1230,10 @@ def solve_gnlse_batch(
         if use_rk45:
             solver = _gnlse_adaptive_solver(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), True, _adaptive_method(cfg),
+                int(cfg.max_steps), True, _adaptive_method(cfg), rk45_tail,
             )
             out = jax.block_until_ready(
-                solver(jnp.asarray(y0_ri), coeffs_b, z_grid, dt0, nl)
+                solver(jnp.asarray(y0_ri), coeffs_b, z_grid, dt0, nl, z_end)
             )
             pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, T, counters=True)
         else:
@@ -1251,9 +1260,10 @@ def solve_gnlse_batch(
             solver = _gnlse_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), mesh, alpha.ndim, _adaptive_method(cfg),
+                rk45_tail,
             )
             out = fetch_global(jax.block_until_ready(
-                solver(y0_dev, cof_dev, z_grid, dt0, nl)
+                solver(y0_dev, cof_dev, z_grid, dt0, nl, z_end)
             ))
             pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, T, counters=True)
         else:
@@ -1366,9 +1376,8 @@ def solve_gnlse_batch_trajectories(
         int(cfg.save_every) * dz_m
     ) / scale
     use_rk45 = cfg.integrator.lower() in ("rk45", "rk4ip45")
-    if use_rk45 and n_chunks == 0:
-        ok0 = np.isfinite(A0[:n_orig]).all(axis=-1)
-        return z, A0[:n_orig, None, :].copy(), ok0
+    rk45_tail = use_rk45 and (n_steps - n_chunks * int(cfg.save_every)) > 0
+    z_end = jnp.asarray(n_steps * dz_m, dtype=rdt)
 
     y0_ri = ri_pack_host(A0, rdt)
     if mesh is None:
@@ -1383,11 +1392,11 @@ def solve_gnlse_batch_trajectories(
                 * (int(cfg.save_every) * dz_m), dtype=rdt)
             solver = _gnlse_adaptive_solver(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), False, _adaptive_method(cfg),
+                int(cfg.max_steps), False, _adaptive_method(cfg), rk45_tail,
             )
             ys, _yf, ok, _na, _nr = jax.block_until_ready(
                 solver(jnp.asarray(y0_ri), cof, z_grid,
-                       jnp.asarray(dz_m, dtype=rdt), nl)
+                       jnp.asarray(dz_m, dtype=rdt), nl, z_end)
             )
         else:
             solver = _gnlse_solver(n_steps, int(cfg.save_every),
@@ -1413,10 +1422,11 @@ def solve_gnlse_batch_trajectories(
             solver = _gnlse_traj_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), mesh, True, alpha.ndim,
-                _adaptive_method(cfg),
+                _adaptive_method(cfg), rk45_tail,
             )
             out = jax.block_until_ready(
-                solver(y0_dev, cof, z_grid, jnp.asarray(dz_m, dtype=rdt), nl)
+                solver(y0_dev, cof, z_grid, jnp.asarray(dz_m, dtype=rdt),
+                       nl, z_end)
             )
             ys, ok = fetch_global(out[0]), fetch_global(out[1])
         else:
@@ -1469,20 +1479,21 @@ def _gnlse_traj_solver_sharded_fixed(n_steps: int, save_every: int,
 @functools.lru_cache(maxsize=16)
 def _gnlse_traj_solver_sharded(rdt_name: str, rtol: float, atol: float,
                                max_steps: int, mesh, _traj: bool,
-                               alpha_rank: int = 1, method: str = "strang"):
+                               alpha_rank: int = 1, method: str = "strang",
+                               has_tail: bool = False):
     """shard_map wrapper of the adaptive trajectory solver."""
     from jax.sharding import PartitionSpec
 
     inner = _gnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, False,
-                                   method)
+                                   method, has_tail)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     b = PartitionSpec(ax)
     bt = PartitionSpec(ax, None)
     btr = PartitionSpec(ax, None, None)
 
-    def run(y0, c, zg, dt0, nl):
-        ys, yf, ok, _na, _nr = inner(y0, c, zg, dt0, nl)
+    def run(y0, c, zg, dt0, nl, ze):
+        ys, yf, ok, _na, _nr = inner(y0, c, zg, dt0, nl, ze)
         return ys, ok
 
     return jax.jit(
@@ -1492,7 +1503,8 @@ def _gnlse_traj_solver_sharded(rdt_name: str, rtol: float, atol: float,
                       GNLSECoeffs(gamma=b,
                                   alpha=(bt if alpha_rank == 2 else b),
                                   lin_phase=bt),
-                      PartitionSpec(), PartitionSpec(), PartitionSpec()),
+                      PartitionSpec(), PartitionSpec(), PartitionSpec(),
+                      PartitionSpec()),
             out_specs=(PartitionSpec(None, ax, None, None), b),
             check_vma=False,
         )

@@ -428,16 +428,24 @@ def _lle_doubling_attempt(y, ph, det_b, F_b, hb, rdt):
 
 @functools.lru_cache(maxsize=32)
 def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
-                         max_steps: int, reduce_mode: bool):
+                         max_steps: int, reduce_mode: bool,
+                         has_tail: bool = False):
     """Jitted adaptive LLE evolution over a save grid (same contracts as
     ``gnlse._gnlse_adaptive_solver``: reduce mode returns ONE stacked
     ``(B, 1 + 2T + 3)`` buffer ``[peak | psi_final | ok | n_acc | n_rej]``,
-    trajectory mode the ``(y_saved, y_final, ok, na, nr)`` tuple)."""
+    trajectory mode the ``(y_saved, y_final, ok, na, nr)`` tuple).
+
+    ``has_tail`` realizes the framework-wide save-decimation contract for
+    trailing ``n_steps % save_every`` partial steps: one extra unsaved
+    segment ``[t_grid[-1], t_end]`` is integrated after the save grid and
+    folded into ``ok``/``n_acc``/``n_rej`` ONLY — the saved trajectory,
+    ``psi_final`` and ``peak`` stay at the last saved point, exactly like
+    the fixed-step ``_lle_solver`` remainder block."""
     from .gnlse import _gnlse_advance_segment
 
     rdt = jnp.dtype(rdt_name)
 
-    def solve(y0_ri, coeffs: LLECoeffs, t_grid, dt0):
+    def solve(y0_ri, coeffs: LLECoeffs, t_grid, dt0, t_end):
         y0 = ri_to_complex(y0_ri)                      # (B, T)
         det = jnp.asarray(coeffs.detuning, dtype=rdt)
         det_b = _bcast_tail(det, y0)
@@ -473,6 +481,14 @@ def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             (t_grid[:-1], t_grid[1:]),
         )
         y_final = complex_to_ri(y).astype(rdt)
+        if has_tail:
+            t = jnp.full((B,), t_grid[-1], dtype=rdt)
+            _yt, _tt, _dtt, ok, na_t, nr_t = _gnlse_advance_segment(
+                y, t, dt, ok, t_grid[-1], t_end, attempt, rdt,
+                rtol=rtol, atol=atol, max_steps=max_steps, order=2,
+            )
+            na = na + na_t
+            nr = nr + nr_t
         if reduce_mode:
             return jnp.concatenate(
                 [pk.astype(rdt)[:, None],
@@ -488,12 +504,14 @@ def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
 @functools.lru_cache(maxsize=16)
 def _lle_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                                         atol: float, max_steps: int, mesh,
-                                        phase_rank: int):
+                                        phase_rank: int,
+                                        has_tail: bool = False):
     """shard_map wrapper of the adaptive reduce-mode solver (batch axis
     over the mesh; the save grid is replicated)."""
     from jax.sharding import PartitionSpec
 
-    inner = _lle_adaptive_solver(rdt_name, rtol, atol, max_steps, True)
+    inner = _lle_adaptive_solver(rdt_name, rtol, atol, max_steps, True,
+                                 has_tail)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     b = PartitionSpec(ax)
@@ -504,10 +522,10 @@ def _lle_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
     )
     return jax.jit(
         jax.shard_map(
-            lambda y0, c, tg, dt0: inner(y0, c, tg, dt0),
+            lambda y0, c, tg, dt0, te: inner(y0, c, tg, dt0, te),
             mesh=mesh,
             in_specs=(PartitionSpec(ax, None, None), spec, PartitionSpec(),
-                      PartitionSpec()),
+                      PartitionSpec(), PartitionSpec()),
             out_specs=PartitionSpec(ax, None),
             check_vma=False,
         )
@@ -759,15 +777,14 @@ def run_lle_simulation(
         return t, psi_saved[:, 0, :]
     rdt = real_dtype(cfg.precision)
     if method == "rk45":
-        if n_chunks == 0:
-            # saved grid is row 0 only: nothing observable to integrate
-            return t, psi0[None, :].copy()
+        remainder = n_steps - n_chunks * int(cfg.save_every)
         solver = _lle_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False)
+            int(cfg.max_steps), False, remainder > 0)
         ys, _yf, ok, _na, _nr = jax.block_until_ready(
             solver(ri_pack_host(psi0[None], rdt), coeffs,
-                   jnp.asarray(t, dtype=rdt), jnp.asarray(dt, dtype=rdt))
+                   jnp.asarray(t, dtype=rdt), jnp.asarray(dt, dtype=rdt),
+                   jnp.asarray(n_steps * dt, dtype=rdt))
         )
         if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
             raise FloatingPointError(
@@ -850,15 +867,12 @@ def solve_lle_batch(
     use_rk45 = method == "rk45"
     if use_rk45:
         n_chunks = n_steps // int(cfg.save_every)
-        if n_chunks == 0:
-            # saved grid is row 0 only: nothing observable to integrate
-            pk0 = (np.abs(psi0) ** 2).max(axis=-1)
-            ok0 = np.isfinite(psi0).all(axis=-1)
-            return pk0, psi0.copy(), ok0
+        rk45_tail = (n_steps - n_chunks * int(cfg.save_every)) > 0
         t_grid = jnp.asarray(
             np.arange(n_chunks + 1, dtype=np.float64)
             * (int(cfg.save_every) * dt), dtype=rdt)
         dt0 = jnp.asarray(dt, dtype=rdt)
+        t_end = jnp.asarray(n_steps * dt, dtype=rdt)
 
     det, fr, fi, ph = _norm_batch(coeffs, B, T, rdt)
     n_orig = B
@@ -872,10 +886,10 @@ def solve_lle_batch(
         if use_rk45:
             solver = _lle_adaptive_solver(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), True)
+                int(cfg.max_steps), True, rk45_tail)
             out = jax.block_until_ready(
                 solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
-                       t_grid, dt0)
+                       t_grid, dt0, t_end)
             )
         else:
             solver = _lle_solver(n_steps, int(cfg.save_every),
@@ -905,10 +919,10 @@ def solve_lle_batch(
         if use_rk45:
             solver = _lle_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), mesh, 2)
+                int(cfg.max_steps), mesh, 2, rk45_tail)
             out = fetch_global(jax.block_until_ready(
                 solver(put_global(ri_pack_host(psi0_p, rdt), sh), cof,
-                       t_grid, dt0)
+                       t_grid, dt0, t_end)
             ))
         else:
             solver = _lle_reduce_solver_sharded(
@@ -959,15 +973,14 @@ def solve_lle_batch_trajectories(
     t = np.arange(n_chunks + 1, dtype=np.float64) * (
         int(cfg.save_every) * dt)
     if method == "rk45":
-        if n_chunks == 0:
-            ok0 = np.isfinite(psi0).all(axis=-1)
-            return t, psi0[:, None, :].copy(), ok0
+        remainder = n_steps - n_chunks * int(cfg.save_every)
         solver = _lle_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False)
+            int(cfg.max_steps), False, remainder > 0)
         ys, _yf, ok, _na, _nr = jax.block_until_ready(
             solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
-                   jnp.asarray(t, dtype=rdt), jnp.asarray(dt, dtype=rdt))
+                   jnp.asarray(t, dtype=rdt), jnp.asarray(dt, dtype=rdt),
+                   jnp.asarray(n_steps * dt, dtype=rdt))
         )
         A = ri_unpack_host(np.asarray(ys)).transpose(1, 0, 2)
         return t, A, np.asarray(ok).astype(bool)

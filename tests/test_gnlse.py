@@ -463,6 +463,46 @@ def test_rk45_failure_masking_and_raise():
     assert A.shape[0] == z.shape[0]
 
 
+def test_rk45_integrates_trailing_partial_steps():
+    """rk45 save-decimation contract (advisor r3): the trailing
+    ``n_steps % save_every`` span is integrated but unsaved -- saved rows
+    are bit-identical to a run ending exactly on the grid; a failure in the
+    tail (here: runaway gain with n_chunks==0, so EVERY step is trailing)
+    still raises; a NaN A0 with n_chunks==0 keeps the check_nan contract."""
+    grid = _grid(128)
+    gam = 2e-3
+    co = gn.make_gnlse_coeffs(grid, _disp(), gamma_W_m=gam)
+    A0 = gn.sech_pulse(grid, peak_W=gn.soliton_peak_power(BETA2, gam, T0),
+                       t0_s=T0)
+    zper = 0.5 * np.pi * T0**2 / abs(BETA2)
+    dz = zper / 100
+    cfg_a = psa.custom_simulation_config(z_max=100 * dz, dz=dz, save_every=20,
+                                         integrator="rk45", rtol=1e-7,
+                                         atol=1e-10)
+    z_a, A_a = gn.run_gnlse_simulation(cfg_a, co, A0)
+    # n_steps=105 -> n_chunks=5, remainder=5: same saved grid, identical rows
+    cfg_b = psa.custom_simulation_config(z_max=105 * dz, dz=dz, save_every=20,
+                                         integrator="rk45", rtol=1e-7,
+                                         atol=1e-10)
+    z_b, A_b = gn.run_gnlse_simulation(cfg_b, co, A0)
+    np.testing.assert_array_equal(z_b, z_a)
+    np.testing.assert_array_equal(A_b, A_a)
+    # n_chunks==0: runaway-gain blow-up confined to the (all-trailing) span
+    cfg0 = psa.custom_simulation_config(z_max=5 * dz, dz=dz, save_every=20,
+                                        integrator="rk45", rtol=1e-6,
+                                        atol=1e-9)
+    co_bad = gn.make_gnlse_coeffs(grid, None, gamma_W_m=1e-6, alpha_1_m=-2e9)
+    with pytest.raises(FloatingPointError):
+        gn.run_gnlse_simulation(cfg0, co_bad, A0)
+    with pytest.raises(FloatingPointError):
+        gn.run_gnlse_simulation(cfg0, co,
+                                np.full(grid.n_samples, np.nan + 0j))
+    # healthy n_chunks==0 run: row 0 only
+    z0_, A0_out = gn.run_gnlse_simulation(cfg0, co, A0)
+    assert z0_.shape == (1,) and A0_out.shape == (1, grid.n_samples)
+    np.testing.assert_array_equal(A0_out[0], A0)
+
+
 def test_nl_terms_validation():
     grid = _grid(64)
     with pytest.raises(ValueError, match="f_raman"):

@@ -347,6 +347,47 @@ def test_rk45_sharded_matches_unsharded():
     np.testing.assert_allclose(pk_s, pk, rtol=1e-9)
 
 
+def test_rk45_integrates_trailing_partial_steps():
+    """rk45 save-decimation contract (advisor r3): the trailing
+    ``n_steps % save_every`` partial span is integrated but unsaved — the
+    saved rows are bit-identical to a run ending exactly on the grid, a
+    blow-up confined to the tail still flips ``ok``, and the ``n_chunks==0``
+    case keeps the psi0 NaN check."""
+    det, F = 4.0, 2.0
+    seed = lle.soliton_ansatz(GRID, det, F, -1.0)
+    co = lle.make_lle_coeffs(GRID, detuning=det, pump=F, d2=-1.0)
+    cfg_a = _cfg(1.0, 0.01, 20, integrator="rk45", rtol=1e-7, atol=1e-10)
+    t_a, psi_a = lle.run_lle_simulation(cfg_a, co, seed)
+    # z_max=1.05 -> n_steps=105, n_chunks=5, remainder=5: same saved grid,
+    # bit-identical saved rows (the tail runs strictly after the last save)
+    cfg_b = psa.custom_simulation_config(z_max=1.05, dz=0.01, save_every=20,
+                                         integrator="rk45", rtol=1e-7,
+                                         atol=1e-10)
+    t_b, psi_b = lle.run_lle_simulation(cfg_b, co, seed)
+    np.testing.assert_array_equal(t_b, t_a)
+    np.testing.assert_array_equal(psi_b, psi_a)
+    # n_chunks==0 (save_every > n_steps): every step is trailing -- a
+    # diverging psi0 must still raise, on the single-run AND flip ok in batch
+    # rtol must sit above the f32 step-doubling error floor or the healthy
+    # lane rejects forever (dt underflow) instead of integrating the tail
+    cfg0 = psa.custom_simulation_config(z_max=0.05, dz=0.01, save_every=10,
+                                        integrator="rk45", precision="x32",
+                                        rtol=1e-4, atol=1e-6)
+    with pytest.raises(FloatingPointError):
+        lle.run_lle_simulation(cfg0, co, np.full(GRID.n_samples, 1e20 + 0j))
+    with pytest.raises(FloatingPointError):
+        lle.run_lle_simulation(cfg0, co,
+                               np.full(GRID.n_samples, np.nan + 0j))
+    _pk, _pl, ok = lle.solve_lle_batch(
+        cfg0, lle.make_lle_coeffs(GRID, detuning=np.array([det, det]),
+                                  pump=F, d2=-1.0),
+        np.stack([seed, np.full(GRID.n_samples, 1e20 + 0j)]))
+    assert ok[0] and not ok[1]
+    # healthy n_chunks==0 run: row 0 only, trajectory grid is [0]
+    t0, psi0_out = lle.run_lle_simulation(cfg0, co, seed.astype(complex))
+    assert t0.shape == (1,) and psi0_out.shape == (1, GRID.n_samples)
+
+
 def test_rejects_unsupported_integrators_and_precision():
     co = lle.make_lle_coeffs(GRID, detuning=1.0, pump=1.0, d2=-1.0)
     psi0 = np.zeros(GRID.n_samples, complex)
