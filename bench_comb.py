@@ -342,15 +342,17 @@ def main() -> None:
         ),
     }
     # regression floor (CLAUDE.md): median best-engine rate on TPU must not
-    # fall below 10M inst-steps/s -- flag loudly, don't hide it in day noise
-    meta["floor_instance_steps_per_s"] = 10_000_000
+    # fall below 0.75x the 20.0M record -- flag loudly, don't hide it in
+    # day noise (raised 10M -> 15M in round 4, VERDICT r3 #8: 3+ sessions
+    # of medians on record justify the tighter band)
+    meta["floor_instance_steps_per_s"] = 15_000_000
     meta["below_floor"] = bool(
         backend == "tpu" and best_rate < meta["floor_instance_steps_per_s"]
     )
     if meta["below_floor"]:
         print(
             f"# REGRESSION WARNING: comb {best_rate} inst-steps/s is below "
-            f"the 10M floor (record 20.0M)", file=sys.stderr,
+            f"the 15M floor (record 20.0M)", file=sys.stderr,
         )
     print(f"# {json.dumps(meta)}", file=sys.stderr)
     print(
@@ -360,6 +362,7 @@ def main() -> None:
                 "value": best_rate,
                 "unit": f"instance-steps/s (N={N_LINES} lines)",
                 "vs_baseline": round(best_rate / BASELINE_STEPS_PER_S, 1),
+                "below_floor": meta["below_floor"],
             }
         )
     )

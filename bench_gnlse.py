@@ -407,14 +407,17 @@ def main() -> None:
                key=lambda k: results[k]["instance_steps_per_s"])
     best_rate = results[best]["instance_steps_per_s"]
     meta["best_path"] = best
-    meta["floor_instance_steps_per_s"] = 900_000
+    # raised 0.9M -> 1.3M in round 4 (VERDICT r3 #8: ~0.75x the 1.78M
+    # record; the measured +-25% day band keeps a mid-grade healthy day
+    # above it -- same-session A/B 2026-08-19 measured 1.33M vs 1.10M)
+    meta["floor_instance_steps_per_s"] = 1_300_000
     meta["below_floor"] = bool(
         backend == "tpu" and best_rate < meta["floor_instance_steps_per_s"]
     )
     if meta["below_floor"]:
         print(
             f"# REGRESSION WARNING: gnlse {best_rate} inst-steps/s is below "
-            f"the 0.9M floor (record 1.78M scan)", file=sys.stderr,
+            f"the 1.3M floor (record 1.78M scan)", file=sys.stderr,
         )
     print(f"# {json.dumps(meta)}", file=sys.stderr)
     print(
@@ -424,6 +427,7 @@ def main() -> None:
                 "value": best_rate,
                 "unit": f"instance-steps/s (T={T_SAMPLES} samples)",
                 "vs_baseline": round(best_rate / BASELINE_STEPS_PER_S, 1),
+                "below_floor": meta["below_floor"],
             }
         )
     )
