@@ -615,7 +615,12 @@ def _lle_ramp_solver(n_steps: int, save_every: int, rdt_name: str):
     n_chunks = n_steps // save_every
     remainder = n_steps - n_chunks * save_every
 
-    def solve(y0_ri, coeffs: LLECoeffs, dt, det_start, det_step):
+    def solve(y0_ri, coeffs: LLECoeffs, dt, det_start, det_step, step0):
+        # ``step0`` (i32) is the GLOBAL index of the first step -- a ramp
+        # resume passes the original schedule's (det_start, det_step)
+        # unchanged plus the restart step, so the per-step detunings
+        # ``det_start + det_step * (step0 + j)`` are BITWISE those of the
+        # uninterrupted run (SURVEY §5 checkpoint/resume).
         y0 = ri_to_complex(y0_ri)
         h = jnp.asarray(dt, dtype=rdt)
         Lh = _lle_lin_factor(coeffs, 0.5 * h, rdt)
@@ -641,7 +646,7 @@ def _lle_ramp_solver(n_steps: int, save_every: int, rdt_name: str):
             return (y_out, ok_new), None
 
         def chunk(carry, c):
-            j0 = c * jnp.int32(save_every)
+            j0 = step0 + c * jnp.int32(save_every)
             carry, _ = lax.scan(
                 step, carry, j0 + jnp.arange(save_every, dtype=jnp.int32))
             y, ok = carry
@@ -650,7 +655,7 @@ def _lle_ramp_solver(n_steps: int, save_every: int, rdt_name: str):
         (y, ok), ys = lax.scan(
             chunk, (y0, ok0), jnp.arange(n_chunks, dtype=jnp.int32))
         if remainder > 0:
-            j0 = jnp.int32(n_chunks * save_every)
+            j0 = step0 + jnp.int32(n_chunks * save_every)
             (y, ok), _ = lax.scan(
                 step, (y, ok),
                 j0 + jnp.arange(remainder, dtype=jnp.int32))
@@ -751,11 +756,20 @@ def run_lle_simulation(
     cfg: SimulationConfig,
     coeffs: LLECoeffs,
     psi0: np.ndarray,
+    *,
+    t0: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Evolve one intracavity field over ``cfg.z_max`` photon lifetimes of
-    slow time (``cfg.dz`` = slow-time step, ``cfg.save_every`` decimation;
-    the config's z slot IS the LLE slow time -- normalized units).  Returns
-    host ``(t_saved, psi_saved (S+1, T))``.
+    """Evolve one intracavity field over ``[t0, t0 + z_max]`` photon
+    lifetimes of slow time (``cfg.dz`` = slow-time step, ``cfg.save_every``
+    decimation; the config's z slot IS the LLE slow time -- normalized
+    units).  Returns host ``(t_saved, psi_saved (S+1, T))``.
+
+    ``t0`` supports checkpoint/resume (SURVEY §5): the fixed-detuning LLE
+    is autonomous, so ``t0`` only offsets the returned time grid -- pass
+    the last saved row as ``psi0`` and its coordinate as ``t0`` to
+    continue, with BITWISE restart parity on the fixed-step methods (same
+    contract as ``gnlse.run_gnlse_simulation(z0=)``; a detuning RAMP is
+    not autonomous -- resume those via ``run_lle_ramp(t0=)``).
 
     Raises ``FloatingPointError`` on NaN/Inf when ``cfg.check_nan``
     (eager single-run parity with the other families)."""
@@ -764,10 +778,13 @@ def run_lle_simulation(
     psi0 = np.asarray(psi0, dtype=np.complex128)
     if psi0.ndim != 1:
         raise ValueError(f"psi0 must be a 1-D field (T,), got {psi0.shape}")
+    t0 = float(t0)
+    if not np.isfinite(t0):
+        raise ValueError("t0 must be finite")
     dt = float(cfg.dz)
     n_steps = int(round(float(cfg.z_max) / dt))
     n_chunks = n_steps // int(cfg.save_every)
-    t = np.arange(n_chunks + 1, dtype=np.float64) * (
+    t = t0 + np.arange(n_chunks + 1, dtype=np.float64) * (
         int(cfg.save_every) * dt)
     if validate_precision(cfg.precision) == "df32":
         psi_saved, ok = _lle_df32_traj(cfg, coeffs, psi0[None], method)
@@ -1001,12 +1018,21 @@ def run_lle_ramp(
     *,
     detuning_start: float,
     detuning_end: float,
+    t0: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Laser-scan protocol: evolve with the detuning ramped linearly from
     ``detuning_start`` to ``detuning_end`` over ``cfg.z_max`` lifetimes
     (``coeffs.detuning`` is ignored).  Returns ``(t_saved, detuning_saved,
     psi_saved (S+1, T))`` -- the soliton-step trace is
     ``mean |psi_saved|^2`` vs ``detuning_saved``.
+
+    Checkpoint/resume (SURVEY §5): the detuning SCHEDULE is not autonomous,
+    so a resume keeps the FULL ramp definition -- same ``cfg.z_max`` (total
+    ramp duration), same endpoints -- and passes ``t0`` = the saved time to
+    restart from plus ``psi0`` = the field saved there.  Integration covers
+    ``[t0, z_max]``; the per-step detunings are computed from the GLOBAL
+    step index, so the resumed saved rows are BITWISE those of the
+    uninterrupted run when ``t0`` sits on a save boundary.
 
     Strang only (the ramp stepper recomputes the scalar detuning phase per
     step; the dispersion factor stays fixed)."""
@@ -1018,20 +1044,29 @@ def run_lle_ramp(
     if psi0.ndim != 1:
         raise ValueError(f"psi0 must be a 1-D field (T,), got {psi0.shape}")
     dt = float(cfg.dz)
-    n_steps = int(round(float(cfg.z_max) / dt))
+    n_total = int(round(float(cfg.z_max) / dt))
+    t0 = float(t0)
+    step0 = int(round(t0 / dt))
+    if not (0 <= step0 <= n_total) or not np.isfinite(t0):
+        raise ValueError(
+            f"t0={t0} must lie inside the ramp [0, z_max={cfg.z_max}]"
+        )
+    n_steps = n_total - step0
     n_chunks = n_steps // int(cfg.save_every)
-    det_step = (float(detuning_end) - float(detuning_start)) / max(n_steps, 1)
+    det_step = (float(detuning_end) - float(detuning_start)) / max(n_total, 1)
     solver = _lle_ramp_solver(n_steps, int(cfg.save_every),
                               np.dtype(rdt).name)
     ys, ok = jax.block_until_ready(
         solver(ri_pack_host(psi0[None], rdt), coeffs,
                jnp.asarray(dt, dtype=rdt),
                jnp.asarray(float(detuning_start), dtype=rdt),
-               jnp.asarray(det_step, dtype=rdt))
+               jnp.asarray(det_step, dtype=rdt),
+               jnp.asarray(step0, dtype=jnp.int32))
     )
     if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
         raise FloatingPointError("NaN or Inf detected during LLE ramp")
-    steps = np.arange(n_chunks + 1, dtype=np.float64) * int(cfg.save_every)
+    steps = (step0
+             + np.arange(n_chunks + 1, dtype=np.float64) * int(cfg.save_every))
     t = steps * dt
     det = float(detuning_start) + det_step * steps
     return t, det, ri_unpack_host(np.asarray(ys))[:, 0, :]

@@ -344,18 +344,28 @@ def run_comb_simulation(
     length_unit: str = "m",
     unroll: int = 2,
     coupling: str = "fft",
+    z0: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Integrate a comb over [0, z_max]; returns host ``(z, A (S+1, N))``.
+    """Integrate a comb over [z0, z0 + z_max]; returns host ``(z, A (S+1, N))``.
 
     ``cfg.integrator`` selects fixed RK4 or adaptive RK45 (the latter with
     dense output on the decimated save grid -- the recommended mode for wide,
     stiff combs).
+
+    ``z0`` (in ``length_unit``) supports checkpoint/resume (SURVEY §5): the
+    rotating-frame comb equation is autonomous, so ``z0`` only offsets the
+    returned z grid -- pass the last saved row as ``A0`` and its coordinate
+    as ``z0`` to continue, with BITWISE restart parity on the fixed-step
+    methods (same contract as ``gnlse.run_gnlse_simulation(z0=)``).
     """
     from ..utils.units import length_scale_to_m
 
     validate_config(cfg)
     reject_non_ode(cfg, "the comb engines")
     scale = length_scale_to_m(length_unit)
+    z0 = float(z0)
+    if not np.isfinite(z0):
+        raise ValueError("z0 must be finite")
     precision = validate_precision(cfg.precision)
     rdt = real_dtype(precision)
 
@@ -397,7 +407,7 @@ def run_comb_simulation(
 
     if cfg.check_nan and not ok:
         raise FloatingPointError("NaN or Inf detected during comb integration")
-    return np.asarray(z_out, dtype=float), ri_unpack_host(np.asarray(y_ri))
+    return z0 + np.asarray(z_out, dtype=float), ri_unpack_host(np.asarray(y_ri))
 
 
 @functools.lru_cache(maxsize=64)
