@@ -197,3 +197,96 @@ def test_run_single_rk45_save_every_exceeding_steps():
     np.testing.assert_array_equal(z45, z4)
     assert A45.shape == A4.shape == (1, 4)
     np.testing.assert_allclose(A45, A4, rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Fused adaptive (DP45) pallas kernel (ops/pallas_adaptive.py, round 4)
+# ---------------------------------------------------------------------------
+
+def _adaptive_inputs(B=64):
+    gamma = np.full(B, 11.5e-3)
+    alpha = np.full(B, 1.15e-4)
+    dbeta = np.linspace(-0.5, 0.5, B)
+    A0 = np.tile(np.sqrt(np.array([0.5, 0.5, 1e-7, 1e-7])) + 0j, (B, 1))
+    return gamma, alpha, dbeta, A0
+
+
+def test_rk45_pallas_kernel_matches_scan_interpret():
+    """engine='pallas' + integrator='rk45' (x32, rotating) runs the fused
+    DP45 kernel; interpret-mode results sit in the same accuracy class as
+    the scan engine at the same tolerance, and both within the controller
+    tolerance of the x64 truth."""
+    gamma, alpha, dbeta, A0 = _adaptive_inputs()
+    co = RHSCoeffs(gamma=gamma, alpha=alpha, delta_beta=dbeta)
+    n_steps, dz = 500, 1.0
+    cfg32 = psa.custom_simulation_config(
+        z_max=n_steps * dz, dz=dz, save_every=50, precision="x32",
+        integrator="rk45", rtol=1e-6, atol=1e-10)
+    rp = sw.solve_batch(cfg32, co, A0, engine="pallas")
+    rs = sw.solve_batch(cfg32, co, A0, engine="scan")
+    cfg64 = dataclasses.replace(cfg32, precision="x64", rtol=1e-11,
+                                atol=1e-14)
+    rt = sw.solve_batch(cfg64, co, A0, engine="scan")
+    assert rp.ok.all() and rs.ok.all()
+    assert np.max(np.abs(rp.P_max / rt.P_max - 1)) < 5e-4
+    assert np.max(np.abs(rs.P_max / rt.P_max - 1)) < 5e-4
+    # both engines land on the same last saved state to f32 class
+    np.testing.assert_allclose(rp.A_end, rs.A_end, rtol=5e-3, atol=1e-7)
+
+
+def test_rk45_pallas_kernel_failure_masking_and_edge_cases():
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.pallas_adaptive import (
+        solve_batch_rk45_pallas)
+
+    gamma, alpha, dbeta, A0 = _adaptive_inputs(16)
+    # lane 3: runaway gain (negative loss) -> overflow -> masked, not raised
+    alpha = alpha.copy()
+    alpha[3] = -50.0
+    r = solve_batch_rk45_pallas(
+        A0, gamma, alpha, dbeta, dz_m=1.0, n_steps=200, save_every=50,
+        rtol=1e-6, atol=1e-10, interpret=True)
+    assert not r.ok[3]
+    assert r.ok[np.arange(16) != 3].all()
+    assert np.isfinite(r.P_max[np.arange(16) != 3]).all()
+    # counters: every healthy lane took at least one accepted step
+    assert (r.n_accepted[np.arange(16) != 3] > 0).all()
+
+    # n_chunks == 0: saved grid is row 0 only -> ICs come straight back
+    r0 = solve_batch_rk45_pallas(
+        A0, gamma, alpha, dbeta, dz_m=1.0, n_steps=5, save_every=50,
+        rtol=1e-6, atol=1e-10, interpret=True)
+    np.testing.assert_array_equal(r0.A_end, A0)
+    assert r0.ok.all() and (r0.n_accepted == 0).all()
+
+    # validation
+    with pytest.raises(ValueError, match="shape"):
+        solve_batch_rk45_pallas(
+            A0[:, :3], gamma, alpha, dbeta, dz_m=1.0, n_steps=10,
+            save_every=5, rtol=1e-6, atol=1e-10, interpret=True)
+
+
+def test_rk45_pallas_kernel_sharded_bit_identity():
+    """shard_map-wrapped kernel over the 8-device CPU mesh is bit-identical
+    to the unsharded kernel (per-shard launches, no collectives)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.pallas_adaptive import (
+        solve_batch_rk45_pallas)
+
+    gamma, alpha, dbeta, A0 = _adaptive_inputs(128)
+    kw = dict(dz_m=1.0, n_steps=300, save_every=100, rtol=1e-6, atol=1e-10,
+              interpret=True)
+    r1 = solve_batch_rk45_pallas(A0, gamma, alpha, dbeta, **kw)
+    mesh = pmesh.default_mesh()
+    r2 = solve_batch_rk45_pallas(A0, gamma, alpha, dbeta, mesh=mesh, **kw)
+    np.testing.assert_array_equal(r1.P_max, r2.P_max)
+    np.testing.assert_array_equal(r1.A_end, r2.A_end)
+    np.testing.assert_array_equal(r1.ok, r2.ok)
+    np.testing.assert_array_equal(r1.n_accepted, r2.n_accepted)
+
+
+def test_rk45_pallas_rejects_unsupported_combos():
+    """x64/df32 or lab frame with engine='pallas'+rk45 raise loudly."""
+    kwargs, _ = _spectrum_inputs(n=4)
+    kwargs["cfg"] = dataclasses.replace(
+        _rk45_cfg(kwargs["cfg"]), precision="x64")
+    with pytest.raises(ValueError, match="pallas"):
+        sw.gain_spectrum(**kwargs, engine="pallas")
