@@ -19,12 +19,19 @@ same ``integrate_reduce`` program the sweep engine runs, with
 pointless under differentiation -- a diverged fit step shows up as a
 non-finite loss, which the fit loop reports).
 
-SCOPE: this is a CPU (x64) surface -- its state is complex128, which the
-axon TPU attachment cannot transfer (CLAUDE.md: H2D c64 raises
-UNIMPLEMENTED and poisons the process) and the f64-less v5e cannot hold.
-The model builders raise in a non-CPU-default process; fit workflows are
-host-side by nature (per-step python loop).  Measurement convention: the
-models measure at the LAST SAVED grid point
+PRECISION TIERS (round 4, VERDICT r3 #6): every model builder takes
+``precision=`` -- default 'x64' on CPU (the reference-parity oracle) and
+'x32' on TPU.  The x32 path is TPU-native end to end: initial amplitudes
+are built IN-TRACE from real planes (``lax.complex``; the axon attachment
+cannot transfer complex buffers), every constant carries an explicit f32
+dtype (the package's global x64 flag would otherwise materialize f64
+constants the f64-less v5e rejects), and the model returns a REAL scalar,
+so jit boundaries stay f32.  Gradients flow through the same c64 scan the
+x32 sweep engine runs.  'x64' on a TPU-default process still raises (the
+chip has no f64/c128); 'df32' is rejected -- differentiating compensated
+arithmetic doubles the tape for no accuracy gain over the CPU oracle.
+Fit workflows are host-side by nature (per-step python loop).
+Measurement convention: the models measure at the LAST SAVED grid point
 (``floor(n_steps/save_every)*save_every`` steps, chunked exactly like
 the production solvers), so they are bitwise-comparable to the engines.
 
@@ -48,14 +55,31 @@ from ..ops.integrators import integrate_reduce
 from ..ops.rhs import RHSCoeffs, make_rhs_yaman
 
 
-def _require_cpu_backend(what: str) -> None:
-    if jax.default_backend() != "cpu":
-        raise RuntimeError(
-            f"{what} runs complex128/f64 jax programs (CPU x64 surface); "
-            "this process defaults to a TPU backend, which cannot transfer "
-            "complex buffers -- run the calibration in a JAX_PLATFORMS='' "
-            "process"
+def _resolve_precision(precision: Optional[str], what: str) -> str:
+    """Backend-aware precision dispatch: None -> 'x64' on CPU (the parity
+    oracle), 'x32' on TPU (the on-chip gradient path).  'x64' on a non-CPU
+    backend still raises -- the f64-less v5e cannot hold complex128 and the
+    axon attachment cannot transfer complex buffers."""
+    from ..utils.precision import validate_precision
+
+    if precision is None:
+        precision = "x64" if jax.default_backend() == "cpu" else "x32"
+    prec = validate_precision(precision)
+    if prec == "df32":
+        raise ValueError(
+            f"{what} does not support precision='df32': differentiating the "
+            "compensated two-float tape doubles its cost for no accuracy "
+            "gain over the CPU x64 oracle -- use 'x32' on TPU and validate "
+            "against the 'x64' fit on CPU"
         )
+    if prec == "x64" and jax.default_backend() != "cpu":
+        raise RuntimeError(
+            f"{what} with precision='x64' runs complex128/f64 jax programs "
+            "(CPU oracle surface); this process defaults to a TPU backend, "
+            "which cannot transfer complex buffers -- use precision='x32' "
+            "on-chip, or run the x64 oracle in a JAX_PLATFORMS='' process"
+        )
+    return prec
 
 
 def _observed_steps(cfg: SimulationConfig) -> int:
@@ -77,6 +101,7 @@ def make_gain_model(
     phase_in=None,
     frame: str = "rotating",
     wave: int = 2,
+    precision: Optional[str] = None,
 ):
     """Build a differentiable ``gain_db(coeffs: RHSCoeffs) -> dB`` for the
     launch condition ``(p_in, phase_in)``: signal-power gain at the LAST
@@ -84,27 +109,41 @@ def make_gain_model(
     point ``sweep.solve_batch`` reports as ``A_end``).  Pure jax --
     compose freely with ``jax.jit`` / ``jax.vmap`` / ``jax.grad``.
     ``frame='rotating'`` (autonomous) is the natural gauge for
-    differentiation; powers are frame-invariant."""
+    differentiation; powers are frame-invariant.
+
+    ``precision``: 'x64' (CPU oracle, the default there) or 'x32' (the
+    TPU-native tier, default on TPU): in-trace complex construction, f32
+    boundaries, real-scalar output."""
+    from ..utils.precision import real_dtype
+
     validate_config(cfg)
-    _require_cpu_backend("make_gain_model")
-    A0 = jnp.asarray(np.asarray(
-        make_initial_amplitudes(p_in, phase_in), dtype=np.complex128))
+    prec = _resolve_precision(precision, "make_gain_model")
+    rdt = real_dtype(prec)
+    A0h = np.asarray(make_initial_amplitudes(p_in, phase_in),
+                     dtype=np.complex128)
+    re0 = jnp.asarray(A0h.real, dtype=rdt)
+    im0 = jnp.asarray(A0h.imag, dtype=rdt)
     n_steps = _observed_steps(cfg)
     f = make_rhs_yaman(frame=frame)
-    p0 = float(np.abs(np.asarray(A0)[wave]) ** 2)
+    p0 = float(np.abs(A0h[wave]) ** 2)
     if p0 <= 0.0:
         raise ValueError(f"wave {wave} carries no input power")
+    dz = jnp.asarray(float(cfg.dz), dtype=rdt)
 
     def gain_db(coeffs: RHSCoeffs):
+        A0 = jax.lax.complex(re0, im0)   # no complex H2D (axon rule)
         res = integrate_reduce(
-            f, A0, coeffs, z0=0.0, dz=float(cfg.dz), n_steps=n_steps,
-            save_every=n_steps, reduce_init=0.0,
+            f, A0, coeffs, z0=jnp.zeros((), rdt), dz=dz, n_steps=n_steps,
+            save_every=n_steps, reduce_init=jnp.zeros((), rdt),
             reduce_fn=lambda acc, y: acc, check_nan=False,
         )
         p_out = jnp.abs(res.y_final[..., wave]) ** 2
-        return 10.0 * jnp.log10(p_out / p0)
+        return 10.0 * jnp.log10(p_out / jnp.asarray(p0, rdt))
 
-    return gain_db
+    # jit at the boundary: EAGER execution on the axon TPU attachment
+    # raises UNIMPLEMENTED (per-op dispatch materializes complex buffers);
+    # jit composes transparently with the advertised grad/vmap usage
+    return jax.jit(gain_db)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +173,7 @@ def fit_gain_curve(
     learning_rate: float = 0.05,
     tol_db: float = 1e-4,
     wave: int = 2,
+    precision: Optional[str] = None,
 ) -> FitResult:
     """Calibrate ``gamma`` [1/(W m)], ``alpha`` [1/m] and a constant
     phase-mismatch offset [1/m] against a measured gain-vs-mismatch curve
@@ -146,11 +186,23 @@ def fit_gain_curve(
     step size is meaningful: log gamma (positivity), alpha * z_max (total
     nepers) and dbeta_offset * z_max (total mismatch phase) are all O(1)
     for realistic fibers.  ``init`` defaults to ``{'gamma': 1e-2,
-    'alpha': 0.0, 'dbeta_offset': 0.0}`` (physical units)."""
+    'alpha': 0.0, 'dbeta_offset': 0.0}`` (physical units).
+
+    ``precision='x32'`` (the TPU default) runs the whole fit -- forward,
+    gradients, adam -- on-chip; the recovered parameters match the CPU
+    x64 fit to ~1e-3 relative (f32 forward error ~1e-5 in gain, measured
+    in tests/test_calibrate.py's cross-tier case and the on-chip lane in
+    TPU_TESTRUN.md)."""
     import optax
 
-    db_grid = jnp.asarray(np.asarray(delta_beta_grid, dtype=np.float64))
-    target = jnp.asarray(np.asarray(measured_gain_db, dtype=np.float64))
+    from ..utils.precision import real_dtype
+
+    prec = _resolve_precision(precision, "fit_gain_curve")
+    rdt = real_dtype(prec)
+    db_grid = jnp.asarray(np.asarray(delta_beta_grid, dtype=np.float64),
+                          dtype=rdt)
+    target = jnp.asarray(np.asarray(measured_gain_db, dtype=np.float64),
+                         dtype=rdt)
     if db_grid.shape != target.shape or db_grid.ndim != 1:
         raise ValueError("delta_beta_grid and measured_gain_db must be "
                          "matching 1-D arrays")
@@ -164,12 +216,14 @@ def fit_gain_curve(
         raise ValueError("init gamma must be positive")
 
     z_span = float(cfg.z_max)
-    gain_fn = make_gain_model(cfg, p_in=p_in, phase_in=phase_in, wave=wave)
+    gain_fn = make_gain_model(cfg, p_in=p_in, phase_in=phase_in, wave=wave,
+                              precision=prec)
+    inv_span = jnp.asarray(1.0 / z_span, dtype=rdt)
     gain_curve = jax.vmap(
         lambda db, th: gain_fn(RHSCoeffs(
             gamma=jnp.exp(th["log_gamma"]),
-            alpha=th["alpha_nep"] / z_span,
-            delta_beta=db + th["dphi"] / z_span,
+            alpha=th["alpha_nep"] * inv_span,
+            delta_beta=db + th["dphi"] * inv_span,
         )),
         in_axes=(0, None),
     )
@@ -178,9 +232,9 @@ def fit_gain_curve(
         return jnp.mean((gain_curve(db_grid, th) - target) ** 2)
 
     theta = {
-        "log_gamma": jnp.asarray(np.log(g0)),
-        "alpha_nep": jnp.asarray(a0 * z_span),
-        "dphi": jnp.asarray(o0 * z_span),
+        "log_gamma": jnp.asarray(np.log(g0), dtype=rdt),
+        "alpha_nep": jnp.asarray(a0 * z_span, dtype=rdt),
+        "dphi": jnp.asarray(o0 * z_span, dtype=rdt),
     }
     # cosine-decayed adam: the late small steps settle the nearly
     # degenerate (gamma, alpha) valley instead of orbiting it
@@ -195,7 +249,8 @@ def fit_gain_curve(
         updates, st = opt.update(grads, st, th)
         return optax.apply_updates(th, updates), st, loss
 
-    history = [float(loss_fn(theta))]
+    loss_jit = jax.jit(loss_fn)   # eager evaluation fails on the axon TPU
+    history = [float(loss_jit(theta))]
     for _ in range(int(steps)):
         theta, opt_state, loss = step(theta, opt_state)
         history.append(float(loss))
@@ -211,7 +266,8 @@ def fit_gain_curve(
         "alpha": float(theta["alpha_nep"]) / z_span,
         "dbeta_offset": float(theta["dphi"]) / z_span,
     }
-    curve = np.asarray(gain_curve(db_grid, theta))
+    curve = np.asarray(jax.jit(gain_curve)(db_grid, theta),
+                       dtype=np.float64)
     # loss AT the returned parameters (step() reports the pre-update loss)
     loss_final = float(np.mean((curve - np.asarray(target)) ** 2))
     return FitResult(
@@ -230,6 +286,7 @@ def make_pulse_model(
     *,
     nl=None,
     alpha_1_m: float = 0.0,
+    precision: Optional[str] = None,
 ):
     """Differentiable GNLSE propagation on the PRODUCTION SSFM stepper
     (``models.gnlse._chunk_stepper`` scanned in ``cfg.save_every``-sized
@@ -251,18 +308,22 @@ def make_pulse_model(
         _lin_factor,
     )
 
+    from ..utils.precision import real_dtype
+
     validate_config(cfg)
-    _require_cpu_backend("make_pulse_model")
-    om = jnp.asarray(np.asarray(grid.omega(), dtype=np.float64))
-    A0c = jnp.asarray(np.asarray(A0, dtype=np.complex128).reshape(-1))
-    if A0c.shape[0] != om.shape[0]:
+    prec = _resolve_precision(precision, "make_pulse_model")
+    rdt = jnp.dtype(real_dtype(prec))
+    om = jnp.asarray(np.asarray(grid.omega(), dtype=np.float64), dtype=rdt)
+    A0h = np.asarray(A0, dtype=np.complex128).reshape(-1)
+    re0 = jnp.asarray(A0h.real, dtype=rdt)
+    im0 = jnp.asarray(A0h.imag, dtype=rdt)
+    if A0h.shape[0] != om.shape[0]:
         raise ValueError(
-            f"A0 has {A0c.shape[0]} samples but the grid has {om.shape[0]}"
+            f"A0 has {A0h.shape[0]} samples but the grid has {om.shape[0]}"
         )
     save_every = int(cfg.save_every)
     n_chunks = _observed_steps(cfg) // save_every
     h = float(cfg.dz)
-    rdt = om.dtype
     nl_c = _cast_nl(nl, rdt)
     stepper = _chunk_stepper(save_every)
 
@@ -286,6 +347,7 @@ def make_pulse_model(
         def chunk(y, _):
             return stepper(y, Lh, Lf, coeffs.gamma, hj, nl_c), None
 
+        A0c = jax.lax.complex(re0, im0)   # in-trace (no complex H2D)
         y, _ = lax.scan(chunk, A0c, None, length=n_chunks)
         return y
 
@@ -305,6 +367,7 @@ def fit_pulse_spectrum(
     learning_rate: float = 0.05,
     tol_db: float = 1e-4,
     floor_db: float = -50.0,
+    precision: Optional[str] = None,
 ):
     """Calibrate GNLSE parameters against a measured OUTPUT POWER SPECTRUM
     (dB, fft-ordered, any reference level): adam through the split-step
@@ -324,7 +387,12 @@ def fit_pulse_spectrum(
 
     import optax
 
-    target = jnp.asarray(np.asarray(measured_db, dtype=np.float64))
+    from ..utils.precision import real_dtype
+
+    prec = _resolve_precision(precision, "fit_pulse_spectrum")
+    rdt = jnp.dtype(real_dtype(prec))
+    target = jnp.asarray(np.asarray(measured_db, dtype=np.float64),
+                         dtype=rdt)
     om = np.asarray(grid.omega(), dtype=np.float64)
     if target.shape != om.shape:
         raise ValueError("measured_db must be (T,) on the fft-ordered grid")
@@ -346,16 +414,19 @@ def fit_pulse_spectrum(
         raise ValueError("input pulse has zero spectral width")
     scales = {f"beta{n}": om_char ** n * z / math.factorial(n)
               for n in orders}
-    field = make_pulse_model(cfg, grid, A0, nl=nl, alpha_1_m=alpha_1_m)
+    field = make_pulse_model(cfg, grid, A0, nl=nl, alpha_1_m=alpha_1_m,
+                             precision=prec)
     mask = target > (float(target.max()) + float(floor_db))
+    s_floor = 1e-300 if prec == "x64" else 1e-37
 
     def spectrum_db(theta_n):
         theta = {"gamma": jnp.exp(theta_n["log_gamma"])}
         for n in orders:
-            theta[f"beta{n}"] = theta_n[f"beta{n}_n"] / scales[f"beta{n}"]
+            theta[f"beta{n}"] = theta_n[f"beta{n}_n"] / jnp.asarray(
+                scales[f"beta{n}"], rdt)
         y = field(theta)
         S = jnp.abs(jnp.fft.fft(y)) ** 2
-        return 10.0 * jnp.log10(jnp.maximum(S, 1e-300))
+        return 10.0 * jnp.log10(jnp.maximum(S, s_floor))
 
     def _offset(model_db):
         # free dB intercept: 'any reference level' means the fit matches
@@ -368,10 +439,11 @@ def fit_pulse_spectrum(
         r = jnp.where(mask, m_db + _offset(m_db) - target, 0.0)
         return (r ** 2).sum() / mask.sum()
 
-    theta_n = {"log_gamma": jnp.asarray(np.log(float(init["gamma"])))}
+    theta_n = {"log_gamma": jnp.asarray(np.log(float(init["gamma"])),
+                                        dtype=rdt)}
     for n in orders:
         theta_n[f"beta{n}_n"] = jnp.asarray(
-            float(init[f"beta{n}"]) * scales[f"beta{n}"])
+            float(init[f"beta{n}"]) * scales[f"beta{n}"], dtype=rdt)
 
     schedule = optax.cosine_decay_schedule(float(learning_rate),
                                            max(int(steps), 1))
@@ -384,7 +456,8 @@ def fit_pulse_spectrum(
         updates, st = opt.update(grads, st, th)
         return optax.apply_updates(th, updates), st, loss
 
-    history = [float(loss_fn(theta_n))]
+    loss_jit = jax.jit(loss_fn)   # eager evaluation fails on the axon TPU
+    history = [float(loss_jit(theta_n))]
     for _ in range(int(steps)):
         theta_n, opt_state, loss = step_fn(theta_n, opt_state)
         history.append(float(loss))
@@ -399,8 +472,8 @@ def fit_pulse_spectrum(
     for n in orders:
         fitted[f"beta{n}"] = (float(theta_n[f"beta{n}_n"])
                               / scales[f"beta{n}"])
-    m_db = spectrum_db(theta_n)
-    model_db = np.asarray(m_db + _offset(m_db))
+    m_db = jax.jit(spectrum_db)(theta_n)
+    model_db = np.asarray(m_db + _offset(m_db), dtype=np.float64)
     loss_final = float(
         (((model_db - np.asarray(target)) * np.asarray(mask)) ** 2).sum()
         / np.asarray(mask).sum()
@@ -419,6 +492,7 @@ def make_launch_gain_model(
     *,
     frame: str = "rotating",
     wave: int = 2,
+    precision: Optional[str] = None,
 ):
     """Like :func:`make_gain_model` but differentiable in the LAUNCH
     CONDITION too: returns ``gain_db(p_in (4,), phase_in (4,), coeffs)``
@@ -426,27 +500,32 @@ def make_launch_gain_model(
     -- the surface behind the pump-noise budget (``d gain_dB /
     d pump_dB`` and ``d gain_dB / d phase`` by one ``jax.grad`` each).
     Measures at the last saved grid point, like the batched engines."""
+    from ..utils.precision import real_dtype
+
     validate_config(cfg)
-    _require_cpu_backend("make_launch_gain_model")
+    prec = _resolve_precision(precision, "make_launch_gain_model")
+    rdt = real_dtype(prec)
     n_steps = _observed_steps(cfg)
     f = make_rhs_yaman(frame=frame)
+    dz = jnp.asarray(float(cfg.dz), dtype=rdt)
+    # the tiny floor keeps d sqrt/dp finite at exactly-zero launches
+    # (vacuum idler): the dB-transfer of a zero-power wave is 0 anyway
+    p_floor = 1e-300 if prec == "x64" else 1e-30
 
     def gain_db(p_in, phase_in, coeffs: RHSCoeffs):
-        p = jnp.asarray(p_in)
-        ph = jnp.asarray(phase_in)
-        # the tiny floor keeps d sqrt/dp finite at exactly-zero launches
-        # (vacuum idler): the dB-transfer of a zero-power wave is 0 anyway
-        A0 = jnp.sqrt(jnp.maximum(p, 1e-300)) * jax.lax.complex(
+        p = jnp.asarray(p_in, dtype=rdt)
+        ph = jnp.asarray(phase_in, dtype=rdt)
+        A0 = jnp.sqrt(jnp.maximum(p, p_floor)) * jax.lax.complex(
             jnp.cos(ph), jnp.sin(ph))
         res = integrate_reduce(
-            f, A0, coeffs, z0=0.0, dz=float(cfg.dz), n_steps=n_steps,
-            save_every=n_steps, reduce_init=0.0,
+            f, A0, coeffs, z0=jnp.zeros((), rdt), dz=dz, n_steps=n_steps,
+            save_every=n_steps, reduce_init=jnp.zeros((), rdt),
             reduce_fn=lambda acc, y: acc, check_nan=False,
         )
         p_out = jnp.abs(res.y_final[..., wave]) ** 2
         return 10.0 * jnp.log10(p_out / p[wave])
 
-    return gain_db
+    return jax.jit(gain_db)  # see make_gain_model: eager axon dispatch fails
 
 
 def power_transfer_db_per_db(
@@ -458,6 +537,7 @@ def power_transfer_db_per_db(
     p_in,
     phase_in=None,
     wave: int = 2,
+    precision: Optional[str] = None,
 ) -> np.ndarray:
     """EXACT small-signal transfer of each launch power to the measured
     gain, in dB-per-dB (``d gain_dB / d P_j_dB``), by one reverse-mode
@@ -465,16 +545,21 @@ def power_transfer_db_per_db(
     the amplifier.  Oracle: the Monte-Carlo regression
     (``noise.pump_rin_transfer_monte_carlo``) reproduces these slopes
     within its standard errors."""
-    gain = make_launch_gain_model(cfg, wave=wave)
-    coeffs = RHSCoeffs(gamma=jnp.asarray(float(gamma)),
-                       alpha=jnp.asarray(float(alpha)),
-                       delta_beta=jnp.asarray(float(delta_beta)))
+    from ..utils.precision import real_dtype
+
+    prec = _resolve_precision(precision, "power_transfer_db_per_db")
+    rdt = jnp.dtype(real_dtype(prec))
+    gain = make_launch_gain_model(cfg, wave=wave, precision=prec)
+    coeffs = RHSCoeffs(gamma=jnp.asarray(float(gamma), dtype=rdt),
+                       alpha=jnp.asarray(float(alpha), dtype=rdt),
+                       delta_beta=jnp.asarray(float(delta_beta), dtype=rdt))
     p = np.asarray(p_in, dtype=np.float64).reshape(4)
     ph = jnp.asarray(np.zeros(4) if phase_in is None
-                     else np.asarray(phase_in, dtype=np.float64))
+                     else np.asarray(phase_in, dtype=np.float64), dtype=rdt)
     if p[wave] <= 0.0:
         raise ValueError(f"wave {wave} carries no input power")
-    g = np.asarray(jax.grad(lambda pv: gain(pv, ph, coeffs))(jnp.asarray(p)))
+    g = np.asarray(jax.grad(lambda pv: gain(pv, ph, coeffs))(
+        jnp.asarray(p, dtype=rdt)), dtype=np.float64)
     # dG/d(10 log10 P_j) = dG/dP_j * P_j ln(10)/10; exactly-zero launches
     # have zero dB-transfer by definition
     return np.where(p > 0.0, g * p * (np.log(10.0) / 10.0), 0.0)
@@ -489,20 +574,27 @@ def phase_transfer_db_per_rad(
     p_in,
     phase_in=None,
     wave: int = 2,
+    precision: Optional[str] = None,
 ) -> np.ndarray:
     """EXACT transfer of each launch PHASE to the measured gain
     [dB/rad] by one reverse-mode gradient -- zero for a phase-insensitive
     amplifier (signal-only seed: the PIA gain cannot depend on any
     absolute phase), large for the PSA near its max-gain phase crossing
     (the phase-noise budget of phase-sensitive operation)."""
-    gain = make_launch_gain_model(cfg, wave=wave)
-    coeffs = RHSCoeffs(gamma=jnp.asarray(float(gamma)),
-                       alpha=jnp.asarray(float(alpha)),
-                       delta_beta=jnp.asarray(float(delta_beta)))
-    p = jnp.asarray(np.asarray(p_in, dtype=np.float64).reshape(4))
+    from ..utils.precision import real_dtype
+
+    prec = _resolve_precision(precision, "phase_transfer_db_per_rad")
+    rdt = jnp.dtype(real_dtype(prec))
+    gain = make_launch_gain_model(cfg, wave=wave, precision=prec)
+    coeffs = RHSCoeffs(gamma=jnp.asarray(float(gamma), dtype=rdt),
+                       alpha=jnp.asarray(float(alpha), dtype=rdt),
+                       delta_beta=jnp.asarray(float(delta_beta), dtype=rdt))
+    p = jnp.asarray(np.asarray(p_in, dtype=np.float64).reshape(4),
+                    dtype=rdt)
     ph0 = np.zeros(4) if phase_in is None else np.asarray(phase_in,
                                                           dtype=np.float64)
     if float(p[wave]) <= 0.0:
         raise ValueError(f"wave {wave} carries no input power")
-    g = jax.grad(lambda phv: gain(p, phv, coeffs))(jnp.asarray(ph0))
-    return np.asarray(g)
+    g = jax.grad(lambda phv: gain(p, phv, coeffs))(
+        jnp.asarray(ph0, dtype=rdt))
+    return np.asarray(g, dtype=np.float64)

@@ -185,3 +185,68 @@ def test_fit_gain_experiment_roundtrip(tmp_path):
     assert np.sqrt(fit.loss_db2) < 0.01
     assert (tmp_path / "fit_gain.npz").exists()
     assert (tmp_path / "fit_gain.png").exists()
+
+
+def test_x32_tier_matches_x64_oracle():
+    """precision='x32' (the on-chip tier, VERDICT r3 #6) on the CPU
+    backend: forward gain matches the x64 oracle to f32 class, the
+    gradient to ~1e-3 relative, and a full fit recovers the same
+    parameters.  The identical path runs on-chip under PSA_TEST_TPU=1
+    (this same test; the tier defaults to 'x32' there)."""
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    g64 = psa.make_gain_model(cfg, p_in=P_IN) if (
+        jax.default_backend() == "cpu") else None
+    g32 = psa.make_gain_model(cfg, p_in=P_IN, precision="x32")
+
+    def co(rdt):
+        return RHSCoeffs(gamma=jnp.asarray(0.0115, rdt),
+                         alpha=jnp.asarray(2e-4, rdt),
+                         delta_beta=jnp.asarray(-3e-3, rdt))
+
+    v32 = float(g32(co(jnp.float32)))
+    gr32 = float(jax.grad(lambda gm: g32(RHSCoeffs(
+        gamma=gm, alpha=jnp.asarray(2e-4, jnp.float32),
+        delta_beta=jnp.asarray(-3e-3, jnp.float32))))(
+            jnp.asarray(0.0115, jnp.float32)))
+    if g64 is not None:
+        v64 = float(g64(co(jnp.float64)))
+        gr64 = float(jax.grad(lambda gm: g64(RHSCoeffs(
+            gamma=gm, alpha=2e-4, delta_beta=-3e-3)))(0.0115))
+        assert v32 == pytest.approx(v64, rel=2e-4, abs=1e-4)
+        assert gr32 == pytest.approx(gr64, rel=2e-3)
+    else:
+        assert np.isfinite(v32) and np.isfinite(gr32)
+
+    # full x32 fit recovers the synthetic truth (same bar as the x64 fit)
+    truth = dict(gamma=0.0115, alpha=2.0e-4, dbeta_offset=-3e-3)
+    db = np.linspace(-0.05, 0.03, 16)
+    curve = np.asarray(jax.vmap(lambda d: g32(RHSCoeffs(
+        gamma=jnp.asarray(truth["gamma"], jnp.float32),
+        alpha=jnp.asarray(truth["alpha"], jnp.float32),
+        delta_beta=(d + jnp.asarray(truth["dbeta_offset"], jnp.float32)
+                    ).astype(jnp.float32))))(
+        jnp.asarray(db, jnp.float32)), dtype=np.float64)
+    fit = psa.fit_gain_curve(
+        cfg, delta_beta_grid=db, measured_gain_db=curve, p_in=P_IN,
+        init=dict(gamma=0.008, alpha=0.0, dbeta_offset=0.0),
+        steps=400, learning_rate=0.05, precision="x32",
+    )
+    assert np.sqrt(fit.loss_db2) < 0.05
+    assert fit.params["gamma"] == pytest.approx(truth["gamma"], rel=0.05)
+    assert fit.params["dbeta_offset"] == pytest.approx(
+        truth["dbeta_offset"], rel=0.10)
+
+
+def test_precision_tier_validation():
+    """df32 is rejected with a pointer to the CPU oracle; x64 on a non-CPU
+    backend raises (covered implicitly on CPU: the guard path is exercised
+    by the TPU lane)."""
+    cfg = _cfg()
+    with pytest.raises(ValueError, match="df32"):
+        psa.make_gain_model(cfg, p_in=P_IN, precision="df32")
+    with pytest.raises(ValueError, match="df32"):
+        psa.fit_gain_curve(cfg, delta_beta_grid=np.zeros(2),
+                           measured_gain_db=np.zeros(2), p_in=P_IN,
+                           precision="df32")
