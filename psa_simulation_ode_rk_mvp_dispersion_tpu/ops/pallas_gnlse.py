@@ -68,7 +68,15 @@ import os
 
 LANES = 128
 M_SUB = 128      # polyphase sub-transform length (= MXU contraction / 2)
-BLOCK = int(os.environ.get("PSA_GNLSE_PALLAS_BLOCK", "256"))
+# 512 lanes/block (round 4): same-session A/B at the bench shape (T=1024,
+# B=2048, 1000 Kerr steps) measured 1.90M inst-steps/s at 512 vs 1.60M at
+# 256 (+19%, and rep spread collapsed 2.3x -> 1.04x); lane results are
+# block-size-independent (lanes never mix), so this is a pure schedule win.
+# The KERR body only: the in-kernel Raman/steepening RK4 and the vector
+# kernel carry ~2-3x the live planes and blow the remote-compile VMEM
+# limits at 512 (measured HTTP 500, 2026-08-19) -- they stay at NL_BLOCK.
+BLOCK = int(os.environ.get("PSA_GNLSE_PALLAS_BLOCK", "512"))
+NL_BLOCK = int(os.environ.get("PSA_GNLSE_PALLAS_NL_BLOCK", "256"))
 MAX_R = 16       # cap on polyphase groups (T <= 2048)
 # DFT matmul accuracy/speed knob: 'x6' = f32-equivalent (6 bf16 passes),
 # 'x3' = 3-pass compensated bf16 (2x the MXU pass rate, but the dropped
@@ -793,7 +801,7 @@ def solve_gnlse_batch_pallas(
     n_steps: int,
     save_every: int,
     interpret: bool = False,
-    block: int = BLOCK,
+    block: int = None,
     mesh=None,
     nl=None,
 ):
@@ -826,6 +834,10 @@ def solve_gnlse_batch_pallas(
             f"T={T} too wide for the fused SSFM kernel (max {m * MAX_R}); "
             "use the scan engine"
         )
+    if block is None:
+        # the generalized-NL body carries ~2-3x the live planes and blows
+        # the remote-compile VMEM limits at the Kerr body's 512 (BLOCK note)
+        block = NL_BLOCK if nl is not None else BLOCK
 
     gamma = np.broadcast_to(np.asarray(gamma, dtype=np.float64), (B,))
     al = np.asarray(alpha, dtype=np.float64)

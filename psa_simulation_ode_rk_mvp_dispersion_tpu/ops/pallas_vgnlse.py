@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .pallas_gnlse import (
-    BLOCK,
+    NL_BLOCK,
     DOT_ALG,
     LANES,
     MAX_R,
@@ -531,7 +531,7 @@ def solve_vgnlse_batch_pallas(
     save_every: int,
     coherent: float = 0.0,
     interpret: bool = False,
-    block: int = BLOCK,
+    block: int = NL_BLOCK,
     mesh=None,
     nl=None,
 ):
