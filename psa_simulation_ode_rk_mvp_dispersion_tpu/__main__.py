@@ -243,6 +243,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     parser = build_parser()
+    import sys as _sys
+
+    if argv is None:
+        argv = _sys.argv[1:]
+    if not list(argv):
+        # zero-argument parity with the reference entry point
+        # (/root/reference/main.py:283-284 runs the Δβ+gain spectrum with
+        # no arguments): default to the spectrum-dbeta demo
+        # (PSA_TPU_DEMO_POINTS trims the grid for smoke tests)
+        import os as _os
+
+        argv = ["spectrum-dbeta",
+                "--points", _os.environ.get("PSA_TPU_DEMO_POINTS", "30")]
     args = parser.parse_args(argv)
     if args.integrator is not None and args.cmd in (
             "sbs", "bench", "noise-figure", "comb", "gain-ripple",

@@ -321,13 +321,14 @@ def _comb_fixed_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
 
 @functools.lru_cache(maxsize=64)
 def _comb_adaptive_solver(rtol: float, atol: float, max_steps: int,
-                          coupling: str = "fft"):
+                          coupling: str = "fft", has_tail: bool = False):
     rhs = make_rhs_nwave(coupling)
 
-    def run(y0_ri, coeffs, z_grid):
+    def run(y0_ri, coeffs, z_grid, z_final):
         res = integrate_adaptive_grid(
             rhs, ri_to_complex(y0_ri), coeffs, z_grid=z_grid, rtol=rtol,
             atol=atol, max_steps_per_segment=max_steps,
+            z_final=z_final if has_tail else None,
         )
         return (
             complex_to_ri(res.y_saved).astype(y0_ri.dtype),
@@ -386,11 +387,15 @@ def run_comb_simulation(
         n_chunks = n_steps // cfg.save_every
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
 
+        # trailing n_steps % save_every partial span integrated but unsaved
+        # (folds into ok only -- the framework-wide decimation contract)
         solver = _comb_adaptive_solver(
-            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling
+            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling,
+            (n_steps % int(cfg.save_every)) > 0,
         )
         y_ri, ok_i = solver(
-            jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(z_grid, dtype=rdt)
+            jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(z_grid, dtype=rdt),
+            jnp.asarray(n_steps * dz_m, dtype=rdt)
         )
         ok = int(np.asarray(ok_i)) != 0
         z_out = z_grid / scale
@@ -434,19 +439,21 @@ def _comb_batch_traj_solver(n_steps: int, save_every: int, unroll: int,
 
 @functools.lru_cache(maxsize=64)
 def _comb_batch_adaptive_traj_solver(rtol: float, atol: float,
-                                     max_steps: int, coupling: str):
+                                     max_steps: int, coupling: str,
+                                     has_tail: bool = False):
     rhs = make_rhs_nwave(coupling)
 
-    def one(y0, coeffs, z_grid):
+    def one(y0, coeffs, z_grid, z_final):
         res = integrate_adaptive_grid(
             rhs, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
             max_steps_per_segment=max_steps,
+            z_final=z_final if has_tail else None,
         )
         return complex_to_ri(res.y_saved), res.ok
 
-    def batch(y0_ri, coeffs_b, z_grid):
-        ys, ok = jax.vmap(one, in_axes=(0, 0, None))(
-            ri_to_complex(y0_ri), coeffs_b, z_grid
+    def batch(y0_ri, coeffs_b, z_grid, z_final):
+        ys, ok = jax.vmap(one, in_axes=(0, 0, None, None))(
+            ri_to_complex(y0_ri), coeffs_b, z_grid, z_final
         )
         return ys.astype(y0_ri.dtype), ok.astype(jnp.int32)
 
@@ -508,9 +515,12 @@ def solve_comb_batch_trajectories(
     if cfg.integrator.lower() == "rk45":
         z_grid = jnp.asarray(z * scale, dtype=rdt)
         solver = _comb_batch_adaptive_traj_solver(
-            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling
+            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling,
+            (n_steps % int(cfg.save_every)) > 0,
         )
-        ys, ok = jax.block_until_ready(solver(y0_ri, coeffs_b, z_grid))
+        ys, ok = jax.block_until_ready(
+            solver(y0_ri, coeffs_b, z_grid,
+                   jnp.asarray(n_steps * dz_m, dtype=rdt)))
     else:
         solver = _comb_batch_traj_solver(
             n_steps, int(cfg.save_every), int(unroll), coupling,
@@ -575,20 +585,23 @@ def _comb_batch_solver(n_steps: int, save_every: int, check_nan: bool, unroll: i
 
 @functools.lru_cache(maxsize=64)
 def _comb_batch_adaptive_solver(rtol: float, atol: float, max_steps: int,
-                                coupling: str = "fft"):
+                                coupling: str = "fft",
+                                has_tail: bool = False):
     rhs = make_rhs_nwave(coupling)
 
-    def one(y0, coeffs, z_grid):
+    def one(y0, coeffs, z_grid, z_final):
         res = integrate_adaptive_grid(
             rhs, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
             max_steps_per_segment=max_steps,
+            z_final=z_final if has_tail else None,
         )
         P = res.y_saved.real ** 2 + res.y_saved.imag ** 2
         return jnp.max(P, axis=0), res.y_final, res.ok
 
-    def batch(y0_ri, coeffs_b, z_grid):
+    def batch(y0_ri, coeffs_b, z_grid, z_final):
         y0_b = ri_to_complex(y0_ri)
-        pmax, yf, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, z_grid)
+        pmax, yf, ok = jax.vmap(one, in_axes=(0, 0, None, None))(
+            y0_b, coeffs_b, z_grid, z_final)
         # ONE stacked (B, 3N+1) output: every device->host fetch costs a
         # ~30 ms tunnel round trip regardless of size (docs/PERF.md rule 7)
         rdt = y0_ri.dtype
@@ -722,10 +735,12 @@ def solve_comb_batch(
         n_chunks = n_steps // cfg.save_every
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (cfg.save_every * dz_m)
         solver = _comb_batch_adaptive_solver(
-            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling
+            float(cfg.rtol), float(cfg.atol), int(cfg.max_steps), coupling,
+            (n_steps % int(cfg.save_every)) > 0,
         )
         out = jax.block_until_ready(
-            solver(y0_ri, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
+            solver(y0_ri, coeffs_dev, jnp.asarray(z_grid, dtype=rdt),
+                   jnp.asarray(n_steps * dz_m, dtype=rdt))
         )
     else:
         solver = _comb_batch_solver(

@@ -481,18 +481,23 @@ _V_ADAPTIVE_ATTEMPTS = {
 @functools.lru_cache(maxsize=64)
 def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
                             max_steps: int, reduce_mode: bool,
-                            method: str = "strang"):
+                            method: str = "strang", has_tail: bool = False):
     """Adaptive vector SSFM over a save grid: (B, 2, T, 2) pack + (S+1,)
     grid.  reduce_mode=True returns ONE stacked ``(B, 2 + 4T + 3)`` buffer
     ``[peak_max | y_final flat | ok | n_accepted | n_rejected]``;
     reduce_mode=False the trajectory tuple.  ``method``: 'strang'
-    (integrator='rk45') or 'rk4ip' (integrator='rk4ip45')."""
+    (integrator='rk45') or 'rk4ip' (integrator='rk4ip45').
+
+    ``has_tail`` realizes the save-decimation contract for the trailing
+    ``n_steps % save_every`` partial span (same as the scalar solver): one
+    extra unsaved segment ``[z_grid[-1], z_end]`` folds into
+    ``ok``/``n_acc``/``n_rej`` ONLY."""
     from .gnlse import _gnlse_advance_segment
 
     rdt = jnp.dtype(rdt_name)
     attempt_fn, order = _V_ADAPTIVE_ATTEMPTS[method]
 
-    def solve(y0_ri, coeffs: VGNLSECoeffs, z_grid, dt0, nl=None):
+    def solve(y0_ri, coeffs: VGNLSECoeffs, z_grid, dt0, nl=None, z_end=None):
         from .gnlse import _cast_nl
 
         y0 = ri_to_complex(y0_ri)                    # (B, 2, T)
@@ -529,6 +534,14 @@ def _vgnlse_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             (z_grid[:-1], z_grid[1:]),
         )
         y_final = complex_to_ri(y).astype(rdt)
+        if has_tail:
+            z = jnp.full((B,), z_grid[-1], dtype=rdt)
+            _yt, _zt, _dtt, ok, na_t, nr_t = _gnlse_advance_segment(
+                y, z, dt, ok, z_grid[-1], z_end, attempt, rdt,
+                rtol=rtol, atol=atol, max_steps=max_steps, order=order,
+            )
+            na = na + na_t
+            nr = nr + nr_t
         if reduce_mode:
             # ONE stacked output (docs/PERF.md rule 7)
             return jnp.concatenate(
@@ -556,11 +569,12 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                                            atol: float, max_steps: int, mesh,
                                            coherent: float = 0.0,
                                            has_nl: bool = False,
-                                           method: str = "strang"):
+                                           method: str = "strang",
+                                           has_tail: bool = False):
     from jax.sharding import PartitionSpec
 
     inner = _vgnlse_adaptive_solver(rdt_name, rtol, atol, max_steps, True,
-                                    method)
+                                    method, has_tail)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     # a leading-axis spec shards axis 0 and replicates the rest, so it
@@ -568,14 +582,15 @@ def _vgnlse_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
     b = PartitionSpec(ax)
     return jax.jit(
         jax.shard_map(
-            lambda y0, c, zg, dt0, nl=None: inner(y0, c, zg, dt0, nl),
+            lambda y0, c, zg, dt0, ze, nl=None: inner(y0, c, zg, dt0, nl,
+                                                      ze),
             mesh=mesh,
             in_specs=(
                 PartitionSpec(ax, None, None, None),
                 VGNLSECoeffs(gamma=b, alpha=b, b_xpm=PartitionSpec(),
                              lin_phase=PartitionSpec(ax, None, None),
                              coherent=coherent),
-                PartitionSpec(), PartitionSpec(),
+                PartitionSpec(), PartitionSpec(), PartitionSpec(),
             ) + ((_nl_replicated_spec(),) if has_nl else ()),
             out_specs=PartitionSpec(ax, None),
             check_vma=False,
@@ -699,23 +714,21 @@ def run_vgnlse_simulation(
         return z, A_saved[:, 0]
 
     if cfg.integrator.lower() in ("rk45", "rk4ip45"):
-        if n_chunks == 0:
-            if cfg.check_nan and not np.all(np.isfinite(A0)):
-                raise FloatingPointError(
-                    "NaN or Inf detected during vector-GNLSE integration"
-                )
-            return np.full(1, z0), A0[None].copy()
+        # trailing n_steps % save_every partial span integrated but unsaved
+        # (folds into ok only -- the framework-wide decimation contract)
+        remainder = n_steps - n_chunks * int(cfg.save_every)
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * dz_m
         )
         solver = _vgnlse_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False, _adaptive_method(cfg),
+            int(cfg.max_steps), False, _adaptive_method(cfg), remainder > 0,
         )
         ys, yf, ok, _na, _nr = jax.block_until_ready(
             solver(ri_pack_host(A0[None], rdt), coeffs,
                    jnp.asarray(z_grid, dtype=rdt),
-                   jnp.asarray(dz_m, dtype=rdt), nl)
+                   jnp.asarray(dz_m, dtype=rdt), nl,
+                   jnp.asarray(n_steps * dz_m, dtype=rdt))
         )
         if cfg.check_nan and int(np.asarray(ok)[0]) == 0:
             raise FloatingPointError(
@@ -867,16 +880,14 @@ def solve_vgnlse_batch(
     use_rk45 = cfg.integrator.lower() in ("rk45", "rk4ip45")
     if use_rk45:
         n_chunks = n_steps // int(cfg.save_every)
-        if n_chunks == 0:
-            pk0 = (np.abs(A0[:n_orig]) ** 2).max(axis=-1)
-            ok0 = np.isfinite(A0[:n_orig]).all(axis=(-2, -1))
-            return pk0, A0[:n_orig].copy(), ok0
+        rk45_tail = (n_steps - n_chunks * int(cfg.save_every)) > 0
         z_grid = jnp.asarray(
             np.arange(n_chunks + 1, dtype=np.float64)
             * (int(cfg.save_every) * dz_m),
             dtype=rdt,
         )
         dt0 = jnp.asarray(dz_m, dtype=rdt)
+        z_end = jnp.asarray(n_steps * dz_m, dtype=rdt)
 
     if mesh is None:
         cof = VGNLSECoeffs(
@@ -889,10 +900,10 @@ def solve_vgnlse_batch(
         if use_rk45:
             solver = _vgnlse_adaptive_solver(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), True, _adaptive_method(cfg),
+                int(cfg.max_steps), True, _adaptive_method(cfg), rk45_tail,
             )
             out = jax.block_until_ready(
-                solver(jnp.asarray(y0_ri), cof, z_grid, dt0, nl)
+                solver(jnp.asarray(y0_ri), cof, z_grid, dt0, nl, z_end)
             )
             pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, 2 * T,
                                                         counters=True)
@@ -923,10 +934,10 @@ def solve_vgnlse_batch(
             solver = _vgnlse_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
                 int(cfg.max_steps), mesh, float(coeffs.coherent),
-                nl is not None, _adaptive_method(cfg),
+                nl is not None, _adaptive_method(cfg), rk45_tail,
             )
             out = fetch_global(jax.block_until_ready(
-                solver(y0_dev, cof_dev, z_grid, dt0, *nl_args)
+                solver(y0_dev, cof_dev, z_grid, dt0, z_end, *nl_args)
             ))
             pk, y_ri, ok, _na, _nr = _split_reduce_pack(out, 2 * T,
                                                         counters=True)
@@ -1024,19 +1035,18 @@ def solve_vgnlse_batch_trajectories(
     ) / scale
     y0_ri = ri_pack_host(A0, rdt)
     if cfg.integrator.lower() in ("rk45", "rk4ip45"):
-        if n_chunks == 0:
-            ok0 = np.isfinite(A0).all(axis=(-2, -1))
-            return z, A0[:, None].copy(), ok0
+        rk45_tail = (n_steps - n_chunks * int(cfg.save_every)) > 0
         z_grid = jnp.asarray(
             np.arange(n_chunks + 1, dtype=np.float64)
             * (int(cfg.save_every) * dz_m), dtype=rdt)
         solver = _vgnlse_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False, _adaptive_method(cfg),
+            int(cfg.max_steps), False, _adaptive_method(cfg), rk45_tail,
         )
         ys, _yf, ok, _na, _nr = jax.block_until_ready(
             solver(jnp.asarray(y0_ri), cof, z_grid,
-                   jnp.asarray(dz_m, dtype=rdt), nl)
+                   jnp.asarray(dz_m, dtype=rdt), nl,
+                   jnp.asarray(n_steps * dz_m, dtype=rdt))
         )
     else:
         solver = _vgnlse_solver(n_steps, int(cfg.save_every),

@@ -191,17 +191,25 @@ def integrate_adaptive_grid(
     atol: float = 1e-12,
     dt0=None,
     max_steps_per_segment: int = 10_000,
+    z_final=None,
 ) -> AdaptiveResult:
     """Dormand-Prince 5(4) integration with dense output on ``z_grid``.
 
     ``z_grid`` is a static-length increasing array (row 0 = initial z).  The
     solver scans over segments [z_i, z_{i+1}], adapting micro-steps inside
     each; output rows land exactly on the grid.  jit/vmap-compatible.
+
+    ``z_final`` (optional, > ``z_grid[-1]``) realizes the framework-wide
+    save-decimation contract for trailing ``n_steps % save_every`` partial
+    spans: the extra segment ``[z_grid[-1], z_final]`` is integrated but
+    UNSAVED -- it folds into ``ok``/``n_accepted``/``n_rejected`` only,
+    while ``y_final`` and the saved rows stay at the last grid point
+    (matching the fixed-step engines' remainder block).
     """
     y0 = jnp.asarray(y0)
     zg = jnp.asarray(z_grid)
-    if zg.ndim != 1 or int(zg.shape[0]) < 2:
-        raise ValueError("z_grid must be 1-D with at least 2 points")
+    if zg.ndim != 1 or int(zg.shape[0]) < 1:
+        raise ValueError("z_grid must be 1-D with at least 1 point")
     rdt = zg.dtype if jnp.issubdtype(zg.dtype, jnp.floating) else jnp.result_type(float)
     zg = zg.astype(rdt)
 
@@ -227,6 +235,14 @@ def integrate_adaptive_grid(
 
     c_final, ys = lax.scan(seg, carry, zg[1:])
     y_saved = jnp.concatenate([y0[None], ys], axis=0)
+
+    if z_final is not None:
+        tail = _advance_segment(
+            f, c_final, jnp.asarray(z_final, dtype=rdt), params,
+            rtol=rtol, atol=atol, max_steps=max_steps_per_segment,
+        )
+        c_final = _SegCarry(c_final.z, c_final.y, c_final.dt, tail.ok,
+                            tail.n_accepted, tail.n_rejected)
 
     return AdaptiveResult(
         z_saved=zg,
@@ -260,6 +276,7 @@ def integrate_adaptive_reduce(
     atol: float = 1e-12,
     dt0=None,
     max_steps_per_segment: int = 10_000,
+    z_final=None,
 ) -> AdaptiveReduceResult:
     """Like :func:`integrate_adaptive_grid` but folds each grid-point state
     into a running reduction instead of materializing the trajectory --
@@ -267,11 +284,13 @@ def integrate_adaptive_reduce(
     O(state), independent of grid length, so huge batches of sweeps fit in
     HBM.  ``reduce_fn(acc, y) -> acc`` is applied at every grid point after
     the initial one; seed ``reduce_init`` with the z=0 contribution.
+    ``z_final``: trailing unsaved span, ok/counters only (see
+    :func:`integrate_adaptive_grid`).
     """
     y0 = jnp.asarray(y0)
     zg = jnp.asarray(z_grid)
-    if zg.ndim != 1 or int(zg.shape[0]) < 2:
-        raise ValueError("z_grid must be 1-D with at least 2 points")
+    if zg.ndim != 1 or int(zg.shape[0]) < 1:
+        raise ValueError("z_grid must be 1-D with at least 1 point")
     rdt = zg.dtype if jnp.issubdtype(zg.dtype, jnp.floating) else jnp.result_type(float)
     zg = zg.astype(rdt)
 
@@ -297,6 +316,13 @@ def integrate_adaptive_reduce(
         return (c, acc), None
 
     (c_final, acc), _ = lax.scan(seg, (carry, reduce_init), zg[1:])
+    if z_final is not None:
+        tail = _advance_segment(
+            f, c_final, jnp.asarray(z_final, dtype=rdt), params,
+            rtol=rtol, atol=atol, max_steps=max_steps_per_segment,
+        )
+        c_final = _SegCarry(c_final.z, c_final.y, c_final.dt, tail.ok,
+                            tail.n_accepted, tail.n_rejected)
     return AdaptiveReduceResult(
         reduction=acc,
         y_final=c_final.y,
@@ -352,11 +378,15 @@ def run_adaptive_trajectory(
 
     from ..utils.packing import complex_to_ri, ri_pack_host, ri_to_complex, ri_unpack_host
 
+    # trailing n_steps % save_every partial span integrated but unsaved
+    # (folds into ok only -- the framework-wide decimation contract)
     solver = _adaptive_traj_solver(
-        frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps)
+        frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps),
+        (n_steps % int(cfg.save_every)) > 0,
     )
     y_ri, ok_i = solver(
-        jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(z_grid, dtype=rdt)
+        jnp.asarray(ri_pack_host(A0, rdt)), coeffs, jnp.asarray(z_grid, dtype=rdt),
+        jnp.asarray(z0_m + n_steps * dz_m, dtype=rdt)
     )
 
     if cfg.check_nan and int(np.asarray(ok_i)) == 0:
@@ -372,16 +402,18 @@ def run_adaptive_trajectory(
 
 
 @functools.lru_cache(maxsize=64)
-def _adaptive_traj_solver(frame: str, rtol: float, atol: float, max_steps: int):
+def _adaptive_traj_solver(frame: str, rtol: float, atol: float,
+                          max_steps: int, has_tail: bool = False):
     from .rhs import rhs_yaman, rhs_yaman_autonomous, rotating_to_lab
     from ..utils.packing import complex_to_ri, ri_to_complex
 
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 
-    def run(y0_ri, p, zg):
+    def run(y0_ri, p, zg, z_final):
         res = integrate_adaptive_grid(
             rhs, ri_to_complex(y0_ri), p, z_grid=zg, rtol=rtol, atol=atol,
             max_steps_per_segment=max_steps,
+            z_final=z_final if has_tail else None,
         )
         y_saved = res.y_saved
         if frame == "rotating":

@@ -207,13 +207,17 @@ from .twofloat import tf_max as _tf_max  # noqa: E402
 
 @functools.lru_cache(maxsize=64)
 def _df32_adaptive_solver(rtol: float, atol: float, max_steps: int,
-                          n_segments: int, dt_min: float):
+                          n_segments: int, dt_min: float,
+                          has_tail: bool = False):
     """Jitted batched df32 DP45 reduce solve over a save grid.
 
     Inputs: y0 CTF (B, 4), coeffs (B,)-leaved DF32Coeffs, segment-end TF
     grid ((S+1,) hi/lo pairs), dt0 f32.  Returns f32/i32-only leaves
     (fetch-safe): P_max over saved samples incl. z=0, state at the LAST
-    saved grid point, ok, accepted/rejected counters.
+    saved grid point, ok, accepted/rejected counters.  ``has_tail``: the
+    grid carries ONE extra trailing point (the n_steps % save_every
+    partial span) that is integrated but UNSAVED -- it folds into
+    ok/counters only (the framework-wide decimation contract).
     """
 
     def run_one(y0: CTF, coeffs: DF32Coeffs, zg_hi, zg_lo, dt0):
@@ -238,6 +242,14 @@ def _df32_adaptive_solver(rtol: float, atol: float, max_steps: int,
         (lane, pmax), _ = lax.scan(
             seg, (lane, P0), jnp.arange(n_segments, dtype=jnp.int32)
         )
+        if has_tail:
+            tail = _advance_segment_df32(
+                lane._replace(landed=jnp.asarray(False)),
+                TF(zg_hi[n_segments + 1], zg_lo[n_segments + 1]), coeffs,
+                rtol=rtol, atol=atol, max_steps=max_steps, dt_min=dt_min,
+            )
+            lane = lane._replace(ok=tail.ok, n_acc=tail.n_acc,
+                                 n_rej=tail.n_rej)
         return (
             pmax.hi, pmax.lo,
             lane.y.re.hi, lane.y.re.lo, lane.y.im.hi, lane.y.im.lo,
@@ -282,14 +294,25 @@ def solve_batch_df32_rk45(
     dbeta = np.broadcast_to(np.asarray(delta_beta, dtype=np.float64), (B,))
 
     n_chunks = int(n_steps) // int(save_every)
+    remainder = int(n_steps) - n_chunks * int(save_every)
     if n_chunks == 0:
+        # saved grid is row 0 only.  Unlike the x32/x64 tiers this tier
+        # does NOT integrate an all-trailing span: the early return is what
+        # keeps the CPU lane usable (XLA:CPU compiles two-float programs
+        # pathologically slowly, CLAUDE.md #4) -- ok still reflects the
+        # input finiteness, and n_chunks >= 1 runs get the full trailing
+        # contract below.
         P0 = np.abs(A0) ** 2
         return DF32BatchResult(P_max=P0, A_end=A0.copy(),
                                ok=np.isfinite(A0).all(axis=1))
     z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
         int(save_every) * float(dz_m)
     )
-    zg = tf_from_f64(z_grid)
+    zg_full = z_grid
+    if remainder > 0:
+        # trailing partial span: integrated but unsaved (ok/counters only)
+        zg_full = np.concatenate([z_grid, [n_steps * float(dz_m)]])
+    zg = tf_from_f64(zg_full)
 
     n_orig = B
     if mesh is not None:
@@ -316,7 +339,7 @@ def solve_batch_df32_rk45(
 
     solver = _df32_adaptive_solver(
         float(rtol), float(atol), int(max_steps), n_chunks,
-        float(1e-12 * z_grid[-1]),
+        float(1e-12 * max(zg_full[-1], 1.0)), remainder > 0,
     )
     out = jax.block_until_ready(
         solver(y0, coeffs, zg.hi, zg.lo, np.float32(dz_m))

@@ -63,15 +63,17 @@ _F32_MAX = 3.4e38    # finite bound: NaN compares false (fixed-kernel trick)
 
 
 def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
-                 max_steps: int, g: int):
+                 max_steps: int, g: int, tail_len: float = 0.0):
     """Adaptive DP45 kernel closed over the static save grid geometry.
 
     Per-segment LOCAL z in [0, seg_len] (the RHS is autonomous) keeps the
     f32 z accumulation exact at any distance and makes the segment end a
-    compile-time constant.
+    compile-time constant.  ``tail_len > 0`` appends the trailing
+    ``n_steps % save_every`` partial span AFTER the save grid: integrated
+    but unsaved, folding into ok/counters only (the framework-wide
+    decimation contract).
     """
     G = 4 * g
-    dt_min = 1e-12 * (seg_len + 1.0)     # ops/adaptive dt_min_factor * span
 
     def kernel(coef_ref, y0_ref, pmax_ref, yf_ref, ok_ref, na_ref, nr_ref):
         coef = coef_ref[:, :]
@@ -177,10 +179,12 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
         ok0 = jnp.ones_like(y0[0:g, :])
         zero_g = jnp.zeros_like(ok0)
 
-        def segment(_c, carry):
-            y, pmax, ok, dt, na, nr = carry
-            z = zero_g                                   # local z in [0, L]
-            seg_end = jnp.asarray(seg_len, jnp.float32)
+        def advance(carry, length):
+            # one adaptive span of STATIC length (local z in [0, length])
+            y, ok, dt, na, nr = carry
+            z = zero_g
+            seg_end = jnp.asarray(length, jnp.float32)
+            dt_min = 1e-12 * (length + 1.0)   # ops/adaptive dt_min * span
 
             def cond(state):
                 y_, z_, dt_, ok_, na_, nr_, it = state
@@ -235,12 +239,21 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             # a lane that exhausted max_steps without reaching the segment
             # end is a failure, not a silent short integration
             ok = ok * jnp.where(z >= seg_end, 1.0, 0.0)
+            return (y, ok, dt, na, nr)
+
+        def segment(_c, carry):
+            y, pmax, ok, dt, na, nr = carry
+            y, ok, dt, na, nr = advance((y, ok, dt, na, nr), seg_len)
             pmax = jnp.maximum(pmax, powers(y))
             return (y, pmax, ok, dt, na, nr)
 
-        y, pmax, ok, _dt, na, nr = lax.fori_loop(
+        y, pmax, ok, dt, na, nr = lax.fori_loop(
             0, n_chunks, segment,
             (y0, pmax0, ok0, dt0, zero_g, zero_g))
+        if tail_len > 0.0:
+            # trailing partial span: ok/counters only; y/pmax stay at the
+            # last saved grid point
+            _yt, ok, _dtt, na, nr = advance((y, ok, dt, na, nr), tail_len)
         pmax_ref[:, :] = pmax
         yf_ref[:, :] = y
         ok_ref[:, :] = ok
@@ -251,10 +264,12 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
 
 
 def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
-               max_steps: int, interpret: bool, block: int, g: int):
+               max_steps: int, interpret: bool, block: int, g: int,
+               tail_len: float = 0.0):
     from jax.experimental import pallas as pl
 
-    kernel = _kernel_body(n_chunks, seg_len, rtol, atol, max_steps, g)
+    kernel = _kernel_body(n_chunks, seg_len, rtol, atol, max_steps, g,
+                          tail_len)
     G = 4 * g
     n_coef = 2 * G + 3 * g
 
@@ -293,9 +308,9 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
 @functools.lru_cache(maxsize=64)
 def _pallas_rk45_solver(n_chunks: int, seg_len: float, rtol: float,
                         atol: float, max_steps: int, interpret: bool,
-                        block: int, g: int):
+                        block: int, g: int, tail_len: float = 0.0):
     call = _make_call(n_chunks, seg_len, rtol, atol, max_steps, interpret,
-                      block, g)
+                      block, g, tail_len)
 
     def fused(coef, y0):
         # ONE stacked output fetch (docs/PERF.md rule 7)
@@ -308,12 +323,13 @@ def _pallas_rk45_solver(n_chunks: int, seg_len: float, rtol: float,
 @functools.lru_cache(maxsize=16)
 def _pallas_rk45_solver_sharded(n_chunks: int, seg_len: float, rtol: float,
                                 atol: float, max_steps: int, interpret: bool,
-                                block: int, g: int, mesh):
+                                block: int, g: int, mesh,
+                                tail_len: float = 0.0):
     """shard_map wrapper (lane axis over the mesh, per-shard launches)."""
     from jax.sharding import PartitionSpec
 
     call = _make_call(n_chunks, seg_len, rtol, atol, max_steps, interpret,
-                      block, g)
+                      block, g, tail_len)
 
     def fused(coef, y0):
         pmax, y_last, ok, na, nr = call(coef, y0)
@@ -367,7 +383,8 @@ def solve_batch_rk45_pallas(
         raise ValueError(f"A0 must have shape (B, 4), got {A0.shape}")
     B = A0.shape[0]
     n_chunks = int(n_steps) // int(save_every)
-    if n_chunks == 0:
+    tail_len = (int(n_steps) - n_chunks * int(save_every)) * float(dz_m)
+    if n_chunks == 0 and tail_len == 0.0:
         P0 = np.abs(A0) ** 2
         return PallasAdaptiveResult(
             P_max=P0, A_end=A0.copy(), ok=np.isfinite(A0).all(axis=1),
@@ -402,7 +419,7 @@ def solve_batch_rk45_pallas(
     if mesh is None:
         solver = _pallas_rk45_solver(
             n_chunks, seg_len, float(rtol), float(atol), int(max_steps),
-            bool(interpret), int(block), g,
+            bool(interpret), int(block), g, tail_len,
         )
         with jax.enable_x64(False):
             out = np.asarray(jax.block_until_ready(
@@ -415,7 +432,7 @@ def solve_batch_rk45_pallas(
 
         solver, spec = _pallas_rk45_solver_sharded(
             n_chunks, seg_len, float(rtol), float(atol), int(max_steps),
-            bool(interpret), int(block), g, mesh,
+            bool(interpret), int(block), g, mesh, tail_len,
         )
         sh = NamedSharding(mesh, spec)
         with jax.enable_x64(False):

@@ -192,18 +192,21 @@ def _batch_solver(
 
 
 @functools.lru_cache(maxsize=64)
-def _batch_adaptive_solver(frame: str, rtol: float, atol: float, max_steps: int):
+def _batch_adaptive_solver(frame: str, rtol: float, atol: float,
+                           max_steps: int, has_tail: bool = False):
     """Jitted vmapped reduce-mode RK45 (Dormand-Prince) solver.
 
     The batched realization of the reference's reserved ``cfg.integrator``
     slot (``/root/reference/config.py:89``) for sweeps: every lane adapts its
     own step size in lockstep (masked while_loop, ``ops/adaptive.py``), with
     dense output reduced on the decimated save grid so only (B, 4) summaries
-    cross back to the host.
+    cross back to the host.  ``has_tail``: the trailing ``n_steps %
+    save_every`` partial span is integrated but unsaved (ok/counters only
+    -- the framework-wide decimation contract, round 4).
     """
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 
-    def one(y0, coeffs, z_grid):
+    def one(y0, coeffs, z_grid, z_final):
         P0 = y0.real * y0.real + y0.imag * y0.imag
 
         def red(pmax, y):
@@ -214,15 +217,17 @@ def _batch_adaptive_solver(frame: str, rtol: float, atol: float, max_steps: int)
             rhs, y0, coeffs, z_grid=z_grid,
             reduce_init=P0, reduce_fn=red,
             rtol=rtol, atol=atol, max_steps_per_segment=max_steps,
+            z_final=z_final if has_tail else None,
         )
         y_last = res.y_final
         if frame == "rotating":
             y_last = rotating_to_lab(z_grid[-1], y_last, coeffs)
         return res.reduction, y_last, res.ok
 
-    def batch(y0_ri, coeffs_b, z_grid):
+    def batch(y0_ri, coeffs_b, z_grid, z_final):
         y0_b = ri_to_complex(y0_ri)
-        pmax, y_last, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, z_grid)
+        pmax, y_last, ok = jax.vmap(one, in_axes=(0, 0, None, None))(
+            y0_b, coeffs_b, z_grid, z_final)
         rdt = y0_ri.dtype
         a_ri = complex_to_ri(y_last).astype(rdt)
         # ONE stacked (B, 13) output (docs/PERF.md rule 7)
@@ -538,15 +543,16 @@ def _solve_batch_rk45(
     """Adaptive (rk45) back end of :func:`solve_batch`.
 
     Output contract matches the rk4 reduce path: P_max over the decimated
-    save grid (row 0 + every ``save_every``-th step; trailing partial chunk
-    unsaved), A_end at the last saved grid point.  Unlike rk4, the adaptive
-    solver does not integrate the unobservable trailing chunk, so ``ok``
-    covers the saved grid only.
+    save grid (row 0 + every ``save_every``-th step), A_end at the last
+    saved grid point; the trailing ``n_steps % save_every`` partial span is
+    integrated but unsaved -- it folds into ``ok`` only (the framework-wide
+    decimation contract, round 4).
     """
     B = A0.shape[0]
     n_chunks = n_steps // int(cfg.save_every)
-    if n_chunks == 0:
-        # no saved step beyond row 0: the saved-grid outputs are the ICs
+    rk45_tail = (n_steps - n_chunks * int(cfg.save_every)) > 0
+    if n_chunks == 0 and not rk45_tail:
+        # no steps at all: the saved-grid outputs are the ICs
         P0 = np.abs(np.asarray(A0, dtype=np.complex128)) ** 2
         return BatchSolveResult(
             P_max=P0, P_end=P0, A_end=np.asarray(A0, dtype=np.complex128),
@@ -556,9 +562,11 @@ def _solve_batch_rk45(
     z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
         int(cfg.save_every) * float(cfg.dz)
     )
+    z_final = jnp.asarray(n_steps * float(cfg.dz), dtype=rdt)
 
     solver = _batch_adaptive_solver(
-        frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps)
+        frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps),
+        rk45_tail,
     )
 
     y0_dev = jnp.asarray(ri_pack_host(A0, rdt))
@@ -588,7 +596,7 @@ def _solve_batch_rk45(
 
     t0 = time.perf_counter()
     out = jax.block_until_ready(
-        solver(y0_dev, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
+        solver(y0_dev, coeffs_dev, jnp.asarray(z_grid, dtype=rdt), z_final)
     )
     elapsed = time.perf_counter() - t0
 
@@ -613,24 +621,27 @@ def _solve_batch_rk45(
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def _batch_adaptive_traj_solver(frame: str, rtol: float, atol: float, max_steps: int):
+def _batch_adaptive_traj_solver(frame: str, rtol: float, atol: float,
+                                max_steps: int, has_tail: bool = False):
     from ..ops.adaptive import integrate_adaptive_grid
 
     rhs = rhs_yaman if frame == "lab" else rhs_yaman_autonomous
 
-    def one(y0, coeffs, z_grid):
+    def one(y0, coeffs, z_grid, z_final):
         res = integrate_adaptive_grid(
             rhs, y0, coeffs, z_grid=z_grid, rtol=rtol, atol=atol,
             max_steps_per_segment=max_steps,
+            z_final=z_final if has_tail else None,
         )
         y_saved = res.y_saved
         if frame == "rotating":
             y_saved = rotating_to_lab(res.z_saved, y_saved, coeffs)
         return y_saved, res.ok
 
-    def batch(y0_ri, coeffs_b, z_grid):
+    def batch(y0_ri, coeffs_b, z_grid, z_final):
         y0_b = ri_to_complex(y0_ri)
-        ys, ok = jax.vmap(one, in_axes=(0, 0, None))(y0_b, coeffs_b, z_grid)
+        ys, ok = jax.vmap(one, in_axes=(0, 0, None, None))(
+            y0_b, coeffs_b, z_grid, z_final)
         return complex_to_ri(ys).astype(y0_ri.dtype), ok.astype(jnp.int32)
 
     return jax.jit(batch)
@@ -691,8 +702,10 @@ def solve_batch_trajectories(
             raise ValueError(
                 "integrator='rk45' supports precision 'x64'/'x32' only"
             )
+        rk45_tail = (n_steps % int(cfg.save_every)) > 0
         solver = _batch_adaptive_traj_solver(
-            frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps)
+            frame, float(cfg.rtol), float(cfg.atol), int(cfg.max_steps),
+            rk45_tail,
         )
     else:
         solver = _batch_traj_solver(
@@ -726,17 +739,13 @@ def solve_batch_trajectories(
 
     if adaptive:
         n_chunks = n_steps // int(cfg.save_every)
-        if n_chunks == 0:
-            # saved grid is just row 0 (the ICs); nothing to integrate
-            return (
-                np.zeros(1, dtype=np.float64),
-                np.asarray(A0, dtype=np.complex128)[:, None, :],
-                np.ones(B, dtype=bool),
-            )
+        # trailing n_steps % save_every partial span integrated but unsaved
+        # (folds into ok only -- the framework-wide decimation contract)
         z_grid = np.arange(n_chunks + 1, dtype=np.float64) * (
             int(cfg.save_every) * float(cfg.dz)
         )
-        y_ri, ok = solver(y0_ri, coeffs_dev, jnp.asarray(z_grid, dtype=rdt))
+        y_ri, ok = solver(y0_ri, coeffs_dev, jnp.asarray(z_grid, dtype=rdt),
+                          jnp.asarray(n_steps * float(cfg.dz), dtype=rdt))
         z = z_grid
     else:
         z, y_ri, ok = solver(

@@ -251,12 +251,21 @@ def test_rk45_pallas_kernel_failure_masking_and_edge_cases():
     # counters: every healthy lane took at least one accepted step
     assert (r.n_accepted[np.arange(16) != 3] > 0).all()
 
-    # n_chunks == 0: saved grid is row 0 only -> ICs come straight back
+    # n_chunks == 0: saved grid is row 0 only -> ICs come straight back,
+    # but the (all-trailing) span IS integrated: it can only flip ok and
+    # bump the counters (the framework-wide decimation contract, round 4)
     r0 = solve_batch_rk45_pallas(
         A0, gamma, alpha, dbeta, dz_m=1.0, n_steps=5, save_every=50,
         rtol=1e-6, atol=1e-10, interpret=True)
-    np.testing.assert_array_equal(r0.A_end, A0)
-    assert r0.ok.all() and (r0.n_accepted == 0).all()
+    # row 0 only -- the ICs, through the kernel's f32 boundary
+    np.testing.assert_allclose(r0.A_end, A0, rtol=1e-6, atol=1e-9)
+    assert r0.ok[np.arange(16) != 3].all() and not r0.ok[3]
+    assert (r0.n_accepted[np.arange(16) != 3] > 0).all()
+    # a zero-step solve really does nothing
+    rz = solve_batch_rk45_pallas(
+        A0, gamma, alpha, dbeta, dz_m=1.0, n_steps=0, save_every=50,
+        rtol=1e-6, atol=1e-10, interpret=True)
+    assert rz.ok.all() and (rz.n_accepted == 0).all()
 
     # validation
     with pytest.raises(ValueError, match="shape"):
@@ -290,3 +299,55 @@ def test_rk45_pallas_rejects_unsupported_combos():
         _rk45_cfg(kwargs["cfg"]), precision="x64")
     with pytest.raises(ValueError, match="pallas"):
         sw.gain_spectrum(**kwargs, engine="pallas")
+
+
+def test_rk45_scan_trailing_partial_steps():
+    """Scan engine decimation contract (round 4): the trailing
+    ``n_steps % save_every`` span is integrated but unsaved -- saved
+    summaries match a run ending on the grid, and a blow-up confined to
+    the tail still flips ``ok``."""
+    gamma, alpha, dbeta, A0 = _adaptive_inputs(8)
+    co = RHSCoeffs(gamma=gamma, alpha=alpha, delta_beta=dbeta)
+    mk = lambda n: psa.custom_simulation_config(
+        z_max=float(n), dz=1.0, save_every=40,
+        integrator="rk45", rtol=1e-9, atol=1e-12)
+    r_grid = sw.solve_batch(mk(80), co, A0, engine="scan")
+    r_tail = sw.solve_batch(mk(100), co, A0, engine="scan")
+    np.testing.assert_allclose(r_tail.P_max, r_grid.P_max, rtol=1e-12)
+    np.testing.assert_allclose(r_tail.A_end, r_grid.A_end, rtol=1e-12)
+    assert r_tail.ok.all()
+    # blow-up strictly inside the tail (runaway gain, lane 2)
+    alpha2 = alpha.copy()
+    alpha2[2] = -2.0
+    co_bad = RHSCoeffs(gamma=gamma, alpha=alpha2, delta_beta=dbeta)
+    cfg_short = psa.custom_simulation_config(
+        z_max=45.0, dz=1.0, save_every=40,
+        integrator="rk45", rtol=1e-9, atol=1e-12)
+    rb = sw.solve_batch(cfg_short, co_bad, A0, engine="scan")
+    assert not rb.ok[2]
+    assert rb.ok[np.arange(8) != 2].all()
+
+
+def test_comb_rk45_trailing_partial_steps():
+    """Comb rk45: trailing partial span integrated but unsaved (ok only)."""
+    import dataclasses
+
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models import nwave as nw
+
+    omega_c = 2 * np.pi * 193.1e12
+    grid = nw.CombGrid.centered(omega_c, 2 * np.pi * 50e9, 8)
+    disp = psa.DispersionParams.from_betas(omega_c, beta2=-1e-27)
+    co = nw.make_comb_coeffs(grid, disp, gamma_W_m=10e-3, alpha_1_m=5e-5)
+    A0 = nw.seed_comb(grid, pump_lines={3: 0.3, 5: 0.3},
+                      noise_floor_W=1e-9, seed=0)
+    mk = lambda z: psa.custom_simulation_config(
+        z_max=z, dz=0.5, save_every=40, integrator="rk45",
+        rtol=1e-9, atol=1e-12)
+    z_g, A_g = nw.run_comb_simulation(mk(40.0), co, A0)   # 80 steps, 2 chunks
+    z_t, A_t = nw.run_comb_simulation(mk(50.0), co, A0)   # +20 trailing
+    np.testing.assert_allclose(z_t, z_g, rtol=1e-12)
+    np.testing.assert_allclose(A_t, A_g, rtol=1e-12)
+    # a runaway-gain tail must raise (check_nan single-run contract)
+    co_bad = nw.make_comb_coeffs(grid, disp, gamma_W_m=10e-3, alpha_1_m=-3.0)
+    with pytest.raises(FloatingPointError):
+        nw.run_comb_simulation(mk(22.5), co_bad, A0)      # 45 steps, 5 tail
