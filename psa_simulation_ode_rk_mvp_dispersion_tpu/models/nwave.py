@@ -691,13 +691,27 @@ def solve_comb_batch(
         return r.P_max, r.A_end, r.ok
     if engine == "pallas":
         on_tpu = jax.default_backend() == "tpu"
-        if cfg.integrator.lower() not in ("rk4", "ab4", "abm4"):
-            raise ValueError(
-                "engine='pallas' comb solver implements the fixed-step "
-                "integrators (rk4/ab4/abm4) only"
-            )
         if precision != "x32":
             raise ValueError("engine='pallas' comb solver is x32 only")
+        if cfg.integrator.lower() == "rk45":
+            # fused single-launch DP45 comb kernel (round 4): per-lane
+            # step sizes in VMEM, HIGHEST-precision MXU coupling
+            from ..ops.pallas_comb_adaptive import (
+                solve_comb_batch_rk45_pallas,
+            )
+
+            r = solve_comb_batch_rk45_pallas(
+                A0, gamma, alpha, beta, dz_m=dz_m, n_steps=n_steps,
+                save_every=int(cfg.save_every), rtol=float(cfg.rtol),
+                atol=float(cfg.atol), max_steps=int(cfg.max_steps),
+                interpret=not on_tpu, mesh=mesh,
+            )
+            return r.P_max, r.A_end, r.ok
+        if cfg.integrator.lower() not in ("rk4", "ab4", "abm4"):
+            raise ValueError(
+                "engine='pallas' comb solver implements rk4/ab4/abm4 "
+                "(fixed step) and rk45 (fused DP45 kernel) only"
+            )
         from ..ops.pallas_comb import solve_batch_pallas_comb_result
 
         return solve_batch_pallas_comb_result(

@@ -1,0 +1,420 @@
+"""Pallas TPU kernel: fused batched adaptive (DP45) N-wave comb solver.
+
+The comb analog of ``ops/pallas_adaptive.py`` (the 4-wave DP45 kernel):
+the scan comb rk45 path (``models/nwave.py`` + ``ops/adaptive.py``) runs
+every controller iteration as a dispatched XLA loop body over the whole
+batch -- measured 2.7-4.2k combs/s at B=512 (BENCH_COMB meta), far below
+the fixed-step kernel's rate.  This kernel runs the ENTIRE adaptive comb
+integration in one ``pallas_call``:
+
+- layout: stacked-complex state ``u = [Ar; Ai]`` (2N, B) -- wave rows x
+  instance lanes, the 'block' complex-matmul variant of
+  ``ops/pallas_comb.py``; the cubic coupling is dense DFT matmuls on the
+  MXU at ``Precision.HIGHEST`` (the controller's error estimate must be
+  f32-trustworthy, so the lossy dot paths are not offered here);
+- controller: per-INSTANCE ``(1, B)`` (z, dt, ok) planes, a
+  ``lax.while_loop`` per save segment with a scalar ``jnp.any(active)``
+  condition and self-masking lanes -- the exact tableau / error norm /
+  controller constants of ``ops/adaptive.py`` (same contract as the
+  4-wave kernel);
+- save grid: P_max per line over saved samples + state at the last saved
+  grid point + per-lane ok/accepted/rejected, the
+  ``models/nwave.solve_comb_batch`` rk45 reduce contract, including the
+  round-4 trailing-partial-span rule (integrated, unsaved, ok only).
+
+Capability lineage: BASELINE.json config 5 ("N-wave cascaded FWM comb ...
+with adaptive RK45 stepping") -- this is that target's speed-of-light
+realization; contract mirror: ``models/nwave._comb_batch_adaptive_solver``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .adaptive import MAX_FACTOR, MIN_FACTOR, ORDER_EXP, SAFETY, _A, _B4, _B5
+from .pallas_comb import _dft_weight_blocks
+
+LANES = 128
+BLOCK = 512      # lanes per grid cell (VMEM: ~20 live (2N, B) planes at
+                 # N=64 is ~5 MB -- comfortable; 512 amortizes scheduling)
+_F32_MAX = 3.4e38
+
+
+def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
+                 max_steps: int, n: int, tail_len: float = 0.0,
+                 mxu_precision: str = "x3"):
+    """Adaptive DP45 comb kernel over a static save-grid geometry.
+
+    Per-segment LOCAL z (the comb RHS is autonomous); ``tail_len > 0``
+    appends the trailing partial span (ok/counters only).
+
+    ``mxu_precision``: 'x3' (default) = the 3-pass compensated hi/lo-bf16
+    dot scheme of ``ops/pallas_comb.py`` -- HIGHEST-precision dots inside
+    the DP45 while-body (28 per attempt) exceed the Mosaic remote-compile
+    limits (measured HTTP 500 at every block size, 2026-08-19; the same
+    compiler-limit family as the fixed kernel's 'highest'+multistep note).
+    The dropped wl@xl term is ~2^-18 relative -- two decades below the
+    rtol=1e-6-class tolerances this lane serves, and the error ESTIMATE
+    (a 4th-vs-5th-order difference) is insensitive at that level.
+    'highest' is kept opt-in for future compilers."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    x3 = mxu_precision == "x3"
+
+    d3 = functools.partial(
+        lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=lax.Precision.DEFAULT,
+    )
+
+    def _split(x):
+        xh = x.astype(bf16)
+        return xh, (x - xh.astype(f32)).astype(bf16)
+
+    def kernel(wfre_ref, wfim_ref, wire_ref, wiim_ref, coef_ref, y0_ref,
+               pmax_ref, yf_ref, ok_ref, na_ref, nr_ref):
+        w_fre = wfre_ref[:, :]     # (L, 2N)
+        w_fim = wfim_ref[:, :]
+        w_ire = wire_ref[:, :]     # (N, 2L)
+        w_iim = wiim_ref[:, :]
+        if x3:
+            # weight splits hoisted out of the step loops (loop constants)
+            w_split_list = [(w, _split(w))
+                            for w in (w_fre, w_fim, w_ire, w_iim)]
+
+            def mm(w, x):
+                wh, wl = next(sp for ww, sp in w_split_list if ww is w)
+                xh, xl = _split(x)
+                return d3(wh, xh) + (d3(wh, xl) + d3(wl, xh))
+        else:
+            def mm(w, x):
+                return lax.dot_general(
+                    w, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=lax.Precision.HIGHEST,
+                )
+        coef = coef_ref[:, :]
+        # every scalar field occupies an 8-row (sublane-tile-aligned)
+        # band; Mosaic rejects mid-tile row slices
+        beta = coef[0:n, :]                         # (N, B)
+        neg_half_alpha = -0.5 * coef[n:n + 8, :][0:1, :]      # (1, B)
+        gamma = coef[n + 8:n + 16, :][0:1, :]                 # (1, B)
+        dt0 = coef[n + 16:n + 24, :][0:1, :]                  # (1, B)
+
+        def rhs(u):
+            # u (2N, B) stacked [Ar; Ai] -> du/dz, same term structure as
+            # models/nwave.make_rhs_nwave (autonomous)
+            ar = u[0:n, :]
+            ai = u[n:2 * n, :]
+            F_re = mm(w_fre, u)                 # (L, B)
+            F_im = mm(w_fim, u)
+            mag = F_re * F_re + F_im * F_im
+            G = jnp.concatenate([F_re * mag, F_im * mag], axis=0)  # (2L, B)
+            T_re = mm(w_ire, G)                 # (N, B)
+            T_im = mm(w_iim, G)
+            d_re = neg_half_alpha * ar - beta * ai - gamma * T_im
+            d_im = neg_half_alpha * ai + beta * ar + gamma * T_re
+            return jnp.concatenate([d_re, d_im], axis=0)
+
+        def dp45_step(u, h):
+            # h (1, B) broadcasts against the (2N, B) stage planes
+            ks = []
+            for i in range(7):
+                ui = u
+                for j, aij in enumerate(_A[i]):
+                    if aij != 0.0:
+                        ui = ui + (h * aij) * ks[j]
+                ks.append(rhs(ui))
+            u5 = u
+            err = jnp.zeros_like(u)
+            for i in range(7):
+                if _B5[i] != 0.0:
+                    u5 = u5 + (h * _B5[i]) * ks[i]
+                d = _B5[i] - _B4[i]
+                if d != 0.0:
+                    err = err + (h * d) * ks[i]
+            return u5, err
+
+        def powers(u):
+            return u[0:n, :] * u[0:n, :] + u[n:2 * n, :] * u[n:2 * n, :]
+
+        def error_norm(err, u, u_new):
+            mag = jnp.sqrt(jnp.maximum(powers(u), powers(u_new)))
+            scale = atol + rtol * mag           # (N, B)
+            e = jnp.sqrt(powers(err))
+            r = jnp.where(scale > 0.0,
+                          e / jnp.where(scale > 0.0, scale, 1.0), 0.0)
+            return jnp.sqrt(jnp.mean(r * r, axis=0, keepdims=True))  # (1,B)
+
+        def fin_all(u):
+            return jnp.mean(
+                (jnp.abs(u) < jnp.asarray(_F32_MAX, f32)).astype(f32),
+                axis=0, keepdims=True) >= 1.0   # (1, B)
+
+        u0 = y0_ref[:, :]
+        pmax0 = powers(u0)
+        ok0 = fin_all(u0).astype(f32)
+        zero1 = jnp.zeros_like(ok0)
+
+        def advance(carry, length):
+            u, ok, dt, na, nr = carry
+            z = zero1
+            seg_end = jnp.asarray(length, f32)
+            dt_min = 1e-12 * (length + 1.0)
+
+            def cond(state):
+                _u, z_, _dt, ok_, _na, _nr, it = state
+                return jnp.any((z_ < seg_end) & (ok_ > 0.0)) & (
+                    it < max_steps)
+
+            def body(state):
+                u_, z_, dt_, ok_, na_, nr_, it = state
+                active = (z_ < seg_end) & (ok_ > 0.0)
+                h = jnp.minimum(dt_, seg_end - z_)
+                u_new, err = dp45_step(u_, h)
+                enorm = error_norm(err, u_, u_new)
+                finite = (enorm < _F32_MAX) & fin_all(u_new)
+                accept = active & finite & (enorm <= 1.0)
+                factor = jnp.where(
+                    finite,
+                    jnp.clip(
+                        SAFETY * jnp.exp(
+                            ORDER_EXP * jnp.log(jnp.maximum(enorm, 1e-16))),
+                        MIN_FACTOR, MAX_FACTOR),
+                    jnp.asarray(0.5, f32),
+                )
+                dt_next = jnp.where(active,
+                                    jnp.maximum(dt_ * factor, dt_min), dt_)
+                failed = active & (~accept) & (h <= dt_min)
+                acc_f = jnp.where(accept, 1.0, 0.0)
+                u_out = jnp.where(acc_f > 0.0, u_new, u_)
+                z_out = jnp.where(accept, z_ + h, z_)
+                ok_out = ok_ * jnp.where(failed, 0.0, 1.0)
+                na_out = na_ + acc_f
+                nr_out = nr_ + jnp.where(active & ~accept, 1.0, 0.0)
+                return (u_out, z_out, dt_next, ok_out, na_out, nr_out,
+                        it + 1)
+
+            u, z, dt, ok, na, nr, _it = lax.while_loop(
+                cond, body, (u, z, dt, ok, na, nr, jnp.asarray(0, jnp.int32)))
+            ok = ok * jnp.where(z >= seg_end, 1.0, 0.0)
+            return (u, ok, dt, na, nr)
+
+        def segment(_c, carry):
+            u, pmax, ok, dt, na, nr = carry
+            u, ok, dt, na, nr = advance((u, ok, dt, na, nr), seg_len)
+            pmax = jnp.maximum(pmax, powers(u))
+            return (u, pmax, ok, dt, na, nr)
+
+        u, pmax, ok, dt, na, nr = lax.fori_loop(
+            0, n_chunks, segment, (u0, pmax0, ok0, dt0, zero1, zero1))
+        if tail_len > 0.0:
+            _ut, ok, _dtt, na, nr = advance((u, ok, dt, na, nr), tail_len)
+        pmax_ref[:, :] = pmax
+        yf_ref[:, :] = u
+        ok_ref[:, :] = ok
+        na_ref[:, :] = na
+        nr_ref[:, :] = nr
+
+    return kernel
+
+
+def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
+               max_steps: int, n: int, interpret: bool, block: int,
+               tail_len: float = 0.0):
+    from jax.experimental import pallas as pl
+
+    kernel = _kernel_body(n_chunks, seg_len, rtol, atol, max_steps, n,
+                          tail_len)
+    f_re, f_im, i_re, i_im, L = _dft_weight_blocks(n)
+
+    def call(coef, y0):
+        B = y0.shape[1]
+        blk = min(block, B)
+        grid = (B // blk,)
+        spec_kwargs = {}
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            spec_kwargs = {"memory_space": pltpu.VMEM}
+
+        def rep(shape):
+            # weights: whole-array block, same for every grid cell
+            return pl.BlockSpec(shape, lambda i: (0, 0), **spec_kwargs)
+
+        in_specs = [
+            rep(f_re.shape), rep(f_im.shape), rep(i_re.shape),
+            rep(i_im.shape),
+            pl.BlockSpec((n + 24, blk), lambda i: (0, i), **spec_kwargs),
+            pl.BlockSpec((2 * n, blk), lambda i: (0, i), **spec_kwargs),
+        ]
+        out_specs = tuple(
+            pl.BlockSpec((r, blk), lambda i: (0, i), **spec_kwargs)
+            for r in (n, 2 * n, 1, 1, 1)
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((r, B), jnp.float32)
+                for r in (n, 2 * n, 1, 1, 1)
+            ),
+            interpret=interpret,
+        )(jnp.asarray(f_re), jnp.asarray(f_im), jnp.asarray(i_re),
+          jnp.asarray(i_im), coef, y0)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_comb_rk45_solver(n_chunks: int, seg_len: float, rtol: float,
+                             atol: float, max_steps: int, n: int,
+                             interpret: bool, block: int,
+                             tail_len: float = 0.0):
+    call = _make_call(n_chunks, seg_len, rtol, atol, max_steps, n,
+                      interpret, block, tail_len)
+
+    def fused(coef, y0):
+        pmax, y_last, ok, na, nr = call(coef, y0)
+        # ONE stacked output fetch (docs/PERF.md rule 7)
+        return jnp.concatenate([pmax, y_last, ok, na, nr], axis=0)
+
+    return jax.jit(fused)
+
+
+@functools.lru_cache(maxsize=16)
+def _pallas_comb_rk45_solver_sharded(n_chunks: int, seg_len: float,
+                                     rtol: float, atol: float,
+                                     max_steps: int, n: int, interpret: bool,
+                                     block: int, mesh,
+                                     tail_len: float = 0.0):
+    from jax.sharding import PartitionSpec
+
+    call = _make_call(n_chunks, seg_len, rtol, atol, max_steps, n,
+                      interpret, block, tail_len)
+
+    def fused(coef, y0):
+        pmax, y_last, ok, na, nr = call(coef, y0)
+        return jnp.concatenate([pmax, y_last, ok, na, nr], axis=0)
+
+    axes = tuple(mesh.axis_names)
+    spec = PartitionSpec(None, axes if len(axes) > 1 else axes[0])
+    return jax.jit(
+        jax.shard_map(
+            fused, mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+    ), spec
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasCombAdaptiveResult:
+    P_max: np.ndarray        # (B, N) f64: per-line max over saved samples
+    A_end: np.ndarray        # (B, N) c128 at the last saved grid point
+    ok: np.ndarray           # (B,) bool
+    n_accepted: np.ndarray   # (B,) int64
+    n_rejected: np.ndarray   # (B,) int64
+
+
+def solve_comb_batch_rk45_pallas(
+    A0: np.ndarray,
+    gamma,
+    alpha,
+    beta_lin,
+    *,
+    dz_m: float,
+    n_steps: int,
+    save_every: int,
+    rtol: float,
+    atol: float,
+    max_steps: int = 10_000,
+    interpret: bool = False,
+    block: int = BLOCK,
+    mesh=None,
+) -> PallasCombAdaptiveResult:
+    """Fused single-launch adaptive (DP45) comb solve of B instances (x32).
+
+    Contract mirrors ``models/nwave.solve_comb_batch`` at
+    ``integrator='rk45'``: save grid ``z_k = k * save_every * dz_m``,
+    per-line P_max over / state at saved points, per-lane failure masking,
+    trailing partial span integrated-but-unsaved.  ``dt0 = dz_m``."""
+    A0 = np.asarray(A0, dtype=np.complex128)
+    if A0.ndim != 2:
+        raise ValueError(f"A0 must have shape (B, N), got {A0.shape}")
+    B, n = A0.shape
+    n_chunks = int(n_steps) // int(save_every)
+    tail_len = (int(n_steps) - n_chunks * int(save_every)) * float(dz_m)
+    if n_chunks == 0 and tail_len == 0.0:
+        P0 = np.abs(A0) ** 2
+        return PallasCombAdaptiveResult(
+            P_max=P0, A_end=A0.copy(),
+            ok=np.isfinite(A0).all(axis=1),
+            n_accepted=np.zeros(B, np.int64),
+            n_rejected=np.zeros(B, np.int64),
+        )
+    seg_len = float(save_every) * float(dz_m)
+    gamma = np.broadcast_to(np.asarray(gamma, dtype=np.float64), (B,))
+    alpha = np.broadcast_to(np.asarray(alpha, dtype=np.float64), (B,))
+    beta = np.broadcast_to(np.asarray(beta_lin, dtype=np.float64), (B, n))
+
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    mult = block if B >= ndev * block else LANES
+    Bp = ((B + ndev * mult - 1) // (ndev * mult)) * (ndev * mult)
+    pad = Bp - B
+
+    def padded(x):
+        return (np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                if pad else x)
+
+    A0p = padded(A0)
+    coef = np.concatenate([
+        padded(beta).T,                              # (N, Bp)
+        np.tile(padded(alpha)[None, :], (8, 1)),     # (8, Bp) aligned band
+        np.tile(padded(gamma)[None, :], (8, 1)),     # (8, Bp)
+        np.full((8, Bp), float(dz_m)),               # dt0 (8, Bp)
+    ], axis=0).astype(np.float32)
+    y0 = np.concatenate([A0p.real.T, A0p.imag.T], axis=0).astype(np.float32)
+
+    if mesh is None:
+        solver = _pallas_comb_rk45_solver(
+            n_chunks, seg_len, float(rtol), float(atol), int(max_steps),
+            int(n), bool(interpret), int(block), tail_len,
+        )
+        with jax.enable_x64(False):
+            out = np.asarray(jax.block_until_ready(
+                solver(jnp.asarray(coef), jnp.asarray(y0))
+            ))
+    else:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import fetch_global, put_global
+
+        solver, spec = _pallas_comb_rk45_solver_sharded(
+            n_chunks, seg_len, float(rtol), float(atol), int(max_steps),
+            int(n), bool(interpret), int(block), mesh, tail_len,
+        )
+        sh = NamedSharding(mesh, spec)
+        with jax.enable_x64(False):
+            out = jax.block_until_ready(
+                solver(put_global(coef, sh), put_global(y0, sh))
+            )
+        out = np.asarray(fetch_global(out))
+
+    pmax = np.asarray(out[0:n], np.float64).T[:B]
+    yl = np.asarray(out[n:3 * n], np.float64)
+    A_end = (yl[0:n].T + 1j * yl[n:2 * n].T)[:B]
+    ok = (np.asarray(out[3 * n], np.float64) > 0.0)[:B]
+    na = np.asarray(out[3 * n + 1], np.float64)[:B].astype(np.int64)
+    nr = np.asarray(out[3 * n + 2], np.float64)[:B].astype(np.int64)
+    return PallasCombAdaptiveResult(
+        P_max=pmax, A_end=A_end, ok=ok, n_accepted=na, n_rejected=nr,
+    )

@@ -334,11 +334,13 @@ def test_solve_comb_batch_pallas_engine_validation():
         gamma=np.full(B, 1.0), alpha=np.zeros(B),
         beta_lin=np.zeros((B, n)),
     )
-    cfg_rk45 = psa.custom_simulation_config(
-        z_max=1.0, dz=0.01, precision="x32", integrator="rk45"
+    cfg_ip = psa.custom_simulation_config(
+        z_max=1.0, dz=0.01, precision="x32", integrator="rk4ip"
     )
-    with pytest.raises(ValueError, match="rk4"):
-        nw.solve_comb_batch(cfg_rk45, coeffs, A0, engine="pallas")
+    # rk45 + pallas dispatches the fused DP45 comb kernel since round 4;
+    # the split-step integrators still have no comb path at all
+    with pytest.raises(ValueError):
+        nw.solve_comb_batch(cfg_ip, coeffs, A0, engine="pallas")
     cfg_x64 = psa.custom_simulation_config(z_max=1.0, dz=0.01)
     with pytest.raises(ValueError, match="x32"):
         nw.solve_comb_batch(cfg_x64, coeffs, A0, engine="pallas")
@@ -483,3 +485,58 @@ def test_pallas_comb_x3_compensated_dot_parity():
     P3, A3, ok3 = solve_comb_batch_pallas(A0, mxu_precision="x3", **kw)
     np.testing.assert_array_equal(A_m, A3)
     assert ok_m.all()
+
+
+def test_comb_rk45_pallas_kernel_matches_scan_interpret():
+    """engine='pallas' + integrator='rk45' runs the fused DP45 comb kernel
+    (round 4): interpret-mode results sit in the scan engine's accuracy
+    class at the same tolerance; sharded bit-identical; failures masked."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.pallas_comb_adaptive import (
+        solve_comb_batch_rk45_pallas)
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel import mesh as pm
+
+    omega_c = 2 * np.pi * 193.1e12
+    N, B = 16, 16
+    grid = nw.CombGrid.centered(omega_c, 2 * np.pi * 50e9, N)
+    disp = psa.DispersionParams.from_betas(omega_c, beta2=-1e-27)
+    co1 = nw.make_comb_coeffs(grid, disp, gamma_W_m=10e-3, alpha_1_m=5e-5)
+    A0 = np.broadcast_to(
+        nw.seed_comb(grid, pump_lines={6: 0.4, 10: 0.4},
+                     noise_floor_W=1e-9, seed=0), (B, N)).copy()
+    gammas = np.linspace(5e-3, 15e-3, B)
+    beta = np.broadcast_to(np.asarray(co1.beta_lin, float), (B, N))
+    coeffs = nw.NWaveCoeffs(gamma=gammas, alpha=np.full(B, 5e-5),
+                            beta_lin=beta)
+    n_steps, save_every, dz = 105, 20, 5.0
+    cfg32 = psa.custom_simulation_config(
+        z_max=n_steps * dz, dz=dz, save_every=save_every, precision="x32",
+        integrator="rk45", rtol=1e-6, atol=1e-12)
+    pk_k, Ae_k, ok_k = nw.solve_comb_batch(cfg32, coeffs, A0,
+                                           engine="pallas")
+    pk_s, Ae_s, ok_s = nw.solve_comb_batch(cfg32, coeffs, A0, engine="scan")
+    assert ok_k.all() and ok_s.all()
+    sig = np.abs(Ae_s) ** 2 > 1e-9
+    P_k, P_s = np.abs(Ae_k) ** 2, np.abs(Ae_s) ** 2
+    assert np.max(np.abs(P_k[sig] / P_s[sig] - 1)) < 5e-3
+    np.testing.assert_allclose(pk_k, pk_s, rtol=5e-3, atol=1e-10)
+
+    # sharded kernel is bit-identical to unsharded (per-shard launches)
+    r1 = solve_comb_batch_rk45_pallas(
+        A0, gammas, np.full(B, 5e-5), beta, dz_m=dz, n_steps=60,
+        save_every=20, rtol=1e-6, atol=1e-12, interpret=True)
+    r2 = solve_comb_batch_rk45_pallas(
+        A0, gammas, np.full(B, 5e-5), beta, dz_m=dz, n_steps=60,
+        save_every=20, rtol=1e-6, atol=1e-12, interpret=True,
+        mesh=pm.default_mesh())
+    np.testing.assert_array_equal(r1.P_max, r2.P_max)
+    np.testing.assert_array_equal(r1.A_end, r2.A_end)
+    np.testing.assert_array_equal(r1.n_accepted, r2.n_accepted)
+
+    # runaway-gain lane masked, not raised; healthy lanes unaffected
+    al = np.full(B, 5e-5)
+    al[5] = -2.0
+    rb = solve_comb_batch_rk45_pallas(
+        A0, gammas, al, beta, dz_m=dz, n_steps=60, save_every=20,
+        rtol=1e-6, atol=1e-12, interpret=True)
+    assert not rb.ok[5]
+    assert rb.ok[np.arange(B) != 5].all()
