@@ -217,9 +217,11 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             _ut, ok, _dtt, na, nr = advance((u, ok, dt, na, nr), tail_len)
         pmax_ref[:, :] = pmax
         yf_ref[:, :] = u
-        ok_ref[:, :] = ok
-        na_ref[:, :] = na
-        nr_ref[:, :] = nr
+        # control outputs padded to 8 sublane rows (replicated): (1, blk)
+        # output blocks under a >1 grid fail the Mosaic remote compile
+        ok_ref[:, :] = jnp.broadcast_to(ok, (8, ok.shape[1]))
+        na_ref[:, :] = jnp.broadcast_to(na, (8, na.shape[1]))
+        nr_ref[:, :] = jnp.broadcast_to(nr, (8, nr.shape[1]))
 
     return kernel
 
@@ -255,7 +257,7 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
         ]
         out_specs = tuple(
             pl.BlockSpec((r, blk), lambda i: (0, i), **spec_kwargs)
-            for r in (n, 2 * n, 1, 1, 1)
+            for r in (n, 2 * n, 8, 8, 8)
         )
         return pl.pallas_call(
             kernel,
@@ -264,7 +266,7 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
             out_specs=out_specs,
             out_shape=tuple(
                 jax.ShapeDtypeStruct((r, B), jnp.float32)
-                for r in (n, 2 * n, 1, 1, 1)
+                for r in (n, 2 * n, 8, 8, 8)
             ),
             interpret=interpret,
         )(jnp.asarray(f_re), jnp.asarray(f_im), jnp.asarray(i_re),
@@ -413,8 +415,8 @@ def solve_comb_batch_rk45_pallas(
     yl = np.asarray(out[n:3 * n], np.float64)
     A_end = (yl[0:n].T + 1j * yl[n:2 * n].T)[:B]
     ok = (np.asarray(out[3 * n], np.float64) > 0.0)[:B]
-    na = np.asarray(out[3 * n + 1], np.float64)[:B].astype(np.int64)
-    nr = np.asarray(out[3 * n + 2], np.float64)[:B].astype(np.int64)
+    na = np.asarray(out[3 * n + 8], np.float64)[:B].astype(np.int64)
+    nr = np.asarray(out[3 * n + 16], np.float64)[:B].astype(np.int64)
     return PallasCombAdaptiveResult(
         P_max=pmax, A_end=A_end, ok=ok, n_accepted=na, n_rejected=nr,
     )
