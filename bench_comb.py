@@ -289,6 +289,25 @@ def main() -> None:
     el45 = time.perf_counter() - t0
     rk45_combs_per_s = B45 / el45
 
+    # rk45 fused DP45 kernel lane (round 4, ops/pallas_comb_adaptive.py);
+    # large batch -- the adaptive kernel amortizes launch overhead
+    rk45_kernel_combs_per_s = None
+    if backend == "tpu":
+        try:
+            c45k = nw.NWaveCoeffs(
+                gamma=gammas, alpha=np.full(BATCH, 5e-5),
+                beta_lin=np.broadcast_to(
+                    np.asarray(coeffs1.beta_lin, float), (BATCH, N_LINES)),
+            )
+            nw.solve_comb_batch(cfg45, c45k, A0, engine="pallas")
+            t0 = time.perf_counter()
+            _, _, ok45k = nw.solve_comb_batch(cfg45, c45k, A0,
+                                              engine="pallas")
+            el45k = time.perf_counter() - t0
+            rk45_kernel_combs_per_s = round(BATCH / el45k, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"# rk45 kernel lane skipped: {e}", file=sys.stderr)
+
     # --- accuracy: subset vs x64 CPU (FFT coupling, reference-parity path) --
     max_rel_err = None
     try:
@@ -334,6 +353,7 @@ def main() -> None:
         "best_path": best,
         "best_coupling": best_coupling,
         "rk45_combs_per_s": round(rk45_combs_per_s, 1),
+        "rk45_kernel_combs_per_s": rk45_kernel_combs_per_s,
         "rk45_ok_fraction": float(np.mean(ok45)),
         "subset_max_rel_power_err_vs_x64": max_rel_err,
         "flops_note": (

@@ -25,6 +25,23 @@ integration in one ``pallas_call``:
 Capability lineage: BASELINE.json config 5 ("N-wave cascaded FWM comb ...
 with adaptive RK45 stepping") -- this is that target's speed-of-light
 realization; contract mirror: ``models/nwave._comb_batch_adaptive_solver``.
+
+KNOWN LIMITATION (2026-08-19, round 4): the Mosaic remote compiler on this
+v5e rejects the full kernel (tpu_compile_helper subprocess exit 1, no
+diagnostic).  A 17-level ablation (see /tmp-era notes, summarized here)
+localized the failure to COMBINATIONS of controller constructs inside the
+while body that each compile in isolation: the 7-stage dot pipeline with
+per-lane h + the error norm + the dt controller compile together
+(ablation level 10/14 OK), but adding the ``counter + where(mask, 1, 0)``
+accumulation -- or assembling the identical full set in one body --
+crashes the compiler (levels 11/12/13/16 fail; multiplicative ok-masking
+alone is fine).  Not shape-, precision- (x3 and HIGHEST both fail),
+grid-, alignment- or output-rank-dependent; every individual construct
+probes green.  The kernel is therefore INTERPRET-VALIDATED (CPU tests +
+dryrun sharded bit-identity) and dispatch-gated off on TPU
+(``models/nwave.solve_comb_batch``) until a newer Mosaic lands; the scan
+engine covers the on-chip lane (13.5k combs/s at B=4096 measured the
+same session).
 """
 
 from __future__ import annotations
