@@ -695,20 +695,9 @@ def solve_comb_batch(
             raise ValueError("engine='pallas' comb solver is x32 only")
         if cfg.integrator.lower() == "rk45":
             # fused single-launch DP45 comb kernel (round 4): per-lane
-            # step sizes in VMEM, x3 compensated MXU coupling.  KNOWN
-            # LIMITATION: the current Mosaic remote compiler rejects this
-            # kernel's full controller body on the v5e (ablation evidence
-            # in ops/pallas_comb_adaptive.py's docstring); the kernel is
-            # interpret-validated and ready for a newer compiler, but the
-            # on-chip lane must use the scan engine for now.
-            if on_tpu:
-                raise ValueError(
-                    "engine='pallas' with integrator='rk45' on the comb "
-                    "family is CPU/interpret-only for now: the Mosaic "
-                    "remote compiler on this v5e rejects the DP45 "
-                    "controller body (see ops/pallas_comb_adaptive.py); "
-                    "use engine='scan' on TPU"
-                )
+            # step sizes in VMEM, x3 compensated MXU coupling, all-(8, B)
+            # replicated-row controller planes (the Mosaic layout rule --
+            # see ops/pallas_comb_adaptive.py's module docstring)
             from ..ops.pallas_comb_adaptive import (
                 solve_comb_batch_rk45_pallas,
             )
@@ -717,7 +706,7 @@ def solve_comb_batch(
                 A0, gamma, alpha, beta, dz_m=dz_m, n_steps=n_steps,
                 save_every=int(cfg.save_every), rtol=float(cfg.rtol),
                 atol=float(cfg.atol), max_steps=int(cfg.max_steps),
-                interpret=True, mesh=mesh,
+                interpret=not on_tpu, mesh=mesh,
             )
             return r.P_max, r.A_end, r.ok
         if cfg.integrator.lower() not in ("rk4", "ab4", "abm4"):

@@ -10,10 +10,9 @@ integration in one ``pallas_call``:
 - layout: stacked-complex state ``u = [Ar; Ai]`` (2N, B) -- wave rows x
   instance lanes, the 'block' complex-matmul variant of
   ``ops/pallas_comb.py``; the cubic coupling is dense DFT matmuls on the
-  MXU at ``Precision.HIGHEST`` (the controller's error estimate must be
-  f32-trustworthy, so the lossy dot paths are not offered here);
-- controller: per-INSTANCE ``(1, B)`` (z, dt, ok) planes, a
-  ``lax.while_loop`` per save segment with a scalar ``jnp.any(active)``
+  MXU (x3 compensated hi/lo-bf16 by default -- see ``_kernel_body``);
+- controller: per-INSTANCE ``(8, B)`` replicated-row (z, dt, ok) planes,
+  a ``lax.while_loop`` per save segment with a scalar ``jnp.any(active)``
   condition and self-masking lanes -- the exact tableau / error norm /
   controller constants of ``ops/adaptive.py`` (same contract as the
   4-wave kernel);
@@ -26,22 +25,34 @@ Capability lineage: BASELINE.json config 5 ("N-wave cascaded FWM comb ...
 with adaptive RK45 stepping") -- this is that target's speed-of-light
 realization; contract mirror: ``models/nwave._comb_batch_adaptive_solver``.
 
-KNOWN LIMITATION (2026-08-19, round 4): the Mosaic remote compiler on this
-v5e rejects the full kernel (tpu_compile_helper subprocess exit 1, no
-diagnostic).  A 17-level ablation (see /tmp-era notes, summarized here)
-localized the failure to COMBINATIONS of controller constructs inside the
-while body that each compile in isolation: the 7-stage dot pipeline with
-per-lane h + the error norm + the dt controller compile together
-(ablation level 10/14 OK), but adding the ``counter + where(mask, 1, 0)``
-accumulation -- or assembling the identical full set in one body --
-crashes the compiler (levels 11/12/13/16 fail; multiplicative ok-masking
-alone is fine).  Not shape-, precision- (x3 and HIGHEST both fail),
-grid-, alignment- or output-rank-dependent; every individual construct
-probes green.  The kernel is therefore INTERPRET-VALIDATED (CPU tests +
-dryrun sharded bit-identity) and dispatch-gated off on TPU
-(``models/nwave.solve_comb_batch``) until a newer Mosaic lands; the scan
-engine covers the on-chip lane (13.5k combs/s at B=4096 measured the
-same session).
+MOSAIC LAYOUT RULE (2026-08-19, round 4 -- how this kernel compiles where
+its first draft did not): the v5e Mosaic compiler rejects (1, B)
+single-row controller planes inside a while body with the diagnostic
+``Not implemented: Sublane broadcast`` (the first draft's 17-level
+ablation saw only ``tpu_compile_helper exit 1``; a where-style counter
+rewrite surfaced the real message).  The fix is the 4-wave adaptive
+kernel's design language applied end to end:
+
+- EVERY controller plane (z, dt, ok, n_accepted, n_rejected, masks,
+  error norm) is a sublane-tile-aligned ``(8, B)`` plane with replicated
+  rows -- no (1, B) values exist anywhere in the kernel;
+- (8, B) -> (2N, B) broadcasts are EXPLICIT ``jnp.concatenate`` tilings
+  (requires ``N % 8 == 0``, enforced by the host wrapper);
+- cross-sublane reductions (the DP45 error norm's mean over the N mode
+  rows, the all-rows-finite indicator) run as ones-matrix MXU dots,
+  ``(8, N) @ (N, B) -> (8, B)``: the matmul reduces over rows AND
+  re-broadcasts across sublanes in one Mosaic-native op.  bf16(1.0) is
+  exact, so a hi/lo-split input keeps the f32-accumulated sum exact in
+  the x3 scheme.
+
+With these constraints the FULL controller body (per-lane h, error norm,
+dt update, failure masking, step counters) compiles and runs on-chip
+(2026-08-19; cold Mosaic compile 5 s - 4 min depending on shape, cached
+after).  Honest A/B vs the scan engine: the comb scan is coupling-matmul
+bound (not launch-bound like the 4-wave scan), so this kernel wins only
+the small-batch regime — kernel 1301/2920/5840 vs scan 1185/3418/6760
+combs/s at B=128/512/4096 (N=64, rtol 1e-6, warm) — and ``engine='auto'``
+keeps the scan for comb rk45 (BENCH_COMB.md round-4 findings).
 """
 
 from __future__ import annotations
@@ -99,6 +110,11 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
         w_fim = wfim_ref[:, :]
         w_ire = wire_ref[:, :]     # (N, 2L)
         w_iim = wiim_ref[:, :]
+        # ones-reduce weights: a (8, rows) @ (rows, B) dot reduces over
+        # sublane rows and replicates the result across 8 sublanes in one
+        # Mosaic-native op (see module docstring)
+        ones_n = jnp.ones((8, n), bf16)
+        ones_2n = jnp.ones((8, 2 * n), bf16)
         if x3:
             # weight splits hoisted out of the step loops (loop constants)
             w_split_list = [(w, _split(w))
@@ -108,6 +124,12 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
                 wh, wl = next(sp for ww, sp in w_split_list if ww is w)
                 xh, xl = _split(x)
                 return d3(wh, xh) + (d3(wh, xl) + d3(wl, xh))
+
+            def rowsum(w_ones, x):
+                # bf16(1.0) is exact, so sum(xh) + sum(xl) (each f32-
+                # accumulated on the MXU) is the exact f32 row sum
+                xh, xl = _split(x)
+                return d3(w_ones, xh) + d3(w_ones, xl)      # (8, B)
         else:
             def mm(w, x):
                 return lax.dot_general(
@@ -115,13 +137,29 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
                     preferred_element_type=f32,
                     precision=lax.Precision.HIGHEST,
                 )
+
+            def rowsum(w_ones, x):
+                return lax.dot_general(
+                    w_ones.astype(f32), x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=lax.Precision.HIGHEST,
+                )
         coef = coef_ref[:, :]
         # every scalar field occupies an 8-row (sublane-tile-aligned)
-        # band; Mosaic rejects mid-tile row slices
-        beta = coef[0:n, :]                         # (N, B)
-        neg_half_alpha = -0.5 * coef[n:n + 8, :][0:1, :]      # (1, B)
-        gamma = coef[n + 8:n + 16, :][0:1, :]                 # (1, B)
-        dt0 = coef[n + 16:n + 24, :][0:1, :]                  # (1, B)
+        # band with replicated rows; NO (1, B) plane exists in-kernel
+        beta = coef[0:n, :]                          # (N, B)
+        nha8 = -0.5 * coef[n:n + 8, :]               # (8, B)
+        gam8 = coef[n + 8:n + 16, :]                 # (8, B)
+        dt0 = coef[n + 16:n + 24, :]                 # (8, B)
+
+        def tile_n(p8):
+            return jnp.concatenate([p8] * (n // 8), axis=0)
+
+        def tile_2n(p8):
+            return jnp.concatenate([p8] * (2 * n // 8), axis=0)
+
+        nha_n = tile_n(nha8)
+        gam_n = tile_n(gam8)
 
         def rhs(u):
             # u (2N, B) stacked [Ar; Ai] -> du/dz, same term structure as
@@ -134,12 +172,14 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             G = jnp.concatenate([F_re * mag, F_im * mag], axis=0)  # (2L, B)
             T_re = mm(w_ire, G)                 # (N, B)
             T_im = mm(w_iim, G)
-            d_re = neg_half_alpha * ar - beta * ai - gamma * T_im
-            d_im = neg_half_alpha * ai + beta * ar + gamma * T_re
+            d_re = nha_n * ar - beta * ai - gam_n * T_im
+            d_im = nha_n * ai + beta * ar + gam_n * T_re
             return jnp.concatenate([d_re, d_im], axis=0)
 
-        def dp45_step(u, h):
-            # h (1, B) broadcasts against the (2N, B) stage planes
+        def dp45_step(u, h8):
+            # h8 (8, B) replicated rows, tiled EXPLICITLY to the (2N, B)
+            # stage planes (implicit sublane broadcasts do not compile)
+            h = tile_2n(h8)
             ks = []
             for i in range(7):
                 ui = u
@@ -166,21 +206,20 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             e = jnp.sqrt(powers(err))
             r = jnp.where(scale > 0.0,
                           e / jnp.where(scale > 0.0, scale, 1.0), 0.0)
-            return jnp.sqrt(jnp.mean(r * r, axis=0, keepdims=True))  # (1,B)
+            return jnp.sqrt(rowsum(ones_n, r * r) * (1.0 / n))   # (8, B)
 
         def fin_all(u):
-            return jnp.mean(
-                (jnp.abs(u) < jnp.asarray(_F32_MAX, f32)).astype(f32),
-                axis=0, keepdims=True) >= 1.0   # (1, B)
+            ind = (jnp.abs(u) < jnp.asarray(_F32_MAX, f32)).astype(f32)
+            return rowsum(ones_2n, ind) >= (2 * n - 0.5)         # (8, B)
 
         u0 = y0_ref[:, :]
         pmax0 = powers(u0)
         ok0 = fin_all(u0).astype(f32)
-        zero1 = jnp.zeros_like(ok0)
+        zero8 = jnp.zeros_like(ok0)
 
         def advance(carry, length):
             u, ok, dt, na, nr = carry
-            z = zero1
+            z = zero8
             seg_end = jnp.asarray(length, f32)
             dt_min = 1e-12 * (length + 1.0)
 
@@ -208,12 +247,12 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
                 dt_next = jnp.where(active,
                                     jnp.maximum(dt_ * factor, dt_min), dt_)
                 failed = active & (~accept) & (h <= dt_min)
-                acc_f = jnp.where(accept, 1.0, 0.0)
-                u_out = jnp.where(acc_f > 0.0, u_new, u_)
+                acc2n = tile_2n(jnp.where(accept, 1.0, 0.0)) > 0.0
+                u_out = jnp.where(acc2n, u_new, u_)
                 z_out = jnp.where(accept, z_ + h, z_)
                 ok_out = ok_ * jnp.where(failed, 0.0, 1.0)
-                na_out = na_ + acc_f
-                nr_out = nr_ + jnp.where(active & ~accept, 1.0, 0.0)
+                na_out = jnp.where(accept, na_ + 1.0, na_)
+                nr_out = jnp.where(active & ~accept, nr_ + 1.0, nr_)
                 return (u_out, z_out, dt_next, ok_out, na_out, nr_out,
                         it + 1)
 
@@ -229,16 +268,16 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             return (u, pmax, ok, dt, na, nr)
 
         u, pmax, ok, dt, na, nr = lax.fori_loop(
-            0, n_chunks, segment, (u0, pmax0, ok0, dt0, zero1, zero1))
+            0, n_chunks, segment, (u0, pmax0, ok0, dt0, zero8, zero8))
         if tail_len > 0.0:
             _ut, ok, _dtt, na, nr = advance((u, ok, dt, na, nr), tail_len)
         pmax_ref[:, :] = pmax
         yf_ref[:, :] = u
-        # control outputs padded to 8 sublane rows (replicated): (1, blk)
-        # output blocks under a >1 grid fail the Mosaic remote compile
-        ok_ref[:, :] = jnp.broadcast_to(ok, (8, ok.shape[1]))
-        na_ref[:, :] = jnp.broadcast_to(na, (8, na.shape[1]))
-        nr_ref[:, :] = jnp.broadcast_to(nr, (8, nr.shape[1]))
+        # control planes are (8, blk) replicated-row throughout -- direct
+        # stores ((1, blk) output blocks fail the Mosaic remote compile)
+        ok_ref[:, :] = ok
+        na_ref[:, :] = na
+        nr_ref[:, :] = nr
 
     return kernel
 
@@ -370,6 +409,13 @@ def solve_comb_batch_rk45_pallas(
     if A0.ndim != 2:
         raise ValueError(f"A0 must have shape (B, N), got {A0.shape}")
     B, n = A0.shape
+    if n % 8 != 0:
+        raise ValueError(
+            f"the fused adaptive comb kernel requires the line count N to "
+            f"be a multiple of 8 (sublane-tile-aligned explicit row "
+            f"tilings -- see the module docstring), got N={n}; use "
+            f"engine='scan' for other grids"
+        )
     n_chunks = int(n_steps) // int(save_every)
     tail_len = (int(n_steps) - n_chunks * int(save_every)) * float(dz_m)
     if n_chunks == 0 and tail_len == 0.0:
