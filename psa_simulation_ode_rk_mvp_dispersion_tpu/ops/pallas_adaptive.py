@@ -27,9 +27,11 @@ parameter grid yields stiffness-homogeneous blocks and the per-block
 ``max(lane steps)`` stays close to the mean.
 
 Output contract matches ``parallel/sweep._solve_batch_rk45`` (P_max over
-the decimated save grid, A_end at the last saved point, ok covering the
-saved grid; trailing partial chunk unobserved and unintegrated), plus
-per-lane accepted/rejected step counters for diagnostics.
+the decimated save grid, A_end at the last saved point; the trailing
+``n_steps % save_every`` partial span is INTEGRATED but unsaved --
+``tail_len`` below -- so it folds into ``ok`` and the step counters only,
+the framework-wide save-decimation contract), plus per-lane
+accepted/rejected step counters for diagnostics.
 
 Capability lineage: /root/reference/integrators.py:150 (the reserved
 adaptive slot) + /root/reference/config.py:89; contract mirror:
