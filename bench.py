@@ -77,7 +77,18 @@ def _calibrate():
     bench record can PROVE whether a low number is a slow chip/tunnel day or
     a code regression.  Healthy-window anchors measured 2026-08-19:
     rtt ~34 ms, probe ~23 TFLOP/s f32 (2048^3 x 50 iters, one dispatch).
-    Degraded := probe < 10 TFLOP/s or rtt > 120 ms."""
+    Degraded := probe < 10 TFLOP/s or rtt > 120 ms.
+
+    ``PSA_BENCH_FAKE_DEGRADED=1`` returns a synthetic degraded record
+    without touching the device -- the test hook proving every bench's
+    ``env_degraded`` flag reads through to its printed JSON
+    (tests/test_resume_observability.py)."""
+    import os
+
+    if os.environ.get("PSA_BENCH_FAKE_DEGRADED"):
+        return {"tunnel_rtt_ms": 999.0, "probe_matmul_tflops": 0.1,
+                "degraded": True, "synthetic": True}
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -108,6 +119,36 @@ def _calibrate():
         "probe_matmul_tflops": round(tflops, 2),
         "degraded": bool(tflops < 10.0 or rtt_ms > 120.0),
     }
+
+
+def floor_retry(initial_rate, remeasure, floor, backend,
+                max_attempts: int = 3, sleep_s: float = 20.0):
+    """Shared bounded retry-on-degraded policy for the secondary benches
+    (VERDICT r4 #6): given the first measured ``initial_rate`` and a
+    ``remeasure()`` callable that re-times the best engine, recalibrate and
+    retry while the rate sits under ``floor`` on TPU, so one bad tunnel
+    window cannot silently rewrite a bench record.  Returns
+    ``(best_rate, attempts, calibration)`` where every attempt carries its
+    own in-band calibration (probe TFLOP/s + tunnel RTT + degraded flag) --
+    the same evidence contract as the headline bench above."""
+    import os
+
+    synthetic = bool(os.environ.get("PSA_BENCH_FAKE_DEGRADED"))
+    want_cal = backend == "tpu" or synthetic
+    calibration = _calibrate() if want_cal else None
+    attempts = [{"rate": round(float(initial_rate), 1),
+                 "calibration": calibration}]
+    rate = float(initial_rate)
+    while backend == "tpu" and rate < floor and len(attempts) < max_attempts:
+        print(f"# attempt {len(attempts)} below floor ({rate:.0f} < "
+              f"{floor:.0f}); recalibrating and retrying", file=sys.stderr)
+        if not synthetic:
+            time.sleep(sleep_s)
+        calibration = _calibrate()
+        rate = float(remeasure())
+        attempts.append({"rate": round(rate, 1), "calibration": calibration})
+    best_rate = max(a["rate"] for a in attempts)
+    return best_rate, attempts, calibration
 
 
 def _tpu_attempt() -> bool:

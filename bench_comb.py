@@ -266,6 +266,33 @@ def main() -> None:
         key=lambda k: results[k]["instance_steps_per_s"],
     )
     best_rate = results[best]["instance_steps_per_s"]
+
+    # in-band calibration + bounded retry-on-degraded (VERDICT r4 #6)
+    _PALLAS_SPEC = {"pallas": ("highest", "rk4"), "pallas_x3": ("x3", "rk4")}
+
+    def _remeasure():
+        if best in ("fft", "dft"):
+            reps, _pm, _af, okk = timed(best)
+            results[best] = {**results[best],
+                             **entry_for(reps, best, okk, best == "dft")}
+        else:
+            mxu, integ = _PALLAS_SPEC[best]
+            reps = []
+            for _ in range(N_REPS):
+                t0 = time.perf_counter()
+                _, _ap, okk = solve_comb_batch_pallas(
+                    A0, mxu_precision=mxu, integrator=integ, **pk)
+                reps.append(time.perf_counter() - t0)
+            row = entry_for(reps, "dft", okk, True)
+            results[best] = {**results[best], **row}
+        return results[best]["instance_steps_per_s"]
+
+    from bench import floor_retry
+
+    FLOOR_INSTANCE_STEPS_PER_S = 15_000_000
+    best_rate, floor_attempts, calibration = floor_retry(
+        best_rate, _remeasure, FLOOR_INSTANCE_STEPS_PER_S, backend)
+    best_rate = round(best_rate)
     # rk45/accuracy lanes need a *coupling* (the pallas entry is an engine)
     best_coupling = max(
         ("fft", "dft"), key=lambda k: results[k]["instance_steps_per_s"]
@@ -365,7 +392,9 @@ def main() -> None:
     # fall below 0.75x the 20.0M record -- flag loudly, don't hide it in
     # day noise (raised 10M -> 15M in round 4, VERDICT r3 #8: 3+ sessions
     # of medians on record justify the tighter band)
-    meta["floor_instance_steps_per_s"] = 15_000_000
+    meta["floor_instance_steps_per_s"] = FLOOR_INSTANCE_STEPS_PER_S
+    meta["calibration"] = calibration
+    meta["floor_attempts"] = floor_attempts
     meta["below_floor"] = bool(
         backend == "tpu" and best_rate < meta["floor_instance_steps_per_s"]
     )
@@ -383,6 +412,7 @@ def main() -> None:
                 "unit": f"instance-steps/s (N={N_LINES} lines)",
                 "vs_baseline": round(best_rate / BASELINE_STEPS_PER_S, 1),
                 "below_floor": meta["below_floor"],
+                "env_degraded": bool(calibration and calibration["degraded"]),
             }
         )
     )

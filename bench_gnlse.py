@@ -407,10 +407,33 @@ def main() -> None:
                key=lambda k: results[k]["instance_steps_per_s"])
     best_rate = results[best]["instance_steps_per_s"]
     meta["best_path"] = best
+
+    # in-band calibration + bounded retry-on-degraded (VERDICT r4 #6)
+    def _remeasure():
+        engine = "pallas" if best == "kerr_pallas" else "scan"
+        reps = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            _, _, _okk = gn.solve_gnlse_batch(cfg, co, A0, engine=engine)
+            reps.append(time.perf_counter() - t0)
+        rate = round(BATCH * N_STEPS / float(np.median(reps)))
+        results[best] = {**results[best],
+                         "rep_times_s": [round(r, 4) for r in reps],
+                         "instance_steps_per_s": rate}
+        return rate
+
+    from bench import floor_retry
+
     # raised 0.9M -> 1.3M in round 4 (VERDICT r3 #8: ~0.75x the 1.78M
     # record; the measured +-25% day band keeps a mid-grade healthy day
     # above it -- same-session A/B 2026-08-19 measured 1.33M vs 1.10M)
-    meta["floor_instance_steps_per_s"] = 1_300_000
+    FLOOR = 1_300_000
+    best_rate, floor_attempts, calibration = floor_retry(
+        best_rate, _remeasure, FLOOR, backend)
+    best_rate = round(best_rate)
+    meta["calibration"] = calibration
+    meta["floor_attempts"] = floor_attempts
+    meta["floor_instance_steps_per_s"] = FLOOR
     meta["below_floor"] = bool(
         backend == "tpu" and best_rate < meta["floor_instance_steps_per_s"]
     )
@@ -428,6 +451,7 @@ def main() -> None:
                 "unit": f"instance-steps/s (T={T_SAMPLES} samples)",
                 "vs_baseline": round(best_rate / BASELINE_STEPS_PER_S, 1),
                 "below_floor": meta["below_floor"],
+                "env_degraded": bool(calibration and calibration["degraded"]),
             }
         )
     )

@@ -69,7 +69,7 @@ def _flops_per_strang_step(t: int) -> float:
 
 
 def main() -> None:
-    from bench import _tpu_attempt, _tunnel_preflight
+    from bench import _tpu_attempt, _tunnel_preflight, floor_retry
 
     if _tpu_attempt():
         ok_pf, reason = _tunnel_preflight()
@@ -242,7 +242,19 @@ def main() -> None:
 
     best = max(results, key=lambda k: results[k]["instance_steps_per_s"]
                if k in ("scan", "pallas") else -1)
-    best_rate = results[best]["instance_steps_per_s"]
+
+    # in-band calibration + bounded retry-on-degraded (VERDICT r4 #6):
+    # every attempt's probe/RTT ride in meta so a below_floor record is
+    # diagnosable from the artifact alone
+    def _remeasure():
+        reps, _pk, _psi, ok = timed(best)
+        results[best] = {**results[best], **entry_for(reps, ok)}
+        return results[best]["instance_steps_per_s"]
+
+    best_rate, floor_attempts, calibration = floor_retry(
+        results[best]["instance_steps_per_s"], _remeasure,
+        FLOOR_INSTANCE_STEPS_PER_S, backend)
+    best_rate = round(best_rate)
 
     meta = {
         "backend": backend,
@@ -258,6 +270,8 @@ def main() -> None:
         "rk45_ok_fraction": rk45_ok,
         "detuning_scan_points_per_s": scan_points_per_s,
         "floor_instance_steps_per_s": FLOOR_INSTANCE_STEPS_PER_S,
+        "calibration": calibration,
+        "floor_attempts": floor_attempts,
     }
     below_floor = bool(
         backend == "tpu" and best_rate < FLOOR_INSTANCE_STEPS_PER_S
@@ -277,6 +291,7 @@ def main() -> None:
                 "unit": f"instance-steps/s (T={T_SAMPLES})",
                 "vs_baseline": round(best_rate / BASELINE_STEPS_PER_S, 1),
                 "below_floor": below_floor,
+                "env_degraded": bool(calibration and calibration["degraded"]),
             }
         )
     )

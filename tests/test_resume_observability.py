@@ -398,3 +398,39 @@ def test_lle_ramp_resume_bitwise():
     with pytest.raises(ValueError, match="t0"):
         lle.run_lle_ramp(cfg, co, seed, detuning_start=2.0,
                          detuning_end=4.0, t0=3.0)
+
+
+def test_bench_synthetic_degraded_calibration(monkeypatch):
+    """PSA_BENCH_FAKE_DEGRADED makes _calibrate() return a synthetic degraded
+    record (no device touch) and floor_retry propagates it -- the hook every
+    bench's env_degraded JSON field relies on (VERDICT r4 #6)."""
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(__file__)))
+    import bench
+
+    monkeypatch.setenv("PSA_BENCH_FAKE_DEGRADED", "1")
+    cal = bench._calibrate()
+    assert cal["degraded"] is True and cal.get("synthetic") is True
+
+    # retry loop: first measurement under floor on "tpu" -> remeasure runs,
+    # every attempt carries a calibration record, best attempt wins
+    calls = []
+
+    def remeasure():
+        calls.append(1)
+        return 120.0
+
+    best, attempts, cal2 = bench.floor_retry(
+        50.0, remeasure, floor=100.0, backend="tpu", max_attempts=3)
+    assert best == 120.0 and len(calls) == 1 and len(attempts) == 2
+    assert all(a["calibration"]["degraded"] for a in attempts)
+    assert cal2["degraded"] is True
+
+    # on CPU no retry, but the synthetic flag still yields a calibration
+    # record so the flag is testable off-chip
+    best, attempts, cal3 = bench.floor_retry(
+        50.0, remeasure, floor=100.0, backend="cpu", max_attempts=3)
+    assert best == 50.0 and len(calls) == 1
+    assert cal3 is not None and cal3["degraded"] is True
