@@ -28,8 +28,27 @@ dtype (the package's global x64 flag would otherwise materialize f64
 constants the f64-less v5e rejects), and the model returns a REAL scalar,
 so jit boundaries stay f32.  Gradients flow through the same c64 scan the
 x32 sweep engine runs.  'x64' on a TPU-default process still raises (the
-chip has no f64/c128); 'df32' is rejected -- differentiating compensated
-arithmetic doubles the tape for no accuracy gain over the CPU oracle.
+chip has no f64/c128).
+
+MATCHED-TOLERANCE FITS (round 5, VERDICT r4 #5): the AD model builders
+reject 'df32' (reverse-mode through compensated arithmetic runs the
+backward accumulation in plain f32, so it cannot beat the x32 tape --
+the forward values get better, the gradient noise floor does not), but
+:func:`fit_gain_curve` ACCEPTS ``precision='df32'`` via a two-stage
+hybrid that sidesteps AD entirely: an x32 adam explore (the existing
+on-chip gradient path) followed by a derivative-free Levenberg-Marquardt
+polish whose residuals and central-difference Jacobian are evaluated
+through the PRODUCTION matched-tolerance batch engine
+(``sweep.solve_batch`` -> the fused df32 pallas kernel on TPU, <=1e-9
+vs x64).  All 7 parameter variants (center + 2 x 3 offsets) stack into
+ONE batched solve per LM iteration, so the polish costs a handful of
+kernel launches.  f32 AD noise in the degenerate (gamma, alpha) valley
+limited the pure-x32 fit to ~3.6e-2 relative in gamma (TPU_TESTRUN
+session 12); the df32-forward polish is noise-floored at the engine's
+1e-9, recovering the CPU oracle's permille-class errors on-chip.  On
+CPU the polish forward runs the x64 scan engine instead (same accuracy
+class; XLA:CPU compiles two-float programs pathologically slowly), so
+the identical LM machinery is exercised by the CPU suite.
 Fit workflows are host-side by nature (per-step python loop).
 Measurement convention: the models measure at the LAST SAVED grid point
 (``floor(n_steps/save_every)*save_every`` steps, chunked exactly like
@@ -67,10 +86,12 @@ def _resolve_precision(precision: Optional[str], what: str) -> str:
     prec = validate_precision(precision)
     if prec == "df32":
         raise ValueError(
-            f"{what} does not support precision='df32': differentiating the "
-            "compensated two-float tape doubles its cost for no accuracy "
-            "gain over the CPU x64 oracle -- use 'x32' on TPU and validate "
-            "against the 'x64' fit on CPU"
+            f"{what} does not support precision='df32': reverse-mode AD "
+            "through the compensated two-float tape still accumulates the "
+            "backward pass in plain f32, so it cannot beat the x32 gradient "
+            "noise floor -- use 'x32' here, or fit_gain_curve("
+            "precision='df32') for the matched-tolerance hybrid (x32 "
+            "explore + derivative-free LM polish on the df32 engine)"
         )
     if prec == "x64" and jax.default_backend() != "cpu":
         raise RuntimeError(
@@ -161,6 +182,118 @@ class FitResult:
         return f"FitResult({p}, rms={np.sqrt(self.loss_db2):.4g} dB)"
 
 
+def _engine_gain_curve_fn(
+    cfg: SimulationConfig,
+    db_grid: np.ndarray,
+    *,
+    p_in,
+    phase_in,
+    wave: int,
+    forward_precision: str,
+):
+    """Batched ``theta_stack -> gain_db (K, N)`` through the PRODUCTION
+    batch engine (``sweep.solve_batch``): K normalized parameter triples
+    ``(log_gamma, alpha*z, dphi*z)`` x N grid points solved as ONE
+    ``K*N``-instance call -- the matched-tolerance forward of the LM
+    polish (df32 pallas kernel on TPU, x64 scan oracle on CPU).  Measures
+    at the last SAVED grid point like :func:`make_gain_model` (engine
+    ``A_end`` semantics -- the framework measurement convention)."""
+    from . import sweep as _sweep
+
+    # rk4 fixed-step: the stepper make_gain_model differentiates; the
+    # polish must measure the SAME model as the explore stage
+    cfg_fwd = dataclasses.replace(
+        cfg, precision=forward_precision, integrator="rk4"
+    )
+    A0h = np.asarray(make_initial_amplitudes(p_in, phase_in),
+                     dtype=np.complex128)
+    p0 = float(np.abs(A0h[wave]) ** 2)
+    if p0 <= 0.0:
+        raise ValueError(f"wave {wave} carries no input power")
+    db = np.asarray(db_grid, dtype=np.float64)
+    n_pts = db.shape[0]
+    z_span = float(cfg.z_max)
+
+    def gain_curves(theta_stack: np.ndarray) -> np.ndarray:
+        th = np.asarray(theta_stack, dtype=np.float64).reshape(-1, 3)
+        k = th.shape[0]
+        gam = np.repeat(np.exp(th[:, 0]), n_pts)
+        alp = np.repeat(th[:, 1] / z_span, n_pts)
+        dbe = (db[None, :] + (th[:, 2] / z_span)[:, None]).reshape(-1)
+        res = _sweep.solve_batch(
+            cfg_fwd,
+            RHSCoeffs(gamma=gam, alpha=alp, delta_beta=dbe),
+            np.tile(A0h[None, :], (k * n_pts, 1)),
+        )
+        if not bool(np.all(res.ok)):
+            raise FloatingPointError(
+                "matched-tolerance polish forward diverged (NaN lanes); "
+                "the explore stage left the basin -- improve init or "
+                "lower the learning rate"
+            )
+        return (10.0 * np.log10(res.P_end[:, wave] / p0)).reshape(k, n_pts)
+
+    return gain_curves
+
+
+def _lm_polish_gain_curve(
+    gain_curves,
+    theta0: np.ndarray,
+    target: np.ndarray,
+    *,
+    tol_db: float,
+    max_iters: int = 12,
+    h: float = 1e-3,
+) -> Tuple[np.ndarray, list]:
+    """Derivative-free Levenberg-Marquardt on the dB residual in the
+    normalized (log_gamma, alpha*z, dphi*z) coordinates: the Jacobian is
+    central finite differences with step ``h`` (optimal for a <=1e-9
+    forward: truncation ~h^2 and roundoff ~eps/h balance near 1e-3), and
+    every iteration's 7 variants (center + 6 offsets) evaluate as one
+    batched engine call.  Returns the polished theta and the per-iteration
+    rms^2 history (accepted steps only)."""
+    th = np.asarray(theta0, dtype=np.float64).copy()
+    tgt = np.asarray(target, dtype=np.float64)
+    lam = 1e-3
+    history: list = []
+    eye = np.eye(3)
+    stack0 = np.concatenate(
+        [np.zeros((1, 3))] + [s * h * eye[k:k + 1]
+                              for k in range(3) for s in (+1.0, -1.0)],
+        axis=0,
+    )
+    for _ in range(int(max_iters)):
+        curves = gain_curves(th[None, :] + stack0)
+        r = curves[0] - tgt
+        loss = float(np.mean(r ** 2))
+        history.append(loss)
+        if loss < float(tol_db) ** 2:
+            break
+        jac = np.stack(
+            [(curves[1 + 2 * k] - curves[2 + 2 * k]) / (2.0 * h)
+             for k in range(3)], axis=1,
+        )
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        accepted = False
+        for _try in range(4):
+            delta = np.linalg.solve(
+                jtj + lam * np.diag(np.maximum(np.diag(jtj), 1e-12)), -jtr
+            )
+            cand = th + delta
+            loss_c = float(np.mean((gain_curves(cand[None, :])[0]
+                                    - tgt) ** 2))
+            if np.isfinite(loss_c) and loss_c < loss:
+                th, lam, accepted = cand, max(lam * 0.3, 1e-12), True
+                break
+            lam *= 10.0
+        if not accepted or float(np.linalg.norm(delta)) < 1e-10:
+            break
+    history.append(float(np.mean((gain_curves(th[None, :])[0]
+                                  - tgt) ** 2)))
+    return th, history
+
+
 def fit_gain_curve(
     cfg: SimulationConfig,
     *,
@@ -174,6 +307,7 @@ def fit_gain_curve(
     tol_db: float = 1e-4,
     wave: int = 2,
     precision: Optional[str] = None,
+    polish_iters: int = 12,
 ) -> FitResult:
     """Calibrate ``gamma`` [1/(W m)], ``alpha`` [1/m] and a constant
     phase-mismatch offset [1/m] against a measured gain-vs-mismatch curve
@@ -192,10 +326,59 @@ def fit_gain_curve(
     gradients, adam -- on-chip; the recovered parameters match the CPU
     x64 fit to ~1e-3 relative (f32 forward error ~1e-5 in gain, measured
     in tests/test_calibrate.py's cross-tier case and the on-chip lane in
-    TPU_TESTRUN.md)."""
+    TPU_TESTRUN.md).
+
+    ``precision='df32'`` (round 5, VERDICT r4 #5) is the MATCHED-TOLERANCE
+    tier: the x32/x64 adam explore above, then ``polish_iters`` of
+    derivative-free Levenberg-Marquardt whose residuals + central-
+    difference Jacobian run through the production batch engine (df32
+    pallas kernel on TPU, <=1e-9 forward; x64 scan on CPU) -- one
+    batched 7-variant solve per iteration.  This clears the x32 tier's
+    f32-AD noise floor in the degenerate (gamma, alpha) valley and
+    recovers the CPU oracle's permille-class parameters on-chip; see the
+    module docstring for why AD through the two-float tape cannot."""
     import optax
 
-    from ..utils.precision import real_dtype
+    from ..utils.precision import real_dtype, validate_precision
+
+    if precision is not None and validate_precision(precision) == "df32":
+        on_cpu = jax.default_backend() == "cpu"
+        explore = fit_gain_curve(
+            cfg, delta_beta_grid=delta_beta_grid,
+            measured_gain_db=measured_gain_db, p_in=p_in,
+            phase_in=phase_in, init=init, steps=steps,
+            learning_rate=learning_rate, tol_db=tol_db, wave=wave,
+            precision="x64" if on_cpu else "x32",
+        )
+        z_span = float(cfg.z_max)
+        theta0 = np.array([
+            np.log(explore.params["gamma"]),
+            explore.params["alpha"] * z_span,
+            explore.params["dbeta_offset"] * z_span,
+        ])
+        gain_curves = _engine_gain_curve_fn(
+            cfg, np.asarray(delta_beta_grid, dtype=np.float64),
+            p_in=p_in, phase_in=phase_in, wave=wave,
+            forward_precision="x64" if on_cpu else "df32",
+        )
+        target_np = np.asarray(measured_gain_db, dtype=np.float64)
+        theta, lm_hist = _lm_polish_gain_curve(
+            gain_curves, theta0, target_np,
+            tol_db=tol_db, max_iters=polish_iters,
+        )
+        curve = gain_curves(theta[None, :])[0]
+        return FitResult(
+            params={
+                "gamma": float(np.exp(theta[0])),
+                "alpha": float(theta[1]) / z_span,
+                "dbeta_offset": float(theta[2]) / z_span,
+            },
+            loss_db2=float(np.mean((curve - target_np) ** 2)),
+            loss_history=np.concatenate(
+                [explore.loss_history, np.asarray(lm_hist)]),
+            gain_db=curve,
+            n_steps=explore.n_steps + len(lm_hist) - 1,
+        )
 
     prec = _resolve_precision(precision, "fit_gain_curve")
     rdt = real_dtype(prec)
