@@ -638,6 +638,21 @@ def solve_comb_batch(
     RK45 (dense output on the decimated save grid; note the adaptive P_max
     includes the initial state row, like the fixed path).
 
+    ADAPTIVE (rk45) ACCURACY CONTRACT (round-5 tolerance study,
+    BENCH_COMB.md 2026-08-20, `scripts/study_comb_tolerance.py`): on the
+    cascading-comb workload the error is tolerance-controlled down to an
+    f32 ACCUMULATION FLOOR -- per-step rounding integrated against the
+    cascade's parametric gain, growing with ``gamma*P*z`` (NOT chaotic
+    divergence: a 1e-7 seed perturbation amplifies only ~65-330x over
+    0.5-2 km in x64).  Measured p99 signal-line floors vs x64 truth:
+    scan ~2e-4 (500 m) / ~7e-3 (2000 m); pallas kernel ~5x higher (its
+    x3 compensated dots).  Practical rules: rtol >= 1e-5 is
+    tolerance-class for every engine at bench-scale spans; below the
+    floor, per-trajectory weak-line powers need ``precision='df32'``
+    (the matched-tolerance engines), while ensemble/spectral observables
+    (total power, centroid, bandwidth) remain converged in x32 one to
+    two orders below the per-line p99.
+
     ``engine``: 'scan' (XLA loop, any coupling/integrator), 'pallas' (fused
     single-launch VMEM kernel: TPU, rk4, x32, DFT-matmul coupling, no mesh),
     or 'auto' (scan; the kernel is opt-in since its advantage is
@@ -707,6 +722,12 @@ def solve_comb_batch(
                 save_every=int(cfg.save_every), rtol=float(cfg.rtol),
                 atol=float(cfg.atol), max_steps=int(cfg.max_steps),
                 interpret=not on_tpu, mesh=mesh,
+                # the adaptive kernel defaults to 'x3': HIGHEST dots inside
+                # the DP45 while-body are a measured Mosaic remote-compile
+                # limit (see ops/pallas_comb_adaptive._kernel_body); the
+                # knob passes through for A/B on future compilers
+                mxu_precision=("x3" if mxu_precision == "highest"
+                               else mxu_precision),
             )
             return r.P_max, r.A_end, r.ok
         if cfg.integrator.lower() not in ("rk4", "ab4", "abm4"):

@@ -284,11 +284,11 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
 
 def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
                max_steps: int, n: int, interpret: bool, block: int,
-               tail_len: float = 0.0):
+               tail_len: float = 0.0, mxu_precision: str = "x3"):
     from jax.experimental import pallas as pl
 
     kernel = _kernel_body(n_chunks, seg_len, rtol, atol, max_steps, n,
-                          tail_len)
+                          tail_len, mxu_precision)
     f_re, f_im, i_re, i_im, L = _dft_weight_blocks(n)
 
     def call(coef, y0):
@@ -335,9 +335,10 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
 def _pallas_comb_rk45_solver(n_chunks: int, seg_len: float, rtol: float,
                              atol: float, max_steps: int, n: int,
                              interpret: bool, block: int,
-                             tail_len: float = 0.0):
+                             tail_len: float = 0.0,
+                             mxu_precision: str = "x3"):
     call = _make_call(n_chunks, seg_len, rtol, atol, max_steps, n,
-                      interpret, block, tail_len)
+                      interpret, block, tail_len, mxu_precision)
 
     def fused(coef, y0):
         pmax, y_last, ok, na, nr = call(coef, y0)
@@ -352,11 +353,12 @@ def _pallas_comb_rk45_solver_sharded(n_chunks: int, seg_len: float,
                                      rtol: float, atol: float,
                                      max_steps: int, n: int, interpret: bool,
                                      block: int, mesh,
-                                     tail_len: float = 0.0):
+                                     tail_len: float = 0.0,
+                                     mxu_precision: str = "x3"):
     from jax.sharding import PartitionSpec
 
     call = _make_call(n_chunks, seg_len, rtol, atol, max_steps, n,
-                      interpret, block, tail_len)
+                      interpret, block, tail_len, mxu_precision)
 
     def fused(coef, y0):
         pmax, y_last, ok, na, nr = call(coef, y0)
@@ -398,6 +400,7 @@ def solve_comb_batch_rk45_pallas(
     interpret: bool = False,
     block: int = BLOCK,
     mesh=None,
+    mxu_precision: str = "x3",
 ) -> PallasCombAdaptiveResult:
     """Fused single-launch adaptive (DP45) comb solve of B instances (x32).
 
@@ -453,6 +456,7 @@ def solve_comb_batch_rk45_pallas(
         solver = _pallas_comb_rk45_solver(
             n_chunks, seg_len, float(rtol), float(atol), int(max_steps),
             int(n), bool(interpret), int(block), tail_len,
+            str(mxu_precision),
         )
         with jax.enable_x64(False):
             out = np.asarray(jax.block_until_ready(
@@ -466,6 +470,7 @@ def solve_comb_batch_rk45_pallas(
         solver, spec = _pallas_comb_rk45_solver_sharded(
             n_chunks, seg_len, float(rtol), float(atol), int(max_steps),
             int(n), bool(interpret), int(block), mesh, tail_len,
+            str(mxu_precision),
         )
         sh = NamedSharding(mesh, spec)
         with jax.enable_x64(False):

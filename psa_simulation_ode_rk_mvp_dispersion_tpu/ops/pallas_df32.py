@@ -28,6 +28,7 @@ See ``_kernel_body_grouped``.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -290,6 +291,8 @@ def solve_batch_df32_pallas(
     mesh=None,
     group: int = GROUP,
     integrator: str = "rk4",
+    outputs: str = "full",
+    wave: int = 2,
 ):
     """Fused-kernel counterpart of ``df32_solver.solve_batch_df32``; same
     contract and :class:`~.df32_solver.DF32BatchResult` result type.
@@ -300,6 +303,12 @@ def solve_batch_df32_pallas(
     ``group`` packs that many instances per lane column (wave-major row
     groups, see ``_kernel_body_grouped``): group=2 fills the f32 (8, 128)
     vector tile exactly (the ungrouped layout wastes half its sublanes).
+
+    ``outputs='gain'`` (round 5) returns :class:`DF32GainPowers` -- only
+    the requested ``wave``'s (P_max, P_end, ok), fetched as 5g member-
+    plane rows instead of the full (6G+g)-row stacked result (the gain
+    sweeps consume nothing else, and the attachment tunnel's ~20 MB/s
+    makes fetched bytes the large-batch bottleneck; VERDICT r4 #1).
     """
     from .df32_solver import DF32BatchResult
 
@@ -316,6 +325,10 @@ def solve_batch_df32_pallas(
         raise ValueError(
             f"integrator must be 'rk4', 'ab4' or 'abm4', got {integrator!r}"
         )
+    if outputs not in ("full", "gain"):
+        raise ValueError(f"outputs must be 'full' or 'gain', got {outputs!r}")
+    if not 0 <= int(wave) < 4:
+        raise ValueError(f"wave must be 0..3, got {wave}")
     if block is None:
         block = BLOCK_GROUPED if group > 1 else BLOCK
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
@@ -324,6 +337,12 @@ def solve_batch_df32_pallas(
             A0, gamma, alpha, dbeta, dz_m=dz_m, n_steps=n_steps,
             save_every=save_every, interpret=interpret, block=block,
             mesh=mesh, ndev=ndev, g=int(group), integrator=integrator,
+            outputs=outputs, wave=int(wave),
+        )
+    if outputs != "full":
+        raise ValueError(
+            "outputs='gain' is implemented in the grouped kernel only "
+            "(group > 1, the default)"
         )
     if integrator != "rk4":
         raise ValueError(
@@ -683,59 +702,213 @@ def _split_rows_f64(x):
     return hi, lo
 
 
+# ---------------------------------------------------------------------------
+# Raw-input lowering (round 5, VERDICT r4 #1): the steady-state diagnostic
+# (scripts/diag_steady_state.py) showed the large-batch lane is TUNNEL-
+# TRANSFER-BOUND, not compute-bound: at B=250k the kernel integrates at
+# ~239k pts/s (1.05 s) while the public path ran at ~36-40k pts/s, because
+# the host-packed (coef, y0) planes ship ~195 B/instance through a ~20 MB/s
+# attachment and the full stacked result fetches ~100 B/instance back.
+# The fix: ship the RAW hi/lo splits (~8-88 B/inst; broadcast-constant
+# inputs collapse to one row) and build the planes ON DEVICE inside the
+# same jit as the kernel -- bit-identical, because plane packing is pure
+# data movement and the +-power-of-two scalings (2*gamma, -alpha/2,
+# -dbeta/2) commute EXACTLY with the f64 -> two-f32 split.  For gain
+# sweeps, ``outputs='gain'`` additionally reduces the fetch to the
+# requested wave's (P_max, P_end, ok) member planes (5g rows vs 6G+g).
+# ---------------------------------------------------------------------------
+
+
+def _member_plane_jnp(v, g: int):
+    """(Bp,) -> (g, Bp/g): instance ``l*g + j`` lands on ``[j, l]``."""
+    return v.reshape(-1, g).T
+
+
+def _rows_scalar_jnp(v, g: int):
+    """jnp twin of ``lane_groups.rows_scalar``: (Bp,) -> (4g, Bp/g)."""
+    return jnp.tile(_member_plane_jnp(v, g), (4, 1))
+
+
+def _plane_state_jnp(X, g: int):
+    """jnp twin of ``lane_groups.plane_state``: (Bp, 4) -> (4g, Bp/g)."""
+    Bp, n = X.shape
+    return X.reshape(Bp // g, g, n).transpose(2, 1, 0).reshape(n * g, Bp // g)
+
+
+def _pack_grouped_jnp(sc_ga_al, sc_db, a0r, consts, g: int, Bp: int):
+    """Device-side twin of ``_solve_grouped``'s host packing.
+
+    Inputs (f32): ``sc_ga_al`` (4, 1|Bp) rows [ga_hi, ga_lo, al_hi, al_lo];
+    ``sc_db`` (2, 1|Bp) rows [db_hi, db_lo]; ``a0r`` (4, 1|Bp, 4) leaves
+    [re_hi, re_lo, im_hi, im_lo]; ``consts`` (n_c, 1).  A leading 1 means
+    the quantity is batch-constant and broadcasts on device (the dominant
+    gain-sweep case: only delta_beta varies)."""
+    ga_hi, ga_lo, al_hi, al_lo = (
+        jnp.broadcast_to(sc_ga_al[i], (Bp,)) for i in range(4)
+    )
+    db_hi, db_lo = (jnp.broadcast_to(sc_db[i], (Bp,)) for i in range(2))
+    Bl = Bp // g
+    zero2 = jnp.zeros((2 * g, Bl), jnp.float32)
+
+    def det_plane(dbx):
+        p = -0.5 * _member_plane_jnp(dbx, g)
+        return jnp.concatenate([p, p, zero2], axis=0)
+
+    coef = jnp.concatenate([
+        _rows_scalar_jnp(ga_hi, g), _rows_scalar_jnp(ga_lo, g),
+        _rows_scalar_jnp(2.0 * ga_hi, g), _rows_scalar_jnp(2.0 * ga_lo, g),
+        _rows_scalar_jnp(-0.5 * al_hi, g), _rows_scalar_jnp(-0.5 * al_lo, g),
+        det_plane(db_hi), det_plane(db_lo),
+        jnp.broadcast_to(consts, (consts.shape[0], Bl)),
+    ], axis=0)
+    y0 = jnp.concatenate(
+        [_plane_state_jnp(jnp.broadcast_to(a0r[k], (Bp, 4)), g)
+         for k in range(4)], axis=0,
+    )
+    return coef, y0
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_df32_solver_grouped_raw(n_steps: int, save_every: int,
+                                    interpret: bool, block: int, g: int,
+                                    integrator: str, Bp: int, outputs: str,
+                                    wave: int = 2):
+    call = _make_call_grouped(n_steps, save_every, interpret, block, g,
+                              integrator)
+    G = 4 * g
+
+    def fused(sc_ga_al, sc_db, a0r, consts):
+        coef, y0 = _pack_grouped_jnp(sc_ga_al, sc_db, a0r, consts, g, Bp)
+        pmax, y_last, ok = call(coef, y0)
+        if outputs == "full":
+            return jnp.concatenate([pmax, y_last, ok], axis=0)
+        # 'gain': wave-selective member planes only.  End power from the
+        # two-float square (re^2 + im^2 compensated), so the fetched
+        # P_end keeps the df32 accuracy class.
+        sl = slice(wave * g, (wave + 1) * g)
+
+        def seg(base):
+            return y_last[base + wave * g: base + (wave + 1) * g, :]
+
+        re = TF(seg(0), seg(G))
+        im = TF(seg(2 * G), seg(3 * G))
+        pend = tf_add(tf_mul(re, re), tf_mul(im, im))
+        return jnp.concatenate([
+            pmax[sl, :], pmax[G + wave * g: G + (wave + 1) * g, :],
+            pend.hi, pend.lo, ok,
+        ], axis=0)                               # (5g, Bl)
+
+    return jax.jit(fused)
+
+
+def _consts_rows(dz_m: float, integrator: str) -> np.ndarray:
+    """The (n_c, 1) f32 dz-constant rows, hi/lo interleaved, exact splits."""
+    consts = [0.5 * dz_m, float(dz_m), dz_m / 6.0]
+    if integrator != "rk4":
+        # Adams weights coef*dz/24, split exactly from f64 on the host
+        consts += [k * float(dz_m) / 24.0
+                   for k in (55.0, -59.0, 37.0, -9.0, 9.0, 19.0, -5.0, 1.0)]
+    rows = np.zeros((2 * len(consts), 1), dtype=np.float32)
+    for k, cst in enumerate(consts):
+        hi = np.float32(cst)
+        rows[2 * k] = hi
+        rows[2 * k + 1] = np.float32(np.float64(cst) - np.float64(hi))
+    return rows
+
+
+def _split_maybe_const(x: np.ndarray, pad: int):
+    """f64 (B, ...) -> stacked f32 [hi; lo] of shape (2, 1, ...) when every
+    instance is identical (ship ONE row through the tunnel, broadcast on
+    device), else (2, B+pad, ...) edge-replicate padded."""
+    from .lane_groups import pad_rows
+
+    if bool((x == x[:1]).all()):
+        hi, lo = _split_rows_f64(x[:1])
+    else:
+        hi, lo = _split_rows_f64(pad_rows(x, pad))
+    return np.stack([hi, lo], axis=0)
+
+
+def _stack_splits(parts, pad):
+    """Concatenate per-quantity hi/lo splits into one H2D buffer, expanding
+    any batch-constant member when the others vary (shapes must agree)."""
+    splits = [_split_maybe_const(x, pad) for x in parts]
+    tgt = max(s.shape[1] for s in splits)
+    return np.concatenate([
+        (np.broadcast_to(s, (2, tgt) + s.shape[2:]) if s.shape[1] != tgt
+         else s)
+        for s in splits
+    ], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class DF32GainPowers:
+    """Wave-selective gain-sweep summary (``outputs='gain'``): the
+    matched-tolerance powers the spectrum layer consumes, fetched as 5g
+    member-plane rows instead of the full (6G+g) stacked result."""
+
+    P_max_wave: np.ndarray   # (B,) f64, max saved power of the wave
+    P_end_wave: np.ndarray   # (B,) f64, last-saved power of the wave
+    ok: np.ndarray           # (B,) bool
+
+
 def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
-                   interpret, block, mesh, ndev, g, integrator="rk4"):
+                   interpret, block, mesh, ndev, g, integrator="rk4",
+                   outputs="full", wave=2):
     from .df32_solver import DF32BatchResult
     from .lane_groups import grouped_pad_target, pad_rows, plane_state, rows_scalar, unplane
 
     B = A0.shape[0]
     Bp = grouped_pad_target(B, g=g, block=block, ndev=ndev)
     pad = Bp - B
-
-    A0p = pad_rows(A0, pad)
-    ga, al, db = (pad_rows(x, pad) for x in (gamma, alpha, dbeta))
     Bl = Bp // g
     G = 4 * g
 
-    det_inst = np.stack(
-        [-0.5 * db, -0.5 * db, np.zeros(Bp), np.zeros(Bp)], axis=-1
-    )  # (Bp, 4)
-
-    n_coef = 8 * G + 6 + (16 if integrator != "rk4" else 0)
-    coef = np.zeros((n_coef, Bl), dtype=np.float32)
-    for k, rows in enumerate(
-        (rows_scalar(ga, g), rows_scalar(2.0 * ga, g), rows_scalar(-0.5 * al, g),
-         plane_state(det_inst, g))
-    ):
-        hi, lo = _split_rows_f64(rows)
-        coef[2 * k * G:(2 * k + 1) * G] = hi
-        coef[(2 * k + 1) * G:(2 * k + 2) * G] = lo
-    base = 8 * G
-    consts = [0.5 * dz_m, float(dz_m), dz_m / 6.0]
-    if integrator != "rk4":
-        # Adams weights coef*dz/24, split exactly from f64 on the host
-        consts += [k * float(dz_m) / 24.0
-                   for k in (55.0, -59.0, 37.0, -9.0, 9.0, 19.0, -5.0, 1.0)]
-    for k, cst in enumerate(consts):
-        hi = np.float32(cst)
-        coef[base + 2 * k] = hi
-        coef[base + 2 * k + 1] = np.float32(np.float64(cst) - np.float64(hi))
-
-    re_hi, re_lo = _split_rows_f64(plane_state(A0p.real, g))
-    im_hi, im_lo = _split_rows_f64(plane_state(A0p.imag, g))
-    y0 = np.concatenate([re_hi, re_lo, im_hi, im_lo], axis=0)  # (16g, Bl)
-
     if mesh is None:
-        solver = _pallas_df32_solver_grouped(
+        # raw-input lowering: hi/lo splits ship thin (constants collapse
+        # to one row), planes are packed on device inside the solver jit
+        ga_al = _stack_splits((gamma, alpha), pad)       # (4, 1|Bp)
+        sc_db = _split_maybe_const(dbeta, pad)           # (2, 1|Bp)
+        a0r = _stack_splits((A0.real, A0.imag), pad)     # (4, 1|Bp, 4)
+        solver = _pallas_df32_solver_grouped_raw(
             int(n_steps), int(save_every), bool(interpret), int(block), g,
-            integrator,
+            integrator, int(Bp), str(outputs), int(wave),
         )
-        coef_dev, y0_dev = jnp.asarray(coef), jnp.asarray(y0)
+        args = (jnp.asarray(ga_al), jnp.asarray(sc_db), jnp.asarray(a0r),
+                jnp.asarray(_consts_rows(dz_m, integrator)))
         with jax.enable_x64(False):
-            out = jax.block_until_ready(solver(coef_dev, y0_dev))
-        out = np.asarray(out)                # ONE fetch of (6G + g, Bl)
+            out = jax.block_until_ready(solver(*args))
+        out = np.asarray(out)          # ONE fetch: (6G+g, Bl) or (5g, Bl)
+        if outputs == "gain":
+            pm = (out[0:g].astype(np.float64)
+                  + out[g:2 * g]).T.reshape(Bp)[:B]
+            pe = (out[2 * g:3 * g].astype(np.float64)
+                  + out[3 * g:4 * g]).T.reshape(Bp)[:B]
+            okv = (out[4 * g:5 * g].T.reshape(Bp) > 0.0)[:B]
+            return DF32GainPowers(P_max_wave=pm, P_end_wave=pe, ok=okv)
         pmax, y_last, ok = out[:2 * G], out[2 * G:6 * G], out[6 * G:]
     else:
+        A0p = pad_rows(A0, pad)
+        ga, al, db = (pad_rows(x, pad) for x in (gamma, alpha, dbeta))
+
+        det_inst = np.stack(
+            [-0.5 * db, -0.5 * db, np.zeros(Bp), np.zeros(Bp)], axis=-1
+        )  # (Bp, 4)
+
+        n_coef = 8 * G + 6 + (16 if integrator != "rk4" else 0)
+        coef = np.zeros((n_coef, Bl), dtype=np.float32)
+        for k, rows in enumerate(
+            (rows_scalar(ga, g), rows_scalar(2.0 * ga, g),
+             rows_scalar(-0.5 * al, g), plane_state(det_inst, g))
+        ):
+            hi, lo = _split_rows_f64(rows)
+            coef[2 * k * G:(2 * k + 1) * G] = hi
+            coef[(2 * k + 1) * G:(2 * k + 2) * G] = lo
+        coef[8 * G:] = _consts_rows(dz_m, integrator)
+
+        re_hi, re_lo = _split_rows_f64(plane_state(A0p.real, g))
+        im_hi, im_lo = _split_rows_f64(plane_state(A0p.imag, g))
+        y0 = np.concatenate([re_hi, re_lo, im_hi, im_lo], axis=0)  # (16g, Bl)
         from jax.sharding import NamedSharding
 
         from ..parallel.mesh import put_global
@@ -769,4 +942,10 @@ def _solve_grouped(A0, gamma, alpha, dbeta, *, dz_m, n_steps, save_every,
     A_end = A_end_rot.copy()
     A_end[:, 0] *= rot
     A_end[:, 1] *= rot
+    if outputs == "gain":   # sharded path: reduce the full result on host
+        return DF32GainPowers(
+            P_max_wave=P_max[:, wave],
+            P_end_wave=np.abs(A_end[:, wave]) ** 2,
+            ok=ok_arr,
+        )
     return DF32BatchResult(P_max=P_max, A_end=A_end, ok=ok_arr)

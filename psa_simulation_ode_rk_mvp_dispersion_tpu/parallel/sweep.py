@@ -829,6 +829,39 @@ def _x_wavelength(lam3: np.ndarray, return_wavelength_unit: str) -> np.ndarray:
     return np.asarray(lam3, dtype=float) * wavelength_scale(return_wavelength_unit)
 
 
+def _df32_gain_fast_path(cfg_m, coeffs, A0, *, mesh, engine, verbose):
+    """Wave-2 reduced-fetch df32 solve for gain spectra (VERDICT r4 #1).
+
+    Returns ``(DF32GainPowers, elapsed_s)`` when the fused grouped kernel
+    applies (TPU + df32 + rk4/ab4/abm4 + engine auto/pallas), else None
+    (the caller falls back to the full :func:`solve_batch`).  The gain
+    sweeps consume only the signal wave's powers + ok, and the attachment
+    tunnel's ~20 MB/s makes fetched/shipped bytes the large-batch
+    bottleneck -- the reduced path fetches 5g member-plane rows and ships
+    raw hi/lo splits instead of packed planes (~10x fewer bytes at the
+    250k-point steady-state workload; scripts/diag_steady_state.py).
+    ``verbose`` falls back: the chunked-progress path needs solve_batch.
+    """
+    if (validate_precision(cfg_m.precision) != "df32"
+            or cfg_m.integrator.lower() not in ("rk4", "ab4", "abm4")
+            or engine not in ("auto", "pallas")
+            or verbose
+            or jax.default_backend() != "tpu"):
+        return None
+    from ..ops.pallas_df32 import solve_batch_df32_pallas
+
+    t0 = time.perf_counter()
+    powers = solve_batch_df32_pallas(
+        A0, coeffs.gamma, coeffs.alpha, coeffs.delta_beta,
+        dz_m=float(cfg_m.dz),
+        n_steps=int(round(cfg_m.z_max / cfg_m.dz)),
+        save_every=int(cfg_m.save_every),
+        mesh=mesh, integrator=cfg_m.integrator.lower(),
+        outputs="gain", wave=2,
+    )
+    return powers, time.perf_counter() - t0
+
+
 # ---------------------------------------------------------------------------
 # Public sweep APIs
 # ---------------------------------------------------------------------------
@@ -912,13 +945,21 @@ def gain_and_dbeta_spectrum(
         delta_beta=dbeta_m,
     )
 
-    res = solve_batch(
-        cfg_m, coeffs, A0, frame=frame, mesh=mesh, engine=engine,
-        progress=_default_progress if verbose else None,
-    )
-
-    P3_metric = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
-    ok = res.ok & valid
+    gp = _df32_gain_fast_path(cfg_m, coeffs, A0, mesh=mesh, engine=engine,
+                              verbose=verbose)
+    if gp is not None:
+        powers, elapsed_s = gp
+        P3_metric = (powers.P_max_wave if gain_mode == "max"
+                     else powers.P_end_wave)
+        ok = powers.ok & valid
+    else:
+        res = solve_batch(
+            cfg_m, coeffs, A0, frame=frame, mesh=mesh, engine=engine,
+            progress=_default_progress if verbose else None,
+        )
+        P3_metric = res.P_max[:, 2] if gain_mode == "max" else res.P_end[:, 2]
+        ok = res.ok & valid
+        elapsed_s = res.elapsed_s
     gain = _gain_from_power(P3_metric, float(p0[2]), ok, gu)
 
     dbeta_out = None
@@ -927,15 +968,15 @@ def gain_and_dbeta_spectrum(
         dbeta_out = np.where(valid, dbeta_m * scale_to_m, np.nan)
 
     x = _x_wavelength(lam3, return_wavelength_unit)
-    pts = B / res.elapsed_s if res.elapsed_s > 0 else float("inf")
+    pts = B / elapsed_s if elapsed_s > 0 else float("inf")
     if verbose:
         print(
-            f"[sweep] {B} points in {res.elapsed_s:.3f} s "
+            f"[sweep] {B} points in {elapsed_s:.3f} s "
             f"({pts:.1f} pt/s, {B * int(round(cfg.z_max / cfg.dz))} RK4 steps total)"
         )
     return SweepResult(
         x=x, gain=gain, dbeta=dbeta_out, ok=ok, gain_unit=gu,
-        elapsed_s=res.elapsed_s, points_per_s=pts,
+        elapsed_s=elapsed_s, points_per_s=pts,
     )
 
 

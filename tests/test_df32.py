@@ -283,6 +283,97 @@ def test_pallas_df32_bit_identical_to_scan_df32():
     np.testing.assert_array_equal(r_pl.ok, r_sc.ok)
 
 
+@pytest.mark.parametrize("const_mask", [
+    (False, False, False, False),   # everything varies per instance
+    (True, True, False, True),      # the gain-sweep shape: only dbeta varies
+    (True, False, False, False),    # mixed constness inside one buffer
+])
+def test_raw_lowering_packs_bit_identical(const_mask):
+    """Round-5 raw-input lowering (VERDICT r4 #1): the device-side plane
+    packing (``_pack_grouped_jnp`` under jit) must be BIT-identical to the
+    host packing contract in ``ops/lane_groups`` -- plane packing is pure
+    data movement and the +-power-of-two scalings commute exactly with the
+    f64 -> two-f32 split.  Runs on CPU (no kernel, no two-float chains)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import pallas_df32 as pdf
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops.lane_groups import (
+        grouped_pad_target, pad_rows, plane_state, rows_scalar,
+    )
+
+    g, block = 8, 256
+    B = 20
+    rng = np.random.default_rng(11)
+    gc, ac, dc, a0c = const_mask
+    gamma = np.full(B, 1.5) if gc else rng.uniform(0.5, 2.0, B)
+    alpha = np.full(B, 1.15e-2) if ac else rng.uniform(0.0, 0.1, B)
+    dbeta = np.full(B, 0.3) if dc else rng.uniform(-1, 1, B)
+    row = np.sqrt([0.1, 0.1, 1e-6, 0]) * np.exp(1j * rng.uniform(0, 1, 4))
+    A0 = (np.broadcast_to(row, (B, 4)).copy() if a0c
+          else rng.normal(size=(B, 4)) + 1j * rng.normal(size=(B, 4)))
+    dz_m = 0.2
+
+    Bp = grouped_pad_target(B, g=g, block=block, ndev=1)
+    pad = Bp - B
+
+    # host truth: the documented lane_groups layout (the mesh-path packing)
+    A0p = pad_rows(A0, pad)
+    ga, al, db = (pad_rows(x, pad) for x in (gamma, alpha, dbeta))
+    G = 4 * g
+    det_inst = np.stack([-0.5 * db, -0.5 * db, np.zeros(Bp), np.zeros(Bp)],
+                        axis=-1)
+    coef_host = np.zeros((8 * G + 6, Bp // g), dtype=np.float32)
+    for k, rows in enumerate(
+        (rows_scalar(ga, g), rows_scalar(2.0 * ga, g),
+         rows_scalar(-0.5 * al, g), plane_state(det_inst, g))
+    ):
+        hi, lo = pdf._split_rows_f64(rows)
+        coef_host[2 * k * G:(2 * k + 1) * G] = hi
+        coef_host[(2 * k + 1) * G:(2 * k + 2) * G] = lo
+    coef_host[8 * G:] = pdf._consts_rows(dz_m, "rk4")
+    re_hi, re_lo = pdf._split_rows_f64(plane_state(A0p.real, g))
+    im_hi, im_lo = pdf._split_rows_f64(plane_state(A0p.imag, g))
+    y0_host = np.concatenate([re_hi, re_lo, im_hi, im_lo], axis=0)
+
+    # device path: raw thin splits -> jit-packed planes
+    ga_al = pdf._stack_splits((gamma, alpha), pad)
+    sc_db = pdf._split_maybe_const(dbeta, pad)
+    a0r = pdf._stack_splits((A0.real, A0.imag), pad)
+    if gc and ac:
+        assert ga_al.shape == (4, 1)        # constants ship one row
+    if a0c:
+        assert a0r.shape == (4, 1, 4)
+    coef_dev, y0_dev = jax.jit(
+        pdf._pack_grouped_jnp, static_argnums=(4, 5)
+    )(jnp.asarray(ga_al), jnp.asarray(sc_db), jnp.asarray(a0r),
+      jnp.asarray(pdf._consts_rows(dz_m, "rk4")), g, Bp)
+    np.testing.assert_array_equal(np.asarray(coef_dev), coef_host)
+    np.testing.assert_array_equal(np.asarray(y0_dev), y0_host)
+
+
+@tpu_only
+def test_pallas_df32_gain_outputs_matches_full():
+    """``outputs='gain'`` (reduced wave-2 fetch) must agree with the full
+    result's P_max / |A_end|^2 / ok to two-float class (P_end is squared
+    on device from the same y_last planes the full path fetches)."""
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.ops import pallas_df32 as pdf
+
+    B = 12
+    rng = np.random.default_rng(7)
+    A0 = np.broadcast_to(np.sqrt([0.1, 0.1, 1e-6, 0]).astype(np.complex128),
+                         (B, 4)).copy()
+    gamma = np.full(B, 1.5)
+    alpha = np.full(B, 1.15e-2)
+    dbeta = rng.uniform(-1, 1, B)
+    kw = dict(dz_m=0.2, n_steps=20, save_every=10)
+    full = pdf.solve_batch_df32_pallas(A0, gamma, alpha, dbeta, **kw)
+    gp = pdf.solve_batch_df32_pallas(A0, gamma, alpha, dbeta,
+                                     outputs="gain", wave=2, **kw)
+    np.testing.assert_allclose(gp.P_max_wave, full.P_max[:, 2],
+                               rtol=1e-12, atol=0)
+    np.testing.assert_allclose(gp.P_end_wave, np.abs(full.A_end[:, 2]) ** 2,
+                               rtol=1e-12, atol=0)
+    np.testing.assert_array_equal(gp.ok, full.ok)
+
+
 def _np_adams_rotating(A0, gamma, alpha, dbeta, dz, n_steps, save_every,
                        correct):
     """Host f64 oracle of the SAME Adams scheme on the rotating-frame RHS
