@@ -413,23 +413,79 @@ def _lle_doubling_attempt(y, ph, det_b, F_b, hb, rdt):
     """One step-doubling attempt on the LLE Strang step: (coarse h, two
     fused fine h/2 steps) -- the two middle fine quarter-linears compose
     EXACTLY into one half-step affine map (drive lives in the DC bin), the
-    same fusion as the fixed-step chunk."""
-    def lin(a, s):
-        return _lle_affine_lin(ph, det_b, F_b, a, s, rdt)
+    same fusion as the fixed-step chunk.
 
+    Round-5 cost structure (VERDICT r4 #4): ONE transcendental (B, T)
+    factor build per attempt -- the quarter-step dispersion factor; the
+    half-step factor is its exact square (1-ulp class, far below the
+    O(h^3) split error the controller measures) -- and the coarse/fine
+    first transforms share one forward FFT.  9 FFTs + 1 plane build per
+    attempt (was 10 + 5)."""
     half = 0.5 * hb
     quarter = 0.25 * hb
-    yc = lin(_kerr_rot(lin(y, half), hb), half)
-    yf = _kerr_rot(lin(y, quarter), half)
-    yf = _kerr_rot(lin(yf, half), half)
-    yf = lin(yf, quarter)
+    decay_q = jnp.exp(-quarter)
+    ang_q = ph * quarter
+    Lq = lax.complex(decay_q * jnp.cos(ang_q), decay_q * jnp.sin(ang_q))
+    Lh = Lq * Lq
+    angd_q = -det_b * quarter
+    dp_q = lax.complex(jnp.cos(angd_q), jnp.sin(angd_q))
+    dp_h = dp_q * dp_q
+    lam0 = lax.complex(-jnp.ones_like(det_b), -det_b)
+    dF_q = F_b * (jnp.exp(lam0 * quarter) - 1.0) / lam0
+    dF_h = F_b * (jnp.exp(lam0 * half) - 1.0) / lam0
+    fy = jnp.fft.fft(y, axis=-1)          # shared forward transform
+
+    def aff_h(F):
+        return jnp.fft.ifft(Lh * F, axis=-1) * dp_h + dF_h
+
+    def aff_q(F):
+        return jnp.fft.ifft(Lq * F, axis=-1) * dp_q + dF_q
+
+    yc = aff_h(jnp.fft.fft(_kerr_rot(aff_h(fy), hb), axis=-1))
+    yf = _kerr_rot(aff_q(fy), half)
+    yf = _kerr_rot(aff_h(jnp.fft.fft(yf, axis=-1)), half)
+    yf = aff_q(jnp.fft.fft(yf, axis=-1))
+    return yc, yf
+
+
+def _lle_doubling_attempt_rk4ip(y, ph, det_b, F_b, hb, rdt):
+    """Step-doubling attempt on the LLE RK4IP step (``integrator=
+    'rk4ip45'``): the interaction picture absorbs dispersion + loss +
+    detuning (all linear), the nonlinear operator ``N(a) = i|a|^2 a + F``
+    carries the drive (the ``_lle_chunk_rk4ip`` structure, Hult 2007).
+    Local error is O(h^5) -> controller ``order=4`` (exponent 1/5,
+    Richardson 16/15), so equal tolerance costs ~tol^(2/15) fewer steps
+    than the Strang doubling -- the measured ~3-4x equal-tolerance win
+    of the rk4ip45 lanes (BENCH_LLE.md round 5).  One transcendental
+    factor build: ``exp(L h/2) = exp(L h/4)^2`` exactly."""
+    half = 0.5 * hb
+    quarter = 0.25 * hb
+    ang_q = (ph - det_b) * quarter
+    decay_q = jnp.exp(-quarter)
+    Lq = lax.complex(decay_q * jnp.cos(ang_q), decay_q * jnp.sin(ang_q))
+    Lh = Lq * Lq
+
+    def lin_h(a):
+        return jnp.fft.ifft(Lh * jnp.fft.fft(a, axis=-1), axis=-1)
+
+    def lin_q(a):
+        return jnp.fft.ifft(Lq * jnp.fft.fft(a, axis=-1), axis=-1)
+
+    def N(a):
+        P = a.real * a.real + a.imag * a.imag
+        return _times_i(P * a) + F_b
+
+    Ny = N(y)
+    yc = rk4ip_step(lin_h, N, y, hb, Ny)
+    yf = rk4ip_step(lin_q, N, y, half, Ny)
+    yf = rk4ip_step(lin_q, N, yf, half, N(yf))
     return yc, yf
 
 
 @functools.lru_cache(maxsize=32)
 def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
                          max_steps: int, reduce_mode: bool,
-                         has_tail: bool = False):
+                         has_tail: bool = False, method: str = "strang"):
     """Jitted adaptive LLE evolution over a save grid (same contracts as
     ``gnlse._gnlse_adaptive_solver``: reduce mode returns ONE stacked
     ``(B, 1 + 2T + 3)`` buffer ``[peak | psi_final | ok | n_acc | n_rej]``,
@@ -444,6 +500,7 @@ def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
     from .gnlse import _gnlse_advance_segment
 
     rdt = jnp.dtype(rdt_name)
+    order = 4 if method == "rk4ip" else 2
 
     def solve(y0_ri, coeffs: LLECoeffs, t_grid, dt0, t_end):
         y0 = ri_to_complex(y0_ri)                      # (B, T)
@@ -458,8 +515,13 @@ def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
         dt_init = jnp.full((B,), dt0, dtype=rdt)
         n0 = jnp.zeros((B,), jnp.int32)
 
-        def attempt(y, hb):
-            return _lle_doubling_attempt(y, ph, det_b, F_b, hb, rdt)
+        if method == "rk4ip":
+            def attempt(y, hb):
+                return _lle_doubling_attempt_rk4ip(y, ph, det_b, F_b, hb,
+                                                   rdt)
+        else:
+            def attempt(y, hb):
+                return _lle_doubling_attempt(y, ph, det_b, F_b, hb, rdt)
 
         def peak(y):
             return jnp.max(y.real * y.real + y.imag * y.imag, axis=-1)
@@ -470,7 +532,7 @@ def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             t = jnp.full((B,), t_a, dtype=rdt)
             y, _t, dt, ok, na_s, nr_s = _gnlse_advance_segment(
                 y, t, dt, ok, t_a, t_b, attempt, rdt,
-                rtol=rtol, atol=atol, max_steps=max_steps, order=2,
+                rtol=rtol, atol=atol, max_steps=max_steps, order=order,
             )
             pk = jnp.maximum(pk, peak(y))
             out = None if reduce_mode else complex_to_ri(y)
@@ -485,7 +547,7 @@ def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
             t = jnp.full((B,), t_grid[-1], dtype=rdt)
             _yt, _tt, _dtt, ok, na_t, nr_t = _gnlse_advance_segment(
                 y, t, dt, ok, t_grid[-1], t_end, attempt, rdt,
-                rtol=rtol, atol=atol, max_steps=max_steps, order=2,
+                rtol=rtol, atol=atol, max_steps=max_steps, order=order,
             )
             na = na + na_t
             nr = nr + nr_t
@@ -505,13 +567,14 @@ def _lle_adaptive_solver(rdt_name: str, rtol: float, atol: float,
 def _lle_adaptive_reduce_solver_sharded(rdt_name: str, rtol: float,
                                         atol: float, max_steps: int, mesh,
                                         phase_rank: int,
-                                        has_tail: bool = False):
+                                        has_tail: bool = False,
+                                        method: str = "strang"):
     """shard_map wrapper of the adaptive reduce-mode solver (batch axis
     over the mesh; the save grid is replicated)."""
     from jax.sharding import PartitionSpec
 
     inner = _lle_adaptive_solver(rdt_name, rtol, atol, max_steps, True,
-                                 has_tail)
+                                 has_tail, method)
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
     b = PartitionSpec(ax)
@@ -705,11 +768,20 @@ def _lle_method(cfg: SimulationConfig) -> str:
         return "rk4ip"
     if integ == "rk45":
         return "rk45"
+    if integ == "rk4ip45":
+        return "rk4ip45"
     raise ValueError(
         f"integrator={cfg.integrator!r} is not supported by the LLE solvers; "
         "use 'rk4' (Strang split, exact affine drive), 'rk4ip' "
-        "(interaction-picture RK4) or 'rk45' (adaptive step-doubling Strang)"
+        "(interaction-picture RK4), 'rk45' (adaptive step-doubling Strang) "
+        "or 'rk4ip45' (adaptive step-doubling RK4IP -- ~3-4x the rk45 rate "
+        "at equal tolerance, BENCH_LLE.md round 5)"
     )
+
+
+def _lle_adaptive_family(method: str) -> str:
+    """'rk45' -> 'strang' doubling, 'rk4ip45' -> 'rk4ip' doubling."""
+    return "rk4ip" if method == "rk4ip45" else "strang"
 
 
 def _lle_df32_args(cfg, coeffs: LLECoeffs, method: str):
@@ -720,7 +792,7 @@ def _lle_df32_args(cfg, coeffs: LLECoeffs, method: str):
     if method != "strang":
         raise ValueError(
             "precision='df32' LLE solves are fixed-step Strang "
-            "(integrator='rk4') only (use x32/x64 for rk4ip/rk45)"
+            "(integrator='rk4') only (use x32/x64 for rk4ip/rk45/rk4ip45)"
         )
     require_f64_leaves(
         "LLE df32", detuning=coeffs.detuning, pump_re=coeffs.pump_re,
@@ -793,11 +865,12 @@ def run_lle_simulation(
                 "NaN or Inf detected during LLE evolution")
         return t, psi_saved[:, 0, :]
     rdt = real_dtype(cfg.precision)
-    if method == "rk45":
+    if method in ("rk45", "rk4ip45"):
         remainder = n_steps - n_chunks * int(cfg.save_every)
         solver = _lle_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False, remainder > 0)
+            int(cfg.max_steps), False, remainder > 0,
+            _lle_adaptive_family(method))
         ys, _yf, ok, _na, _nr = jax.block_until_ready(
             solver(ri_pack_host(psi0[None], rdt), coeffs,
                    jnp.asarray(t, dtype=rdt), jnp.asarray(dt, dtype=rdt),
@@ -881,7 +954,7 @@ def solve_lle_batch(
         )
     rdt = real_dtype(cfg.precision)
 
-    use_rk45 = method == "rk45"
+    use_rk45 = method in ("rk45", "rk4ip45")
     if use_rk45:
         n_chunks = n_steps // int(cfg.save_every)
         rk45_tail = (n_steps - n_chunks * int(cfg.save_every)) > 0
@@ -903,7 +976,8 @@ def solve_lle_batch(
         if use_rk45:
             solver = _lle_adaptive_solver(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), True, rk45_tail)
+                int(cfg.max_steps), True, rk45_tail,
+                _lle_adaptive_family(method))
             out = jax.block_until_ready(
                 solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
                        t_grid, dt0, t_end)
@@ -936,7 +1010,8 @@ def solve_lle_batch(
         if use_rk45:
             solver = _lle_adaptive_reduce_solver_sharded(
                 np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-                int(cfg.max_steps), mesh, 2, rk45_tail)
+                int(cfg.max_steps), mesh, 2, rk45_tail,
+                _lle_adaptive_family(method))
             out = fetch_global(jax.block_until_ready(
                 solver(put_global(ri_pack_host(psi0_p, rdt), sh), cof,
                        t_grid, dt0, t_end)
@@ -989,11 +1064,12 @@ def solve_lle_batch_trajectories(
     )
     t = np.arange(n_chunks + 1, dtype=np.float64) * (
         int(cfg.save_every) * dt)
-    if method == "rk45":
+    if method in ("rk45", "rk4ip45"):
         remainder = n_steps - n_chunks * int(cfg.save_every)
         solver = _lle_adaptive_solver(
             np.dtype(rdt).name, float(cfg.rtol), float(cfg.atol),
-            int(cfg.max_steps), False, remainder > 0)
+            int(cfg.max_steps), False, remainder > 0,
+            _lle_adaptive_family(method))
         ys, _yf, ok, _na, _nr = jax.block_until_ready(
             solver(jnp.asarray(ri_pack_host(psi0, rdt)), cof,
                    jnp.asarray(t, dtype=rdt), jnp.asarray(dt, dtype=rdt),

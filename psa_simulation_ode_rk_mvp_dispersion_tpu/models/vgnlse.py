@@ -433,15 +433,20 @@ def _vgnlse_solver(n_steps: int, save_every: int, rdt_name: str,
 
 def _v_doubling_attempt(y, coeffs, gamma, b, hb, rdt, nl=None):
     """(coarse h step, fused fine h/2 pair) for the vector state -- the same
-    5-FFT-pair structure as gnlse._doubling_attempt."""
+    structure as gnlse._doubling_attempt, incl. its round-5 sharing: ONE
+    factor build (exp(L h/2) = exp(L h/4)^2 exactly) and a shared forward
+    FFT between the coarse and fine first transforms."""
     def lfft(L, a):
         return jnp.fft.ifft(L * jnp.fft.fft(a, axis=-1), axis=-1)
 
     coh = coeffs.coherent
-    Lc = _lin_factor_v(coeffs, 0.5 * hb, rdt)
     Lf = _lin_factor_v(coeffs, 0.25 * hb, rdt)
-    yc = lfft(Lc, _v_nl_substep(lfft(Lc, y), gamma, b, hb, coh, nl))
-    yf = _v_nl_substep(lfft(Lf, y), gamma, b, 0.5 * hb, coh, nl)
+    Lc = Lf * Lf
+    fy = jnp.fft.fft(y, axis=-1)
+    yc = lfft(Lc, _v_nl_substep(jnp.fft.ifft(Lc * fy, axis=-1), gamma, b,
+                                hb, coh, nl))
+    yf = _v_nl_substep(jnp.fft.ifft(Lf * fy, axis=-1), gamma, b, 0.5 * hb,
+                       coh, nl)
     yf = _v_nl_substep(lfft(Lc, yf), gamma, b, 0.5 * hb, coh, nl)
     return yc, lfft(Lf, yf)
 
@@ -463,8 +468,8 @@ def _v_doubling_attempt_rk4ip(y, coeffs, gamma, b, hb, rdt, nl=None):
     def ip_step(y, L, h, Ny):
         return rk4ip_step(lambda a: lfft(L, a), N, y, h, Ny)
 
-    Lc = _lin_factor_v(coeffs, 0.5 * hb, rdt)
     Lf = _lin_factor_v(coeffs, 0.25 * hb, rdt)
+    Lc = Lf * Lf                               # exact square (round 5)
     Ny = N(y)
     yc = ip_step(y, Lc, hb, Ny)
     yf = ip_step(y, Lf, 0.5 * hb, Ny)

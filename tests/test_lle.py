@@ -329,6 +329,58 @@ def test_rk45_adaptive_matches_fixed_step():
     np.testing.assert_array_equal(A2[0], psi)
 
 
+def test_rk4ip45_adaptive_matches_truth_with_fewer_steps():
+    """integrator='rk4ip45' (round 5, VERDICT r4 #4): step-doubling on the
+    4th-order interaction-picture step (drive in N).  At equal tolerance
+    it must land in the rk45 accuracy class while ACCEPTING far fewer
+    steps (h ~ tol^{1/5} vs tol^{1/3}) -- the equal-tolerance speed
+    mechanism of the round-5 adaptive lanes."""
+    det, F = 4.0, 2.0
+    seed = lle.soliton_ansatz(GRID, det, F, -1.0)
+    co = lle.make_lle_coeffs(GRID, detuning=det, pump=F, d2=-1.0)
+    ref_cfg = _cfg(1.0, 0.001, 500)
+    _, psi_ref = lle.run_lle_simulation(ref_cfg, co, seed)
+    kw = dict(rtol=1e-8, atol=1e-10)
+    cfg_ip = _cfg(1.0, 0.05, 10, integrator="rk4ip45", **kw)
+    t, psi = lle.run_lle_simulation(cfg_ip, co, seed)
+    assert psi.shape == psi_ref.shape and np.allclose(t[-1], 1.0)
+    err = (np.max(np.abs(psi[-1] - psi_ref[-1]))
+           / np.max(np.abs(psi_ref[-1])))
+    assert err < 1e-4, err
+    # step-count comparison through the batch reduce counters
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.models.lle import (
+        _lle_adaptive_solver, _lle_adaptive_family,
+    )
+    from psa_simulation_ode_rk_mvp_dispersion_tpu.utils.packing import (
+        ri_pack_host,
+    )
+    import jax.numpy as jnp
+
+    def n_accepted(integrator):
+        cfg = _cfg(1.0, 0.05, 10, integrator=integrator, **kw)
+        solver = _lle_adaptive_solver(
+            "float64", kw["rtol"], kw["atol"], 100000, False, False,
+            _lle_adaptive_family("rk4ip45" if integrator == "rk4ip45"
+                                 else "rk45"))
+        n_chunks = int(round(1.0 / 0.05)) // 10
+        tg = jnp.asarray(np.arange(n_chunks + 1) * (10 * 0.05))
+        co_b = lle.make_lle_coeffs(GRID, detuning=np.array([det]),
+                                   pump=F, d2=-1.0)
+        _ys, _yf, ok, na, _nr = solver(
+            ri_pack_host(seed[None], np.float64), co_b, tg,
+            jnp.asarray(0.05), jnp.asarray(1.0))
+        assert int(np.asarray(ok)[0])
+        return int(np.asarray(na)[0])
+
+    na_ip, na_strang = n_accepted("rk4ip45"), n_accepted("rk45")
+    assert na_ip * 2 < na_strang, (na_ip, na_strang)
+    # batch endpoint equals the single-run last saved row
+    pk, psi_last, ok = lle.solve_lle_batch(cfg_ip, co, seed[None])
+    assert ok[0]
+    np.testing.assert_allclose(psi_last[0], psi[-1], rtol=0,
+                               atol=1e-12 * np.max(np.abs(psi[-1])))
+
+
 def test_rk45_sharded_matches_unsharded():
     from psa_simulation_ode_rk_mvp_dispersion_tpu.parallel.mesh import (
         default_mesh,
@@ -391,7 +443,7 @@ def test_rk45_integrates_trailing_partial_steps():
 def test_rejects_unsupported_integrators_and_precision():
     co = lle.make_lle_coeffs(GRID, detuning=1.0, pump=1.0, d2=-1.0)
     psi0 = np.zeros(GRID.n_samples, complex)
-    for integ in ("ab4", "abm4", "rk4ip45"):
+    for integ in ("ab4", "abm4"):   # rk4ip45 is supported since round 5
         cfg = _cfg(1.0, 0.01, 25, integrator=integ)
         with pytest.raises(ValueError):
             lle.run_lle_simulation(cfg, co, psi0)
