@@ -1174,13 +1174,42 @@ def solve_gnlse_batch(
         )
     rdt = real_dtype(require_non_df32(cfg.precision, family="GNLSE split-step"))
     if engine == "pallas":
+        if validate_precision(cfg.precision) != "x32":
+            raise ValueError("engine='pallas' SSFM kernel is x32 only")
+        if cfg.integrator.lower() == "rk45":
+            # fused adaptive (Sinkin step-doubling) kernel (round 5,
+            # ops/pallas_ssfm_adaptive.py): Kerr only, flat per-lane loss
+            if nl is not None:
+                raise ValueError(
+                    "the fused adaptive SSFM kernel is Kerr-only; use "
+                    "engine='scan' for nl= with integrator='rk45'"
+                )
+            al = np.asarray(coeffs.alpha, dtype=float)
+            if al.ndim == 2 or (al.ndim == 1 and al.shape[0] == T
+                                and T != B):
+                raise ValueError(
+                    "the fused adaptive SSFM kernel supports flat "
+                    "per-lane loss only (spectral alpha: engine='scan')"
+                )
+            from ..ops.pallas_ssfm_adaptive import (
+                solve_gnlse_batch_rk45_pallas,
+            )
+
+            r = solve_gnlse_batch_rk45_pallas(
+                A0, np.asarray(coeffs.gamma, dtype=float), al,
+                np.asarray(coeffs.lin_phase, dtype=float),
+                dz_m=dz_m, n_steps=n_steps,
+                save_every=int(cfg.save_every), rtol=float(cfg.rtol),
+                atol=float(cfg.atol), max_steps=int(cfg.max_steps),
+                interpret=jax.default_backend() != "tpu", mesh=mesh,
+            )
+            return r.peak_max, r.A_end, r.ok
         if cfg.integrator.lower() != "rk4":
             raise ValueError(
                 "engine='pallas' SSFM kernel implements the fixed-step "
-                "Strang split (integrator='rk4') only"
+                "Strang split (integrator='rk4') and the adaptive "
+                "integrator='rk45' only"
             )
-        if validate_precision(cfg.precision) != "x32":
-            raise ValueError("engine='pallas' SSFM kernel is x32 only")
         from ..ops.pallas_gnlse import solve_gnlse_batch_pallas
 
         return solve_gnlse_batch_pallas(

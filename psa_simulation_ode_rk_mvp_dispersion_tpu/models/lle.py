@@ -926,13 +926,35 @@ def solve_lle_batch(
             f"engine must be 'auto', 'scan' or 'pallas', got {engine!r}"
         )
     if engine == "pallas":
+        if validate_precision(cfg.precision) != "x32":
+            raise ValueError("engine='pallas' LLE kernel is x32 only")
+        if method == "rk45":
+            # fused adaptive (Sinkin step-doubling) kernel (round 5,
+            # ops/pallas_ssfm_adaptive.py): in-kernel per-attempt affine
+            # factors, per-lane step sizes
+            from ..ops.pallas_ssfm_adaptive import (
+                solve_lle_batch_rk45_pallas,
+            )
+
+            ph = np.asarray(coeffs.lin_phase, dtype=float)
+            r = solve_lle_batch_rk45_pallas(
+                psi0,
+                np.asarray(coeffs.detuning, dtype=float),
+                np.asarray(coeffs.pump_re, dtype=float),
+                np.asarray(coeffs.pump_im, dtype=float),
+                ph,
+                dt=dt, n_steps=n_steps, save_every=int(cfg.save_every),
+                rtol=float(cfg.rtol), atol=float(cfg.atol),
+                max_steps=int(cfg.max_steps),
+                interpret=jax.default_backend() != "tpu", mesh=mesh,
+            )
+            return r.peak_max, r.A_end, r.ok
         if method != "strang":
             raise ValueError(
                 "engine='pallas' LLE kernel implements the fixed-step "
-                "Strang split (integrator='rk4') only"
+                "Strang split (integrator='rk4') and the adaptive "
+                "integrator='rk45' only"
             )
-        if validate_precision(cfg.precision) != "x32":
-            raise ValueError("engine='pallas' LLE kernel is x32 only")
         from ..ops.pallas_lle import solve_lle_batch_pallas
 
         return solve_lle_batch_pallas(
