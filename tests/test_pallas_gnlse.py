@@ -66,8 +66,11 @@ def test_public_engine_dispatch_and_validation():
                                atol=1e-4 * np.max(np.abs(Af_s)))
     with pytest.raises(ValueError, match="engine"):
         gn.solve_gnlse_batch(cfg, co, A0, engine="bogus")
+    # rk45 + pallas routes to the round-5 adaptive kernel; other adaptive
+    # integrators still refuse the kernel path
     with pytest.raises(ValueError, match="fixed-step"):
-        gn.solve_gnlse_batch(_cfg(integrator="rk45", rtol=1e-5, atol=1e-9),
+        gn.solve_gnlse_batch(_cfg(integrator="rk4ip45", rtol=1e-5,
+                                  atol=1e-9),
                              co, A0, engine="pallas")
     with pytest.raises(ValueError, match="x32"):
         co64 = gn.make_gnlse_coeffs(
