@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import numpy as np
@@ -56,6 +57,11 @@ from .pallas_gnlse import (
     _pack_grouped,
     _unpack_grouped,
 )
+
+# compile-bisection flags (debugging the Mosaic compile blow-up):
+# comma list in PSA_SSFM_ABLATE of {nofac, nokerr, noaff, nodft, fori}
+_ABLATE = frozenset(
+    f for f in os.environ.get("PSA_SSFM_ABLATE", "").split(",") if f)
 
 _F32_MAX = 3.4e38
 _SAFETY = 0.9
@@ -122,9 +128,11 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
         def tile_2t(p8):
             return jnp.concatenate([p8] * (2 * t // 8), axis=0)
 
-        # polyphase twiddles W_T^{g d}: lane-width-1 value planes
+        # polyphase twiddles W_T^{g d} at FULL lane width: width-1 planes
+        # are the transpose cousin of the fatal (1, B) Mosaic pattern and
+        # must not exist inside the while body
         if r > 1:
-            rows = lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+            rows = lax.broadcasted_iota(jnp.int32, (t, blk), 0)
             gidx = rows // m
             didx = rows - gidx * m
             ang_tw = np.float32(-2.0 * np.pi / t) * (gidx * didx).astype(f32)
@@ -146,6 +154,10 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             t, m, not interpret, wfr, wfi, wir, wii, twiddle)
 
         def dft_fwd(y):
+            if "nodft" in _ABLATE:
+                return ([y[2 * g * m:(2 * g + 1) * m, :] for g in range(r)],
+                        [y[(2 * g + 1) * m:2 * (g + 1) * m, :]
+                         for g in range(r)])
             return fwd_cplx(lambda g: y[2 * g * m:2 * (g + 1) * m, :])
 
         def dft_inv(Sr, Si, aff=None):
@@ -161,13 +173,19 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
                                or_ * dpi + oi * dpr + dfi)
                 parts[g] = (or_, oi)
 
-            inv_cplx(Sr, Si, write)
+            if "nodft" in _ABLATE:
+                for g in range(r):
+                    write(g, Sr[g], Si[g])
+            else:
+                inv_cplx(Sr, Si, write)
             return jnp.concatenate(
                 [p for g in range(r) for p in parts[g]], axis=0)
 
         def kerr(y, gs_m):
             """Exact rotation exp(i gamma s P); ``gs_m`` is the pre-tiled
             (m, blk) per-lane angle scale gamma*s."""
+            if "nokerr" in _ABLATE:
+                return y
             outs = []
             for g in range(r):
                 ar = y[2 * g * m:(2 * g + 1) * m, :]
@@ -180,6 +198,10 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             return jnp.concatenate(outs, axis=0)
 
         def aff_scalars(s8):
+            if "noaff" in _ABLATE:
+                z = tile_m(jnp.zeros_like(s8))
+                o = tile_m(jnp.ones_like(s8))
+                return (o, z, z, z)
             """LLE per-lane scalar maps for step s: detuning rotation
             exp(-i Delta s) and exact drive offset F (e^{Lam0 s}-1)/Lam0,
             each returned as a pre-tiled (m, blk) plane quadruple."""
@@ -196,6 +218,11 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             return (tile_m(dpr), tile_m(dpi), tile_m(dfr), tile_m(dfi))
 
         def factors(s8):
+            if "nofac" in _ABLATE:
+                o = tile_m(jnp.ones_like(s8))
+                z = tile_m(jnp.zeros_like(s8))
+                F1 = [(o, z) for _ in range(r)]
+                return F1, [(o, z) for _ in range(r)]
             """Per-lane linear factor planes exp((-alpha/2 + i phi k) s)
             for the quarter step, natural-k order, as (Fr, Fi) lists of r
             (m, blk) planes; the half-step factor is the exact square."""
@@ -313,20 +340,33 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
                 return (u_out, z_out, dt_next, ok_out, na_out, nr_out,
                         it + 1)
 
-            u, z, dt, ok, na, nr, _it = lax.while_loop(
-                cond, body,
-                (u, z, dt, ok, na, nr, jnp.asarray(0, jnp.int32)))
+            if "fori" in _ABLATE:
+                st = (u, z, dt, ok, na, nr, jnp.asarray(0, jnp.int32))
+                for _k in range(2):
+                    st = body(st)
+                u, z, dt, ok, na, nr, _it = st
+            else:
+                u, z, dt, ok, na, nr, _it = lax.while_loop(
+                    cond, body,
+                    (u, z, dt, ok, na, nr, jnp.asarray(0, jnp.int32)))
             ok = ok * jnp.where(z >= seg_end, 1.0, 0.0)
             return (u, ok, dt, na, nr)
 
         def peak_of(u):
-            pk = None
+            # stride-8 row maxima -> a native (8, blk) plane (row j = max
+            # over sample rows == j mod 8); the host takes the final max
+            # over the 8 rows.  NO (1, blk) plane exists (the Mosaic
+            # layout rule: single-row planes/outputs fail the remote
+            # compile in while-loop kernels, ops/pallas_comb_adaptive).
+            acc = None
             for g in range(r):
                 ar = u[2 * g * m:(2 * g + 1) * m, :]
                 ai = u[(2 * g + 1) * m:2 * (g + 1) * m, :]
-                p = jnp.max(ar * ar + ai * ai, axis=0, keepdims=True)
-                pk = p if pk is None else jnp.maximum(pk, p)
-            return pk                                          # (1, blk)
+                p = ar * ar + ai * ai
+                for k in range(m // 8):
+                    sl = p[k * 8:(k + 1) * 8, :]
+                    acc = sl if acc is None else jnp.maximum(acc, sl)
+            return acc                                         # (8, blk)
 
         pk0 = peak_of(u0)
 
@@ -362,6 +402,9 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
 
     def call(ph, ctl, y0):
         B = y0.shape[1]
+        # shared (T, 1) phase broadcasts device-side: the kernel must see
+        # full-width blocks only (pallas_lle's lh pattern)
+        ph = jnp.broadcast_to(ph, (ph.shape[0], B))
         blk = min(block, B)
         grid = (B // blk,)
         spec_kwargs = {}
@@ -373,8 +416,7 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
         def rep(shape):
             return pl.BlockSpec(shape, lambda i: (0, 0), **spec_kwargs)
 
-        ph_spec = (rep((t, 1)) if bf == 1 else
-                   pl.BlockSpec((t, blk), lambda i: (0, i), **spec_kwargs))
+        ph_spec = pl.BlockSpec((t, blk), lambda i: (0, i), **spec_kwargs)
         in_specs = [
             rep(wfr.shape), rep(wfi.shape), rep(wir.shape), rep(wii.shape),
             ph_spec,
@@ -383,7 +425,7 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
         ]
         out_specs = tuple(
             pl.BlockSpec((rr, blk), lambda i: (0, i), **spec_kwargs)
-            for rr in (1, 2 * t, 8, 8, 8)
+            for rr in (8, 2 * t, 8, 8, 8)
         )
         return pl.pallas_call(
             kernel,
@@ -392,7 +434,7 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
             out_specs=out_specs,
             out_shape=tuple(
                 jax.ShapeDtypeStruct((rr, B), jnp.float32)
-                for rr in (1, 2 * t, 8, 8, 8)
+                for rr in (8, 2 * t, 8, 8, 8)
             ),
             interpret=interpret,
         )(jnp.asarray(wfr), jnp.asarray(wfi), jnp.asarray(wir),
@@ -541,11 +583,11 @@ def _solve(A0, gam, nha, phase, aff_rows, *, dz, n_steps, save_every,
             )
         out = np.asarray(fetch_global(out))
 
-    pk = np.asarray(out[0], np.float64)[:B]
-    A_end = _unpack_grouped(out[1:1 + 2 * T], T, m, B)
-    ok = (np.asarray(out[1 + 2 * T], np.float64) > 0.0)[:B]
-    na = np.asarray(out[1 + 2 * T + 8], np.float64)[:B].astype(np.int64)
-    nr = np.asarray(out[1 + 2 * T + 16], np.float64)[:B].astype(np.int64)
+    pk = np.asarray(out[0:8], np.float64).max(axis=0)[:B]
+    A_end = _unpack_grouped(out[8:8 + 2 * T], T, m, B)
+    ok = (np.asarray(out[8 + 2 * T], np.float64) > 0.0)[:B]
+    na = np.asarray(out[8 + 2 * T + 8], np.float64)[:B].astype(np.int64)
+    nr = np.asarray(out[8 + 2 * T + 16], np.float64)[:B].astype(np.int64)
     return SSFMAdaptiveResult(peak_max=pk, A_end=A_end, ok=ok,
                               n_accepted=na, n_rejected=nr)
 
