@@ -77,9 +77,8 @@ def _auto_block(t: int) -> int:
     return 256 if t <= 512 else 128
 
 
-def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
-                 max_steps: int, t: int, tail_len: float, affine: bool,
-                 interpret: bool = False):
+def _kernel_body(rtol: float, atol: float, max_steps: int, t: int,
+                 affine: bool, interpret: bool = False):
     m = M_SUB
     r = t // m
     f32 = jnp.float32
@@ -95,7 +94,7 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
         return xh, (x - xh.astype(f32)).astype(bf16)
 
     def kernel(wfr_ref, wfi_ref, wir_ref, wii_ref, ph_ref, ctl_ref, y0_ref,
-               pk_ref, ylast_ref, ok_ref, na_ref, nr_ref):
+               pk_ref, ylast_ref, ok_ref, na_ref, nr_ref, dt_ref):
         wfr = wfr_ref[:, :]
         wfi = wfi_ref[:, :]
         wir = wir_ref[:, :]
@@ -106,13 +105,15 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
         # no (1, B) planes anywhere in the controller)
         gam8 = ctl[0:8, :]
         nha8 = ctl[8:16, :]          # -alpha/2 (LLE: -1)
-        dt0 = ctl[16:24, :]
+        dt0 = ctl[16:24, :]          # carried per-lane step size (runtime)
+        seg8 = ctl[24:32, :]         # this launch's segment length (runtime)
+        okin = ctl[32:40, :]         # carried per-lane ok flag (runtime)
         if affine:
-            det8 = ctl[24:32, :]
-            fre8 = ctl[32:40, :]
-            fim8 = ctl[40:48, :]
-            il0r8 = ctl[48:56, :]    # 1/Lam0 = conj(Lam0)/|Lam0|^2
-            il0i8 = ctl[56:64, :]
+            det8 = ctl[40:48, :]
+            fre8 = ctl[48:56, :]
+            fim8 = ctl[56:64, :]
+            il0r8 = ctl[64:72, :]    # 1/Lam0 = conj(Lam0)/|Lam0|^2
+            il0i8 = ctl[72:80, :]
 
         ones_2t = jnp.ones((8, 2 * t), bf16)
 
@@ -286,14 +287,14 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             return rowsum(ind) >= (2 * t - 0.5)               # (8, blk)
 
         u0 = y0_ref[:, :]
-        ok0 = fin_all(u0).astype(f32)
+        ok0 = fin_all(u0).astype(f32) * okin
         zero8 = jnp.zeros_like(ok0)
 
-        def advance(carry, length):
+        def advance(carry):
             u, ok, dt, na, nr = carry
             z = zero8
-            seg_end = jnp.asarray(length, f32)
-            dt_min = np.float32(1e-12 * (length + 1.0))
+            seg_end = seg8                       # (8, blk) runtime plane
+            dt_min = np.float32(1e-12) * (seg8 + 1.0)
 
             def cond(state):
                 _u, z_, _dt, ok_, _na, _nr, it = state
@@ -352,6 +353,7 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
             ok = ok * jnp.where(z >= seg_end, 1.0, 0.0)
             return (u, ok, dt, na, nr)
 
+
         def peak_of(u):
             # stride-8 row maxima -> a native (8, blk) plane (row j = max
             # over sample rows == j mod 8); the host takes the final max
@@ -368,35 +370,29 @@ def _kernel_body(n_chunks: int, seg_len: float, rtol: float, atol: float,
                     acc = sl if acc is None else jnp.maximum(acc, sl)
             return acc                                         # (8, blk)
 
-        pk0 = peak_of(u0)
-
-        def segment(_c, carry):
-            u, pk, ok, dt, na, nr = carry
-            u, ok, dt, na, nr = advance((u, ok, dt, na, nr), seg_len)
-            pk = jnp.maximum(pk, peak_of(u))
-            return (u, pk, ok, dt, na, nr)
-
-        u, pk, ok, dt, na, nr = lax.fori_loop(
-            0, n_chunks, segment, (u0, pk0, ok0, dt0, zero8, zero8))
-        if tail_len > 0.0:
-            # trailing partial span: integrated (ok/counters) but unsaved
-            _ut, ok, _dtt, na, nr = advance((u, ok, dt, na, nr), tail_len)
+        # ONE segment per launch: the host loops over the save grid with
+        # device-resident state feedback (a >60 s monolithic launch hits
+        # the attachment's per-RPC deadline -- measured ABORTED at the
+        # bench shape -- and per-launch statics would force a fresh
+        # ~19-min Mosaic compile per workload geometry; with seg/dt/ok as
+        # RUNTIME ctl rows one compile serves every shape)
+        u, ok, dt, na, nr = advance((u0, ok0, dt0, zero8, zero8))
+        pk = jnp.maximum(peak_of(u0), peak_of(u))
         pk_ref[:, :] = pk
         ylast_ref[:, :] = u
         ok_ref[:, :] = ok
         na_ref[:, :] = na
         nr_ref[:, :] = nr
+        dt_ref[:, :] = dt
 
     return kernel
 
 
-def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
-               max_steps: int, t: int, tail_len: float, affine: bool,
-               interpret: bool, block: int, n_ctl: int, bf: int):
+def _make_call(rtol: float, atol: float, max_steps: int, t: int,
+               affine: bool, interpret: bool, block: int, n_ctl: int):
     from jax.experimental import pallas as pl
 
-    kernel = _kernel_body(n_chunks, seg_len, rtol, atol, max_steps, t,
-                          tail_len, affine, interpret)
+    kernel = _kernel_body(rtol, atol, max_steps, t, affine, interpret)
     m = M_SUB
     wfr, wfi, wir, wii = _dft_weight_blocks(m)
 
@@ -425,7 +421,7 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
         ]
         out_specs = tuple(
             pl.BlockSpec((rr, blk), lambda i: (0, i), **spec_kwargs)
-            for rr in (8, 2 * t, 8, 8, 8)
+            for rr in (8, 2 * t, 8, 8, 8, 8)
         )
         return pl.pallas_call(
             kernel,
@@ -434,7 +430,7 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
             out_specs=out_specs,
             out_shape=tuple(
                 jax.ShapeDtypeStruct((rr, B), jnp.float32)
-                for rr in (8, 2 * t, 8, 8, 8)
+                for rr in (8, 2 * t, 8, 8, 8, 8)
             ),
             interpret=interpret,
         )(jnp.asarray(wfr), jnp.asarray(wfi), jnp.asarray(wir),
@@ -444,34 +440,57 @@ def _make_call(n_chunks: int, seg_len: float, rtol: float, atol: float,
 
 
 @functools.lru_cache(maxsize=32)
-def _ssfm_rk45_solver(n_chunks: int, seg_len: float, rtol: float,
-                      atol: float, max_steps: int, t: int, tail_len: float,
-                      affine: bool, interpret: bool, block: int, n_ctl: int,
-                      bf: int):
-    call = _make_call(n_chunks, seg_len, rtol, atol, max_steps, t,
-                      tail_len, affine, interpret, block, n_ctl, bf)
+def _ssfm_rk45_solver(rtol: float, atol: float, max_steps: int, t: int,
+                      affine: bool, interpret: bool, block: int, n_ctl: int):
+    call = _make_call(rtol, atol, max_steps, t, affine, interpret, block,
+                      n_ctl)
 
     def fused(ph, ctl, y0):
-        pk, ylast, ok, na, nr = call(ph, ctl, y0)
-        # ONE stacked output fetch (docs/PERF.md rule 7)
-        return jnp.concatenate([pk, ylast, ok, na, nr], axis=0)
+        pk, ylast, ok, na, nr, dt = call(ph, ctl, y0)
+        # ONE stacked buffer: stays on device between segment launches
+        return jnp.concatenate([pk, ylast, ok, na, nr, dt], axis=0)
 
     return jax.jit(fused)
 
 
 @functools.lru_cache(maxsize=16)
-def _ssfm_rk45_solver_sharded(n_chunks: int, seg_len: float, rtol: float,
-                              atol: float, max_steps: int, t: int,
-                              tail_len: float, affine: bool, interpret: bool,
+def _ssfm_prep_fn(t: int):
+    """Device-resident relaunch prep: fold a launch's stacked output into
+    the accumulators and build the next launch's (ctl, y0) -- all jit'd so
+    NOTHING crosses the tunnel between segment launches."""
+
+    @jax.jit
+    def prep(out, ctl, pk_acc, na_acc, nr_acc, seg_next):
+        pk = jnp.maximum(pk_acc, out[0:8])
+        ylast = out[8:8 + 2 * t]
+        ok = out[8 + 2 * t:16 + 2 * t]
+        na = na_acc + out[16 + 2 * t:24 + 2 * t]
+        nr = nr_acc + out[24 + 2 * t:32 + 2 * t]
+        dt = out[32 + 2 * t:40 + 2 * t]
+        ctl2 = ctl.at[16:24, :].set(dt).at[24:32, :].set(seg_next) \
+                  .at[32:40, :].set(ok)
+        return ctl2, ylast, pk, ok, na, nr
+
+    @jax.jit
+    def gather(ylast, pk, ok, na, nr):
+        # final single-fetch assembly (docs/PERF.md rule 7)
+        return jnp.concatenate([pk, ylast, ok, na, nr], axis=0)
+
+    return prep, gather
+
+
+@functools.lru_cache(maxsize=16)
+def _ssfm_rk45_solver_sharded(rtol: float, atol: float, max_steps: int,
+                              t: int, affine: bool, interpret: bool,
                               block: int, n_ctl: int, bf: int, mesh):
     from jax.sharding import PartitionSpec
 
-    call = _make_call(n_chunks, seg_len, rtol, atol, max_steps, t,
-                      tail_len, affine, interpret, block, n_ctl, bf)
+    call = _make_call(rtol, atol, max_steps, t, affine, interpret, block,
+                      n_ctl)
 
     def fused(ph, ctl, y0):
-        pk, ylast, ok, na, nr = call(ph, ctl, y0)
-        return jnp.concatenate([pk, ylast, ok, na, nr], axis=0)
+        pk, ylast, ok, na, nr, dt = call(ph, ctl, y0)
+        return jnp.concatenate([pk, ylast, ok, na, nr, dt], axis=0)
 
     axes = tuple(mesh.axis_names)
     ax = axes if len(axes) > 1 else axes[0]
@@ -547,43 +566,88 @@ def _solve(A0, gam, nha, phase, aff_rows, *, dz, n_steps, save_every,
         return np.tile(np.broadcast_to(np.asarray(v, np.float64),
                                        (Bp,))[None, :], (8, 1))
 
+    # ctl layout: [gam; -alpha/2; dt (runtime); seg (runtime); ok (runtime)]
+    # + the affine per-lane scalars -- dt/seg/ok are RUNTIME rows so one
+    # compiled kernel serves every save-grid geometry
     ctl_rows = [rows8(padded(np.broadcast_to(gam, (B,)))),
                 rows8(padded(np.broadcast_to(nha, (B,)))),
-                rows8(np.full(Bp, float(dz)))]
+                rows8(np.full(Bp, float(dz))),
+                rows8(np.full(Bp, seg_len if n_chunks > 0 else tail_len)),
+                rows8(np.ones(Bp))]
     if affine:
         ctl_rows += [rows8(padded(np.broadcast_to(v, (B,))))
                      for v in aff_rows]
     ctl = np.concatenate(ctl_rows, axis=0).astype(np.float32)
     n_ctl = ctl.shape[0]
 
+    prep, gather = _ssfm_prep_fn(int(T))
+    zero8 = np.zeros((8, Bp), np.float32)
+    seg32 = np.float32(seg_len)
+    tail32 = np.float32(tail_len)
+
     if mesh is None:
         solver = _ssfm_rk45_solver(
-            n_chunks, seg_len, float(rtol), float(atol), int(max_steps),
-            int(T), tail_len, affine, bool(interpret), blk, n_ctl, bf)
+            float(rtol), float(atol), int(max_steps), int(T), affine,
+            bool(interpret), blk, n_ctl)
         with jax.enable_x64(False):
+            ph_d = jnp.asarray(ph)
+            ctl_d = jnp.asarray(ctl)
+            y_d = jnp.asarray(y0)
+            pk_d = jnp.zeros((8, Bp), jnp.float32)
+            na_d = jnp.zeros((8, Bp), jnp.float32)
+            nr_d = jnp.zeros((8, Bp), jnp.float32)
+            ok_d = jnp.ones((8, Bp), jnp.float32)
+            ylast_d = y_d
+            # per-segment launches, state resident on device throughout
+            for c in range(n_chunks):
+                out = solver(ph_d, ctl_d, ylast_d)
+                nxt = (seg32 if c + 1 < n_chunks else
+                       (tail32 if tail_len > 0.0 else seg32))
+                ctl_d, ylast_d, pk_d, ok_d, na_d, nr_d = prep(
+                    out, ctl_d, pk_d, na_d, nr_d, nxt)
+            if tail_len > 0.0:
+                # trailing partial span: ok/counters only (unsaved)
+                out = solver(ph_d, ctl_d, ylast_d)
+                _c2, _yt, _pkt, ok_d, na_d, nr_d = prep(
+                    out, ctl_d, pk_d, na_d, nr_d, seg32)
+                _pkt = None
             out = np.asarray(jax.block_until_ready(
-                solver(jnp.asarray(ph), jnp.asarray(ctl), jnp.asarray(y0))
-            ))
+                gather(ylast_d, pk_d, ok_d, na_d, nr_d)))
     else:
-        from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding, PartitionSpec
 
         from ..parallel.mesh import fetch_global, put_global
 
         solver, spec = _ssfm_rk45_solver_sharded(
-            n_chunks, seg_len, float(rtol), float(atol), int(max_steps),
-            int(T), tail_len, affine, bool(interpret), blk, n_ctl, bf, mesh)
+            float(rtol), float(atol), int(max_steps), int(T), affine,
+            bool(interpret), blk, n_ctl, bf, mesh)
         sh = NamedSharding(mesh, spec)
-        from jax.sharding import PartitionSpec
-
         ph_sh = (NamedSharding(mesh, PartitionSpec()) if bf == 1 else sh)
         with jax.enable_x64(False):
-            out = jax.block_until_ready(
-                solver(put_global(ph, ph_sh), put_global(ctl, sh),
-                       put_global(y0, sh))
-            )
-        out = np.asarray(fetch_global(out))
+            ph_d = put_global(ph, ph_sh)
+            ctl_d = put_global(ctl, sh)
+            ylast_d = put_global(y0, sh)
+            pk_d = put_global(zero8, sh)
+            na_d = put_global(zero8, sh)
+            nr_d = put_global(zero8, sh)
+            ok_d = put_global(np.ones((8, Bp), np.float32), sh)
+            for c in range(n_chunks):
+                out = solver(ph_d, ctl_d, ylast_d)
+                nxt = (seg32 if c + 1 < n_chunks else
+                       (tail32 if tail_len > 0.0 else seg32))
+                ctl_d, ylast_d, pk_d, ok_d, na_d, nr_d = prep(
+                    out, ctl_d, pk_d, na_d, nr_d, nxt)
+            if tail_len > 0.0:
+                out = solver(ph_d, ctl_d, ylast_d)
+                _c2, _yt, _pkt, ok_d, na_d, nr_d = prep(
+                    out, ctl_d, pk_d, na_d, nr_d, seg32)
+            out = np.asarray(fetch_global(jax.block_until_ready(
+                gather(ylast_d, pk_d, ok_d, na_d, nr_d))))
 
     pk = np.asarray(out[0:8], np.float64).max(axis=0)[:B]
+    # the initial state is a saved sample in every geometry (incl. the
+    # n_chunks==0 + tail case, where no launch computed a peak)
+    pk = np.maximum(pk, (np.abs(A0) ** 2).max(axis=1))
     A_end = _unpack_grouped(out[8:8 + 2 * T], T, m, B)
     ok = (np.asarray(out[8 + 2 * T], np.float64) > 0.0)[:B]
     na = np.asarray(out[8 + 2 * T + 8], np.float64)[:B].astype(np.int64)
