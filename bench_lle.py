@@ -176,9 +176,12 @@ def main() -> None:
             print(f"# df32 lle lane skipped: {e}", file=sys.stderr)
 
     # rk45 adaptive lane (smaller batch; soliton transient sets the step
-    # controller's work, so this is a *cavities/s* rate, not steps/s)
+    # controller's work, so this is a *cavities/s* rate, not steps/s).
+    # Round 5 (VERDICT r4 #4): scan AND the fused adaptive SSFM kernel
+    # (ops/pallas_ssfm_adaptive.py) race; the headline field is the best.
     rk45_cavities_per_s = None
     rk45_ok = None
+    rk45_by_engine = {}
     try:
         B45 = 512
         cfg45 = psa.custom_simulation_config(
@@ -191,12 +194,27 @@ def main() -> None:
             grid, detuning=detunings[:B45], pump=PUMP_F, d2=-1.0,
             precision=precision,
         )
-        lle.solve_lle_batch(cfg45, c45, psi0[:B45])             # warm-up
-        t0 = time.perf_counter()
-        _, _, ok45 = lle.solve_lle_batch(cfg45, c45, psi0[:B45])
-        el45 = time.perf_counter() - t0
-        rk45_cavities_per_s = round(B45 / el45, 1)
-        rk45_ok = float(np.mean(ok45))
+        rk45_engines = ["scan"] + (["pallas"] if backend == "tpu" else [])
+        for eng45 in rk45_engines:
+            try:
+                lle.solve_lle_batch(cfg45, c45, psi0[:B45],
+                                    engine=eng45)               # warm-up
+                t0 = time.perf_counter()
+                _, _, ok45 = lle.solve_lle_batch(cfg45, c45, psi0[:B45],
+                                                 engine=eng45)
+                el45 = time.perf_counter() - t0
+                rk45_by_engine[eng45] = {
+                    "cavities_per_s": round(B45 / el45, 1),
+                    "ok_fraction": float(np.mean(ok45)),
+                }
+            except Exception as e:  # noqa: BLE001
+                print(f"# lle rk45 engine {eng45} skipped: {e}",
+                      file=sys.stderr)
+        if rk45_by_engine:
+            best45 = max(rk45_by_engine.values(),
+                         key=lambda r: r["cavities_per_s"])
+            rk45_cavities_per_s = best45["cavities_per_s"]
+            rk45_ok = best45["ok_fraction"]
     except Exception as e:  # noqa: BLE001
         print(f"# lle rk45 lane skipped: {e}", file=sys.stderr)
 
@@ -295,6 +313,7 @@ def main() -> None:
         "best_engine": best,
         "rk45_cavities_per_s": rk45_cavities_per_s,
         "rk45_ok_fraction": rk45_ok,
+        "rk45_by_engine": rk45_by_engine,
         "rk4ip45_cavities_per_s": rk4ip45_cavities_per_s,
         "rk4ip45_ok_fraction": rk4ip45_ok,
         "detuning_scan_points_per_s": scan_points_per_s,

@@ -25,12 +25,17 @@ integration in one ``pallas_call``:
   ``jnp.concatenate`` tilings for sublane broadcasts, ones-matrix MXU
   dots for the cross-sublane error-norm reductions -- the Mosaic layout
   rule of ``ops/pallas_comb_adaptive.py`` (round 4) applied verbatim;
-- the exact scan-controller semantics: Sinkin global RMS error norm,
+- the scan-controller semantics: Sinkin global RMS error norm,
   Richardson-extrapolated accepted state (4 yf - yc)/3, safety 0.9 /
   factors [0.2, 5] / exponent -1/3, boundary-clipped steps keep the
   converged dt, the 1e30 runaway-gain escape, per-lane failure masking,
   save grid = segment boundaries with P-peak over saved samples, and the
-  trailing-partial-span rule (integrated, ok/counters only).
+  trailing-partial-span rule (integrated, ok/counters only) -- PLUS one
+  kernel-specific robustness rule: accepted steps never SHRINK h (the
+  no-shrink-on-accept deadband; the x3-bf16 DFT noise floor is
+  h-independent and otherwise ratchets dt to dt_min while accepting --
+  see the body comment), so the accepted-step sequence is
+  tolerance-class vs the scan engine, not identical.
 
 Contract mirrors: ``models/gnlse._gnlse_adaptive_solver`` (reduce mode) /
 ``models/lle._lle_adaptive_solver``; capability lineage: the adaptive slot
@@ -73,8 +78,12 @@ _ERR_EXP = -1.0 / 3.0        # order-2 Strang doubling: local error O(h^3)
 def _auto_block(t: int) -> int:
     """Lanes per grid cell: the attempt keeps ~10 live (2T, blk) plane
     sets (state, spectrum, yc/yf, factor pair, tilings); keep them inside
-    the ~12 MB usable VMEM."""
-    return 256 if t <= 512 else 128
+    the ~12 MB usable VMEM.  blk=256 dies in the Mosaic remote compile
+    ("Check failed: limits[i] <= dim(i) (2 vs. 1)", SIGABRT) -- measured
+    round 5, lle_tiny_b256 vs lle_tiny_b128/lle_bench_blk128 in
+    scripts/debug_ssfm_kernel.py -- so 128 is the widest safe block; 64
+    at T > 512 keeps the live planes under VMEM."""
+    return 128 if t <= 512 else 64
 
 
 def _kernel_body(rtol: float, atol: float, max_steps: int, t: int,
@@ -329,12 +338,28 @@ def _kernel_body(rtol: float, atol: float, max_steps: int, t: int,
                         _MIN_FACTOR, _MAX_FACTOR),
                     jnp.asarray(0.5, f32),
                 )
-                base = jnp.where(clipped & accept, dt_, h * factor)
+                # no-shrink-on-accept deadband (round 5, TPU fix): the x3
+                # compensated-bf16 DFT noise is an h-INDEPENDENT error
+                # floor; when it lands in (0.73, 1.0] x denom the pure
+                # Sinkin update accepts yet shrinks h every step
+                # (factor = 0.9 enorm^{-1/3} < 1), ratcheting dt to
+                # dt_min where z + h == z stalls in f32 until max_steps
+                # (measured: lle_mid ok=0, na~max_steps, while interpret
+                # mode with HIGHEST dots is healthy).  An accepted step
+                # may hold or grow h, never shrink it; genuine error
+                # growth still shrinks h through the rejection branch.
+                base = jnp.where(
+                    clipped & accept, dt_,
+                    jnp.where(accept, h * jnp.maximum(factor, 1.0),
+                              h * factor))
                 dt_next = jnp.where(active, jnp.maximum(base, dt_min), dt_)
                 failed = active & (((~accept) & (h <= dt_min)) | escape)
                 acc2t = tile_2t(jnp.where(accept, 1.0, 0.0)) > 0.0
                 u_out = jnp.where(acc2t, y_new, u_)
-                z_out = jnp.where(accept, z_ + h, z_)
+                # clipped accepted steps land EXACTLY on the segment
+                # boundary (z + h can round below seg_end in f32)
+                z_out = jnp.where(accept,
+                                  jnp.where(clipped, seg_end, z_ + h), z_)
                 ok_out = ok_ * jnp.where(failed, 0.0, 1.0)
                 na_out = jnp.where(accept, na_ + 1.0, na_)
                 nr_out = jnp.where(active & ~accept, nr_ + 1.0, nr_)

@@ -19,12 +19,13 @@ import numpy as np
 
 VARIANTS = {
     # name: (family, B, T, n_steps, save_every, max_steps, block)
+    # blk=256 is a measured Mosaic compile limit (SIGABRT, "limits[i] <=
+    # dim(i) (2 vs. 1)") -- _auto_block caps at 128 since round 5.
     "lle_tiny_b128": ("lle", 128, 256, 4, 2, 50, 128),
-    "lle_tiny_b256": ("lle", 256, 256, 4, 2, 50, 256),
     "gnlse_tiny": ("gnlse", 128, 256, 4, 2, 50, 128),
     "lle_mid": ("lle", 128, 256, 200, 100, 10000, 128),
     "lle_bench_blk128": ("lle", 512, 256, 2000, 200, 100000, 128),
-    "lle_bench_blk256": ("lle", 512, 256, 2000, 200, 100000, 256),
+    "gnlse_bench_blk64": ("gnlse", 512, 1024, 200, 100, 100000, 64),
 }
 
 
