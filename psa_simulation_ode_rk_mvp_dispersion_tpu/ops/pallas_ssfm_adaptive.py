@@ -14,9 +14,12 @@ and FFTs each time; this kernel runs the ENTIRE Sinkin step-doubling
 integration in one ``pallas_call``:
 
 - state: the fixed-step kernels' grouped-stacked (2T, blk) f32 planes,
-  polyphase MXU DFTs (``_make_dft_ops``, x3 compensated hi/lo-bf16 dots --
-  HIGHEST inside a while body is the measured Mosaic remote-compile limit,
-  same family as ``ops/pallas_comb_adaptive``);
+  polyphase MXU DFTs (``_make_dft_ops``, HIGHEST 'x6' dots by default --
+  unlike the comb adaptive family, HIGHEST both COMPILES in this while
+  body (~11-70 s vs the manual x3 path's 4.5-14 min -- Mosaic compile
+  time tracks the op count of the 3-dot compensated splits, not the
+  precision flag) and is REQUIRED for the adaptive use-case: the x3
+  noise floor pins the controller's h ~40x low, see ``_DOT``);
 - per-ATTEMPT in-kernel linear factors: ``exp(i phi k s)`` planes built
   from the phase-rate input by VPU transcendentals for the per-lane step
   ``s`` -- the quarter-step factor once, the half-step factor as its
@@ -67,6 +70,15 @@ from .pallas_gnlse import (
 # comma list in PSA_SSFM_ABLATE of {nofac, nokerr, noaff, nodft, fori}
 _ABLATE = frozenset(
     f for f in os.environ.get("PSA_SSFM_ABLATE", "").split(",") if f)
+
+# DFT dot path: 'x6' = HIGHEST (6-pass bf16, f32-class) -- REQUIRED for
+# the adaptive use-case: the x3 3-pass compensated path's ~4e-6 relative
+# noise floor sits inside the (0.73, 1]*denom accept band at rtol 1e-5,
+# pinning the controller's equilibrium h ~40x below the truncation-limited
+# value (measured round 5: lle_bench na_mean 128k vs interpret's ~3k).
+# 'x3' kept as the A/B lever.  Read at solver-build time (a mid-process
+# flip only affects shapes not yet built, _ssfm_rk45_solver is cached).
+_DOT = os.environ.get("PSA_SSFM_DOT", "x6")
 
 _F32_MAX = 3.4e38
 _SAFETY = 0.9
@@ -161,7 +173,8 @@ def _kernel_body(rtol: float, atol: float, max_steps: int, t: int,
         # x3 compensated bf16 dots on TPU (HIGHEST inside a while body is
         # the measured Mosaic compile limit); interpret mode keeps HIGHEST
         fwd_cplx, _fr, inv_cplx, _ir, _p, _s = _make_dft_ops(
-            t, m, not interpret, wfr, wfi, wir, wii, twiddle)
+            t, m, _DOT == "x3" and not interpret, wfr, wfi, wir, wii,
+            twiddle)
 
         def dft_fwd(y):
             if "nodft" in _ABLATE:
