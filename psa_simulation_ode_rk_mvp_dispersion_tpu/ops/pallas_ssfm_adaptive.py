@@ -93,9 +93,9 @@ def _auto_block(t: int) -> int:
     the ~12 MB usable VMEM.  blk=256 dies in the Mosaic remote compile
     ("Check failed: limits[i] <= dim(i) (2 vs. 1)", SIGABRT) -- measured
     round 5, lle_tiny_b256 vs lle_tiny_b128/lle_bench_blk128 in
-    scripts/debug_ssfm_kernel.py -- so 128 is the widest safe block; 64
-    at T > 512 keeps the live planes under VMEM."""
-    return 128 if t <= 512 else 64
+    scripts/debug_ssfm_kernel.py -- and the pallas TPU lowering requires
+    lane-dim blocks divisible by 128, so 128 is the ONLY legal width."""
+    return 128
 
 
 def _kernel_body(rtol: float, atol: float, max_steps: int, t: int,

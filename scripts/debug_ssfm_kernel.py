@@ -25,7 +25,7 @@ VARIANTS = {
     "gnlse_tiny": ("gnlse", 128, 256, 4, 2, 50, 128),
     "lle_mid": ("lle", 128, 256, 200, 100, 10000, 128),
     "lle_bench_blk128": ("lle", 512, 256, 2000, 200, 100000, 128),
-    "gnlse_bench_blk64": ("gnlse", 512, 1024, 200, 100, 100000, 64),
+    "gnlse_bench_blk128": ("gnlse", 512, 1024, 200, 100, 100000, 128),
 }
 
 
